@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.functions.Embedder
+import graft.plans.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Search operators: exact vector top-k, BM25 top-k, RRF fusion, document grouping.
+  *
+  * Mirrors the reference's search lifecycle (/root/reference/main/core/
+  * documents_collection_searcher.py): per-index retrieval (:31-65), Reciprocal Rank
+  * Fusion (:46-65), and grouping ranked chunks into documents (:67-96) — re-expressed
+  * as declarative DataFrame plans so Catalyst plans the physical execution
+  * (TakeOrderedAndProject for every top-k, broadcast hash join for metadata lookups).
+  */
+object Search {
+
+  /** Shared tokenizer: lowercase, split on non-alphanumeric runs, drop empties.
+    * Chosen to be reproducible in ANSI SQL (oracle parity) — the reference's FTS5
+    * unicode61 tokenizer is approximated, not bit-copied (SURVEY.md §7.3).
+    */
+  def tokensCol(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  def tokenize(s: String): Seq[String] =
+    if (s == null) Nil else s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  /** Exact kNN over an embedding column — the semantics of FAISS IndexFlatL2
+    * (faiss_indexer.py:30-31) as a full scan + TakeOrderedAndProject. The scan is
+    * embarrassingly parallel; only k rows per partition reach the driver.
+    * `metric`: "l2" (ascending) or "cosine" (descending).
+    */
+  def vectorTopK(
+      chunks: DataFrame,
+      embeddingCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      metric: String = "l2",
+      preFilter: Option[Column] = None,
+      idCol: String = "chunkId"): DataFrame = {
+    val q = typedLit(queryVec)
+    val filtered = preFilter.map(chunks.filter).getOrElse(chunks)
+    val scored = metric match {
+      case "l2"     => filtered.withColumn("score", l2SqF(col(embeddingCol), q))
+      case "cosine" => filtered.withColumn("score", -cosineF(col(embeddingCol), q))
+      case "dot"    => filtered.withColumn("score", -dotF(col(embeddingCol), q))
+      case m        => throw new IllegalArgumentException(s"unknown metric $m")
+    }
+    // Ascending score = better; deterministic tie-break on id.
+    scored.orderBy(col("score").asc, col(idCol).asc).limit(k)
+  }
+
+  /** BM25 top-k with the reference's conjunctive semantics (every query term must
+    * appear: sqllite_indexer.py:145-150). Robertson k1=1.2 b=0.75; idf =
+    * ln(1 + (N - df + 0.5)/(df + 0.5)) — standard Lucene/FTS5-style formulation.
+    *
+    * Plan shape: one scan of the corpus → explode to (doc, term) filtered to the
+    * query's terms (tiny, broadcastable) → two hash aggregations. Term stats join is
+    * a broadcast; no shuffle touches the full corpus width.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      preFilter: Option[Column] = None,
+      conjunctive: Boolean = true): DataFrame = {
+    val queryTerms = tokenize(query).distinct
+    if (queryTerms.isEmpty) return docs.sparkSession.emptyDataFrame
+
+    val corpus = preFilter.map(docs.filter).getOrElse(docs)
+      .select(col(idCol).as("docId"), tokensCol(col(textCol)).as("tokens"))
+      .withColumn("docLen", size(col("tokens")))
+
+    val stats = corpus.agg(count("*").as("n"), avg("docLen").as("avgdl")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+
+    val docTerm = corpus
+      .select(col("docId"), col("docLen"), explode(col("tokens")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("docId", "docLen", "term").agg(count("*").as("tf"))
+
+    val df = docTerm.groupBy("term").agg(countDistinct("docId").as("df"))
+
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("docLen") / lit(avgdl)))
+
+    val scored = docTerm.join(broadcast(df), "term")
+      .withColumn("termScore", idf * tfNorm)
+      .groupBy("docId")
+      .agg(sum("termScore").as("score"), countDistinct("term").as("matched"))
+
+    val gated = if (conjunctive) scored.filter(col("matched") === queryTerms.length) else scored
+    gated.select(col("docId"), col("score"))
+      .orderBy(col("score").desc, col("docId").asc).limit(k)
+  }
+
+  /** Reciprocal Rank Fusion (searcher.py:46-65, constant k=60): each input is an
+    * already-ordered top-k list (tiny); rank = position, fused score =
+    * Σ 1/(k + rank). Union of k-row lists then one hash agg — negligible shuffle.
+    */
+  def rrfFuse(
+      rankedLists: Seq[DataFrame],
+      idCol: String,
+      orderCol: String,
+      ascending: Seq[Boolean],
+      rrfK: Int = 60,
+      topK: Int = Int.MaxValue): DataFrame = {
+    require(rankedLists.nonEmpty && rankedLists.size == ascending.size)
+    val ranked = rankedLists.zip(ascending).map { case (l, asc) =>
+      val ord = if (asc) col(orderCol).asc else col(orderCol).desc
+      val w = Window.orderBy(ord, col(idCol).asc)
+      l.select(col(idCol), row_number().over(w).as("rank"))
+    }
+    val fused = ranked.reduce(_.unionByName(_))
+      .groupBy(idCol)
+      .agg(sum(lit(1.0) / (lit(rrfK) + col("rank"))).as("rrfScore"),
+           min("rank").as("bestRank"))
+      .orderBy(col("rrfScore").desc, col(idCol).asc)
+    if (topK == Int.MaxValue) fused else fused.limit(topK)
+  }
+
+  /** Group ranked chunks into documents: document order = best (min) chunk rank,
+    * chunk list per document kept in rank order (searcher.py:67-96 / SURVEY A2).
+    * Ties broken by id so output order is deterministic (SURVEY §7.3.6).
+    */
+  def groupIntoDocuments(
+      rankedChunks: DataFrame, // columns: chunkId, rank + chunk payload
+      chunksMeta: DataFrame,   // columns: chunkId, documentId, ...
+      maxDocs: Int): DataFrame = {
+    rankedChunks
+      .join(broadcast(chunksMeta), "chunkId") // result side is k rows — broadcast it
+      .groupBy("documentId")
+      .agg(
+        min("rank").as("docRank"),
+        count("*").as("matchedChunkCount"),
+        sort_array(collect_list(struct(col("rank"), col("chunkId")))).as("matchedChunks"))
+      .orderBy(col("docRank").asc, col("documentId").asc)
+      .limit(maxDocs)
+  }
+
+  /** End-to-end hybrid search over a chunks index table: vector + BM25 → RRF →
+    * documents. The flagship lifecycle (SURVEY §3.1).
+    */
+  def hybridSearch(
+      chunks: DataFrame,
+      embedder: Embedder,
+      query: String,
+      maxChunks: Int = 15,
+      maxDocs: Int = 5,
+      metadataFilter: Option[String] = None): DataFrame = {
+    val pre = metadataFilter.map(f =>
+      graft.functions.FilterDsl.metadataFilterColumn(f, col("metadata")))
+    val vec = vectorTopK(chunks, "embedding", embedder.embed(query), maxChunks, "l2", pre)
+      .select(col("chunkId"), col("score"))
+    val bm = bm25TopK(chunks, "chunkId", "indexedData", query, maxChunks, preFilter = pre)
+      .withColumnRenamed("docId", "chunkId")
+    val fused = rrfFuse(Seq(vec, bm), "chunkId", "score", Seq(true, false), 60, maxChunks)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrfScore").desc, col("chunkId").asc)))
+    groupIntoDocuments(
+      fused.select("chunkId", "rank"),
+      chunks.select("chunkId", "documentId", "documentUrl", "chunkNumber"),
+      maxDocs)
+  }
+}
