@@ -109,7 +109,10 @@ object Queries {
     * row_number here keeps the query oracle-checkable at test scale.
     */
   def chunkFanout(s: SparkSession, d: String): DataFrame =
-    D.documents(s, d)
+    chunkFanoutDf(D.documents(s, d))
+
+  def chunkFanoutDf(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), col("text"),
         greatest(lit(1L), ceil((length(col("text")) - lit(100)) / lit(300.0)).cast("long")).as("n"))
       .select(col("doc_id"), col("text"),
@@ -238,6 +241,276 @@ object Queries {
             |SELECT id, round(rrf, 6) AS rrf_score, best_rank FROM fused
             |ORDER BY round(rrf, 6) DESC, id LIMIT 10""".stripMargin))
 
+  // ----------------------------------------------------- dedup family (extensions)
+
+  /** Shared DuckDB fragments: tokens and word-3-gram shingles of documents.text. */
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private def shinglesSqlFrom(toks: String): String =
+    s"""CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+       |ELSE list_transform(generate_series(1, len($toks) - 2),
+       |       i -> array_to_string(($toks)[i:i+2], ' ')) END""".stripMargin
+  private val shinglesCte =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSqlFrom("t")} AS sh FROM toks)""".stripMargin
+
+  private val dedupMinhashLsh = Q(
+    (s, d) => graft.operators.Dedup.minhashLsh(D.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("sig0"), col("sig1"), col("sig2"), col("sig3"),
+        col("b0_size").cast("long").as("b0_size"),
+        col("b1_size").cast("long").as("b1_size"), col("is_candidate"))
+      .orderBy("doc_id"),
+    Some(s"""WITH $shinglesCte,
+            |m AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS m FROM sh),
+            |sig AS (SELECT doc_id,
+            |  list_min(list_transform(m, x -> substring(x, 1, 8))) AS sig0,
+            |  list_min(list_transform(m, x -> substring(x, 9, 8))) AS sig1,
+            |  list_min(list_transform(m, x -> substring(x, 17, 8))) AS sig2,
+            |  list_min(list_transform(m, x -> substring(x, 25, 8))) AS sig3
+            |  FROM m),
+            |z AS (SELECT doc_id, sig0, sig1, sig2, sig3,
+            |  count(*) OVER (PARTITION BY sig0 || sig1) AS b0_size,
+            |  count(*) OVER (PARTITION BY sig2 || sig3) AS b1_size FROM sig)
+            |SELECT doc_id, sig0, sig1, sig2, sig3, b0_size, b1_size,
+            |  CAST(b0_size > 1 OR b1_size > 1 AS INT) AS is_candidate
+            |FROM z ORDER BY doc_id""".stripMargin))
+
+  private val dedupSimhash = Q(
+    (s, d) => D.documents(s, d)
+      .select(col("doc_id"), graft.operators.Dedup.simhash16("text").as("fp"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, CAST(coalesce(list_sum(list_transform(generate_series(1, 16), j ->
+            |  CASE WHEN coalesce(list_sum(list_transform(m, x ->
+            |    CASE WHEN strpos('0123456789abcdef', x[j:j]) >= 9 THEN 1 ELSE -1 END)), 0) > 0
+            |  THEN 1 << (j - 1) ELSE 0 END)), 0) AS BIGINT) AS fp
+            |FROM (SELECT doc_id, list_transform($toksSql, t -> md5(t)) AS m FROM documents)
+            |ORDER BY doc_id""".stripMargin))
+
+  private val dedupNgramJaccard = Q(
+    (s, d) => graft.operators.Dedup.ngramJaccardPairs(
+        D.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text")
+      .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc).limit(10),
+    Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id < 100),
+            |sh AS (SELECT doc_id, list_distinct(${shinglesSqlFrom("t")}) AS sh FROM toks),
+            |pairs AS (
+            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            |    len(list_intersect(a.sh, b.sh)) AS inter,
+            |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            |SELECT id_a, id_b, round(inter / uni, 6) AS jaccard FROM pairs
+            |ORDER BY round(inter / uni, 6) DESC, id_a, id_b LIMIT 10""".stripMargin))
+
+  private val dedupEmbedding = Q(
+    (s, d) => graft.operators.Dedup.embeddingNearDupPairs(
+        D.embeddings(s, d), "vec_id", "embedding", minCosine = -1.0, bits = 8)
+      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc).limit(20),
+    Some(s"""WITH b AS (SELECT vec_id, embedding,
+            |  array_to_string(list_transform(embedding[1:8],
+            |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+            |  FROM embeddings),
+            |pairs AS (
+            |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+            |    ${cosSql("a.embedding", "b2.embedding")} AS c
+            |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+            |SELECT id_a, id_b, round(c, 6) AS cos FROM pairs
+            |ORDER BY round(c, 6) DESC, id_a, id_b LIMIT 20""".stripMargin))
+
+  // --------------------------------------------------- text analysis (extensions)
+
+  private val textLangid = Q(
+    (s, d) => graft.operators.TextAnalysis.langId(
+        D.documents(s, d).select("doc_id", "text"), "text")
+      .select(col("doc_id"), col("score_de").cast("long"), col("score_en").cast("long"),
+        col("score_es").cast("long"), col("score_fr").cast("long"), col("pred_lang"))
+      .orderBy("doc_id"),
+    Some {
+      val hits = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1).map {
+        case (l, ws) =>
+          val list = ws.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(t, x -> x IN ($list))) AS score_$l"
+      }.mkString(",\n  ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |s AS (SELECT doc_id, $hits FROM toks)
+         |SELECT doc_id, score_de, score_en, score_es, score_fr,
+         |  CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+         |       WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+         |       WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+         |       WHEN score_es >= score_fr THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    })
+
+  private val textQuality = Q(
+    (s, d) => graft.operators.TextAnalysis.qualitySignals(
+        D.documents(s, d).select("doc_id", "text"), "text")
+      .select("doc_id", "n_tokens", "mean_word_len", "alnum_ratio",
+        "stopword_ratio", "quality_score")
+      .orderBy("doc_id"),
+    Some {
+      val allStops = graft.operators.TextAnalysis.langMarkers.values.flatten.toSeq
+        .distinct.sorted.map(w => s"'$w'").mkString(", ")
+      s"""WITH x AS (
+         |  SELECT doc_id, text, $toksSql AS t FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    len(t) AS n_tokens,
+         |    round(coalesce(list_sum(list_transform(t, w -> length(w))), 0) / greatest(len(t), 1), 4) AS mean_word_len,
+         |    round(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) / greatest(length(text), 1), 4) AS alnum_ratio,
+         |    round(len(list_filter(t, w -> w IN ($allStops))) / greatest(len(t), 1), 4) AS stopword_ratio
+         |  FROM x)
+         |SELECT doc_id, n_tokens, mean_word_len, alnum_ratio, stopword_ratio,
+         |  round(least(n_tokens / 50.0, 1.0) * 0.4 +
+         |    CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0 END +
+         |    alnum_ratio * 0.2 +
+         |    CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.2 ELSE 0 END, 4) AS quality_score
+         |FROM sig ORDER BY doc_id""".stripMargin
+    })
+
+  private val textTokens = Q(
+    (s, d) => graft.operators.TextAnalysis.tokenCounts(
+        D.documents(s, d).select("doc_id", "text"), "text")
+      .select("doc_id", "ws_tokens", "bpe_tokens", "approx_tokens")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
+           |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val textFingerprint = Q(
+    (s, d) => graft.operators.TextAnalysis.fingerprintDf(
+        D.documents(s, d).select("doc_id", "text"), "text")
+      .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"),
+        array_min(col("fingerprints")).as("min_fp"), md5(col("text")).as("h"))
+      .orderBy("doc_id"),
+    Some("""WITH h AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN length(text) < 7 THEN [substring(md5(text), 1, 8)]
+           |    ELSE list_transform(generate_series(1, length(text) - 6),
+           |           i -> substring(md5(substring(text, i, 7)), 1, 8)) END AS hs
+           |  FROM documents),
+           |fp AS (
+           |  SELECT doc_id, text, list_distinct(
+           |    CASE WHEN len(hs) <= 5 THEN [list_min(hs)]
+           |    ELSE list_transform(generate_series(1, len(hs) - 4),
+           |           i -> list_min(hs[i:i+4])) END) AS fps
+           |  FROM h)
+           |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp, md5(text) AS h
+           |FROM fp ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------- incremental update / joins / set ops
+
+  /** J3: simulated incremental update — docs with doc_id % 7 = 0 are "re-read" with
+    * appended text; their old chunks are anti-joined away and new chunks appended
+    * with ids continuing past the old high-water mark (SURVEY §3.3).
+    */
+  private val j3IncrementalUpdate = Q(
+    (s, d) => {
+      val docs = D.documents(s, d)
+      val oldChunks = chunkFanout(s, d)
+      val changed = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" updated")))
+      val kept = oldChunks.join(changed.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select("doc_id", "chunk_number")
+      val newChunks = chunkFanoutDf(changed).select("doc_id", "chunk_number")
+      kept.withColumn("status", lit("kept"))
+        .unionByName(newChunks.withColumn("status", lit("updated")))
+        .groupBy("doc_id", "status").agg(count(lit(1)).as("n_chunks"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CASE WHEN doc_id % 7 = 0 THEN 'updated' ELSE 'kept' END AS status,
+           |  CAST(greatest(1, ceil((length(text) + CASE WHEN doc_id % 7 = 0 THEN 8 ELSE 0 END - 100) / 300.0)) AS BIGINT) AS n_chunks
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val j4SemiAnti = Q(
+    (s, d) => {
+      val c = D.customer(s, d); val o = D.orders(s, d); val n = D.nation(s, d)
+      // Semi/anti in one pass: left join against the distinct order keys and split
+      // on match presence (equivalent to left_semi + left_anti without the
+      // ambiguous double self-join).
+      val ordKeys = o.select(col("o_custkey")).distinct()
+      val flagged = c.join(ordKeys, c("c_custkey") === ordKeys("o_custkey"), "left")
+        .select(col("c_nationkey"), col("o_custkey").isNotNull.as("has_o"))
+      val counts = flagged.groupBy("c_nationkey").agg(
+        sum(when(col("has_o"), 1L).otherwise(0L)).as("with_orders"),
+        sum(when(col("has_o"), 0L).otherwise(1L)).as("without_orders"))
+      broadcast(n).join(counts, n("n_nationkey") === counts("c_nationkey"), "left")
+        .select(col("n_name"),
+          coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+          coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+           |  coalesce(sum(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS with_orders,
+           |  coalesce(sum(CASE WHEN has_o THEN 0 ELSE 1 END), 0) AS without_orders
+           |FROM nation LEFT JOIN (
+           |  SELECT c_nationkey, EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+           |  FROM customer) c ON c_nationkey = n_nationkey
+           |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  private val u2SetOps = Q(
+    (s, d) => {
+      val cn = D.customer(s, d).select(col("c_nationkey").cast("long").as("k")).distinct()
+      val sn = D.supplier(s, d).select(col("s_nationkey").cast("long").as("k")).distinct()
+      cn.intersect(sn).withColumn("op", lit("both"))
+        .unionByName(cn.except(sn).withColumn("op", lit("cust_only")))
+        .unionByName(sn.except(cn).withColumn("op", lit("supp_only")))
+        .select("op", "k").orderBy("op", "k")
+    },
+    Some("""SELECT 'both' AS op, k FROM (
+           |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer
+           |  INTERSECT SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier)
+           |UNION ALL SELECT 'cust_only', k FROM (
+           |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer
+           |  EXCEPT SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier)
+           |UNION ALL SELECT 'supp_only', k FROM (
+           |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS k FROM supplier
+           |  EXCEPT SELECT DISTINCT CAST(c_nationkey AS BIGINT) FROM customer)
+           |ORDER BY op, k""".stripMargin))
+
+  // ------------------------------------------- streaming-shaped + scalar batteries
+
+  /** Tumbling 1-hour windowed aggregation over the events stream table — the batch
+    * expression of the Structured Streaming update path (SURVEY §2.10); the same
+    * plan runs under readStream + withWatermark.
+    */
+  private val st1TumblingWindow = Q(
+    (s, d) => D.events(s, d)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("cnt"), col("sum_value"))
+      .orderBy("event_type", "hour"),
+    Some("""SELECT event_type,
+           |  strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin))
+
+  /** Scalar-function battery (SURVEY §2.8): JSON extraction (F3-analog), date parts
+    * and epoch (F8), string split/concat (F6/F9/F11) — all on the events table.
+    */
+  private val fScalarJson = Q(
+    (s, d) => D.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("epoch_s"),
+        concat_ws("-", col("event_type"), col("user_id")).as("type_user"),
+        split(col("event_type"), "_").getItem(0).as("type_prefix"),
+        lower(col("event_type")).as("type_lower"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+           |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           |  CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+           |  epoch(date_trunc('second', ts))::BIGINT AS epoch_s,
+           |  event_type || '-' || user_id AS type_user,
+           |  string_split(event_type, '_')[1] AS type_prefix,
+           |  lower(event_type) AS type_lower
+           |FROM events ORDER BY event_id""".stripMargin))
+
   // ------------------------------------------------- chunk→document grouping (A2)
 
   private val a2GroupDocs = Q(
@@ -289,7 +562,20 @@ object Queries {
     "t1_vector_topk" -> t1VectorTopK,
     "t2_bm25_topk" -> t2Bm25TopK,
     "a1_rrf_fusion" -> a1RrfFusion,
-    "a2_group_docs" -> a2GroupDocs)
+    "a2_group_docs" -> a2GroupDocs,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_embedding" -> dedupEmbedding,
+    "text_langid" -> textLangid,
+    "text_quality" -> textQuality,
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint,
+    "j3_incremental_update" -> j3IncrementalUpdate,
+    "j4_semi_anti" -> j4SemiAnti,
+    "u2_set_ops" -> u2SetOps,
+    "st1_tumbling_window" -> st1TumblingWindow,
+    "f_scalar_json" -> fScalarJson)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {

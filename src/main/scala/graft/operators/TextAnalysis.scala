@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language identification,
+  * quality scoring, token counting, and document fingerprinting.
+  *
+  * Extensions beyond the reference's surface (its only text processing is
+  * clean/split/embed — /root/reference/main/splitter/text_splitter.py,
+  * main/sources converter modules). Everything is a narrow per-row column expression —
+  * no shuffle, fully codegen'd, embarrassingly parallel at any scale.
+  */
+object TextAnalysis {
+
+  private def toksExpr(textCol: String): String =
+    s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != '')"
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "que", "es", "una", "por"))
+
+  private def markerHits(textCol: String, lang: String): Column = {
+    val list = langMarkers(lang).map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(${toksExpr(textCol)}, t -> t IN ($list)))")
+  }
+
+  /** Language-ID: count marker-stopword hits per candidate language; predict the
+    * argmax (deterministic tie-break: language name order), 'und' (undetermined)
+    * when nothing matches. Columns: score_<lang>..., pred_lang.
+    */
+  def langId(docs: DataFrame, textCol: String): DataFrame = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val withScores = langs.foldLeft(docs) { (df, l) =>
+      df.withColumn(s"score_$l", markerHits(textCol, l))
+    }
+    // argmax with name-order tie-break: fold langs in order, keep strict-greater.
+    val best = langs.tail.foldLeft((col(s"score_${langs.head}"), lit(langs.head))) {
+      case ((bestScore, bestLang), l) =>
+        val s = col(s"score_$l")
+        (when(s > bestScore, s).otherwise(bestScore),
+         when(s > bestScore, lit(l)).otherwise(bestLang))
+    }
+    withScores.withColumn("pred_lang", when(best._1 > 0, best._2).otherwise(lit("und")))
+  }
+
+  /** Quality-scoring signals: token count, char count, mean word length,
+    * alnum-space ratio, stopword ratio, and a composite [0,1] score.
+    */
+  def qualitySignals(docs: DataFrame, textCol: String): DataFrame = {
+    val allStops = langMarkers.values.flatten.toSeq.distinct.sorted
+    val stopList = allStops.map(w => s"'$w'").mkString(", ")
+    docs
+      .withColumn("n_tokens", expr(s"size(${toksExpr(textCol)})").cast("long"))
+      .withColumn("n_chars_t", length(col(textCol)).cast("long"))
+      .withColumn("mean_word_len",
+        round(expr(s"aggregate(${toksExpr(textCol)}, 0L, (s, t) -> s + length(t))") /
+          greatest(col("n_tokens"), lit(1L)), 4))
+      .withColumn("alnum_ratio",
+        round(length(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")) /
+          greatest(length(col(textCol)), lit(1)).cast("double"), 4))
+      .withColumn("stopword_ratio",
+        round(expr(s"size(filter(${toksExpr(textCol)}, t -> t IN ($stopList)))") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
+      // Composite: full marks for >= 50 tokens, mean word len in [3,10], mostly
+      // alphanumeric, and a nonzero-but-not-all-stopwords mix.
+      .withColumn("quality_score", round(
+        least(col("n_tokens") / lit(50.0), lit(1.0)) * lit(0.4) +
+        when(col("mean_word_len").between(3.0, 10.0), 0.2).otherwise(0.0) +
+        col("alnum_ratio") * lit(0.2) +
+        when(col("stopword_ratio").between(0.01, 0.6), 0.2).otherwise(0.0), 4))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish subword-regex tokens (letter runs,
+    * single digits, single punctuation marks), and the chars/4 heuristic.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame = docs
+    .withColumn("ws_tokens",
+      expr(s"size(filter(split($textCol, '\\\\s+'), t -> t != ''))").cast("long"))
+    .withColumn("bpe_tokens",
+      size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+    .withColumn("approx_tokens", ceil(length(col(textCol)) / lit(4.0)).cast("long"))
+
+  /** Winnowing document fingerprint: k-char shingles → 8-hex md5 hashes → minimum
+    * per sliding window of w → distinct set. Robust to small edits; the fingerprint
+    * count and minimum are stable per-document signals. Short docs (< k chars)
+    * fingerprint the whole text. The hash array is materialized once in an
+    * intermediate column so the window pass doesn't recompute the md5s.
+    */
+  def fingerprintDf(docs: DataFrame, textCol: String, k: Int = 7, w: Int = 5): DataFrame =
+    docs
+      .withColumn("_hashes", expr(
+        s"""CASE WHEN length($textCol) < $k THEN array(substring(md5($textCol), 1, 8))
+           |ELSE transform(sequence(1, length($textCol) - ${k - 1}),
+           |       i -> substring(md5(substring($textCol, i, $k)), 1, 8)) END""".stripMargin))
+      .withColumn("fingerprints", expr(
+        s"""array_distinct(CASE WHEN size(_hashes) <= $w THEN array(array_min(_hashes))
+           |ELSE transform(sequence(1, size(_hashes) - ${w - 1}),
+           |       i -> array_min(slice(_hashes, i, $w))) END)""".stripMargin))
+      .drop("_hashes")
+}
