@@ -71,27 +71,28 @@ object Search {
       conjunctive: Boolean = true): DataFrame = {
     val queryTerms = tokenize(query).distinct
     if (queryTerms.isEmpty) return docs.sparkSession.emptyDataFrame
+    val termList = queryTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
 
     val corpus = preFilter.map(docs.filter).getOrElse(docs)
       .select(col(idCol).as("docId"), tokensCol(col(textCol)).as("tokens"))
-      .withColumn("docLen", size(col("tokens")))
 
-    val stats = corpus.agg(count("*").as("n"), avg("docLen").as("avgdl")).head()
-    val n = stats.getLong(0)
-    val avgdl = stats.getDouble(1)
+    // Corpus stats stay a (1-row, broadcast) plan node — no separate driver action.
+    val stats = corpus.agg(count("*").as("n"), avg(size(col("tokens"))).as("avgdl"))
 
+    // Keep only query-term tokens BEFORE exploding: the exploded row count is
+    // docs × matched-terms, not docs × doc-length. df (document frequency) comes
+    // from a window over the already-tiny docTerm set — no recompute branch.
     val docTerm = corpus
-      .select(col("docId"), col("docLen"), explode(col("tokens")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
+      .select(col("docId"), size(col("tokens")).as("docLen"),
+        explode(expr(s"filter(tokens, t -> t IN ($termList))")).as("term"))
       .groupBy("docId", "docLen", "term").agg(count("*").as("tf"))
+      .withColumn("df", count("*").over(Window.partitionBy("term")))
 
-    val df = docTerm.groupBy("term").agg(countDistinct("docId").as("df"))
-
-    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("docLen") / lit(avgdl)))
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("docLen") / col("avgdl")))
 
-    val scored = docTerm.join(broadcast(df), "term")
+    val scored = docTerm.crossJoin(broadcast(stats))
       .withColumn("termScore", idf * tfNorm)
       .groupBy("docId")
       .agg(sum("termScore").as("score"), countDistinct("term").as("matched"))
