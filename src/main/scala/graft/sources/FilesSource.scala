@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Local/remote files source (S5): directory scan with include/exclude regex
+  * predicates, binary-extension blacklist, and an mtime watermark — the Spark
+  * re-expression of the reference's `os.walk` reader
+  * (/root/reference/main/sources/files/files_document_reader.py:110-258).
+  *
+  * Built on `spark.read.format("binaryFile")` so the listing and read distribute
+  * across executors; the path/mtime predicates are pushed into the scan (binaryFile
+  * supports pathGlobFilter and modifiedAfter pushdown; the regex filters run as
+  * catalyst filters on the path/modificationTime columns before content parse).
+  * Content parsing here covers text formats (the container has no doc-format libs —
+  * the Unstructured-style parsers slot in as an extra `parse` function per format).
+  */
+object FilesSource {
+
+  /** The reference's hard-coded binary-extension blacklist, abridged to its spirit
+    * (files_document_reader.py:10-108): media, archives, executables, fonts.
+    */
+  val binaryExtensions: Seq[String] = Seq(
+    "png", "jpg", "jpeg", "gif", "bmp", "ico", "tiff", "webp", "svgz",
+    "mp3", "mp4", "avi", "mov", "mkv", "wav", "flac", "ogg", "webm",
+    "zip", "tar", "gz", "bz2", "xz", "7z", "rar", "jar", "war",
+    "exe", "dll", "so", "dylib", "bin", "class", "o", "a",
+    "ttf", "otf", "woff", "woff2", "eot",
+    "db", "sqlite", "parquet", "orc", "avro", "pyc", "whl")
+
+  /** Read files under `basePath` as rows
+    * (fileRelativePath, fileFullPath, createdTime, modifiedTime, content) ready for
+    * [[Converters.files]]. Regex semantics mirror the reference: include = fullmatch
+    * on the relative path, exclude wins, extension blacklist always applies,
+    * `modifiedAfter` is the incremental-update watermark (:194-216).
+    */
+  def read(
+      spark: SparkSession,
+      basePath: String,
+      includePatterns: Seq[String] = Seq(".*"),
+      excludePatterns: Seq[String] = Nil,
+      modifiedAfter: Option[java.sql.Timestamp] = None): DataFrame = {
+
+    val raw = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(basePath)
+
+    val base = if (basePath.endsWith("/")) basePath else basePath + "/"
+    val withRel = raw
+      .withColumn("fileFullPath", regexp_replace(col("path"), "^file:", ""))
+      .withColumn("fileRelativePath",
+        regexp_replace(col("fileFullPath"), java.util.regex.Pattern.quote(base), ""))
+
+    val includeCol = includePatterns.map(p => col("fileRelativePath").rlike(s"^(?:$p)$$"))
+      .reduceOption(_ || _).getOrElse(lit(true))
+    val excludeCol = excludePatterns.map(p => col("fileRelativePath").rlike(s"^(?:$p)$$"))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val extCol = lower(element_at(split(col("fileRelativePath"), "\\."), -1))
+    val notBinary = !extCol.isin(binaryExtensions: _*)
+    val mtimeCol = modifiedAfter.map(t => col("modificationTime") > lit(t)).getOrElse(lit(true))
+
+    withRel
+      .filter(includeCol && !excludeCol && notBinary && mtimeCol)
+      .select(
+        col("fileRelativePath"), col("fileFullPath"),
+        date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss").as("createdTime"),
+        date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss").as("modifiedTime"),
+        // Text-format parse: UTF-8 decode, one content element, no page metadata.
+        array(struct(
+          lit(null).cast("struct<pageNumber:string>").as("metadata"),
+          decode(col("content"), "UTF-8").as("text"))).as("content"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.core.CollectionManager
+import graft.functions.{HashingEmbedder, TextSplitter}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end collection lifecycle: create → search → fetch → incremental update →
+  * search, including chunk-id high-water-mark continuation across updates
+  * (SURVEY §7.3.5) — the test pyramid level the reference lacks (SURVEY §5).
+  */
+class CollectionsSpec extends AnyFunSuite with SparkSuite {
+
+  private def rawDocs(rows: Seq[(String, String, Map[String, String], String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "url", "metadata", "text")
+  }
+
+  private def mkManager(tmp: String) = new CollectionManager(
+    spark, tmp, new HashingEmbedder(dim = 16), new TextSplitter(50, 10))
+
+  private val docsV1 = Seq(
+    ("d1", "file://d1", Map("space" -> "ENG", "lastModifiedAt" -> "2026-01-01T00:00:00"),
+      "spark query engine\nwith vector search\nand bm25 ranking"),
+    ("d2", "file://d2", Map("space" -> "OPS", "lastModifiedAt" -> "2026-01-02T00:00:00"),
+      "deployment guide for the ops team\nrun the deploy script"),
+    ("d3", "file://d3", Map("space" -> "ENG", "lastModifiedAt" -> "2026-01-03T00:00:00"),
+      "vector embeddings and similarity search notes"))
+
+  test("create → manifest + tables + search") {
+    val tmp = Files.createTempDirectory("graft-coll").toString
+    val cm = mkManager(tmp)
+    val m = cm.create("c1", rawDocs(docsV1))
+
+    assert(m.numberOfDocuments === 3)
+    assert(m.numberOfChunks > 3) // header chunk + split chunks per doc
+    assert(m.lastIndexItemId === m.numberOfChunks - 1) // ids start at 0, dense
+    assert(m.lastModifiedDocumentTime === "2026-01-03T00:00:00")
+    assert(cm.list() === Seq("c1"))
+
+    // round-trip manifest
+    val r = cm.readManifest("c1")
+    assert(r === m)
+
+    val hits = cm.search("c1", "vector search", maxDocs = 2).collect()
+    assert(hits.nonEmpty)
+    assert(hits.map(_.getString(0)).contains("d1") || hits.map(_.getString(0)).contains("d3"))
+
+    // metadata filter narrows to the OPS space
+    val ops = cm.search("c1", "deploy", metadataFilter = Some("""space = "OPS"""")).collect()
+    assert(ops.map(_.getString(0)).toSet === Set("d2"))
+  }
+
+  test("fetch line-range slice") {
+    val tmp = Files.createTempDirectory("graft-coll").toString
+    val cm = mkManager(tmp)
+    cm.create("c2", rawDocs(docsV1))
+    val row = cm.fetch("c2", "d1", startLine = 2, endLine = 3).head()
+    assert(row.getAs[Int]("totalLines") === 3)
+    assert(row.getAs[String]("content") === "with vector search\nand bm25 ranking")
+    assert(row.getAs[Int]("endLine") === 3)
+  }
+
+  test("incremental update: anti-join replace + id high-water mark") {
+    val tmp = Files.createTempDirectory("graft-coll").toString
+    val cm = mkManager(tmp)
+    val m1 = cm.create("c3", rawDocs(docsV1))
+
+    val changed = rawDocs(Seq(
+      ("d2", "file://d2", Map("space" -> "OPS", "lastModifiedAt" -> "2026-02-01T00:00:00"),
+        "rewritten deployment instructions\nnow with containers"),
+      ("d4", "file://d4", Map("space" -> "ENG", "lastModifiedAt" -> "2026-02-02T00:00:00"),
+        "brand new doc about stream processing")))
+    val m2 = cm.update("c3", changed)
+
+    assert(m2.numberOfDocuments === 4)
+    assert(m2.lastModifiedDocumentTime === "2026-02-02T00:00:00")
+
+    // old d2 chunks replaced; new ids all continue past the old high-water mark
+    val chunks = cm.chunks("c3")
+    val d2Ids = chunks.filter(col("documentId") === "d2")
+      .select("chunkId").collect().map(_.getLong(0))
+    assert(d2Ids.forall(_ > m1.lastIndexItemId))
+    val d4Ids = chunks.filter(col("documentId") === "d4")
+      .select("chunkId").collect().map(_.getLong(0))
+    assert(d4Ids.nonEmpty && d4Ids.forall(_ > m1.lastIndexItemId))
+    assert(m2.lastIndexItemId > m1.lastIndexItemId)
+    // no duplicate chunk ids
+    assert(chunks.select("chunkId").distinct().count() === chunks.count())
+    // d2's old text is gone from the index
+    assert(chunks.filter(col("indexedData").contains("ops team")).count() === 0)
+
+    // search sees the new content
+    val hits = cm.search("c3", "stream processing").collect()
+    assert(hits.map(_.getString(0)).contains("d4"))
+  }
+}
