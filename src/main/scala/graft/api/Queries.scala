@@ -511,6 +511,35 @@ object Queries {
            |  lower(event_type) AS type_lower
            |FROM events ORDER BY event_id""".stripMargin))
 
+  // ---------------------------------------------------- ANN + multimodal binary
+
+  /** IVF approximate kNN (k-means inverted lists, probe subset). No SQL oracle —
+    * k-means isn't reproducible in DuckDB — so the driver records the weaker
+    * rows-only check; exactness vs brute force is covered by AnnMultimodalSpec.
+    */
+  private val annIvfTopk = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val idx = graft.operators.Ann.buildIvf(emb, "embedding", nLists = 16)
+      graft.operators.Ann.searchIvf(idx, queryVec(s, d), 10, nProbe = 4)
+        .select(col("vec_id"), round(col("score"), 6).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+    },
+    None)
+
+  /** Multimodal plumbing, oracle-checkable slice: treat text as an opaque binary
+    * column; byte length + content hash are the portable metadata ops (decode /
+    * features / frame-sampling are stub-backed and spec-tested instead).
+    */
+  private val mmBinaryMeta = Q(
+    (s, d) => D.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"),
+        md5(col("text").cast("binary")).as("h"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS h
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------------- chunk→document grouping (A2)
 
   private val a2GroupDocs = Q(
@@ -575,7 +604,9 @@ object Queries {
     "j4_semi_anti" -> j4SemiAnti,
     "u2_set_ops" -> u2SetOps,
     "st1_tumbling_window" -> st1TumblingWindow,
-    "f_scalar_json" -> fScalarJson)
+    "f_scalar_json" -> fScalarJson,
+    "ann_ivf_topk" -> annIvfTopk,
+    "mm_binary_meta" -> mmBinaryMeta)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {

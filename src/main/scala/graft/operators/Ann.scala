@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.plans.VectorFunctions._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over an embedding column.
+  *
+  * The reference's ANN is Chroma's HNSW (space=l2 —
+  * /root/reference/main/indexes/indexers/chroma_indexer.py:155); HNSW's
+  * pointer-chasing graph doesn't map to columnar scans, so the Spark-native scale
+  * paths are:
+  *
+  *  - brute force:  exact scan + TakeOrderedAndProject ([[Search.vectorTopK]]) —
+  *                  the FAISS IndexFlatL2 semantics, embarrassingly parallel,
+  *                  right up to ~10^8 vectors × small k;
+  *  - IVF:          k-means coarse quantizer (MLlib KMeans, seeded); vectors
+  *                  partition into nLists inverted lists; a query probes the
+  *                  nProbe nearest lists — scan cost drops by nLists/nProbe.
+  *                  With the chunks table partitioned by listId, partition
+  *                  pruning turns the probe into a file-skip at scale;
+  *  - sign-LSH:     random-hyperplane-free sign buckets (dimension signs),
+  *                  multi-probe by Hamming-adjacent buckets ([[Dedup.signBucket]]).
+  *
+  * IVF recall with nProbe=nLists is exactly brute force (tested); smaller nProbe
+  * trades recall for a proportional scan-cost drop.
+  */
+object Ann {
+
+  final case class IvfIndex(
+      assigned: DataFrame,            // input columns + listId
+      centroids: Array[Array[Float]], // listId -> centroid
+      vecCol: String)
+
+  private val toVec = udf((a: Seq[Float]) =>
+    Vectors.dense(a.map(_.toDouble).toArray))
+
+  /** Build an IVF index: seeded k-means over (a sample of) the vectors, then
+    * assign every vector to its nearest centroid's inverted list. At scale,
+    * write `assigned` partitioned by listId so probes prune partitions.
+    */
+  def buildIvf(
+      vectors: DataFrame, vecCol: String,
+      nLists: Int, seed: Long = 42L, sampleFraction: Double = 1.0): IvfIndex = {
+    val train = (if (sampleFraction < 1.0)
+      vectors.sample(withReplacement = false, sampleFraction, seed) else vectors)
+      .select(toVec(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
+      .fit(train)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val assigned = assignLists(vectors, vecCol, centroids)
+    IvfIndex(assigned, centroids, vecCol)
+  }
+
+  /** listId = argmin over centroids of squared L2 — computed with the codegen'd
+    * l2_sq_f expression against a literal centroid array (no UDF in the hot path).
+    */
+  def assignLists(vectors: DataFrame, vecCol: String,
+                  centroids: Array[Array[Float]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(l2SqF(col(vecCol), typedLit(c)).as("d"), lit(i).as("i"))
+    }
+    vectors.withColumn("listId", array_min(array(dists: _*)).getField("i"))
+  }
+
+  /** Probe the nProbe lists nearest to the query, brute-force inside them.
+    * Returns top-k by the requested metric with deterministic id tie-break.
+    */
+  def searchIvf(
+      index: IvfIndex, queryVec: Array[Float], k: Int, nProbe: Int,
+      metric: String = "l2", idCol: String = "vec_id"): DataFrame = {
+    val probeLists = index.centroids.zipWithIndex
+      .map { case (c, i) => (l2Sq(c, queryVec), i) }
+      .sortBy(_._1).take(nProbe).map(_._2)
+    Search.vectorTopK(
+      index.assigned.filter(col("listId").isin(probeLists: _*)),
+      index.vecCol, queryVec, k, metric, idCol = idCol)
+  }
+
+  private def l2Sq(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Multi-probe sign-LSH search: scan only rows whose sign bucket is within
+    * Hamming distance `probeHamming` of the query's bucket (bits+1 buckets for
+    * distance 1 — a 2^bits/(bits+1) scan reduction), then brute-force.
+    */
+  def searchSignLsh(
+      vectors: DataFrame, vecCol: String, queryVec: Array[Float], k: Int,
+      bits: Int = 8, probeHamming: Int = 1,
+      metric: String = "cosine", idCol: String = "vec_id"): DataFrame = {
+    val qBucket = queryVec.take(bits).map(x => if (x >= 0) '1' else '0').mkString
+    val probes = scala.collection.mutable.Set(qBucket)
+    if (probeHamming >= 1)
+      for (i <- 0 until bits)
+        probes += qBucket.updated(i, if (qBucket(i) == '1') '0' else '1')
+    val bucketed = vectors.withColumn("bucket", Dedup.signBucket(col(vecCol), bits))
+    Search.vectorTopK(
+      bucketed.filter(col("bucket").isin(probes.toSeq: _*)),
+      vecCol, queryVec, k, metric, idCol = idCol)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Ann, Multimodal, Search}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnMultimodalSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queryVec = emb.filter(col("vec_id") === 0)
+    .head().getSeq[Float](1).toArray
+
+  test("IVF with nProbe = nLists is exactly brute force") {
+    val index = Ann.buildIvf(emb, "embedding", nLists = 8)
+    val exact = Search.vectorTopK(emb, "embedding", queryVec, 10, "l2", idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0))
+    val ivfAll = Ann.searchIvf(index, queryVec, 10, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(ivfAll === exact)
+  }
+
+  test("IVF probe subset: cheaper scan, sane recall, results are a subset") {
+    val index = Ann.buildIvf(emb, "embedding", nLists = 8, seed = 42L)
+    val exact = Search.vectorTopK(emb, "embedding", queryVec, 10, "l2", idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val probed = Ann.searchIvf(index, queryVec, 10, nProbe = 4)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(probed.nonEmpty)
+    // every probed result must be a true vector (sanity) and the query's own list
+    // must be probed first => the single nearest neighbour is found
+    val top1 = Search.vectorTopK(emb, "embedding", queryVec, 1, "l2", idCol = "vec_id")
+      .head().getLong(0)
+    assert(probed.contains(top1))
+    assert((probed.toSet -- exact).size <= 10)
+  }
+
+  test("sign-LSH multi-probe search returns the bucket-local top-k") {
+    val hits = Ann.searchSignLsh(emb, "embedding", queryVec, 5, bits = 6)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(hits.length === 5)
+    assert(hits.contains(0L)) // the query vector itself shares its own bucket
+  }
+
+  test("multimodal: decode stub, features, frame sampling, resize") {
+    import spark.implicits._
+    val media = Seq(
+      ("m1", "image", "fake-image-bytes-000000".getBytes, Map("src" -> "a")),
+      ("m2", "audio", "fake-audio-bytes".getBytes, Map.empty[String, String]),
+      ("m3", "video", Array.fill(5000)(7.toByte), Map.empty[String, String]),
+      ("m4", "image", Array.empty[Byte], Map.empty[String, String]))
+      .toDF("mediaId", "kind", "bytes", "meta")
+
+    val decoded = Multimodal.decode(media)
+    val img = decoded.filter($"mediaId" === "m1").head()
+    assert(img.getAs[Int]("width") > 0 && img.getAs[Int]("height") > 0)
+    assert(img.getAs[Int]("channels") === 3)
+    // deterministic: same bytes → same dimensions
+    val again = Multimodal.decode(media).filter($"mediaId" === "m1").head()
+    assert(again.getAs[Int]("width") === img.getAs[Int]("width"))
+    val empty = decoded.filter($"mediaId" === "m4").head()
+    assert(empty.getAs[Int]("width") === 0)
+
+    val feats = Multimodal.extractFeatures(media, dim = 32)
+      .select("mediaId", "features").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(feats("m1").length === 32)
+    val norm = math.sqrt(feats("m1").map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5) // unit vectors compose with cosine ANN
+    assert(feats("m4").forall(_ === 0f))
+
+    val frames = Multimodal.sampleFrames(media, frameBytes = 1024, everyNth = 2)
+    val fr = frames.collect()
+    assert(fr.forall(_.getString(0) === "m3"))
+    assert(fr.length === 3) // 5 pseudo-frames, every 2nd => frames 0,2,4
+    assert(fr.map(_.getAs[Int]("frameNo")).sorted === Array(0, 1, 2))
+
+    val resized = Multimodal.resizeStub(media, 100)
+    assert(resized.select(max(length($"bytes"))).head().getInt(0) <= 100)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.core.CollectionManager
+import graft.functions.{HashingEmbedder, TextSplitter}
+import graft.streaming.StreamingUpdate
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+
+  test("streaming collection update merges each micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val cm = new CollectionManager(spark, s"$tmp/coll",
+      new HashingEmbedder(dim = 16), new TextSplitter(50, 10))
+
+    val stream = MemoryStream[(String, String, String)]
+    val docs = stream.toDF().toDF("id", "url", "text")
+      .withColumn("metadata", map(lit("source"), lit("stream")))
+      .select("id", "url", "metadata", "text")
+
+    stream.addData(("s1", "u1", "first streaming document about spark"))
+    val q1 = StreamingUpdate.collectionUpdateWriter(docs, cm, "live", s"$tmp/ckpt").start()
+    q1.awaitTermination(60000)
+    assert(cm.readManifest("live").numberOfDocuments === 1)
+
+    stream.addData(
+      ("s2", "u2", "second document about vector search"),
+      ("s1", "u1", "first document rewritten entirely"))
+    val q2 = StreamingUpdate.collectionUpdateWriter(docs, cm, "live", s"$tmp/ckpt").start()
+    q2.awaitTermination(60000)
+
+    val m = cm.readManifest("live")
+    assert(m.numberOfDocuments === 2) // s1 replaced, s2 added
+    assert(cm.chunks("live").filter(col("indexedData").contains("rewritten")).count() > 0)
+    assert(cm.chunks("live").filter(col("indexedData").contains("about spark")).count() === 0)
+  }
+
+  test("windowed event counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val events = stream.toDF().toDF("ts", "event_type", "value")
+
+    def t(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    stream.addData(
+      (t(5), "click", 1.0), (t(15), "click", 2.0),
+      (t(5), "view", 10.0), (t(59), "click", 4.0))
+
+    val out = StreamingUpdate.windowedEventCounts(events, "30 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("win")
+      .outputMode("update").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val rows = spark.table("win")
+      .select("event_type", "window_start", "cnt", "sum_value")
+      .collect().map(r => (r.getString(0),
+        r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3))).toSet
+    assert(rows === Set(
+      ("click", "2026-01-01 10:00:00.0", 2L, 3.0),
+      ("click", "2026-01-01 10:30:00.0", 1L, 4.0),
+      ("view", "2026-01-01 10:00:00.0", 1L, 10.0)))
+  }
+}
