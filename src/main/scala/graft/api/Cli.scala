@@ -1,0 +1,120 @@
+package graft.api
+
+import graft.core.CollectionManager
+import graft.functions.{Formatting, HashingEmbedder, TextSplitter}
+import graft.sources.{Converters, FilesSource}
+import org.apache.spark.sql.SparkSession
+
+/** Command-line adapters mirroring the reference's five cmd adapters
+  * (/root/reference/main/adapters: files/jira/confluence create, update, search,
+  * plus fetch) so a user of the reference can run the same operations against this
+  * engine. REST-backed creates take pre-fetched JSON payload files (the offline
+  * stand-in for live connectors — the converter surface is identical).
+  *
+  * Usage:
+  * {{{
+  *   graft.api.Cli create-files  --collection c --path DIR [--include RE]... [--exclude RE]...
+  *                               [--chunk-size 1000] [--chunk-overlap 100] [--data-dir D]
+  *   graft.api.Cli create-jira   --collection c --json FILE [--cloud] ...
+  *   graft.api.Cli create-confluence --collection c --json FILE ...
+  *   graft.api.Cli update-files  --collection c --path DIR ...
+  *   graft.api.Cli search        --collection c --query Q [--filter DSL] [--max-docs 5]
+  *                               [--max-chunks 15] [--include-text] [--format json|json_indent|toon]
+  *   graft.api.Cli fetch         --collection c --doc ID [--start 1] [--end 200]
+  *   graft.api.Cli list
+  * }}}
+  */
+object Cli {
+
+  private def parseArgs(args: Seq[String]): (Map[String, Seq[String]], Set[String]) = {
+    val opts = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val flags = scala.collection.mutable.Set.empty[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val k = a.drop(2)
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          opts(k) = opts.getOrElse(k, Nil) :+ args(i + 1); i += 2
+        } else { flags += k; i += 1 }
+      } else i += 1
+    }
+    (opts.toMap, flags.toSet)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "missing subcommand")
+    val cmd = args.head
+    val (opts, flags) = parseArgs(args.tail.toSeq)
+    def opt(k: String): Option[String] = opts.get(k).flatMap(_.lastOption)
+    def req(k: String): String = opt(k).getOrElse(sys.error(s"missing --$k"))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dataDir = opt("data-dir").getOrElse("./data/collections")
+    val splitter = new TextSplitter(
+      opt("chunk-size").map(_.toInt).getOrElse(1000),     // text_splitter.py:6 defaults
+      opt("chunk-overlap").map(_.toInt).getOrElse(100))
+    val cm = new CollectionManager(spark, dataDir, HashingEmbedder.default, splitter)
+
+    def filesDocs(path: String) = Converters.files(
+      FilesSource.read(spark, path,
+        includePatterns = opts.getOrElse("include", Seq(".*")),
+        excludePatterns = opts.getOrElse("exclude", Nil)), splitter).drop("chunks")
+
+    cmd match {
+      case "create-files" =>
+        val m = cm.create(req("collection"), filesDocs(req("path")))
+        println(s"""{"created": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
+      case "create-jira" =>
+        val issues = spark.read.json(req("json"))
+        val docs = Converters.jira(issues, splitter, cloud = flags.contains("cloud")).drop("chunks")
+        val m = cm.create(req("collection"), docs)
+        println(s"""{"created": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
+      case "create-confluence" =>
+        val pages = spark.read.json(req("json"))
+        val m = cm.create(req("collection"), Converters.confluence(pages, splitter).drop("chunks"))
+        println(s"""{"created": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
+      case "update-files" =>
+        // Incremental: only files modified after the stored watermark − 5 min
+        // (update_collection_factory.py:55-65) re-read and merge.
+        val wm = cm.readManifest(req("collection")).lastModifiedDocumentTime
+        val after = if (wm.isEmpty) None else Some(java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.parse(wm).minusMinutes(5)))
+        val changed = Converters.files(
+          FilesSource.read(spark, req("path"), modifiedAfter = after), splitter).drop("chunks")
+        val m = cm.update(req("collection"), changed)
+        println(s"""{"updated": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
+      case "search" =>
+        val maxDocs = opt("max-docs").map(_.toInt).getOrElse(5)
+        val result = cm.search(req("collection"), req("query"),
+          // CLI default: chunks = 3 × docs (collection_search_cmd_adapter.py:32)
+          maxChunks = opt("max-chunks").map(_.toInt).getOrElse(3 * maxDocs),
+          maxDocs = maxDocs,
+          metadataFilter = opt("filter"),
+          includeText = flags.contains("include-text"),
+          includeMatchedChunkContent = flags.contains("include-matched-chunks"),
+          includeAllChunksContent = flags.contains("include-all-chunks"))
+        println(opt("format").getOrElse("json_indent") match {
+          case "json"   => Formatting.json(result)
+          case "toon"   => Formatting.toon(result, "documents")
+          case _         => Formatting.jsonIndent(result)
+        })
+      case "fetch" =>
+        val result = cm.fetch(req("collection"), req("doc"),
+          opt("start").map(_.toInt).getOrElse(1), opt("end").map(_.toInt).getOrElse(200))
+        println(Formatting.jsonIndent(result))
+      case "list" =>
+        println(cm.list().mkString("[\"", "\", \"", "\"]"))
+      case other => sys.error(s"unknown subcommand $other")
+    }
+    spark.stop()
+  }
+}

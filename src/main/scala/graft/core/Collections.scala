@@ -183,12 +183,23 @@ final class CollectionManager(
   def chunks(name: String): DataFrame = spark.read.parquet(chunksPath(name))
   def documents(name: String): DataFrame = spark.read.parquet(docsPath(name))
 
-  /** Hybrid vector+BM25 search with optional metadata-filter DSL (SURVEY §3.1). */
+  /** Hybrid vector+BM25 search with optional metadata-filter DSL (SURVEY §3.1)
+    * and result-projection flags (P7: include text / matched-chunk / all-chunks
+    * payloads — the documents table joins in only when a payload needs it).
+    */
   def search(
       name: String, query: String,
       maxChunks: Int = 15, maxDocs: Int = 5,
-      metadataFilter: Option[String] = None): DataFrame =
-    Search.hybridSearch(chunks(name), embedder, query, maxChunks, maxDocs, metadataFilter)
+      metadataFilter: Option[String] = None,
+      includeText: Boolean = false,
+      includeMatchedChunkContent: Boolean = false,
+      includeAllChunksContent: Boolean = false): DataFrame = {
+    val proj = Search.Projection(
+      includeText, includeMatchedChunkContent, includeAllChunksContent,
+      documents = if (includeText || includeAllChunksContent) Some(documents(name)) else None)
+    Search.hybridSearch(chunks(name), embedder, query, maxChunks, maxDocs,
+      metadataFilter, proj)
+  }
 
   /** Fetch a document by id with a line-range slice (reference:
     * main/core/documents_collection_fetcher.py:10-33, defaults 1–200).

@@ -127,6 +127,16 @@ object Search {
     if (topK == Int.MaxValue) fused else fused.limit(topK)
   }
 
+  /** Result projection flags (P7 — searcher.py:18-44,86-91,98-111): which payload
+    * columns appear in search results. `documents` supplies the doc table for
+    * text/all-chunks payloads (J2 — the chunk↔document lookup join).
+    */
+  final case class Projection(
+      includeText: Boolean = false,
+      includeMatchedChunkContent: Boolean = false,
+      includeAllChunksContent: Boolean = false,
+      documents: Option[DataFrame] = None)
+
   /** Group ranked chunks into documents: document order = best (min) chunk rank,
     * chunk list per document kept in rank order (searcher.py:67-96 / SURVEY A2).
     * Ties broken by id so output order is deterministic (SURVEY §7.3.6).
@@ -134,16 +144,38 @@ object Search {
   def groupIntoDocuments(
       rankedChunks: DataFrame, // columns: chunkId, rank + chunk payload
       chunksMeta: DataFrame,   // columns: chunkId, documentId, ...
-      maxDocs: Int): DataFrame = {
-    rankedChunks
+      maxDocs: Int,
+      projection: Projection = Projection()): DataFrame = {
+    val chunkStruct =
+      if (projection.includeMatchedChunkContent)
+        struct(col("rank"), col("chunkId"), col("chunkNumber"), col("indexedData"))
+      else struct(col("rank"), col("chunkId"))
+    val grouped = rankedChunks
       .join(broadcast(chunksMeta), "chunkId") // result side is k rows — broadcast it
       .groupBy("documentId")
       .agg(
+        first("documentUrl").as("documentUrl"),
         min("rank").as("docRank"),
         count("*").as("matchedChunkCount"),
-        sort_array(collect_list(struct(col("rank"), col("chunkId")))).as("matchedChunks"))
+        sort_array(collect_list(chunkStruct)).as("matchedChunks"))
       .orderBy(col("docRank").asc, col("documentId").asc)
       .limit(maxDocs)
+
+    // J2: per result doc, pull payloads from the documents table — k-row
+    // broadcast-side join against the (big) documents table.
+    projection.documents match {
+      case Some(docs) if projection.includeText || projection.includeAllChunksContent =>
+        val docCols =
+          Seq(col("documentId")) ++
+          (if (projection.includeText) Seq(col("text").as("textContent")) else Nil) ++
+          (if (projection.includeAllChunksContent)
+            Seq(col("chunks").getField("indexedData").as("allChunksContent")) else Nil)
+        grouped.join(
+          docs.select(col("id").as("documentId") +: docCols.tail: _*),
+          Seq("documentId"), "left")
+          .orderBy(col("docRank").asc, col("documentId").asc)
+      case _ => grouped
+    }
   }
 
   /** End-to-end hybrid search over a chunks index table: vector + BM25 → RRF →
@@ -155,7 +187,8 @@ object Search {
       query: String,
       maxChunks: Int = 15,
       maxDocs: Int = 5,
-      metadataFilter: Option[String] = None): DataFrame = {
+      metadataFilter: Option[String] = None,
+      projection: Projection = Projection()): DataFrame = {
     val pre = metadataFilter.map(f =>
       graft.functions.FilterDsl.metadataFilterColumn(f, col("metadata")))
     val vec = vectorTopK(chunks, "embedding", embedder.embed(query), maxChunks, "l2", pre)
@@ -167,7 +200,7 @@ object Search {
         Window.orderBy(col("rrfScore").desc, col("chunkId").asc)))
     groupIntoDocuments(
       fused.select("chunkId", "rank"),
-      chunks.select("chunkId", "documentId", "documentUrl", "chunkNumber"),
-      maxDocs)
+      chunks.select("chunkId", "documentId", "documentUrl", "chunkNumber", "indexedData"),
+      maxDocs, projection)
   }
 }

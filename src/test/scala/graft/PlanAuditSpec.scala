@@ -1,0 +1,56 @@
+package graft
+
+import graft.api.Queries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression checks: the properties that make these operators scale
+  * (pushdown, broadcast, top-k pushdown, no accidental cartesian products) are
+  * asserted on the executed plan so a refactor can't silently lose them.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Queries.all(name).run(spark, sf)
+    df.collect() // finalize the adaptive plan before inspecting it
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q3 star join broadcasts every dimension (no sort-merge at this scale)") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("filter DSL compiles to predicates that push into the parquet scan") {
+    val p = plan("p3_filter_dsl")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("EqualTo(lang,en)"))
+    assert(p.contains("GreaterThan(n_chars,200)"))
+  }
+
+  test("vector top-k runs as TakeOrderedAndProject with pushed id filter") {
+    val p = plan("t1_vector_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("Not(EqualTo(vec_id,0))"))
+  }
+
+  test("bm25 has no unbounded cartesian product (stats join is broadcast)") {
+    val p = plan("t2_bm25_topk")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("incremental update anti-join is broadcast; unused chunk-id window pruned") {
+    val p = plan("j3_incremental_update")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    assert(!p.contains("Window")) // chunk_id unused => window must be pruned away
+  }
+
+  test("semi/anti flags resolve to one aggregate over one broadcast join") {
+    val p = plan("j4_semi_anti")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+}
