@@ -39,6 +39,12 @@ final class CollectionManager(
   private def docsPath(name: String) = s"${dir(name)}/documents"
   private def chunksPath(name: String) = s"${dir(name)}/chunks"
   private def manifestPath(name: String) = s"${dir(name)}/manifest.json"
+  private def bm25Dir(name: String) = s"${dir(name)}/indexes/bm25"
+
+  private def vectorIndexer(name: String) =
+    new graft.operators.VectorIndexer(spark, chunksPath(name), embedder)
+  private def bm25Indexer(name: String) =
+    new graft.operators.Bm25Indexer(spark, bm25Dir(name), chunksPath(name))
 
   // ------------------------------------------------------------------ manifest IO
 
@@ -110,6 +116,7 @@ final class CollectionManager(
     val persisted = spark.read.parquet(docsPath(name))
     val chunks = Indexing.buildChunks(persisted, embedder, startId = 0L)
     chunks.write.mode(SaveMode.Overwrite).parquet(chunksPath(name))
+    bm25Indexer(name).index(spark.read.parquet(chunksPath(name)))
 
     val stats = spark.read.parquet(chunksPath(name))
       .agg(count("*").as("n"), coalesce(max("chunkId"), lit(-1L)).as("maxId"),
@@ -159,6 +166,10 @@ final class CollectionManager(
     keptChunks.select(newChunks.columns.map(col): _*).unionByName(newChunks)
       .write.mode(SaveMode.Overwrite).parquet(chunksStaging)
     swap(chunksStaging, chunksPath(name))
+    // Rebuild the BM25 postings from the merged chunks (an incremental postings
+    // merge — anti-join by docId + append — is the optimization when updates are
+    // a small fraction; full rebuild keeps df/avgdl exact).
+    bm25Indexer(name).index(spark.read.parquet(chunksPath(name)))
 
     val stats = spark.read.parquet(chunksPath(name))
       .agg(count("*").as("n"), coalesce(max("chunkId"), lit(-1L)).as("maxId"),
@@ -197,8 +208,19 @@ final class CollectionManager(
     val proj = Search.Projection(
       includeText, includeMatchedChunkContent, includeAllChunksContent,
       documents = if (includeText || includeAllChunksContent) Some(documents(name)) else None)
-    Search.hybridSearch(chunks(name), embedder, query, maxChunks, maxDocs,
-      metadataFilter, proj)
+    val filterCol = metadataFilter.map(f =>
+      graft.functions.FilterDsl.metadataFilterColumn(f, col("metadata")))
+    // Multi-index search over the prebuilt indexes (vector scan + BM25 postings),
+    // RRF-fused, then grouped into documents — searcher.py:31-65 on columnar state.
+    val fused = graft.operators.Indexers.multiSearch(
+      Seq(vectorIndexer(name), bm25Indexer(name)), query, maxChunks, filterCol)
+    val ranked = fused.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
+        col("rrfScore").desc, col("chunkId").asc)))
+    Search.groupIntoDocuments(
+      ranked.select("chunkId", "rank"),
+      chunks(name).select("chunkId", "documentId", "documentUrl", "chunkNumber", "indexedData"),
+      maxDocs, proj)
   }
 
   /** Fetch a document by id with a line-range slice (reference:

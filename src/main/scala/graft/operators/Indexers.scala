@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.functions.Embedder
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{size => arraySize}
+
+/** Pluggable index engines over the chunks table — the [[BaseIndexer]] contract of
+  * the reference (/root/reference/main/indexes/indexers/base_indexer.py:6-29:
+  * index_texts / remove_ids / search / get_size / support_metadata) re-expressed
+  * for columnar storage. Search results are (chunkId, score, ascending) ranked
+  * lists ready for RRF fusion.
+  */
+trait Indexer extends Serializable {
+  def name: String
+  /** P6 capability gate: indexers that cannot filter raise, matching the
+    * reference's FAISS behavior (faiss_indexer.py:33-34,
+    * documents_collection_searcher.py:26-29).
+    */
+  def supportsMetadataFiltering: Boolean
+  /** Lower score = better rank? (L2 ascending, BM25 descending.) */
+  def ascendingScores: Boolean
+  def index(chunks: DataFrame): Unit
+  def search(query: String, k: Int, metadataFilter: Option[Column] = None): DataFrame
+  def size: Long
+
+  protected def requireFilterSupport(f: Option[Column]): Unit =
+    if (f.isDefined && !supportsMetadataFiltering)
+      throw new UnsupportedOperationException(
+        s"indexer $name does not support metadata filtering")
+}
+
+/** Exact vector index (FAISS IndexFlatL2 semantics, faiss_indexer.py:30-31): the
+  * chunks table IS the index — a flat scan scores every (filtered) row and
+  * TakeOrderedAndProject keeps k. `parityMode` reproduces the reference's FAISS
+  * capability gate (no metadata filtering) for drop-in parity testing.
+  */
+final class VectorIndexer(
+    spark: SparkSession, chunksPath: String, embedder: Embedder,
+    parityMode: Boolean = false) extends Indexer {
+  val name = "vector_exact_l2"
+  def supportsMetadataFiltering: Boolean = !parityMode
+  val ascendingScores = true
+  def index(chunks: DataFrame): Unit = () // the chunks table itself, written by the manager
+  def search(query: String, k: Int, metadataFilter: Option[Column]): DataFrame = {
+    requireFilterSupport(metadataFilter)
+    Search.vectorTopK(spark.read.parquet(chunksPath), "embedding",
+      embedder.embed(query), k, "l2", metadataFilter)
+      .select(col("chunkId"), col("score"))
+  }
+  def size: Long = spark.read.parquet(chunksPath).count()
+}
+
+/** BM25 index with prebuilt inverted postings — the scale-correct layout (what
+  * SQLite FTS5 keeps internally, sqllite_indexer.py:106-114, made columnar):
+  *
+  * {{{
+  *   {dir}/postings/   (term, docId, tf, docLen)  — sorted by term at write, so
+  *                     term IN (...) predicates prune parquet row groups
+  *   {dir}/termDf/     (term, df)
+  *   {dir}/corpus/     (n, avgdl)                 — one row
+  * }}}
+  *
+  * A query reads ONLY its terms' postings (pruned scan) + two tiny broadcast
+  * tables — no full-corpus scan or tokenization at query time, unlike the inline
+  * [[Search.bm25TopK]]. At 100 TB the postings table is the only big artifact and
+  * it's touched proportionally to query-term selectivity.
+  *
+  * Metadata filtering: postings carry only ids, so a filter applies as a
+  * semi-join against the (filtered) chunks table — the same pre-filtered-search
+  * shape the reference gets from `doc_id IN (SELECT ...)` (sqllite_indexer.py:64-74).
+  */
+final class Bm25Indexer(
+    spark: SparkSession, indexDir: String, chunksPath: String,
+    k1: Double = 1.2, b: Double = 0.75) extends Indexer {
+  val name = "bm25"
+  val supportsMetadataFiltering = true
+  val ascendingScores = false
+
+  private def p(sub: String) = s"$indexDir/$sub"
+
+  def index(chunks: DataFrame): Unit = {
+    val toks = chunks.select(col("chunkId").as("docId"),
+      Search.tokensCol(col("indexedData")).as("tokens"))
+    val postings = toks
+      .select(col("docId"), arraySize(col("tokens")).as("docLen"),
+        explode(col("tokens")).as("term"))
+      .groupBy("term", "docId", "docLen").agg(count("*").as("tf"))
+    // Sort by term so parquet row-group min/max stats prune term lookups.
+    postings.repartition(col("term")).sortWithinPartitions("term")
+      .write.mode(SaveMode.Overwrite).parquet(p("postings"))
+    val persisted = spark.read.parquet(p("postings"))
+    persisted.groupBy("term").agg(count("*").as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(p("termDf"))
+    toks.agg(count("*").as("n"), avg(arraySize(col("tokens"))).as("avgdl"))
+      .write.mode(SaveMode.Overwrite).parquet(p("corpus"))
+  }
+
+  def search(query: String, k: Int, metadataFilter: Option[Column]): DataFrame = {
+    val terms = Search.tokenize(query).distinct
+    if (terms.isEmpty) return spark.emptyDataFrame
+    val postings0 = spark.read.parquet(p("postings"))
+      .filter(col("term").isin(terms: _*)) // pushed into the pruned parquet scan
+    val postings = metadataFilter match {
+      case Some(f) => postings0.join( // pre-filtered search via id semi-join
+        spark.read.parquet(chunksPath).filter(f).select(col("chunkId").as("docId")),
+        Seq("docId"), "left_semi")
+      case None => postings0
+    }
+    val stats = spark.read.parquet(p("corpus"))
+    val df = spark.read.parquet(p("termDf")).filter(col("term").isin(terms: _*))
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("docLen") / col("avgdl")))
+    postings
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("termScore", idf * tfNorm)
+      .groupBy("docId").agg(sum("termScore").as("score"))
+      .select(col("docId").as("chunkId"), col("score"))
+      .orderBy(col("score").desc, col("chunkId").asc).limit(k)
+  }
+
+  def size: Long = spark.read.parquet(p("corpus")).head().getLong(0)
+}
+
+object Indexers {
+  /** Multi-index search + RRF fusion (searcher.py:46-65): each indexer returns its
+    * ranked k-list; reciprocal-rank fusion merges them.
+    */
+  def multiSearch(
+      indexers: Seq[Indexer], query: String, k: Int,
+      metadataFilter: Option[Column] = None, rrfK: Int = 60): DataFrame = {
+    require(indexers.nonEmpty)
+    metadataFilter.foreach(_ => indexers.foreach(i =>
+      if (!i.supportsMetadataFiltering) throw new UnsupportedOperationException(
+        s"indexer ${i.name} does not support metadata filtering")))
+    if (indexers.size == 1)
+      return indexers.head.search(query, k, metadataFilter)
+    val lists = indexers.map(_.search(query, k, metadataFilter))
+    Search.rrfFuse(lists, "chunkId", "score",
+      indexers.map(_.ascendingScores), rrfK, k)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.CollectionManager
+import graft.functions.{HashingEmbedder, TextSplitter}
+import graft.operators.{Bm25Indexer, Indexers, Search, VectorIndexer}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class IndexersSpec extends AnyFunSuite with SparkSuite {
+
+  private def setup(): (CollectionManager, String, String) = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-idx").toString
+    val cm = new CollectionManager(spark, tmp,
+      new HashingEmbedder(dim = 16), new TextSplitter(60, 10))
+    cm.create("ix", Seq(
+      ("d1", "u1", Map("space" -> "ENG"), "spark vector search with broadcast joins"),
+      ("d2", "u2", Map("space" -> "OPS"), "deployment of the search service"),
+      ("d3", "u3", Map("space" -> "ENG"), "vector embeddings, similarity search, spark"))
+      .toDF("id", "url", "metadata", "text"))
+    (cm, tmp, s"$tmp/ix")
+  }
+
+  test("prebuilt BM25 postings match the inline bm25TopK scores") {
+    val (cm, _, dir) = setup()
+    val chunks = cm.chunks("ix")
+    val bm = new Bm25Indexer(spark, s"$dir/indexes/bm25", s"$dir/chunks")
+    val prebuilt = bm.search("vector search spark", 10, None)
+      .select(col("chunkId"), round(col("score"), 9).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val inline = Search.bm25TopK(chunks, "chunkId", "indexedData",
+      "vector search spark", 10, conjunctive = false)
+      .select(col("docId"), round(col("score"), 9).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prebuilt === inline)
+    assert(bm.size === chunks.count())
+  }
+
+  test("bm25 metadata filter = pre-filtered search via id semi-join") {
+    val (cm, _, dir) = setup()
+    val bm = new Bm25Indexer(spark, s"$dir/indexes/bm25", s"$dir/chunks")
+    val eng = bm.search("search", 10,
+      Some(col("metadata").getItem("space") === "ENG")).collect()
+    val engDocs = cm.chunks("ix")
+      .filter(col("metadata").getItem("space") === "ENG")
+      .select("chunkId").collect().map(_.getLong(0)).toSet
+    assert(eng.nonEmpty)
+    assert(eng.map(_.getLong(0)).forall(engDocs.contains))
+  }
+
+  test("P6 capability gate: parity-mode vector indexer rejects filters") {
+    val (cm, _, dir) = setup()
+    val faissLike = new VectorIndexer(spark, s"$dir/chunks",
+      new HashingEmbedder(dim = 16), parityMode = true)
+    intercept[UnsupportedOperationException] {
+      faissLike.search("anything", 5, Some(lit(true)))
+    }
+    intercept[UnsupportedOperationException] {
+      Indexers.multiSearch(Seq(faissLike), "x", 5, Some(lit(true)))
+    }
+    // without a filter it works
+    assert(faissLike.search("vector", 3, None).count() === 3)
+  }
+
+  test("multi-index RRF fusion returns fused ranked chunks") {
+    val (cm, _, dir) = setup()
+    val emb = new HashingEmbedder(dim = 16)
+    val fused = Indexers.multiSearch(Seq(
+      new VectorIndexer(spark, s"$dir/chunks", emb),
+      new Bm25Indexer(spark, s"$dir/indexes/bm25", s"$dir/chunks")),
+      "vector search", 5)
+    val rows = fused.collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    // fused scores descend
+    val scores = rows.map(_.getAs[Double]("rrfScore"))
+    assert(scores.sorted.reverse.sameElements(scores))
+  }
+
+  test("postings term filter prunes the scan (pushed filter present)") {
+    val (_, _, dir) = setup()
+    val bm = new Bm25Indexer(spark, s"$dir/indexes/bm25", s"$dir/chunks")
+    val df = bm.search("vector", 5, None)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("In(term,") || plan.contains("EqualTo(term,")))
+  }
+}
