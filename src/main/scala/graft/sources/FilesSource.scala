@@ -70,4 +70,29 @@ object FilesSource {
           lit(null).cast("struct<pageNumber:string>").as("metadata"),
           decode(col("content"), "UTF-8").as("text"))).as("content"))
   }
+
+  /** Per-row parse quarantine (S7's error recovery + A6's read stats, as data
+    * instead of driver state): wrap a parse function so failures become a
+    * (parseOk, parseError) status instead of a task failure — the declarative
+    * analogue of the reference's skip-bad-item loop and success/error file lists
+    * (files_document_reader.py:132-157). Split with [[quarantine]]; counts come
+    * from a groupBy on parseOk.
+    */
+  def withParseStatus(df: DataFrame, parse: String => String,
+                      textCol: String = "text"): DataFrame = {
+    val parseUdf = udf { (s: String) =>
+      try { val r = parse(s); (r, true, null.asInstanceOf[String]) }
+      catch { case e: Exception => (null.asInstanceOf[String], false, e.getMessage) }
+    }
+    df.withColumn("_p", parseUdf(col(textCol)))
+      .withColumn(textCol, col("_p._1"))
+      .withColumn("parseOk", col("_p._2"))
+      .withColumn("parseError", col("_p._3"))
+      .drop("_p")
+  }
+
+  /** (good rows, quarantined rows) — bad rows keep their error message. */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) =
+    (df.filter(col("parseOk")).drop("parseOk", "parseError"),
+     df.filter(!col("parseOk")))
 }
