@@ -511,6 +511,60 @@ object Queries {
            |  lower(event_type) AS type_lower
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** Gap-based sessionization over the events stream table: a >30-minute silence
+    * from the same user starts a new session (lag + running sum of boundaries —
+    * the batch twin of Structured Streaming session windows).
+    */
+  private val w3Sessionize = Q(
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      D.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800).cast("long"))
+        .withColumn("session_no", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_s"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max("n_events").as("max_events"),
+          max("duration_s").as("max_duration_s"))
+        .orderBy("user_id")
+    },
+    Some("""WITH marked AS (
+           |  SELECT user_id, ts, event_id,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS new_session
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sessions AS (
+           |  SELECT user_id, ts,
+           |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS UNBOUNDED PRECEDING) AS session_no
+           |  FROM marked),
+           |per_session AS (
+           |  SELECT user_id, session_no, count(*) AS n_events,
+           |    CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+           |  FROM sessions GROUP BY user_id, session_no)
+           |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
+           |  max(duration_s) AS max_duration_s
+           |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** Salted two-phase aggregation (skew mitigation) — must produce exactly the
+    * plain GROUP BY result, so the oracle IS the plain GROUP BY.
+    */
+  private val skewSaltedAgg = Q(
+    (s, d) => graft.operators.Skew.saltedAgg(
+        D.events(s, d), Seq("event_type"), col("event_id"),
+        Map("value" -> "sum", "event_id" -> "count"), numSalts = 16)
+      .select(col("event_type"), round(col("sum_value"), 2).as("sum_value"),
+        col("count_event_id").as("cnt"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, round(sum(value), 2) AS sum_value, count(event_id) AS cnt
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   // ---------------------------------------------------- ANN + multimodal binary
 
   /** IVF approximate kNN (k-means inverted lists, probe subset). No SQL oracle —
@@ -606,7 +660,9 @@ object Queries {
     "st1_tumbling_window" -> st1TumblingWindow,
     "f_scalar_json" -> fScalarJson,
     "ann_ivf_topk" -> annIvfTopk,
-    "mm_binary_meta" -> mmBinaryMeta)
+    "mm_binary_meta" -> mmBinaryMeta,
+    "w3_sessionize" -> w3Sessionize,
+    "skew_salted_agg" -> skewSaltedAgg)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {

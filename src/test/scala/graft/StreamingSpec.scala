@@ -41,6 +41,26 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(cm.chunks("live").filter(col("indexedData").contains("about spark")).count() === 0)
   }
 
+  test("streaming exact dedup with watermark drops replayed docs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, String, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("doc_id") // streaming stateful dedup, state bounded by watermark
+
+    def t(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    stream.addData((t(0), "a", "first"), (t(1), "a", "replay"), (t(2), "b", "other"))
+    val q = docs.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("dedup").select("doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("a", "first"), ("b", "other"))) // replay dropped
+  }
+
   test("windowed event counts with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
