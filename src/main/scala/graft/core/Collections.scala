@@ -46,6 +46,17 @@ final class CollectionManager(
   private def bm25Indexer(name: String) =
     new graft.operators.Bm25Indexer(spark, bm25Dir(name), chunksPath(name))
 
+  /** Optional scale-path ANN index: IVF with the inverted lists as partition
+    * directories, so each probe is a file-skip. Call after create/update; search
+    * via the returned indexer (or wire it into multiSearch).
+    */
+  def buildIvfIndex(name: String, nLists: Int = 64, nProbe: Int = 8): graft.operators.IvfVectorIndexer = {
+    val ivf = new graft.operators.IvfVectorIndexer(
+      spark, s"${dir(name)}/indexes/ivf", embedder, nLists, nProbe)
+    ivf.index(chunks(name))
+    ivf
+  }
+
   // ------------------------------------------------------------------ manifest IO
 
   private def fs: FileSystem =

@@ -43,11 +43,15 @@ object Ann {
     */
   def buildIvf(
       vectors: DataFrame, vecCol: String,
-      nLists: Int, seed: Long = 42L, sampleFraction: Double = 1.0): IvfIndex = {
+      nLists: Int, seed: Long = 42L, sampleFraction: Double = 1.0,
+      maxIter: Int = 10): IvfIndex = {
     val train = (if (sampleFraction < 1.0)
       vectors.sample(withReplacement = false, sampleFraction, seed) else vectors)
       .select(toVec(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
+    // A coarse quantizer needs rough centroids, not convergence — cap iterations
+    // (FAISS trains its IVF quantizer with a similarly small fixed budget).
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features")
       .fit(train)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val assigned = assignLists(vectors, vecCol, centroids)

@@ -124,6 +124,56 @@ final class Bm25Indexer(
   def size: Long = spark.read.parquet(p("corpus")).head().getLong(0)
 }
 
+/** IVF vector index persisted with the inverted lists as PARTITION directories:
+  * `{dir}/assigned/listId=N/...`. A probe reads only its lists' partitions —
+  * `PartitionFilters` in the scan, i.e. a file-skip, not a data-skip. This is the
+  * ANN layout that holds at 100 TB: nLists ~ sqrt(n) directories, each probe
+  * touches nProbe of them.
+  */
+final class IvfVectorIndexer(
+    spark: SparkSession, indexDir: String, embedder: Embedder,
+    nLists: Int = 64, nProbe: Int = 8, seed: Long = 42L) extends Indexer {
+  val name = "vector_ivf"
+  val supportsMetadataFiltering = true
+  val ascendingScores = true
+
+  private def assignedPath = s"$indexDir/assigned"
+  private def centroidsPath = s"$indexDir/centroids"
+
+  def index(chunks: DataFrame): Unit = {
+    val ivf = Ann.buildIvf(chunks, "embedding", nLists, seed)
+    ivf.assigned.write.mode(SaveMode.Overwrite)
+      .partitionBy("listId").parquet(assignedPath)
+    import spark.implicits._
+    ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("listId", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(centroidsPath)
+  }
+
+  private def centroids(): Array[(Int, Array[Float])] =
+    spark.read.parquet(centroidsPath).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+
+  def search(query: String, k: Int, metadataFilter: Option[Column]): DataFrame = {
+    val q = embedder.embed(query)
+    def l2(a: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, q.length)
+      while (i < n) { val d = a(i).toDouble - q(i); s += d * d; i += 1 }
+      s
+    }
+    val probes = centroids().map { case (i, c) => (l2(c), i) }
+      .sortBy(_._1).take(nProbe).map(_._2)
+    // listId is a partition column: isin => PartitionFilters => file skip.
+    val scanned = spark.read.parquet(assignedPath)
+      .filter(col("listId").isin(probes: _*))
+    Search.vectorTopK(scanned, "embedding", q, k, "l2", metadataFilter)
+      .select(col("chunkId"), col("score"))
+  }
+
+  def size: Long = spark.read.parquet(assignedPath).count()
+}
+
 object Indexers {
   /** Multi-index search + RRF fusion (searcher.py:46-65): each indexer returns its
     * ranked k-list; reciprocal-rank fusion merges them.

@@ -55,4 +55,69 @@ class FilterDslSpec extends AnyFunSuite {
   test("toSql renders ANSI predicate") {
     assert(FilterDsl.toSql(parse("""a = "1" or b != "2"""")) == """(a = '1') OR (b <> '2')""")
   }
+
+  // ------------------------------------------------- ScalaCheck properties
+
+  import org.scalacheck.{Gen, Prop}
+  import org.scalacheck.Test.{check, Parameters}
+
+  private val genCond: Gen[Cond] = for {
+    f <- Gen.identifier.map(_.take(8)).suchThat(s => s.nonEmpty && s != "and" && s != "or")
+    op <- Gen.oneOf("=", "!=", ">", ">=", "<", "<=")
+    v <- Gen.alphaNumStr.map(_.take(12))
+  } yield Cond(f, op, v)
+
+  private def genNode(depth: Int): Gen[Node] =
+    if (depth <= 0) genCond
+    else Gen.frequency(
+      2 -> genCond,
+      1 -> (for {
+        op <- Gen.oneOf("and", "or")
+        n <- Gen.choose(2, 3)
+        cs <- Gen.listOfN(n, genNode(depth - 1))
+      } yield Group(op, cs)))
+
+  /** Render an AST back to DSL text with explicit parens (parse-safe in both
+    * precedence modes).
+    */
+  private def render(n: Node): String = n match {
+    case Cond(f, op, v) => s"""$f $op "${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+    case Group(op, cs)  => cs.map {
+      case c: Cond => render(c)
+      case g       => s"(${render(g)})"
+    }.mkString(s" $op ")
+  }
+
+  private def runProp(p: Prop): Unit = {
+    val r = check(Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: parse(render) is a stable normalization (idempotent)") {
+    // Not syntactic identity: the left-assoc fold absorbs a parenthesized
+    // same-op LEFT group (matching filter_parser.py's running fold), so parsing
+    // normalizes. The normal form must be a fixed point.
+    runProp(Prop.forAll(genNode(3)) { node =>
+      val once = parse(render(node))
+      parse(render(once)) == once
+    })
+  }
+
+  test("property: parse never loses or reorders conditions") {
+    def conds(n: Node): Seq[Cond] = n match {
+      case c: Cond      => Seq(c)
+      case Group(_, cs) => cs.flatMap(conds)
+    }
+    runProp(Prop.forAll(genNode(3)) { node =>
+      conds(parse(render(node))) == conds(node)
+    })
+  }
+
+  test("property: both precedence modes accept every rendered filter") {
+    runProp(Prop.forAll(genNode(3)) { node =>
+      val s = render(node)
+      parse(s); parse(s, standardPrecedence = true) // must not throw
+      true
+    })
+  }
 }

@@ -77,6 +77,20 @@ class IndexersSpec extends AnyFunSuite with SparkSuite {
     assert(scores.sorted.reverse.sameElements(scores))
   }
 
+  test("IVF indexer: partition-pruned probes, top-1 is the exact nearest") {
+    val (cm, _, dir) = setup()
+    val ivf = cm.buildIvfIndex("ix", nLists = 4, nProbe = 4)
+    val hits = ivf.search("vector search", 3, None)
+    hits.collect()
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("listId"))
+    // nProbe = nLists => identical to the exact flat scan
+    val exact = new VectorIndexer(spark, s"$dir/chunks", new HashingEmbedder(dim = 16))
+      .search("vector search", 3, None).collect().map(_.getLong(0))
+    assert(hits.collect().map(_.getLong(0)) === exact)
+    assert(ivf.size === cm.chunks("ix").count())
+  }
+
   test("postings term filter prunes the scan (pushed filter present)") {
     val (_, _, dir) = setup()
     val bm = new Bm25Indexer(spark, s"$dir/indexes/bm25", s"$dir/chunks")
