@@ -144,27 +144,37 @@ object Converters {
   // ----------------------------------------------------------------- Confluence
 
   /** Confluence pages (wrapper rows {page, comments[]} per FIXTURES.md §2) →
-    * documents. Cites confluence_document_converter.py:17-83.
+    * documents. Cites confluence_document_converter.py:17-83. `cloud = true`
+    * reads the page from the cloud API's `page.content` nesting
+    * (confluence_cloud_document_converter.py:19-30).
     */
-  def confluence(pages: DataFrame, splitter: TextSplitter = TextSplitter.default): DataFrame = {
-    val p = col("page")
+  def confluence(pages: DataFrame, splitter: TextSplitter = TextSplitter.default,
+                 cloud: Boolean = false): DataFrame = {
+    val base: Seq[String] = if (cloud) Seq("page", "content") else Seq("page")
+    def fld(p: String*) = fieldOrNull(pages, base ++ p: _*)
+    val (ancestors, ancElem) = arrayOrEmpty(pages, base :+ "ancestors": _*)
     val titlePath = array_join( // F4
-      concat(transform(coalesce(p.getField("ancestors"), array()),
-        a => a.getField("title")), array(p.getField("title"))), " -> ")
-    val bodyHtml = p.getField("body").getField("storage").getField("value")
-    val commentHtml = transform(coalesce(col("comments"), array()),
-      c => c.getField("body").getField("storage").getField("value"))
+      concat(
+        if (ancElem.exists(et => pathType(et, Seq("title")).isDefined))
+          transform(ancestors, a => a.getField("title"))
+        else array(),
+        array(fld("title"))), " -> ")
+    val bodyHtml = fld("body", "storage", "value")
+    val (commentsArr, comElem) = arrayOrEmpty(pages, "comments")
+    val commentHtml =
+      if (comElem.exists(et => pathType(et, Seq("body", "storage", "value")).isDefined))
+        transform(commentsArr, c => c.getField("body").getField("storage").getField("value"))
+      else array()
 
     val pagesWithText = pages.select(
-      p.getField("id").as("id"),
-      concat(regexp_extract(p.getField("_links").getField("self"), "^(.*?)/rest/api/", 1),
-        p.getField("_links").getField("webui")).as("url"), // F11
+      fld("id").cast("string").as("id"),
+      concat(regexp_extract(fld("_links", "self"), "^(.*?)/rest/api/", 1),
+        fld("_links", "webui")).as("url"), // F11
       map_filter(map(
-        lit("createdAt"), p.getField("history").getField("createdDate"),
-        lit("createdBy"), lower(p.getField("history").getField("createdBy")
-          .getField("username")),
-        lit("lastModifiedAt"), p.getField("version").getField("when"),
-        lit("space"), p.getField("space").getField("key")),
+        lit("createdAt"), fld("history", "createdDate"),
+        lit("createdBy"), lower(fld("history", "createdBy", "username")),
+        lit("lastModifiedAt"), fld("version", "when"),
+        lit("space"), fld("space", "key")),
         (_, v) => v.isNotNull).as("metadata"),
       titlePath.as("header"),
       htmlToTextUdf(bodyHtml).as("bodyText"),

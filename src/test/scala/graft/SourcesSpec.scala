@@ -102,6 +102,25 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(text.contains("Works for me"))
   }
 
+  test("confluence cloud converter: page.content nesting + missing fields tolerated") {
+    val cloudPage =
+      """{"page": {"content": {
+        |   "id": 4242, "title": "Cloud Page",
+        |   "body": {"storage": {"value": "<p>cloud body</p>"}},
+        |   "version": {"when": "2026-03-01T00:00:00.000Z"},
+        |   "space": {"key": "CLD"},
+        |   "_links": {"self": "https://x.atlassian.net/wiki/rest/api/content/4242",
+        |              "webui": "/spaces/CLD/pages/4242"}}}}""".stripMargin
+    val out = Converters.confluence(jsonDf(cloudPage), splitter, cloud = true).collect()(0)
+    assert(out.getAs[String]("id") === "4242")
+    assert(out.getAs[String]("url") === "https://x.atlassian.net/wiki/spaces/CLD/pages/4242")
+    val md = out.getAs[Map[String, String]]("metadata")
+    assert(md("space") === "CLD")
+    assert(!md.contains("createdBy")) // no history in payload → dropped, no crash
+    assert(out.getAs[String]("text").startsWith("Cloud Page")) // no ancestors → title only
+    assert(out.getAs[String]("text").contains("cloud body"))
+  }
+
   test("htmlToText strips scripts and decodes entities") {
     assert(Converters.htmlToText(
       "<div><script>alert(1)</script>Hello &lt;world&gt;</div>") === "Hello <world>")
