@@ -565,6 +565,30 @@ object Queries {
     Some("""SELECT event_type, round(sum(value), 2) AS sum_value, count(event_id) AS cnt
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Full indexing pipeline throughput (M1/M5): recursive split → header chunk →
+    * global sequential ids (zipWithIndex) → hashing embeddings, reduced to
+    * per-document chunk counts. Rows-only (the recursive splitter and murmur
+    * embedder aren't SQL-expressible); lets BENCH track create-path throughput.
+    */
+  private val m1EmbedPipeline = Q(
+    (s, d) => {
+      val docs = D.documents(s, d).select(
+        col("doc_id").cast("string").as("id"),
+        concat(lit("doc://"), col("doc_id")).as("url"),
+        map(lit("lang"), col("lang")).as("metadata"),
+        col("text"))
+      val chunks = graft.operators.Indexing.buildChunks(
+        graft.operators.Indexing.splitDocuments(
+          docs, new graft.functions.TextSplitter(400, 100)),
+        HashingEmbedder.default)
+      chunks.groupBy("documentId")
+        .agg(count(lit(1)).as("n_chunks"),
+          max("chunkId").as("max_chunk_id"),
+          round(sum(element_at(col("embedding"), 1)), 4).as("emb_sum"))
+        .orderBy(col("documentId").cast("long"))
+    },
+    None)
+
   // ---------------------------------------------------- ANN + multimodal binary
 
   /** IVF approximate kNN (k-means inverted lists, probe subset). No SQL oracle —
@@ -662,7 +686,8 @@ object Queries {
     "ann_ivf_topk" -> annIvfTopk,
     "mm_binary_meta" -> mmBinaryMeta,
     "w3_sessionize" -> w3Sessionize,
-    "skew_salted_agg" -> skewSaltedAgg)
+    "skew_salted_agg" -> skewSaltedAgg,
+    "m1_embed_pipeline" -> m1EmbedPipeline)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {
