@@ -28,7 +28,7 @@ object Smoke {
     java.nio.file.Files.writeString(docsDir.resolve("deploy.md"),
       "Deployment runbook\n\nHow to roll out the search service safely.")
     val raw = sources.FilesSource.read(spark, tmp.resolve("input").toString)
-    val docs = sources.Converters.files(raw).drop("chunks")
+    val docs = sources.Converters.files(raw)
     val cm = new core.CollectionManager(
       spark, tmp.resolve("collections").toString,
       new functions.HashingEmbedder(dim = 32), new functions.TextSplitter(80, 10))

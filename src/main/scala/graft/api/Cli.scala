@@ -67,7 +67,7 @@ object Cli {
     def filesDocs(path: String) = Converters.files(
       FilesSource.read(spark, path,
         includePatterns = opts.getOrElse("include", Seq(".*")),
-        excludePatterns = opts.getOrElse("exclude", Nil)), splitter).drop("chunks")
+        excludePatterns = opts.getOrElse("exclude", Nil)), splitter)
 
     cmd match {
       case "create-files" =>
@@ -75,12 +75,12 @@ object Cli {
         println(s"""{"created": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
       case "create-jira" =>
         val issues = spark.read.json(req("json"))
-        val docs = Converters.jira(issues, splitter, cloud = flags.contains("cloud")).drop("chunks")
+        val docs = Converters.jira(issues, splitter, cloud = flags.contains("cloud"))
         val m = cm.create(req("collection"), docs)
         println(s"""{"created": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
       case "create-confluence" =>
         val pages = spark.read.json(req("json"))
-        val m = cm.create(req("collection"), Converters.confluence(pages, splitter).drop("chunks"))
+        val m = cm.create(req("collection"), Converters.confluence(pages, splitter))
         println(s"""{"created": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
       case "update-files" =>
         // Incremental: only files modified after the stored watermark − 5 min
@@ -89,7 +89,7 @@ object Cli {
         val after = if (wm.isEmpty) None else Some(java.sql.Timestamp.valueOf(
           java.time.LocalDateTime.parse(wm).minusMinutes(5)))
         val changed = Converters.files(
-          FilesSource.read(spark, req("path"), modifiedAfter = after), splitter).drop("chunks")
+          FilesSource.read(spark, req("path"), modifiedAfter = after), splitter)
         val m = cm.update(req("collection"), changed)
         println(s"""{"updated": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
       case "search" =>

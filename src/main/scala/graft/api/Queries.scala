@@ -203,7 +203,8 @@ object Queries {
   }
 
   private def bm25Spark(s: SparkSession, d: String, conjunctive: Boolean, k: Int): DataFrame =
-    Search.bm25TopK(D.documents(s, d), "doc_id", "text", searchQuery, k, conjunctive = conjunctive)
+    Search.bm25TopK(D.documents(s, d), "doc_id", "text", searchQuery, k,
+      conjunctive = conjunctive, selectByRounded = Some(5))
       .select(col("docId").as("doc_id"), round(col("score"), 5).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
 
@@ -624,7 +625,8 @@ object Queries {
     (s, d) => {
       val chunks = chunkFanout(s, d).select("chunk_id", "doc_id", "chunk_text")
       val ranked = Search
-        .bm25TopK(chunks, "chunk_id", "chunk_text", searchQuery, 30, conjunctive = false)
+        .bm25TopK(chunks, "chunk_id", "chunk_text", searchQuery, 30,
+          conjunctive = false, selectByRounded = Some(5))
         .select(col("docId").as("chunk_id"), round(col("score"), 5).as("score"))
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("chunk_id").asc)).cast("long"))

@@ -21,8 +21,11 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // `div` = integral division. `/` would promote epoch-nanos (~1.7e18, above
+      // 2^53) to double and lose up to ~256ns — enough to flip a whole-second
+      // boundary in downstream floor(epoch(ts)) math.
       raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

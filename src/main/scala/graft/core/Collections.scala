@@ -117,11 +117,12 @@ final class CollectionManager(
 
   // ------------------------------------------------------------------- lifecycle
 
-  /** Create (or overwrite) a collection from raw documents
-    * (id, url, metadata, text — chunks added here via the splitter).
+  /** Create (or overwrite) a collection from raw documents. Converter-built
+    * chunks (header semantics, per-page metadata) are kept as-is; the splitter
+    * only runs when the input has no `chunks` column.
     */
   def create(name: String, rawDocs: DataFrame): Model.Manifest = {
-    val docs = Indexing.splitDocuments(rawDocs, splitter)
+    val docs = withChunks(rawDocs)
     docs.write.mode(SaveMode.Overwrite).parquet(docsPath(name))
 
     val persisted = spark.read.parquet(docsPath(name))
@@ -154,9 +155,13 @@ final class CollectionManager(
   /** Incremental update: re-read documents replace their old rows (and chunks) by
     * anti-join; new chunk ids continue after the manifest high-water mark.
     */
+  private def withChunks(rawDocs: DataFrame): DataFrame =
+    if (rawDocs.columns.contains("chunks")) rawDocs
+    else Indexing.splitDocuments(rawDocs, splitter)
+
   def update(name: String, changedRawDocs: DataFrame): Model.Manifest = {
     val old = readManifest(name)
-    val changed = Indexing.splitDocuments(changedRawDocs, splitter)
+    val changed = withChunks(changedRawDocs)
 
     val oldDocs = spark.read.parquet(docsPath(name))
     val mergedDocs = oldDocs
@@ -194,10 +199,17 @@ final class CollectionManager(
     m
   }
 
+  /** Swap staging into place via rename-to-backup first: a crash between steps
+    * leaves either the old table (backup not yet renamed away is recoverable) or
+    * the new one — never a missing directory, unlike delete-then-rename.
+    */
   private def swap(staging: String, target: String): Unit = {
     val t = new Path(target)
-    if (fs.exists(t)) fs.delete(t, true)
+    val backup = new Path(target + "__old")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(t)) fs.rename(t, backup)
     fs.rename(new Path(staging), t)
+    if (fs.exists(backup)) fs.delete(backup, true)
   }
 
   // --------------------------------------------------------------------- queries

@@ -72,7 +72,8 @@ final class VectorIndexer(
   */
 final class Bm25Indexer(
     spark: SparkSession, indexDir: String, chunksPath: String,
-    k1: Double = 1.2, b: Double = 0.75) extends Indexer {
+    k1: Double = 1.2, b: Double = 0.75,
+    conjunctive: Boolean = true) extends Indexer {
   val name = "bm25"
   val supportsMetadataFiltering = true
   val ascendingScores = false
@@ -98,7 +99,7 @@ final class Bm25Indexer(
 
   def search(query: String, k: Int, metadataFilter: Option[Column]): DataFrame = {
     val terms = Search.tokenize(query).distinct
-    if (terms.isEmpty) return spark.emptyDataFrame
+    if (terms.isEmpty) return Search.emptyScored(spark, "chunkId")
     val postings0 = spark.read.parquet(p("postings"))
       .filter(col("term").isin(terms: _*)) // pushed into the pruned parquet scan
     val postings = metadataFilter match {
@@ -112,12 +113,16 @@ final class Bm25Indexer(
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("docLen") / col("avgdl")))
-    postings
+    val scored = postings
       .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .withColumn("termScore", idf * tfNorm)
-      .groupBy("docId").agg(sum("termScore").as("score"))
-      .select(col("docId").as("chunkId"), col("score"))
+      .groupBy("docId")
+      .agg(sum("termScore").as("score"), countDistinct("term").as("matched"))
+    // Conjunctive gate = the reference's FTS5 every-term-must-match semantics
+    // (sqllite_indexer.py:145-150); matches Search.bm25TopK's default.
+    val gated = if (conjunctive) scored.filter(col("matched") === terms.length) else scored
+    gated.select(col("docId").as("chunkId"), col("score"))
       .orderBy(col("score").desc, col("chunkId").asc).limit(k)
   }
 

@@ -72,20 +72,4 @@ object Indexing {
     documents.withColumn("chunks", splitUdf(col(headerCol), col(textCol)))
   }
 
-  /** BM25 corpus statistics tables (the explicit analogue of what SQLite FTS5 keeps
-    * internally — sqllite_indexer.py:106-114): term document-frequencies, per-doc
-    * lengths, and corpus aggregates. Partial/final hash aggregation — Catalyst-native,
-    * two shuffles total, both on bounded-cardinality keys.
-    */
-  def bm25Stats(docs: DataFrame, idCol: String, textCol: String): Bm25Stats = {
-    val toks = docs.select(col(idCol).as("docId"), Search.tokensCol(col(textCol)).as("tokens"))
-    val docLen = toks.select(col("docId"), size(col("tokens")).as("docLen"))
-    val termDf = toks
-      .select(col("docId"), explode(array_distinct(col("tokens"))).as("term"))
-      .groupBy("term").agg(count("*").as("df"))
-    val corpus = docLen.agg(count("*").as("n"), avg("docLen").as("avgdl")).head()
-    Bm25Stats(termDf, docLen, corpus.getLong(0), corpus.getDouble(1))
-  }
-
-  case class Bm25Stats(termDf: DataFrame, docLen: DataFrame, numDocs: Long, avgdl: Double)
 }

@@ -26,6 +26,17 @@ object Search {
   def tokenize(s: String): Seq[String] =
     if (s == null) Nil else s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
 
+  /** Empty ranked list WITH the (id, score) schema — a bare emptyDataFrame has no
+    * columns and would fail analysis inside RRF fusion when a query has no
+    * indexable tokens (e.g. CJK/punctuation-only).
+    */
+  def emptyScored(spark: org.apache.spark.sql.SparkSession, idCol: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+
   /** Exact kNN over an embedding column — the semantics of FAISS IndexFlatL2
     * (faiss_indexer.py:30-31) as a full scan + TakeOrderedAndProject. The scan is
     * embarrassingly parallel; only k rows per partition reach the driver.
@@ -68,9 +79,10 @@ object Search {
       k1: Double = 1.2,
       b: Double = 0.75,
       preFilter: Option[Column] = None,
-      conjunctive: Boolean = true): DataFrame = {
+      conjunctive: Boolean = true,
+      selectByRounded: Option[Int] = None): DataFrame = {
     val queryTerms = tokenize(query).distinct
-    if (queryTerms.isEmpty) return docs.sparkSession.emptyDataFrame
+    if (queryTerms.isEmpty) return emptyScored(docs.sparkSession, "docId")
     val termList = queryTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
 
     val corpus = preFilter.map(docs.filter).getOrElse(docs)
@@ -98,8 +110,15 @@ object Search {
       .agg(sum("termScore").as("score"), countDistinct("term").as("matched"))
 
     val gated = if (conjunctive) scored.filter(col("matched") === queryTerms.length) else scored
-    gated.select(col("docId"), col("score"))
-      .orderBy(col("score").desc, col("docId").asc).limit(k)
+    // Boundary selection: when `selectByRounded` is set, the k-cut orders by the
+    // ROUNDED score (ties broken by id). Raw-double cuts are unstable across
+    // engines — ln() differs in the last ulp between libms — so oracle-checked
+    // callers cut exactly like the oracle's round(score, n) ordering.
+    val ord = selectByRounded match {
+      case Some(n) => Seq(round(col("score"), n).desc, col("docId").asc)
+      case None    => Seq(col("score").desc, col("docId").asc)
+    }
+    gated.select(col("docId"), col("score")).orderBy(ord: _*).limit(k)
   }
 
   /** Reciprocal Rank Fusion (searcher.py:46-65, constant k=60): each input is an
@@ -150,8 +169,8 @@ object Search {
       if (projection.includeMatchedChunkContent)
         struct(col("rank"), col("chunkId"), col("chunkNumber"), col("indexedData"))
       else struct(col("rank"), col("chunkId"))
-    val grouped = rankedChunks
-      .join(broadcast(chunksMeta), "chunkId") // result side is k rows — broadcast it
+    val grouped = broadcast(rankedChunks) // the k-row RESULT side broadcasts, never the chunks table
+      .join(chunksMeta, "chunkId")
       .groupBy("documentId")
       .agg(
         first("documentUrl").as("documentUrl"),

@@ -71,8 +71,11 @@ object RestPager {
                 if (skippedInRow > config.maxSkippedItemsInRow)
                   throw new RuntimeException(
                     s"gave up after $skippedInRow consecutive bad items", e)
-                c = c.map(advanceCursor)
-                if (c.isEmpty) innerDone = true
+                // None = the start of an offset sequence — skip item 0 by moving
+                // to offset 1 (a silent early return here would truncate the
+                // whole source). Non-numeric (token) cursors cannot skip; they
+                // retry until the skip cap throws loudly.
+                c = Some(advanceCursor(c.getOrElse("0")))
             }
           }
           Page(items, c)

@@ -25,7 +25,9 @@ class IndexersSpec extends AnyFunSuite with SparkSuite {
   test("prebuilt BM25 postings match the inline bm25TopK scores") {
     val (cm, _, dir) = setup()
     val chunks = cm.chunks("ix")
-    val bm = new Bm25Indexer(spark, s"$dir/indexes/bm25", s"$dir/chunks")
+    // disjunctive mode for full score comparison; conjunctive parity below
+    val bm = new Bm25Indexer(spark, s"$dir/indexes/bm25", s"$dir/chunks",
+      conjunctive = false)
     val prebuilt = bm.search("vector search spark", 10, None)
       .select(col("chunkId"), round(col("score"), 9).as("s")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -35,6 +37,14 @@ class IndexersSpec extends AnyFunSuite with SparkSuite {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(prebuilt === inline)
     assert(bm.size === chunks.count())
+
+    // conjunctive (default) gate matches the inline conjunctive result set
+    val bmConj = new Bm25Indexer(spark, s"$dir/indexes/bm25", s"$dir/chunks")
+    val prebuiltConj = bmConj.search("vector search", 10, None)
+      .select("chunkId").collect().map(_.getLong(0)).toSet
+    val inlineConj = Search.bm25TopK(chunks, "chunkId", "indexedData",
+      "vector search", 10).select("docId").collect().map(_.getLong(0)).toSet
+    assert(prebuiltConj === inlineConj)
   }
 
   test("bm25 metadata filter = pre-filtered search via id semi-join") {
