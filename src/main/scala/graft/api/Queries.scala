@@ -316,6 +316,119 @@ object Queries {
             |SELECT id_a, id_b, round(c, 6) AS cos FROM pairs
             |ORDER BY round(c, 6) DESC, id_a, id_b LIMIT 20""".stripMargin))
 
+  /** Transitive near-dup clusters: minhash band collisions form edges; connected
+    * components (iterative min-label propagation) merge chains a pairwise check
+    * misses. Canonical doc = min id per component.
+    */
+  private val dedupClusters = Q(
+    (s, d) => {
+      // Persist the signatures: the band self-joins would otherwise re-inline
+      // the whole shingle→md5→min expression tree into both join sides (id +
+      // 2 band strings per doc — tiny, and the expensive lineage runs once).
+      val lsh = graft.operators.Dedup.minhashLsh(D.documents(s, d), "doc_id", "text")
+        .select(col("doc_id").as("id"), col("band0"), col("band1"))
+        .persist()
+      val e0 = lsh.select(col("id"), col("band0").as("b"))
+      val e1 = lsh.select(col("id"), col("band1").as("b"))
+      def pairs(side: DataFrame) = {
+        val a = side.select(col("id").as("src"), col("b"))
+        val bb = side.select(col("id").as("dst"), col("b"))
+        a.join(bb, "b").filter(col("src") < col("dst")).select("src", "dst")
+      }
+      val edges = pairs(e0).unionByName(pairs(e1)).distinct()
+      graft.operators.Dedup.connectedComponentsAuto(lsh.select("id"), edges)
+        .select(col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).cast("int").as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $shinglesCte,
+            |m AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS m FROM sh),
+            |sig AS (SELECT doc_id,
+            |  list_min(list_transform(m, x -> substring(x, 1, 8))) ||
+            |  list_min(list_transform(m, x -> substring(x, 9, 8))) AS band0,
+            |  list_min(list_transform(m, x -> substring(x, 17, 8))) ||
+            |  list_min(list_transform(m, x -> substring(x, 25, 8))) AS band1
+            |  FROM m),
+            |edges AS (
+            |  SELECT a.doc_id AS src, b.doc_id AS dst FROM sig a JOIN sig b
+            |    ON a.band0 = b.band0 AND a.doc_id <> b.doc_id
+            |  UNION
+            |  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+            |    ON a.band1 = b.band1 AND a.doc_id <> b.doc_id),
+            |reach AS (
+            |  SELECT doc_id AS id, doc_id AS lab FROM sig
+            |  UNION
+            |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+            |SELECT id AS doc_id, min(lab) AS component,
+            |  CAST(id = min(lab) AS INT) AS is_canonical
+            |FROM reach GROUP BY id ORDER BY id""".stripMargin.replace(
+              "WITH toks", "WITH RECURSIVE toks")))
+
+  /** The composed curation pipeline a training-data run actually executes:
+    * exact-dup flag + language-ID + quality score → one keep/drop decision per
+    * document. Each signal is its own scan-free reuse of the operators above.
+    */
+  private val pipelineFilter = Q(
+    (s, d) => {
+      val docs = D.documents(s, d)
+      val dup = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("is_dup",
+          (col("doc_id") > min("doc_id").over(Window.partitionBy("h"))).cast("int"))
+        .select("doc_id", "is_dup")
+      val lang = graft.operators.TextAnalysis.langId(
+          docs.select("doc_id", "text"), "text").select("doc_id", "pred_lang")
+      val quality = graft.operators.TextAnalysis.qualitySignals(
+          docs.select("doc_id", "text"), "text")
+        .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+      dup.join(lang, "doc_id").join(quality, "doc_id")
+        .withColumn("keep",
+          (col("is_dup") === 0 && col("pred_lang") === "en" &&
+            col("quality_score") >= 0.5 && col("n_tokens") >= 10).cast("int"))
+        .select("doc_id", "is_dup", "pred_lang", "quality_score", "keep")
+        .orderBy("doc_id")
+    },
+    Some {
+      val allStops = graft.operators.TextAnalysis.langMarkers.values.flatten.toSeq
+        .distinct.sorted.map(w => s"'$w'").mkString(", ")
+      val hits = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1).map {
+        case (l, ws) =>
+          val list = ws.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(t, x -> x IN ($list))) AS score_$l"
+      }.mkString(",\n  ")
+      s"""WITH x AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+         |dup AS (
+         |  SELECT doc_id,
+         |    CAST(doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+         |  FROM documents),
+         |lang AS (
+         |  SELECT doc_id, $hits FROM x),
+         |langp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+         |         WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+         |         WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+         |         WHEN score_es >= score_fr THEN 'es'
+         |         ELSE 'fr' END AS pred_lang
+         |  FROM lang),
+         |sig AS (
+         |  SELECT doc_id, len(t) AS n_tokens,
+         |    round(coalesce(list_sum(list_transform(t, w -> length(w))), 0) / greatest(len(t), 1), 4) AS mean_word_len,
+         |    round(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) / greatest(length(text), 1), 4) AS alnum_ratio,
+         |    round(len(list_filter(t, w -> w IN ($allStops))) / greatest(len(t), 1), 4) AS stopword_ratio
+         |  FROM x),
+         |q AS (
+         |  SELECT doc_id, n_tokens,
+         |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+         |      CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0 END +
+         |      alnum_ratio * 0.2 +
+         |      CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.2 ELSE 0 END, 4) AS quality_score
+         |  FROM sig)
+         |SELECT dup.doc_id, is_dup, pred_lang, quality_score,
+         |  CAST(is_dup = 0 AND pred_lang = 'en' AND quality_score >= 0.5 AND n_tokens >= 10 AS INT) AS keep
+         |FROM dup JOIN langp ON dup.doc_id = langp.doc_id JOIN q ON dup.doc_id = q.doc_id
+         |ORDER BY dup.doc_id""".stripMargin
+    })
+
   // --------------------------------------------------- text analysis (extensions)
 
   private val textLangid = Q(
@@ -689,7 +802,9 @@ object Queries {
     "mm_binary_meta" -> mmBinaryMeta,
     "w3_sessionize" -> w3Sessionize,
     "skew_salted_agg" -> skewSaltedAgg,
-    "m1_embed_pipeline" -> m1EmbedPipeline)
+    "m1_embed_pipeline" -> m1EmbedPipeline,
+    "dedup_clusters" -> dedupClusters,
+    "pipeline_filter" -> pipelineFilter)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {

@@ -34,33 +34,61 @@ object Dedup {
   private def toksExpr(textCol: String): String =
     s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != '')"
 
-  /** SQL fragment: word n-gram shingles; docs shorter than n tokens fall back to a
-    * single whole-text shingle so every doc gets a signature.
+  /** Shingles from a BOUND token-array column. Binding matters: inlining the
+    * tokenizer expression into the transform lambda would re-evaluate it per
+    * element (O(tokens²) per doc); against a materialized column the lambda's
+    * element_at lookups are O(1).
     */
-  def shinglesExpr(textCol: String, n: Int = 3): String = {
-    val t = toksExpr(textCol)
-    s"""CASE WHEN size($t) < $n THEN array(array_join($t, ' '))
-       |ELSE transform(sequence(1, size($t) - ${n - 1}), i -> array_join(slice($t, i, $n), ' ')) END""".stripMargin
+  private def shinglesFromToks(tCol: String, n: Int): String = {
+    val parts = (0 until n).map(j => s"element_at($tCol, CAST(i + $j AS INT))").mkString(", ")
+    s"""CASE WHEN size($tCol) < $n THEN array(array_join($tCol, ' '))
+       |ELSE transform(sequence(1, size($tCol) - ${n - 1}),
+       |       i -> concat_ws(' ', $parts)) END""".stripMargin
   }
 
-  def shinglesCol(textCol: String, n: Int = 3): Column = expr(shinglesExpr(textCol, n))
-
-  /** Minhash value h (0-based) = lexicographic MIN over shingles of the h-th
-    * disjoint 8-hex-char slice of md5(shingle) — 4 hash functions per md5. Takes a
-    * pre-computed md5-per-shingle array column so md5 runs once, not 4×.
+  /** (id, sh: array<string>) — word n-gram shingles; docs shorter than n tokens
+    * fall back to one whole-text shingle so every doc gets a signature.
     */
-  def minhashCol(shingleMd5s: Column, h: Int): Column =
-    array_min(transform(shingleMd5s, m => substring(m, 8 * h + 1, 8)))
+  def withShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs
+      .select(col(idCol), expr(toksExpr(textCol)).as("_t"))
+      .select(col(idCol), expr(shinglesFromToks("_t", n)).as("sh"))
 
-  /** Per-document minhash signatures plus LSH band-bucket sizes (2 bands × 2 rows).
-    * A doc is a near-dup candidate iff it shares a band bucket with another doc.
+  /** Per-document minhash signatures: explode shingles → one codegen'd md5 per
+    * shingle → hash-aggregate the 4 slice-minimums. Signature h = lexicographic
+    * MIN over shingles of the h-th disjoint 8-hex-char slice of md5(shingle).
+    *
+    * The explode+groupBy shape beats array lambdas twofold at scale: md5 runs
+    * exactly once per shingle inside whole-stage codegen (higher-order array
+    * functions are interpreted and get re-inlined per reference by projection
+    * collapse), and the min-aggregation combines map-side — the shuffle carries
+    * 4×8 hex chars per document, not shingle arrays.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3): DataFrame = {
+    // InferFiltersFromGenerate adds `size(sh) > 0 AND isnotnull(sh)` for the
+    // explode, and predicate pushdown then inlines the whole tokenizer+shingle
+    // tree into that filter — re-evaluating it several times per row. The
+    // inferred filter is purely an optimization (explode already emits nothing
+    // for empty/null arrays), so excluding the rule is semantics-preserving.
+    docs.sparkSession.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    withShingles(docs, idCol, textCol, shingleN)
+      .select(col(idCol), explode(col("sh")).as("_s"))
+      .select(col(idCol), md5(col("_s")).as("_m"))
+      .groupBy(idCol)
+      .agg(
+        min(substring(col("_m"), 1, 8)).as("sig0"),
+        min(substring(col("_m"), 9, 8)).as("sig1"),
+        min(substring(col("_m"), 17, 8)).as("sig2"),
+        min(substring(col("_m"), 25, 8)).as("sig3"))
+
+  /** Signatures plus LSH band-bucket sizes (2 bands × 2 rows). A doc is a
+    * near-dup candidate iff it shares a band bucket with another doc.
     * Output: id, sig0..sig3, band0, band1, b0_size, b1_size, is_candidate.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
-    docs
-      .select(col(idCol), transform(shinglesCol(textCol, shingleN), s => md5(s)).as("_m"))
-      .select(
-        (col(idCol) +: (0 until 4).map(h => minhashCol(col("_m"), h).as(s"sig$h"))): _*)
+    minhashSignatures(docs, idCol, textCol, shingleN)
       .withColumn("band0", concat(col("sig0"), col("sig1")))
       .withColumn("band1", concat(col("sig2"), col("sig3")))
       .withColumn("b0_size", count(lit(1)).over(Window.partitionBy("band0")))
@@ -74,13 +102,10 @@ object Dedup {
   def minhashCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String, minJaccard: Double,
       shingleN: Int = 3): DataFrame = {
-    val sh = docs
-      .select(col(idCol), shinglesCol(textCol, shingleN).as("_sh"))
-      .select(col(idCol), transform(col("_sh"), s => md5(s)).as("_m"),
-        array_distinct(col("_sh")).as("sh"))
-      .select(col(idCol),
-        concat(minhashCol(col("_m"), 0), minhashCol(col("_m"), 1)).as("band0"),
-        col("sh"))
+    val sh = minhashSignatures(docs, idCol, textCol, shingleN)
+      .select(col(idCol), concat(col("sig0"), col("sig1")).as("band0"))
+      .join(withShingles(docs, idCol, textCol, shingleN)
+        .select(col(idCol), array_distinct(col("sh")).as("sh")), idCol)
     val a = sh.select(col(idCol).as("id_a"), col("band0"), col("sh").as("sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("band0"), col("sh").as("sh_b"))
     a.join(b, Seq("band0")).filter(col("id_a") < col("id_b"))
@@ -97,7 +122,8 @@ object Dedup {
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val withSh = docs.select(col(idCol), array_distinct(shinglesCol(textCol, n)).as("sh"))
+    val withSh = withShingles(docs, idCol, textCol, n)
+      .select(col(idCol), array_distinct(col("sh")).as("sh"))
     val a = withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -118,6 +144,81 @@ object Dedup {
          |  aggregate($md5s, 0, (s, m) ->
          |    s + IF(instr('0123456789abcdef', substring(m, j, 1)) >= 9, 1, -1)) > 0,
          |  shiftleft(1L, j - 1), 0L))""".stripMargin)
+  }
+
+  /** Connected components over a dup-pair edge list by iterative min-label
+    * propagation: every node starts as its own component; each round adopts the
+    * minimum label among itself and its neighbors; converged when a round changes
+    * nothing. The DataFrame-native alternative to GraphX — each round is one
+    * join + one hash agg, so a 100 TB edge set runs in O(diameter) shuffles
+    * (near-dup graphs have tiny diameters).
+    *
+    * Returns (id, component) where component = min id reachable. Transitive
+    * near-dup clusters fall out directly: keep min-id per component, drop the
+    * rest.
+    */
+  def connectedComponents(
+      nodes: DataFrame,  // single column: id
+      edges: DataFrame,  // columns: src, dst
+      maxIter: Int = 20): DataFrame = {
+    val spark = nodes.sparkSession
+    // Persist the (usually expensive) edge/node lineage once: every propagation
+    // round joins against `sym`, and without the persist each round would
+    // recompute the upstream shingle/minhash pipeline from scratch.
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("component")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("id")).agg(min("component").as("nc"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("nc"), col("component")))
+          .as("component"))
+        .persist()
+      val changed = updated.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Size-adaptive connected components: LSH banding shrinks the dup graph by
+    * orders of magnitude versus the corpus, so the edge list usually fits the
+    * driver — union-find there costs one collect instead of O(diameter) rounds
+    * of Spark jobs. Beyond `driverMaxEdges`, fall back to the distributed
+    * label-propagation loop.
+    */
+  def connectedComponentsAuto(
+      nodes: DataFrame, edges: DataFrame,
+      driverMaxEdges: Long = 5000000L): DataFrame = {
+    val spark = nodes.sparkSession
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).persist()
+    val result =
+      if (e.count() <= driverMaxEdges) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        e.collect().foreach { row =>
+          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (a != b) parent(math.max(a, b)) = math.min(a, b)
+        }
+        val compUdf = udf((id: Long) => find(id))
+        nodes.select(col("id"), compUdf(col("id")).as("component"))
+      } else connectedComponents(nodes, e)
+    e.unpersist()
+    result
   }
 
   /** Sign-LSH bucket key for an embedding: the sign pattern of the first `bits`
