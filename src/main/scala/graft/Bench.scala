@@ -19,13 +19,18 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.configure(spark)
 
+    // Consume via the noop sink, not count(): count() lets Catalyst prune every
+    // projection it doesn't need, so map-only queries would time as near-free.
+    // The noop writer materializes every output row in full, then discards it.
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => }
     }
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

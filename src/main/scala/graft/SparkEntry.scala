@@ -8,8 +8,15 @@ object SparkEntry {
   /** The events table carries TIMESTAMP(NANOS) parquet fields, which Spark only
     * reads with this legacy flag (as LongType nanos — Tables.events normalizes).
     */
-  def configure(spark: SparkSession): Unit =
+  def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // InferFiltersFromGenerate re-inlines expensive generator inputs (e.g. the
+    // minhash shingle tree in Dedup.minhashSignatures) into an inferred filter
+    // that explode makes redundant anyway. Semantics-preserving to exclude;
+    // set here at session setup rather than mutated inside operators.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -67,12 +67,12 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3): DataFrame = {
     // InferFiltersFromGenerate adds `size(sh) > 0 AND isnotnull(sh)` for the
-    // explode, and predicate pushdown then inlines the whole tokenizer+shingle
-    // tree into that filter — re-evaluating it several times per row. The
-    // inferred filter is purely an optimization (explode already emits nothing
-    // for empty/null arrays), so excluding the rule is semantics-preserving.
-    docs.sparkSession.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // explode, and projection collapse then inlines the whole tokenizer+shingle
+    // tree into that filter — re-evaluating it per row. The inferred filter is
+    // purely an optimization (explode already emits nothing for empty/null
+    // arrays), so sessions that run this at scale should exclude the rule —
+    // see SparkEntry.configure, which does so for all graft entry points. The
+    // operator itself must not mutate shared session conf.
     withShingles(docs, idCol, textCol, shingleN)
       .select(col(idCol), explode(col("sh")).as("_s"))
       .select(col(idCol), md5(col("_s")).as("_m"))
@@ -82,6 +82,7 @@ object Dedup {
         min(substring(col("_m"), 9, 8)).as("sig1"),
         min(substring(col("_m"), 17, 8)).as("sig2"),
         min(substring(col("_m"), 25, 8)).as("sig3"))
+  }
 
   /** Signatures plus LSH band-bucket sizes (2 bands × 2 rows). A doc is a
     * near-dup candidate iff it shares a band bucket with another doc.
