@@ -111,17 +111,27 @@ object Queries {
   def chunkFanout(s: SparkSession, d: String): DataFrame =
     chunkFanoutDf(D.documents(s, d))
 
-  def chunkFanoutDf(documents: DataFrame): DataFrame =
-    documents
+  def chunkFanoutDf(documents: DataFrame): DataFrame = {
+    val sized = documents
       .select(col("doc_id"), col("text"),
         greatest(lit(1L), ceil((length(col("text")) - lit(100)) / lit(300.0)).cast("long")).as("n"))
-      .select(col("doc_id"), col("text"),
+    // Global sequential ids without a global window over the chunk rows: the
+    // order-dependent part is a running count over narrow (doc_id, n) pairs —
+    // the single-partition window exchange never carries text, and the fan-out
+    // itself stays fully parallel. chunk_id = docs-before-me + chunk_number + 1.
+    // (At true scale id assignment is zipWithIndex — Indexing.buildChunks.)
+    val offsets = sized.select(col("doc_id"), col("n"))
+      .withColumn("doc_offset", coalesce(sum("n").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "doc_offset")
+    sized.join(offsets, "doc_id")
+      .select(col("doc_id"), col("text"), col("doc_offset"),
         explode(sequence(lit(0L), col("n") - 1)).as("chunk_number"))
       .select(
         col("doc_id"), col("chunk_number"),
-        expr("substring(text, cast(chunk_number*300 + 1 as int), 400)").as("chunk_text"))
-      .withColumn("chunk_id",
-        row_number().over(Window.orderBy("doc_id", "chunk_number")).cast("long"))
+        expr("substring(text, cast(chunk_number*300 + 1 as int), 400)").as("chunk_text"),
+        (col("doc_offset") + col("chunk_number") + lit(1L)).as("chunk_id"))
+  }
 
   private val chunkFanoutSql =
     """SELECT row_number() OVER (ORDER BY doc_id, i) AS chunk_id, doc_id, i AS chunk_number,
@@ -210,6 +220,25 @@ object Queries {
 
   private val t2Bm25TopK = Q(
     (s, d) => bm25Spark(s, d, conjunctive = true, 10),
+    Some(bm25Sql(conjunctive = true, 10) + " ORDER BY score DESC, doc_id"))
+
+  /** Same result as t2 but via the PREBUILT postings index ([[graft.operators.Bm25Indexer]]) —
+    * the plan that survives 100 TB: query-time reads only the query terms'
+    * postings (term-sorted parquet → row-group pruning) plus two tiny broadcast
+    * stats tables. No full-corpus scan or tokenize at search time.
+    */
+  private val t2bBm25Postings = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
+      idx.index(docs)
+      idx.search(searchQuery, 10)
+        .select(col("chunkId").as("doc_id"), round(col("score"), 5).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
     Some(bm25Sql(conjunctive = true, 10) + " ORDER BY score DESC, doc_id"))
 
   // ----------------------------------------------------------------------- RRF
@@ -567,9 +596,16 @@ object Queries {
     (s, d) => {
       val cn = D.customer(s, d).select(col("c_nationkey").cast("long").as("k")).distinct()
       val sn = D.supplier(s, d).select(col("s_nationkey").cast("long").as("k")).distinct()
-      cn.intersect(sn).withColumn("op", lit("both"))
-        .unionByName(cn.except(sn).withColumn("op", lit("cust_only")))
-        .unionByName(sn.except(cn).withColumn("op", lit("supp_only")))
+      // intersect/except would re-shuffle + re-distinct each of the three legs;
+      // one full-outer join of the two already-distinct sets classifies every
+      // key in a single pass (one exchange per side, reused). Keys are non-null
+      // here, so join equality matches set-op NULL semantics.
+      cn.withColumn("in_c", lit(1))
+        .join(sn.withColumn("in_s", lit(1)), Seq("k"), "full_outer")
+        .withColumn("op",
+          when(col("in_c").isNotNull && col("in_s").isNotNull, "both")
+            .when(col("in_c").isNotNull, "cust_only")
+            .otherwise("supp_only"))
         .select("op", "k").orderBy("op", "k")
     },
     Some("""SELECT 'both' AS op, k FROM (
@@ -783,6 +819,7 @@ object Queries {
     "dedup_exact" -> dedupExact,
     "t1_vector_topk" -> t1VectorTopK,
     "t2_bm25_topk" -> t2Bm25TopK,
+    "t2b_bm25_postings" -> t2bBm25Postings,
     "a1_rrf_fusion" -> a1RrfFusion,
     "a2_group_docs" -> a2GroupDocs,
     "dedup_minhash_lsh" -> dedupMinhashLsh,

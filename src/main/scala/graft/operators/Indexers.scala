@@ -73,7 +73,8 @@ final class VectorIndexer(
 final class Bm25Indexer(
     spark: SparkSession, indexDir: String, chunksPath: String,
     k1: Double = 1.2, b: Double = 0.75,
-    conjunctive: Boolean = true) extends Indexer {
+    conjunctive: Boolean = true,
+    selectByRounded: Option[Int] = None) extends Indexer {
   val name = "bm25"
   val supportsMetadataFiltering = true
   val ascendingScores = false
@@ -122,8 +123,15 @@ final class Bm25Indexer(
     // Conjunctive gate = the reference's FTS5 every-term-must-match semantics
     // (sqllite_indexer.py:145-150); matches Search.bm25TopK's default.
     val gated = if (conjunctive) scored.filter(col("matched") === terms.length) else scored
+    // Same boundary-stability option as Search.bm25TopK: oracle-checked callers
+    // cut the k-boundary by the ROUNDED score so a last-ulp ln() divergence
+    // between engines cannot flip which doc makes the list.
+    val ord = selectByRounded match {
+      case Some(n) => Seq(round(col("score"), n).desc, col("docId").asc)
+      case None    => Seq(col("score").desc, col("docId").asc)
+    }
     gated.select(col("docId").as("chunkId"), col("score"))
-      .orderBy(col("score").desc, col("chunkId").asc).limit(k)
+      .orderBy(ord: _*).limit(k)
   }
 
   def size: Long = spark.read.parquet(p("corpus")).head().getLong(0)
