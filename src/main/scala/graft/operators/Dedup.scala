@@ -136,16 +136,15 @@ object Dedup {
 
   /** 16-bit SimHash: bit j of the fingerprint is the sign of
     * Σ_tokens (high-bit of md5(token)'s j-th hex nibble ? +1 : −1).
-    * One md5 per token (cached in an array column); 16 bit-sums fold over it.
+    *
+    * Native [[graft.plans.SimHash16]] expression: one md5 per token via a reused
+    * digest, single pass, inside whole-stage codegen. The equivalent declarative
+    * `aggregate(sequence(1,16), ...)` form re-splices the md5 transform array
+    * into each of the 16 iterations — 16× the hashing per document (parity with
+    * it is locked by TextHashSpec and the dedup_simhash oracle).
     */
-  def simhash16(textCol: String): Column = {
-    val md5s = s"transform(${toksExpr(textCol)}, t -> md5(t))"
-    expr(
-      s"""aggregate(sequence(1, 16), 0L, (acc, j) -> acc + IF(
-         |  aggregate($md5s, 0, (s, m) ->
-         |    s + IF(instr('0123456789abcdef', substring(m, j, 1)) >= 9, 1, -1)) > 0,
-         |  shiftleft(1L, j - 1), 0L))""".stripMargin)
-  }
+  def simhash16(textCol: String): Column =
+    graft.plans.TextHashFunctions.simhash16(expr(toksExpr(textCol)))
 
   /** Connected components over a dup-pair edge list by iterative min-label
     * propagation: every node starts as its own component; each round adopts the

@@ -85,20 +85,16 @@ object TextAnalysis {
     .withColumn("approx_tokens", ceil(length(col(textCol)) / lit(4.0)).cast("long"))
 
   /** Winnowing document fingerprint: k-char shingles → 8-hex md5 hashes → minimum
-    * per sliding window of w → distinct set. Robust to small edits; the fingerprint
-    * count and minimum are stable per-document signals. Short docs (< k chars)
-    * fingerprint the whole text. The hash array is materialized once in an
-    * intermediate column so the window pass doesn't recompute the md5s.
+    * per sliding window of w → distinct set (first-occurrence order). Robust to
+    * small edits; the fingerprint count and minimum are stable per-document
+    * signals. Short docs (< k chars) fingerprint the whole text.
+    *
+    * Native [[graft.plans.WinnowFingerprint]] expression: one md5 per position
+    * with a reused digest and a monotonic-deque sliding min — O(L) per doc vs the
+    * declarative transform/slice form's interpreted O(L·w) with per-element
+    * allocation (parity locked by TextHashSpec and the text_fingerprint oracle).
     */
   def fingerprintDf(docs: DataFrame, textCol: String, k: Int = 7, w: Int = 5): DataFrame =
-    docs
-      .withColumn("_hashes", expr(
-        s"""CASE WHEN length($textCol) < $k THEN array(substring(md5($textCol), 1, 8))
-           |ELSE transform(sequence(1, length($textCol) - ${k - 1}),
-           |       i -> substring(md5(substring($textCol, i, $k)), 1, 8)) END""".stripMargin))
-      .withColumn("fingerprints", expr(
-        s"""array_distinct(CASE WHEN size(_hashes) <= $w THEN array(array_min(_hashes))
-           |ELSE transform(sequence(1, size(_hashes) - ${w - 1}),
-           |       i -> array_min(slice(_hashes, i, $w))) END)""".stripMargin))
-      .drop("_hashes")
+    docs.withColumn("fingerprints",
+      graft.plans.TextHashFunctions.winnowFingerprint(col(textCol), k, w))
 }

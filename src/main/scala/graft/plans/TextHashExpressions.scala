@@ -1,0 +1,182 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop implementations behind [[SimHash16]] and [[WinnowFingerprint]].
+  *
+  * The declarative formulations (higher-order `aggregate`/`transform` over an
+  * md5-per-element array) are interpreted per element and, worse, Catalyst
+  * splices the md5 array expression into every reference — the simhash
+  * `aggregate(sequence(1,16), ...)` form recomputed the whole per-token md5
+  * array 16 times per document. These helpers hash each input exactly once with
+  * a reused thread-local MessageDigest and no per-element boxing; the wrapping
+  * expressions keep the call inside whole-stage codegen.
+  *
+  * Bit/byte contracts are EXACTLY the declarative ones (oracle-checked):
+  * md5 = MD5 over UTF-8 bytes; "hex char j" = nibble j of the digest,
+  * high nibble first; 8-hex-char window hashes compare as unsigned 32-bit ints
+  * (lexicographic hex order == unsigned numeric order at fixed width).
+  */
+object TextHashOps extends Serializable {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** 16-bit simhash over a token array: bit j set iff
+    * Σ_tokens (nibble j of md5(token) >= 8 ? +1 : −1) > 0.
+    */
+  def simhash16(tokens: ArrayData): Long = {
+    val md = md5Local.get()
+    val counts = new Array[Int](16)
+    val digest = new Array[Byte](16)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        md.reset()
+        md.update(tokens.getUTF8String(t).getBytes)
+        md.digest(digest, 0, 16)
+        var j = 0
+        while (j < 16) {
+          val b = digest(j >> 1) & 0xff
+          val nib = if ((j & 1) == 0) b >> 4 else b & 0xf
+          counts(j) += (if (nib >= 8) 1 else -1)
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 16) { if (counts(j) > 0) fp |= 1L << j; j += 1 }
+    fp
+  }
+
+  private def hex8(v: Int): UTF8String = {
+    val out = new Array[Byte](8)
+    var i = 0
+    while (i < 8) {
+      val nib = (v >>> ((7 - i) << 2)) & 0xf
+      out(i) = (if (nib < 10) '0' + nib else 'a' + nib - 10).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Winnowing fingerprint: k-codepoint shingles → first-8-hex-chars of md5 →
+    * min per sliding window of w (monotonic deque, O(positions)) → distinct in
+    * first-occurrence order. Texts shorter than k codepoints fingerprint the
+    * whole text; hash counts <= w collapse to the single global min.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val md = md5Local.get()
+    val digest = new Array[Byte](16)
+    val bytes = text.getBytes
+    val nChars = text.numChars()
+
+    def head4(off: Int, len: Int): Int = {
+      md.reset()
+      md.update(bytes, off, len)
+      md.digest(digest, 0, 16)
+      ((digest(0) & 0xff) << 24) | ((digest(1) & 0xff) << 16) |
+        ((digest(2) & 0xff) << 8) | (digest(3) & 0xff)
+    }
+
+    if (nChars < k)
+      return new GenericArrayData(Array[Any](hex8(head4(0, bytes.length))))
+
+    // Codepoint start offsets (UTF-8 continuation bytes are 10xxxxxx).
+    val starts = new Array[Int](nChars + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      if ((bytes(bi) & 0xc0) != 0x80) { starts(ci) = bi; ci += 1 }
+      bi += 1
+    }
+    starts(nChars) = bytes.length
+
+    val nHashes = nChars - k + 1
+    // Stored sign-flipped so plain signed < is unsigned (= hex-lexicographic) order.
+    val hashes = new Array[Int](nHashes)
+    var i = 0
+    while (i < nHashes) {
+      hashes(i) = head4(starts(i), starts(i + k) - starts(i)) ^ 0x80000000
+      i += 1
+    }
+
+    val seen = new java.util.LinkedHashSet[Int]()
+    if (nHashes <= w) {
+      var min = hashes(0)
+      i = 1
+      while (i < nHashes) { if (hashes(i) < min) min = hashes(i); i += 1 }
+      seen.add(min)
+    } else {
+      val deque = new Array[Int](nHashes) // indices into hashes
+      var head = 0
+      var tail = 0 // live range [head, tail)
+      i = 0
+      while (i < nHashes) {
+        while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - w) head += 1
+        if (i >= w - 1) seen.add(hashes(deque(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = hex8(it.next() ^ 0x80000000); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** 16-bit simhash of a token array (array<string> → bigint). */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash16"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(tokens: Any): Any =
+    TextHashOps.simhash16(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = ctx.addReferenceObj("textHashOps", TextHashOps, "graft.plans.TextHashOps$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ops.simhash16($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing fingerprint set of a text column (string → array<string>). */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def prettyName: String = "winnow_fingerprint"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(text: Any): Any =
+    TextHashOps.winnow(text.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = ctx.addReferenceObj("textHashOps", TextHashOps, "graft.plans.TextHashOps$")
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ops.winnow($c, $k, $w);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextHashFunctions {
+  import ColumnBridge.{toCol, toExpr}
+
+  def simhash16(tokens: Column): Column = toCol(SimHash16(toExpr(tokens)))
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    toCol(WinnowFingerprint(toExpr(text), k, w))
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity of the native [[graft.plans.SimHash16]] / [[graft.plans.WinnowFingerprint]]
+  * expressions against the declarative Spark-SQL formulations they replaced
+  * (which in turn are the DuckDB oracle's shape). Inputs cover multi-byte UTF-8,
+  * short texts, empty/no-token rows, and ScalaCheck-ish varied lengths.
+  */
+class TextHashSpec extends AnyFunSuite with SparkSuite {
+
+  private val toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+
+  /** The original interpreted simhash expression (16× md5 recompute). */
+  private val declarativeSimhash =
+    s"""aggregate(sequence(1, 16), 0L, (acc, j) -> acc + IF(
+       |  aggregate(transform($toks, t -> md5(t)), 0, (s, m) ->
+       |    s + IF(instr('0123456789abcdef', substring(m, j, 1)) >= 9, 1, -1)) > 0,
+       |  shiftleft(1L, j - 1), 0L))""".stripMargin
+
+  /** The original interpreted winnowing pipeline (k=7, w=5). */
+  private def declarativeFingerprints(k: Int = 7, w: Int = 5): String = {
+    val hashes =
+      s"""CASE WHEN length(text) < $k THEN array(substring(md5(text), 1, 8))
+         |ELSE transform(sequence(1, length(text) - ${k - 1}),
+         |       i -> substring(md5(substring(text, i, $k)), 1, 8)) END""".stripMargin
+    s"""array_distinct(CASE WHEN size(_h) <= $w THEN array(array_min(_h))
+       |ELSE transform(sequence(1, size(_h) - ${w - 1}),
+       |       i -> array_min(slice(_h, i, $w))) END)""".stripMargin
+      .replace("_h", s"($hashes)")
+  }
+
+  private val samples = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a",
+    "",
+    "   ",
+    "short",
+    "exactly", // length == k
+    "Spärk über alles — 日本語 テスト text with multi-byte",
+    "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", // degenerate repeats
+    "123 456 789 abc ABC!@# def-ghi_jkl",
+    ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod " * 8).trim,
+    "éèêë", // all multi-byte, shorter than k codepoints
+    "🌍🚀 emoji 🎉 four-byte codepoints 🌟 in the stream",
+    "tab\tsep\nnewline\rmix  double  space")
+
+  private def df = {
+    import spark.implicits._
+    samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+  }
+
+  test("native simhash16 matches the declarative formulation") {
+    val got = df.select(col("id"),
+      graft.operators.Dedup.simhash16("text").as("native"),
+      expr(declarativeSimhash).as("declarative"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"simhash mismatch for id=${r.getLong(0)}")
+    }
+  }
+
+  test("native winnowing fingerprints match the declarative formulation as sets") {
+    val got = graft.operators.TextAnalysis.fingerprintDf(df, "text")
+      .withColumn("declarative", expr(declarativeFingerprints()))
+      .select(col("id"),
+        array_sort(col("fingerprints")).as("a"), array_sort(col("declarative")).as("b"),
+        size(col("fingerprints")).as("na"), size(col("declarative")).as("nb"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"fingerprint mismatch for id=${r.getLong(0)}")
+    }
+  }
+
+  test("winnowing first-occurrence order matches array_distinct of window mins") {
+    val got = graft.operators.TextAnalysis.fingerprintDf(df, "text")
+      .withColumn("declarative", expr(declarativeFingerprints()))
+      .select("id", "fingerprints", "declarative")
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"fingerprint order mismatch for id=${r.getLong(0)}")
+    }
+  }
+}
