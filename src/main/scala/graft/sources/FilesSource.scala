@@ -28,11 +28,43 @@ object FilesSource {
     "ttf", "otf", "woff", "woff2", "eot",
     "db", "sqlite", "parquet", "orc", "avro", "pyc", "whl")
 
+  /** Markdown → text: strip the structural syntax (fences, headers, emphasis,
+    * links/images keep their label, bullets, blockquotes) the way a text
+    * extractor would — the content survives, the markup doesn't.
+    */
+  def markdownToText(md: String): String = {
+    if (md == null) return ""
+    md
+      .replaceAll("(?m)^```.*$", "")                    // code-fence delimiter lines
+      .replaceAll("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")  // images -> alt text
+      .replaceAll("\\[([^\\]]*)\\]\\([^)]*\\)", "$1")   // links -> label
+      .replaceAll("(?m)^#{1,6}\\s*", "")                // headers
+      .replaceAll("(?m)^\\s*[-*+]\\s+", "")             // bullet lists
+      .replaceAll("(?m)^\\s*\\d+\\.\\s+", "")           // numbered lists
+      .replaceAll("(?m)^>\\s?", "")                     // blockquotes
+      .replaceAll("(?m)^(-{3,}|\\*{3,}|_{3,})\\s*$", "") // horizontal rules
+      .replaceAll("\\*\\*([^*]+)\\*\\*", "$1")          // bold
+      .replaceAll("(?<!\\*)\\*([^*\\n]+)\\*(?!\\*)", "$1") // italic
+      .replaceAll("__([^_]+)__", "$1")
+      .replaceAll("`([^`]+)`", "$1")                    // inline code
+      .trim
+  }
+
+  private val markdownToTextUdf = udf(markdownToText _)
+
   /** Read files under `basePath` as rows
     * (fileRelativePath, fileFullPath, createdTime, modifiedTime, content) ready for
     * [[Converters.files]]. Regex semantics mirror the reference: include = fullmatch
     * on the relative path, exclude wins, extension blacklist always applies,
     * `modifiedAfter` is the incremental-update watermark (:194-216).
+    *
+    * Content parse dispatches per extension, mirroring the reference's
+    * per-format reader map (files_document_reader.py:126-129, which also reads
+    * .json as plain text on purpose): HTML is tag-stripped, markdown is
+    * de-syntaxed, everything else UTF-8 decodes as-is. Paginated binary formats
+    * (PDF/DOCX — Unstructured in the reference, :227-246) have no JVM parser in
+    * this container; they slot into the same dispatch with per-page elements,
+    * which is why `content` stays an ARRAY of (metadata.pageNumber, text).
     */
   def read(
       spark: SparkSession,
@@ -59,16 +91,22 @@ object FilesSource {
     val notBinary = !extCol.isin(binaryExtensions: _*)
     val mtimeCol = modifiedAfter.map(t => col("modificationTime") > lit(t)).getOrElse(lit(true))
 
+    val rawText = decode(col("content"), "UTF-8")
+    val parsedText = when(extCol.isin("html", "htm", "xhtml"),
+        Converters.htmlToTextUdf(rawText))
+      .when(extCol.isin("md", "markdown"), markdownToTextUdf(rawText))
+      .otherwise(rawText)
+
     withRel
       .filter(includeCol && !excludeCol && notBinary && mtimeCol)
       .select(
         col("fileRelativePath"), col("fileFullPath"),
         date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss").as("createdTime"),
         date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss").as("modifiedTime"),
-        // Text-format parse: UTF-8 decode, one content element, no page metadata.
+        // One content element for unpaginated formats, no page metadata.
         array(struct(
           lit(null).cast("struct<pageNumber:string>").as("metadata"),
-          decode(col("content"), "UTF-8").as("text"))).as("content"))
+          parsedText.as("text"))).as("content"))
   }
 
   /** Per-row parse quarantine (S7's error recovery + A6's read stats, as data

@@ -157,6 +157,32 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(!top.getAs[Map[String, String]]("metadata").keys.exists(_.startsWith("folder")))
   }
 
+  test("files source per-format parse dispatch: md, html, json") {
+    val tmp = Files.createTempDirectory("graft-fmt")
+    Files.writeString(tmp.resolve("guide.md"),
+      "# Title\n\nSee [the docs](https://x.example) and **bold** text.\n\n- item one\n- item two\n\n```scala\nval code = 1\n```\n")
+    Files.writeString(tmp.resolve("page.html"),
+      "<html><head><style>p{color:red}</style></head><body><h1>Heading</h1><p>Para &amp; more</p></body></html>")
+    Files.writeString(tmp.resolve("data.json"), """{"k": "json stays raw"}""")
+
+    val byId = FilesSource.read(spark, tmp.toString)
+      .select(col("fileRelativePath"), col("content")(0).getField("text").as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    val md = byId("guide.md")
+    assert(md.startsWith("Title"))                  // header marker stripped
+    assert(md.contains("See the docs and bold text."))  // link label + emphasis kept
+    assert(md.contains("item one"))
+    assert(!md.contains("```") && md.contains("val code = 1")) // fence stripped, code kept
+    assert(!md.contains("#") && !md.contains("**"))
+
+    val html = byId("page.html")
+    assert(html.contains("Heading") && html.contains("Para & more"))
+    assert(!html.contains("<") && !html.contains("color:red"))
+
+    assert(byId("data.json") === """{"k": "json stays raw"}""")
+  }
+
   test("files source mtime watermark pushdown") {
     val tmp = Files.createTempDirectory("graft-wm")
     Files.writeString(tmp.resolve("old.txt"), "old")
