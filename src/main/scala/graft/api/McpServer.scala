@@ -1,0 +1,269 @@
+package graft.api
+
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import graft.core.CollectionManager
+import graft.functions.{Formatting, HashingEmbedder}
+import org.apache.spark.sql.SparkSession
+
+/** MCP (Model Context Protocol) stdio adapter over [[CollectionManager]] — the
+  * reference's primary AI-agent surface, re-expressed:
+  * search/fetch tools, collection discovery + allowlist validation, default 50 /
+  * cap 100 chunks (collection_search_unified_mcp_adapter.py:21-22,193-227 and
+  * collection_search_mcp_stdio_adapter.py), json / json_with_indent / toon output.
+  *
+  * Protocol: JSON-RPC 2.0, one message per line on stdin/stdout (the MCP stdio
+  * transport). Logs go to stderr — Spark's default log4j target — so they never
+  * corrupt the protocol stream. [[McpServer.handleLine]] is a pure
+  * request→response function, so the protocol surface golden-tests without a
+  * process boundary (McpServerSpec).
+  */
+final class McpServer(
+    manager: CollectionManager,
+    allowedCollections: Option[Seq[String]] = None,
+    format: String = "toon",
+    defaultNumberOfChunks: Int = 50,
+    maxNumberOfChunks: Int = 100) {
+
+  private val mapper = new ObjectMapper()
+
+  /** Discovery + allowlist validation
+    * (collection_search_unified_mcp_adapter.py:52-82,162-168).
+    */
+  val available: Seq[String] = {
+    val discovered = manager.list()
+    val names = allowedCollections match {
+      case Some(allowed) =>
+        val missing = allowed.toSet -- discovered.toSet
+        require(missing.isEmpty,
+          s"Error: collections not found: ${missing.toSeq.sorted.mkString(", ")}, " +
+            s"available: ${discovered.sorted.mkString(", ")}")
+        discovered.filter(allowed.contains)
+      case None => discovered
+    }
+    require(names.nonEmpty, "Error: no collections found.")
+    names
+  }
+
+  private def availableList = available.sorted.mkString(", ")
+
+  // ------------------------------------------------------------------- tools
+
+  private val searchDescription =
+    """Search in a collection of documents.
+      |
+      |# Typical use cases
+      |- User asks to search in a specific collection;
+      |- User asks to search in a system for which there is a dedicated collection.
+      |
+      |# Search summarization
+      |- Attach a reference (citation such as a page URL, issue key, or file path) to each piece of information;
+      |- If you were not able to find relevant information, say that you don't know instead of making something up;
+      |- Be concise yet complete.""".stripMargin
+
+  private val fetchDescription =
+    """Fetch a document content from a collection by its id.
+      |
+      |# Typical use cases
+      |- User provides an id or url of a document - fetch the document and use as context.
+      |- After using search_in_collection, you need more context from a found document.
+      |
+      |id means: Confluence: page id. Jira: issue key (e.g. PROJ-123). Files: relative path.""".stripMargin
+
+  private def collectionFieldDescription: String =
+    s"Collection name must be one of: $availableList"
+
+  private val filterFieldDescription =
+    """Filter expression to narrow results.
+      |Syntax: field operator "value". Operators: =, !=, >, >=, <, <=.
+      |Combine conditions with and / or; use parentheses for grouping.
+      |Example: space = "X" and lastModifiedAt > "2026-01-01"""".stripMargin
+
+  private def schema(required: Seq[String], props: (String, (String, String))*): ObjectNode = {
+    val s = mapper.createObjectNode()
+    s.put("type", "object")
+    val p = s.putObject("properties")
+    props.foreach { case (name, (tpe, desc)) =>
+      val f = p.putObject(name)
+      f.put("type", tpe)
+      f.put("description", desc)
+    }
+    val req = s.putArray("required")
+    required.foreach(req.add)
+    s
+  }
+
+  private def toolsJson: ObjectNode = {
+    val result = mapper.createObjectNode()
+    val tools = result.putArray("tools")
+
+    val search = tools.addObject()
+    search.put("name", "search_in_collection")
+    search.put("description", searchDescription)
+    search.set[JsonNode]("inputSchema", schema(Seq("collection"),
+      "collection" -> ("string", collectionFieldDescription),
+      "query" -> ("string", "Search query text for vector similarity and keyword search."),
+      "filter" -> ("string", filterFieldDescription),
+      "numberOfChunks" -> ("integer",
+        s"Number of best matched document chunks to return. Default: $defaultNumberOfChunks. Max allowed: $maxNumberOfChunks.")))
+
+    val fetch = tools.addObject()
+    fetch.put("name", "fetch_from_collection")
+    fetch.put("description", fetchDescription)
+    fetch.set[JsonNode]("inputSchema", schema(Seq("collection", "id"),
+      "collection" -> ("string", collectionFieldDescription),
+      "id" -> ("string", "Document identifier."),
+      "startLine" -> ("integer", "First line number to return (1-based, inclusive). Default: 1."),
+      "endLine" -> ("integer", "Last line number to return (1-based, inclusive). Default: 250.")))
+    result
+  }
+
+  private def formatted(df: org.apache.spark.sql.DataFrame, label: String): String =
+    format match {
+      case "json"             => Formatting.json(df)
+      case "json_with_indent" => Formatting.jsonIndent(df)
+      case _                  => Formatting.toon(df, label)
+    }
+
+  /** Validation order and messages mirror the unified adapter (:200-205). */
+  private[api] def searchTool(collection: String, query: String,
+                              filter: Option[String], numberOfChunks: Int): String = {
+    if (!available.contains(collection))
+      return s"Error: collection '$collection' is not available. Available: $availableList"
+    if (query.isEmpty && filter.isEmpty)
+      return "Error: at least one of 'query' or 'filter' must be provided."
+    if (numberOfChunks > maxNumberOfChunks)
+      return s"Error: numberOfChunks ($numberOfChunks) exceeds maximum allowed ($maxNumberOfChunks)."
+    formatted(manager.search(collection, query,
+      maxChunks = numberOfChunks, maxDocs = numberOfChunks,
+      metadataFilter = filter, includeMatchedChunkContent = true), "documents")
+  }
+
+  private[api] def fetchTool(collection: String, id: String,
+                             startLine: Int, endLine: Int): String = {
+    if (!available.contains(collection))
+      return s"Error: collection '$collection' is not available. Available: $availableList"
+    formatted(manager.fetch(collection, id, startLine, endLine), "document")
+  }
+
+  // ---------------------------------------------------------------- protocol
+
+  private def textResult(text: String, isError: Boolean): ObjectNode = {
+    val r = mapper.createObjectNode()
+    val content = r.putArray("content")
+    val item = content.addObject()
+    item.put("type", "text")
+    item.put("text", text)
+    if (isError) r.put("isError", true)
+    r
+  }
+
+  private def callTool(params: JsonNode): ObjectNode = {
+    val name = params.path("name").asText("")
+    val args = params.path("arguments")
+    def str(k: String): Option[String] =
+      Option(args.get(k)).filter(n => !n.isNull).map(_.asText)
+    def int(k: String, dflt: Int): Int =
+      Option(args.get(k)).filter(_.isNumber).map(_.asInt).getOrElse(dflt)
+    try {
+      name match {
+        case "search_in_collection" =>
+          textResult(searchTool(
+            str("collection").getOrElse(""), str("query").getOrElse(""),
+            str("filter").filter(_.nonEmpty),
+            int("numberOfChunks", defaultNumberOfChunks)), isError = false)
+        case "fetch_from_collection" =>
+          textResult(fetchTool(
+            str("collection").getOrElse(""), str("id").getOrElse(""),
+            int("startLine", 1), int("endLine", 250)), isError = false)
+        case other =>
+          textResult(s"Error: unknown tool '$other'", isError = true)
+      }
+    } catch {
+      case e: Exception => textResult(s"Error: ${e.getMessage}", isError = true)
+    }
+  }
+
+  private def initializeResult(req: JsonNode): ObjectNode = {
+    val r = mapper.createObjectNode()
+    r.put("protocolVersion",
+      req.path("params").path("protocolVersion").asText("2025-06-18"))
+    r.putObject("capabilities").putObject("tools")
+    val info = r.putObject("serverInfo")
+    info.put("name", "documents-search-unified")
+    info.put("version", "1.0")
+    r
+  }
+
+  private def rpcResult(id: JsonNode, result: JsonNode): String = {
+    val r = mapper.createObjectNode()
+    r.put("jsonrpc", "2.0")
+    r.set[JsonNode]("id", id)
+    r.set[JsonNode]("result", result)
+    mapper.writeValueAsString(r)
+  }
+
+  private def rpcError(id: JsonNode, code: Int, message: String): String = {
+    val r = mapper.createObjectNode()
+    r.put("jsonrpc", "2.0")
+    if (id == null) r.putNull("id") else r.set[JsonNode]("id", id)
+    val e = r.putObject("error")
+    e.put("code", code)
+    e.put("message", message)
+    mapper.writeValueAsString(r)
+  }
+
+  /** One JSON-RPC message in → optional response out (None for notifications). */
+  def handleLine(line: String): Option[String] = {
+    val req =
+      try mapper.readTree(line)
+      catch { case _: Exception => return Some(rpcError(null, -32700, "Parse error")) }
+    val id = req.get("id")
+    val method = req.path("method").asText("")
+    if (id == null || id.isNull) None // notification (e.g. notifications/initialized)
+    else method match {
+      case "initialize"  => Some(rpcResult(id, initializeResult(req)))
+      case "tools/list"  => Some(rpcResult(id, toolsJson))
+      case "tools/call"  => Some(rpcResult(id, callTool(req.path("params"))))
+      case "ping"        => Some(rpcResult(id, mapper.createObjectNode()))
+      case other         => Some(rpcError(id, -32601, s"Method not found: $other"))
+    }
+  }
+}
+
+/** stdio entry point:
+  * {{{
+  *   graft.api.McpStdioAdapter [--data-dir D] [--collections a,b,c]
+  *     [--format json|json_with_indent|toon] [--default-chunks 50] [--max-chunks 100]
+  * }}}
+  */
+object McpStdioAdapter {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-mcp")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR") // stderr via Spark's default appender
+    val manager = new CollectionManager(
+      spark, opts.getOrElse("data-dir", "./data/collections"), HashingEmbedder.default)
+    val server = new McpServer(
+      manager,
+      opts.get("collections").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)),
+      opts.getOrElse("format", "toon"),
+      opts.get("default-chunks").map(_.toInt).getOrElse(50),
+      opts.get("max-chunks").map(_.toInt).getOrElse(100))
+
+    val out = new java.io.PrintStream(System.out, true, StandardCharsets.UTF_8)
+    scala.io.Source.stdin.getLines().foreach { line =>
+      if (line.trim.nonEmpty) server.handleLine(line).foreach(out.println)
+    }
+    spark.stop()
+  }
+}

@@ -10,13 +10,15 @@ import org.apache.spark.sql.types._
   *
   * The reference is text-only (its files reader blacklists binary extensions —
   * /root/reference/main/sources/files/files_document_reader.py:10-108); this is the
-  * training-data-pipeline extension. No image/audio libraries exist in this
-  * container, so the DECODE STEP IS A DETERMINISTIC STUB (clearly marked below):
-  * it derives fake dimensions/durations from the content hash. Everything around
-  * it — the media schema, the per-partition batched map (the Scala analogue of a
+  * training-data-pipeline extension. Image dimensions decode FOR REAL from the
+  * container headers (PNG IHDR, JPEG SOFn, GIF logical screen — no codec
+  * needed); audio/video duration would need a demuxer that isn't in this
+  * container, so that branch REMAINS A DETERMINISTIC STUB (clearly marked
+  * below): fake durations derive from the content hash. Everything around it —
+  * the media schema, the per-partition batched map (the Scala analogue of a
   * Pandas-UDF `mapInPandas` batch), the feature vector shape, partitioning-safe
-  * signatures — is real and tested, so swapping in a JNI/ONNX decoder changes one
-  * function.
+  * signatures — is real and tested, so swapping in a JNI/ONNX decoder changes
+  * one function.
   *
   * Scale: media rows are large (MBs); `mapPartitions` keeps decode zero-copy per
   * partition, and `spark.sql.files.maxPartitionBytes` bounds partition memory.
@@ -35,13 +37,76 @@ object Multimodal {
     .add("width", IntegerType).add("height", IntegerType)
     .add("channels", IntegerType).add("durationMs", LongType)
 
-  /** ??? STUB DECODER ??? — stands in for libjpeg/ffmpeg, which aren't in this
-    * container. Deterministic: dimensions derive from the first bytes of
-    * md5(content), so tests and oracle runs are stable. Replace `decodeOne` with a
-    * real decoder to productionize; the batching shape stays.
+  // ------------------------------------------------- real image-header parsing
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  /** PNG: 8-byte signature, then the IHDR chunk — width/height are the big-endian
+    * ints at offsets 16/20; channels from the color type at offset 25
+    * (0 gray, 2 rgb, 3 palette→rgb, 4 gray+alpha, 6 rgba). Spec: W3C PNG §11.2.2.
+    */
+  private def pngDims(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b.length >= 26 &&
+        u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val channels = u8(b, 25) match {
+        case 0 => 1; case 2 => 3; case 3 => 3; case 4 => 2; case 6 => 4; case _ => 0
+      }
+      Some((be32(b, 16), be32(b, 20), channels))
+    } else None
+
+  /** JPEG: FFD8 then marker segments; the frame header (SOF0..15, excluding
+    * DHT/JPG/DAC) carries height/width as big-endian shorts at payload offsets
+    * 3/5 and the component count at 7. Spec: ITU T.81 §B.2.2.
+    */
+  private def jpegDims(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return None // desynced marker stream
+      val marker = u8(b, i + 1)
+      if (marker == 0xff) { i += 1 } // fill bytes before a marker
+      else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) { i += 2 }
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 8) return None
+          return Some((be16(b, i + 7), be16(b, i + 5), u8(b, i + 9)))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** GIF87a/89a: width/height are little-endian shorts at offsets 6/8. */
+  private def gifDims(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some((le16(b, 6), le16(b, 8), 3))
+    else None
+
+  /** Image headers parse for real (PNG/JPEG/GIF need no codec); audio/video
+    * duration still needs a container demuxer that isn't in this classpath, so
+    * THOSE REMAIN A DETERMINISTIC STUB (dims/durations derived from md5 of the
+    * content, clearly bounded here). Swapping in a real demuxer changes only the
+    * fallback branch; the batching shape stays.
     */
   private def decodeOne(kind: String, bytes: Array[Byte]): (Int, Int, Int, Long) = {
     if (bytes == null || bytes.isEmpty) return (0, 0, 0, 0L)
+    if (kind == "image") {
+      pngDims(bytes).orElse(jpegDims(bytes)).orElse(gifDims(bytes)) match {
+        case Some((w, h, c)) => return (w, h, c, 0L)
+        case None            => // unknown image container: stub fallback below
+      }
+    }
     val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     def u(i: Int) = h(i) & 0xff
     kind match {

@@ -42,6 +42,30 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(hits.contains(0L)) // the query vector itself shares its own bucket
   }
 
+  test("multimodal: real PNG/JPEG/GIF header decode") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def render(w: Int, h: Int, fmt: String, imgType: Int = BufferedImage.TYPE_INT_RGB) = {
+      val baos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(new BufferedImage(w, h, imgType), fmt, baos)
+      baos.toByteArray
+    }
+    val media = Seq(
+      ("png", "image", render(13, 7, "png"), Map.empty[String, String]),
+      ("png_rgba", "image", render(5, 9, "png", BufferedImage.TYPE_INT_ARGB), Map.empty[String, String]),
+      ("jpg", "image", render(31, 17, "jpg"), Map.empty[String, String]),
+      ("gif", "image", render(21, 11, "gif"), Map.empty[String, String]))
+      .toDF("mediaId", "kind", "bytes", "meta")
+    val got = Multimodal.decode(media).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Int]("channels")))).toMap
+    assert(got("png") === ((13, 7, 3)))
+    assert(got("png_rgba") === ((5, 9, 4)))
+    assert(got("jpg") === ((31, 17, 3)))
+    assert(got("gif") === ((21, 11, 3)))
+  }
+
   test("multimodal: decode stub, features, frame sampling, resize") {
     import spark.implicits._
     val media = Seq(

@@ -1,0 +1,112 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.api.McpServer
+import graft.core.CollectionManager
+import graft.functions.{HashingEmbedder, TextSplitter}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden request/response tests for the MCP stdio adapter: protocol handshake,
+  * tool listing, search/fetch calls with the reference's validation messages and
+  * 50/100 default/cap (collection_search_unified_mcp_adapter.py:21-22,193-227).
+  */
+class McpServerSpec extends AnyFunSuite with SparkSuite {
+
+  private val mapper = new ObjectMapper()
+
+  private lazy val server: McpServer = {
+    val tmp = Files.createTempDirectory("graft-mcp").toString
+    val cm = new CollectionManager(
+      spark, tmp, new HashingEmbedder(dim = 16), new TextSplitter(50, 10))
+    import spark.implicits._
+    cm.create("wiki", Seq(
+      ("d1", "https://wiki/d1", Map("space" -> "ENG"),
+        "spark query engine\nwith vector search\nand bm25 ranking"),
+      ("d2", "https://wiki/d2", Map("space" -> "OPS"),
+        "deployment guide for the ops team\nrun the deploy script"))
+      .toDF("id", "url", "metadata", "text"))
+    new McpServer(cm, format = "json")
+  }
+
+  private def call(line: String) = {
+    val resp = server.handleLine(line)
+    assert(resp.isDefined, s"expected a response for: $line")
+    mapper.readTree(resp.get)
+  }
+
+  private def toolText(resp: com.fasterxml.jackson.databind.JsonNode): String = {
+    assert(resp.path("result").path("isError").asBoolean(false) === false)
+    resp.path("result").path("content").get(0).path("text").asText
+  }
+
+  test("initialize handshake and notification silence") {
+    val init = call("""{"jsonrpc":"2.0","id":1,"method":"initialize","params":{"protocolVersion":"2025-03-26","capabilities":{}}}""")
+    assert(init.path("jsonrpc").asText === "2.0")
+    assert(init.path("id").asInt === 1)
+    assert(init.path("result").path("protocolVersion").asText === "2025-03-26")
+    assert(init.path("result").path("capabilities").has("tools"))
+    assert(init.path("result").path("serverInfo").path("name").asText === "documents-search-unified")
+    // notifications get no response
+    assert(server.handleLine("""{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
+  }
+
+  test("tools/list exposes search and fetch with schemas") {
+    val resp = call("""{"jsonrpc":"2.0","id":2,"method":"tools/list"}""")
+    val tools = resp.path("result").path("tools")
+    assert(tools.size === 2)
+    val names = (0 until tools.size).map(tools.get(_).path("name").asText).toSet
+    assert(names === Set("search_in_collection", "fetch_from_collection"))
+    val search = (0 until tools.size).map(tools.get)
+      .find(_.path("name").asText == "search_in_collection").get
+    assert(search.path("inputSchema").path("properties").has("numberOfChunks"))
+    assert(search.path("inputSchema").path("required").get(0).asText === "collection")
+    assert(search.path("inputSchema").path("properties").path("collection")
+      .path("description").asText.contains("wiki"))
+  }
+
+  test("search tool: results with matched chunks, filter narrowing") {
+    val resp = call("""{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"search_in_collection","arguments":{"collection":"wiki","query":"vector search"}}}""")
+    val text = toolText(resp)
+    assert(text.contains("https://wiki/d1"))
+
+    val filtered = call("""{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"search_in_collection","arguments":{"collection":"wiki","query":"deploy","filter":"space = \"OPS\""}}}""")
+    val ftext = toolText(filtered)
+    assert(ftext.contains("https://wiki/d2") && !ftext.contains("https://wiki/d1"))
+  }
+
+  test("search tool validation: reference's error messages, 100-chunk cap") {
+    assert(toolText(call("""{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"search_in_collection","arguments":{"collection":"nope","query":"x"}}}"""))
+      === "Error: collection 'nope' is not available. Available: wiki")
+    assert(toolText(call("""{"jsonrpc":"2.0","id":6,"method":"tools/call","params":{"name":"search_in_collection","arguments":{"collection":"wiki"}}}"""))
+      === "Error: at least one of 'query' or 'filter' must be provided.")
+    assert(toolText(call("""{"jsonrpc":"2.0","id":7,"method":"tools/call","params":{"name":"search_in_collection","arguments":{"collection":"wiki","query":"x","numberOfChunks":101}}}"""))
+      === "Error: numberOfChunks (101) exceeds maximum allowed (100).")
+  }
+
+  test("fetch tool: line-range slice by document id") {
+    val resp = call("""{"jsonrpc":"2.0","id":8,"method":"tools/call","params":{"name":"fetch_from_collection","arguments":{"collection":"wiki","id":"d1","startLine":2,"endLine":2}}}""")
+    val text = toolText(resp)
+    assert(text.contains("with vector search"))
+    assert(!text.contains("bm25 ranking"))
+  }
+
+  test("protocol errors: parse error, unknown method, unknown tool") {
+    val bad = mapper.readTree(server.handleLine("{not json").get)
+    assert(bad.path("error").path("code").asInt === -32700)
+    val unknown = call("""{"jsonrpc":"2.0","id":9,"method":"bogus/method"}""")
+    assert(unknown.path("error").path("code").asInt === -32601)
+    val badTool = call("""{"jsonrpc":"2.0","id":10,"method":"tools/call","params":{"name":"no_such_tool","arguments":{}}}""")
+    assert(badTool.path("result").path("isError").asBoolean === true)
+  }
+
+  test("allowlist validation fails loudly for missing collections") {
+    val tmp = Files.createTempDirectory("graft-mcp2").toString
+    val cm = new CollectionManager(
+      spark, tmp, new HashingEmbedder(dim = 16), new TextSplitter(50, 10))
+    val e = intercept[IllegalArgumentException](
+      new McpServer(cm, allowedCollections = Some(Seq("ghost"))))
+    assert(e.getMessage.contains("no collections found") ||
+      e.getMessage.contains("collections not found"))
+  }
+}
