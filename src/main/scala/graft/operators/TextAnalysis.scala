@@ -23,19 +23,21 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans"),
     "es" -> Seq("el", "los", "las", "que", "es", "una", "por"))
 
-  private def markerHits(textCol: String, lang: String): Column = {
-    val list = langMarkers(lang).map(w => s"'$w'").mkString(", ")
-    expr(s"size(filter(${toksExpr(textCol)}, t -> t IN ($list)))")
-  }
-
   /** Language-ID: count marker-stopword hits per candidate language; predict the
     * argmax (deterministic tie-break: language name order), 'und' (undetermined)
     * when nothing matches. Columns: score_<lang>..., pred_lang.
+    *
+    * The token array binds to a column once: with the tokenizer inlined per
+    * language, Catalyst would evaluate split+filter 4× per row (CollapseProject
+    * keeps a multi-referenced non-cheap projection materialized, so the bound
+    * form tokenizes once).
     */
   def langId(docs: DataFrame, textCol: String): DataFrame = {
     val langs = langMarkers.keys.toSeq.sorted
-    val withScores = langs.foldLeft(docs) { (df, l) =>
-      df.withColumn(s"score_$l", markerHits(textCol, l))
+    val withToks = docs.withColumn("_toks", expr(toksExpr(textCol)))
+    val withScores = langs.foldLeft(withToks) { (df, l) =>
+      val list = langMarkers(l).map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"score_$l", expr(s"size(filter(_toks, t -> t IN ($list)))"))
     }
     // argmax with name-order tie-break: fold langs in order, keep strict-greater.
     val best = langs.tail.foldLeft((col(s"score_${langs.head}"), lit(langs.head))) {
@@ -44,26 +46,31 @@ object TextAnalysis {
         (when(s > bestScore, s).otherwise(bestScore),
          when(s > bestScore, lit(l)).otherwise(bestLang))
     }
-    withScores.withColumn("pred_lang", when(best._1 > 0, best._2).otherwise(lit("und")))
+    withScores
+      .withColumn("pred_lang", when(best._1 > 0, best._2).otherwise(lit("und")))
+      .drop("_toks")
   }
 
   /** Quality-scoring signals: token count, char count, mean word length,
     * alnum-space ratio, stopword ratio, and a composite [0,1] score.
+    * Tokens bind to a column once (see [[langId]]) — the three token-consuming
+    * signals would otherwise each re-run the tokenizer per row.
     */
   def qualitySignals(docs: DataFrame, textCol: String): DataFrame = {
     val allStops = langMarkers.values.flatten.toSeq.distinct.sorted
     val stopList = allStops.map(w => s"'$w'").mkString(", ")
     docs
-      .withColumn("n_tokens", expr(s"size(${toksExpr(textCol)})").cast("long"))
+      .withColumn("_toks", expr(toksExpr(textCol)))
+      .withColumn("n_tokens", expr("size(_toks)").cast("long"))
       .withColumn("n_chars_t", length(col(textCol)).cast("long"))
       .withColumn("mean_word_len",
-        round(expr(s"aggregate(${toksExpr(textCol)}, 0L, (s, t) -> s + length(t))") /
+        round(expr("aggregate(_toks, 0L, (s, t) -> s + length(t))") /
           greatest(col("n_tokens"), lit(1L)), 4))
       .withColumn("alnum_ratio",
         round(length(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")) /
           greatest(length(col(textCol)), lit(1)).cast("double"), 4))
       .withColumn("stopword_ratio",
-        round(expr(s"size(filter(${toksExpr(textCol)}, t -> t IN ($stopList)))") /
+        round(expr(s"size(filter(_toks, t -> t IN ($stopList)))") /
           greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
       // Composite: full marks for >= 50 tokens, mean word len in [3,10], mostly
       // alphanumeric, and a nonzero-but-not-all-stopwords mix.
@@ -72,6 +79,7 @@ object TextAnalysis {
         when(col("mean_word_len").between(3.0, 10.0), 0.2).otherwise(0.0) +
         col("alnum_ratio") * lit(0.2) +
         when(col("stopword_ratio").between(0.01, 0.6), 0.2).otherwise(0.0), 4))
+      .drop("_toks")
   }
 
   /** Token counting: whitespace tokens, BPE-ish subword-regex tokens (letter runs,

@@ -53,4 +53,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("postings BM25 search prunes by term and never tokenizes the corpus") {
+    val p = plan("t2b_bm25_postings")
+    // The query terms reach the postings parquet scan as pushed filters...
+    assert(p.contains("PushedFilters:") && p.contains("In(term"))
+    // ...and no Generate (explode-of-tokens) node exists at search time: the
+    // full-corpus tokenize happened once at index build, not per query.
+    assert(!p.contains("Generate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("chunk fanout: no chunk text through the single-partition id window") {
+    val p = plan("m5_chunk_fanout")
+    assert(!p.contains("row_number")) // global row_number over chunk rows is gone
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty)
+    // The running count consumes only (doc_id, n); text must not ride along.
+    assert(windowLines.forall(l => !l.contains("text")))
+  }
+
+  test("set ops run as one full-outer join of the two distinct sets") {
+    val p = plan("u2_set_ops").split("== Initial Plan ==")(0) // AQE repeats the tree
+    assert(p.contains("FullOuter"))
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joins === 1, s"expected exactly one join, plan:\n$p")
+  }
 }
