@@ -101,7 +101,10 @@ object Cli {
           metadataFilter = opt("filter"),
           includeText = flags.contains("include-text"),
           includeMatchedChunkContent = flags.contains("include-matched-chunks"),
-          includeAllChunksContent = flags.contains("include-all-chunks"))
+          includeAllChunksContent = flags.contains("include-all-chunks"),
+          // --indexes a,b or repeated --indexes; --rrfK (search_cmd_adapter:19-20)
+          indexNames = opts.get("indexes").map(_.flatMap(_.split(',')).map(_.trim)),
+          rrfK = opt("rrfK").map(_.toInt).getOrElse(60))
         println(opt("format").getOrElse("json_indent") match {
           case "json"   => Formatting.json(result)
           case "toon"   => Formatting.toon(result, "documents")

@@ -25,7 +25,8 @@ final class McpServer(
     allowedCollections: Option[Seq[String]] = None,
     format: String = "toon",
     defaultNumberOfChunks: Int = 50,
-    maxNumberOfChunks: Int = 100) {
+    maxNumberOfChunks: Int = 100,
+    rrfK: Int = 60) {
 
   private val mapper = new ObjectMapper()
 
@@ -138,7 +139,8 @@ final class McpServer(
       return s"Error: numberOfChunks ($numberOfChunks) exceeds maximum allowed ($maxNumberOfChunks)."
     formatted(manager.search(collection, query,
       maxChunks = numberOfChunks, maxDocs = numberOfChunks,
-      metadataFilter = filter, includeMatchedChunkContent = true), "documents")
+      metadataFilter = filter, includeMatchedChunkContent = true,
+      rrfK = rrfK), "documents")
   }
 
   private[api] def fetchTool(collection: String, id: String,
@@ -258,7 +260,8 @@ object McpStdioAdapter {
       opts.get("collections").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)),
       opts.getOrElse("format", "toon"),
       opts.get("default-chunks").map(_.toInt).getOrElse(50),
-      opts.get("max-chunks").map(_.toInt).getOrElse(100))
+      opts.get("max-chunks").map(_.toInt).getOrElse(100),
+      opts.get("rrfK").map(_.toInt).getOrElse(60))
 
     val out = new java.io.PrintStream(System.out, true, StandardCharsets.UTF_8)
     scala.io.Source.stdin.getLines().foreach { line =>

@@ -305,6 +305,31 @@ object Queries {
             |  CAST(b0_size > 1 OR b1_size > 1 AS INT) AS is_candidate
             |FROM z ORDER BY doc_id""".stripMargin))
 
+  /** The LSH candidate-pair JOIN itself (bucket-local self-join + exact Jaccard
+    * verify) — the path that replaces all-pairs at scale. Gated separately from
+    * dedup_minhash_lsh, which only checks signatures/band occupancy.
+    */
+  private val dedupLshPairs = Q(
+    (s, d) => graft.operators.Dedup.minhashCandidatePairs(
+        D.documents(s, d), "doc_id", "text", minJaccard = 0.2)
+      .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc).limit(20),
+    Some(s"""WITH $shinglesCte,
+            |m AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS m FROM sh),
+            |b AS (SELECT doc_id,
+            |  list_min(list_transform(m, x -> substring(x, 1, 8))) ||
+            |  list_min(list_transform(m, x -> substring(x, 9, 8))) AS band0 FROM m),
+            |dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+            |pairs AS (
+            |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+            |    len(list_intersect(x.sh, y.sh)) AS inter,
+            |    len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS uni
+            |  FROM b a JOIN b c ON a.band0 = c.band0 AND a.doc_id < c.doc_id
+            |  JOIN dsh x ON x.doc_id = a.doc_id
+            |  JOIN dsh y ON y.doc_id = c.doc_id)
+            |SELECT id_a, id_b, round(inter / uni, 6) AS jaccard FROM pairs
+            |WHERE inter / uni >= 0.2
+            |ORDER BY round(inter / uni, 6) DESC, id_a, id_b LIMIT 20""".stripMargin))
+
   private val dedupSimhash = Q(
     (s, d) => D.documents(s, d)
       .select(col("doc_id"), graft.operators.Dedup.simhash16("text").as("fp"))
@@ -823,6 +848,7 @@ object Queries {
     "a1_rrf_fusion" -> a1RrfFusion,
     "a2_group_docs" -> a2GroupDocs,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_lsh_pairs" -> dedupLshPairs,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding" -> dedupEmbedding,

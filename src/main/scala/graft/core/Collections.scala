@@ -217,9 +217,26 @@ final class CollectionManager(
   def chunks(name: String): DataFrame = spark.read.parquet(chunksPath(name))
   def documents(name: String): DataFrame = spark.read.parquet(docsPath(name))
 
+  /** Indexers available to search, by manifest name. The IVF index joins the
+    * registry once built ([[buildIvfIndex]]) — discovery mirrors the reference's
+    * indexer_factory reading index names from collection state
+    * (indexer_factory.py:15-27).
+    */
+  private def availableIndexers(name: String): Map[String, graft.operators.Indexer] = {
+    val base = Map[String, graft.operators.Indexer](
+      "vector_exact_l2" -> vectorIndexer(name), "bm25" -> bm25Indexer(name))
+    val ivfDir = s"${dir(name)}/indexes/ivf"
+    if (fs.exists(new Path(s"$ivfDir/centroids")))
+      base + ("vector_ivf" -> new graft.operators.IvfVectorIndexer(
+        spark, ivfDir, embedder))
+    else base
+  }
+
   /** Hybrid vector+BM25 search with optional metadata-filter DSL (SURVEY §3.1)
     * and result-projection flags (P7: include text / matched-chunk / all-chunks
     * payloads — the documents table joins in only when a payload needs it).
+    * `indexNames` selects a subset of the built indexes (None = all, like the
+    * reference's --indexes arg); multiple indexes RRF-fuse with constant `rrfK`.
     */
   def search(
       name: String, query: String,
@@ -227,19 +244,36 @@ final class CollectionManager(
       metadataFilter: Option[String] = None,
       includeText: Boolean = false,
       includeMatchedChunkContent: Boolean = false,
-      includeAllChunksContent: Boolean = false): DataFrame = {
+      includeAllChunksContent: Boolean = false,
+      indexNames: Option[Seq[String]] = None,
+      rrfK: Int = 60): DataFrame = {
     val proj = Search.Projection(
       includeText, includeMatchedChunkContent, includeAllChunksContent,
       documents = if (includeText || includeAllChunksContent) Some(documents(name)) else None)
     val filterCol = metadataFilter.map(f =>
       graft.functions.FilterDsl.metadataFilterColumn(f, col("metadata")))
+    val registry = availableIndexers(name)
+    val selected = indexNames match {
+      case Some(wanted) =>
+        val unknown = wanted.filterNot(registry.contains)
+        require(unknown.isEmpty,
+          s"unknown index(es): ${unknown.mkString(", ")}; available: ${registry.keys.toSeq.sorted.mkString(", ")}")
+        wanted.map(registry)
+      case None => Seq(registry("vector_exact_l2"), registry("bm25"))
+    }
     // Multi-index search over the prebuilt indexes (vector scan + BM25 postings),
     // RRF-fused, then grouped into documents — searcher.py:31-65 on columnar state.
     val fused = graft.operators.Indexers.multiSearch(
-      Seq(vectorIndexer(name), bm25Indexer(name)), query, maxChunks, filterCol)
+      selected, query, maxChunks, filterCol, rrfK)
+    // A single selected index returns its raw ranked list (chunkId, score)
+    // with its own sort direction; fusion output ranks by rrfScore.
+    val order =
+      if (fused.columns.contains("rrfScore")) col("rrfScore").desc
+      else if (selected.head.ascendingScores) col("score").asc
+      else col("score").desc
     val ranked = fused.withColumn("rank",
       row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
-        col("rrfScore").desc, col("chunkId").asc)))
+        order, col("chunkId").asc)))
     Search.groupIntoDocuments(
       ranked.select("chunkId", "rank"),
       chunks(name).select("chunkId", "documentId", "documentUrl", "chunkNumber", "indexedData"),

@@ -99,17 +99,28 @@ object Dedup {
 
   /** Candidate pairs from an LSH band bucket, verified with exact shingle-set
     * Jaccard. The self-join is keyed on the band value — bucket-local, no all-pairs.
+    *
+    * Join order matters for memory: the band self-join runs on a SKINNY
+    * (id, band) projection — candidate ids only — and the heavy shingle arrays
+    * join onto that (small) pair list afterwards, keyed by id. Self-joining rows
+    * that carry the shingle arrays would put the whole corpus's shingles on both
+    * sides of a join (a broadcast/GC hazard the bench exposed at sf0.1: 2s → 32s
+    * inside a warm JVM).
     */
   def minhashCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String, minJaccard: Double,
       shingleN: Int = 3): DataFrame = {
-    val sh = minhashSignatures(docs, idCol, textCol, shingleN)
+    val bands = minhashSignatures(docs, idCol, textCol, shingleN)
       .select(col(idCol), concat(col("sig0"), col("sig1")).as("band0"))
-      .join(withShingles(docs, idCol, textCol, shingleN)
-        .select(col(idCol), array_distinct(col("sh")).as("sh")), idCol)
-    val a = sh.select(col(idCol).as("id_a"), col("band0"), col("sh").as("sh_a"))
-    val b = sh.select(col(idCol).as("id_b"), col("band0"), col("sh").as("sh_b"))
-    a.join(b, Seq("band0")).filter(col("id_a") < col("id_b"))
+    val cand = bands.select(col(idCol).as("id_a"), col("band0"))
+      .join(bands.select(col(idCol).as("id_b"), col("band0")), Seq("band0"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val sh = withShingles(docs, idCol, textCol, shingleN)
+      .select(col(idCol), array_distinct(col("sh")).as("sh"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))

@@ -52,6 +52,34 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
     assert(ops.map(_.getString(0)).toSet === Set("d2"))
   }
 
+  test("index selection: subset search, ivf discovery, unknown name errors") {
+    val tmp = Files.createTempDirectory("graft-coll").toString
+    val cm = mkManager(tmp)
+    cm.create("cx", rawDocs(docsV1))
+
+    // bm25-only and vector-only searches both stand alone
+    val bm = cm.search("cx", "deploy script", indexNames = Some(Seq("bm25"))).collect()
+    assert(bm.map(_.getString(0)).contains("d2"))
+    val vec = cm.search("cx", "vector search",
+      indexNames = Some(Seq("vector_exact_l2"))).collect()
+    assert(vec.nonEmpty)
+
+    // unknown index name fails with the available list
+    val e = intercept[IllegalArgumentException](
+      cm.search("cx", "q", indexNames = Some(Seq("hnsw"))))
+    assert(e.getMessage.contains("hnsw") && e.getMessage.contains("bm25"))
+
+    // ivf joins the registry once built, and is then selectable
+    cm.buildIvfIndex("cx", nLists = 2, nProbe = 2)
+    val ivf = cm.search("cx", "vector search",
+      indexNames = Some(Seq("vector_ivf"))).collect()
+    assert(ivf.nonEmpty)
+
+    // rrfK flows through multi-index fusion
+    val fused = cm.search("cx", "vector search", rrfK = 1).collect()
+    assert(fused.nonEmpty)
+  }
+
   test("fetch line-range slice") {
     val tmp = Files.createTempDirectory("graft-coll").toString
     val cm = mkManager(tmp)
