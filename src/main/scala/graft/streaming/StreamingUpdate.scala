@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.core.CollectionManager
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming extensions (SURVEY §2.10 — the reference has only a
   * micro-batch-like incremental update: a stored watermark minus a 5-minute overlap
@@ -56,4 +56,80 @@ object StreamingUpdate {
       .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
       .select(col("event_type"), col("w.start").as("window_start"),
         col("cnt"), col("sum_value"))
+
+  /** One event for the stateful sessionizer: (user, event-time). The timestamp
+    * keeps its column form — the streaming checker requires the watermarked
+    * event-time attribute to reach the stateful operator.
+    */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp) {
+    def tsMillis: Long = ts.getTime
+  }
+
+  /** Per-user open-session state, event-time millis. */
+  case class SessionAcc(startMillis: Long, lastMillis: Long, nEvents: Long)
+
+  /** An emitted (closed) session. */
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long, duration_s: Long)
+
+  /** Gap-based sessionization with CUSTOM state — `flatMapGroupsWithState` with
+    * an event-time timeout, the streaming twin of the batch `w3_sessionize`
+    * query (same gap rule: a silence of more than `gapMinutes`, in floored
+    * epoch seconds, starts a new session). Sessions close two ways:
+    *
+    *  - in-batch: a same-user event beyond the gap emits the previous session
+    *    immediately;
+    *  - by timeout: when the watermark passes lastEvent + gap, the open session
+    *    emits and its state evicts — so state size is bounded by the number of
+    *    users active inside one gap window, not by history.
+    */
+  def sessionize(
+      events: DataFrame, // streaming DF: ts timestamp, user_id long
+      gapMinutes: Int = 30,
+      lateness: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMillis = gapMinutes * 60L * 1000L
+
+    def close(userId: Long, s: SessionAcc): SessionOut =
+      SessionOut(userId, new java.sql.Timestamp(s.startMillis),
+        new java.sql.Timestamp(s.lastMillis), s.nEvents,
+        s.lastMillis / 1000L - s.startMillis / 1000L)
+
+    def update(userId: Long, incoming: Iterator[SessionEvent],
+               state: GroupState[SessionAcc]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val closed = close(userId, state.get)
+        state.remove()
+        return Iterator.single(closed)
+      }
+      val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+      var cur = state.getOption
+      incoming.toSeq.sortBy(_.tsMillis).foreach { e =>
+        cur match {
+          // Batch parity: gap compares FLOORED epoch seconds (unix_timestamp).
+          case Some(s) if e.tsMillis / 1000L - s.lastMillis / 1000L <= gapMinutes * 60L =>
+            cur = Some(s.copy(lastMillis = math.max(s.lastMillis, e.tsMillis),
+              nEvents = s.nEvents + 1))
+          case Some(s) =>
+            out += close(userId, s)
+            cur = Some(SessionAcc(e.tsMillis, e.tsMillis, 1))
+          case None =>
+            cur = Some(SessionAcc(e.tsMillis, e.tsMillis, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastMillis + gapMillis)
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -61,6 +61,46 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(rows === Set(("a", "first"), ("b", "other"))) // replay dropped
   }
 
+  test("stateful sessionization: flatMapGroupsWithState closes sessions by gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, Long)]
+    val events = stream.toDF().toDF("ts", "user_id")
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val q = StreamingUpdate.sessionize(events, gapMinutes = 30, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def got() = spark.table("sessions")
+      .select("user_id", "session_start", "n_events", "duration_s").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+
+    // User 1: two events 5 min apart (one session), then an event 85 min later
+    // (closes session 1 in-batch). User 2: one event, then one 2 h later.
+    stream.addData(
+      (ts(10, 0), 1L), (ts(10, 5), 1L), (ts(11, 30), 1L),
+      (ts(10, 0), 2L), (ts(12, 0), 2L))
+    q.processAllAvailable()
+    // Closed by gap only; the open tails (u1@11:30, u2@12:00) stay in state.
+    assert(got() === Set(
+      (1L, ts(10, 0), 2L, 300L),
+      (2L, ts(10, 0), 1L, 0L)))
+
+    // Advance the watermark past both open sessions' timeouts: two batches —
+    // watermark updates at batch end, timeouts fire at the NEXT batch.
+    stream.addData((ts(13, 0), 3L))
+    q.processAllAvailable() // watermark -> 12:50
+    stream.addData((ts(13, 1), 3L))
+    q.processAllAvailable() // u1 (timeout 12:00) and u2 (12:30) evict + emit
+    q.stop()
+    assert(got() === Set(
+      (1L, ts(10, 0), 2L, 300L),
+      (2L, ts(10, 0), 1L, 0L),
+      (1L, ts(11, 30), 1L, 0L),
+      (2L, ts(12, 0), 1L, 0L)))
+  }
+
   test("windowed event counts with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
