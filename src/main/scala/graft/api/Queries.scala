@@ -63,6 +63,58 @@ object Queries {
            |  JOIN nation ON c_nationkey = n_nationkey
            |GROUP BY n_name ORDER BY n_name""".stripMargin))
 
+  /** TPC-H Q5 shape: six-table join through region with a date-range filter —
+    * the classic star-join scale posture: fact-side shuffles on join keys, the
+    * nation/region dimensions broadcast, date + region predicates push into the
+    * scans before any join.
+    */
+  private val q5Region = Q(
+    (s, d) => {
+      val c = D.customer(s, d); val o = D.orders(s, d); val li = D.lineitem(s, d)
+      val sup = D.supplier(s, d); val n = D.nation(s, d); val r = D.region(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "ASIA" &&
+          o("o_orderdate") >= lit("1996-01-01") && o("o_orderdate") < lit("1998-01-01"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS cnt
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |  JOIN lineitem ON o_orderkey = l_orderkey
+           |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+           |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  /** TPC-H Q14 shape: promo revenue share — fact scan with a pushed date range,
+    * broadcast part dimension, one conditional aggregate pass.
+    */
+  private val q14Promo = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d); val p = D.part(s, d)
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) /
+            sum(rev), 4).as("promo_share"),
+          count(lit(1)).as("cnt"))
+    },
+    Some("""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END)
+           |         / sum(l_extendedprice*(1-l_discount)), 4) AS promo_share,
+           |  count(*) AS cnt
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin))
+
   private val w1RankWindow = Q(
     (s, d) => {
       val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)
@@ -836,6 +888,8 @@ object Queries {
   val all: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "q3_join_agg" -> q3JoinAgg,
+    "q5_region" -> q5Region,
+    "q14_promo" -> q14Promo,
     "w1_rank_window" -> w1RankWindow,
     "a4_watermark_max" -> a4WatermarkMax,
     "p3_filter_dsl" -> p3FilterDsl,
