@@ -382,6 +382,24 @@ object Queries {
             |WHERE inter / uni >= 0.2
             |ORDER BY round(inter / uni, 6) DESC, id_a, id_b LIMIT 20""".stripMargin))
 
+  /** C4-style line-level boilerplate removal, compared by md5 of the rebuilt
+    * text (keeps oracle rows narrow).
+    */
+  private val dedupLines = Q(
+    (s, d) => graft.operators.Dedup.lineDedup(D.documents(s, d), "doc_id", "text",
+        maxOccurrences = 2)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), md5(col("cleaned")).as("h"))
+      .orderBy("doc_id"),
+    Some("""WITH base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+           |idx AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM base),
+           |lines AS (SELECT doc_id, i, ls[i] AS line FROM idx),
+           |cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+           |joined AS (SELECT l.doc_id, l.i, l.line, c.c FROM lines l JOIN cnt c USING(line))
+           |SELECT doc_id, count(*) AS n_lines,
+           |  sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS n_kept,
+           |  md5(coalesce(string_agg(CASE WHEN c <= 2 THEN line END, chr(10) ORDER BY i), '')) AS h
+           |FROM joined GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   private val dedupSimhash = Q(
     (s, d) => D.documents(s, d)
       .select(col("doc_id"), graft.operators.Dedup.simhash16("text").as("fp"))
@@ -903,6 +921,7 @@ object Queries {
     "a2_group_docs" -> a2GroupDocs,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_lsh_pairs" -> dedupLshPairs,
+    "dedup_lines" -> dedupLines,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding" -> dedupEmbedding,

@@ -145,6 +145,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Line-level boilerplate removal (the C4/RefinedWeb-style cleanup): a line
+    * occurring more than `maxOccurrences` times ACROSS THE CORPUS is boilerplate
+    * (nav bars, license footers, cookie banners) and drops from every document.
+    *
+    * Returns (id, n_lines, n_kept, cleaned) — original line count, surviving
+    * line count, and the text rebuilt from surviving lines in original order.
+    *
+    * Scale shape: posexplode to (doc, lineNo, line) → one hash-aggregation on
+    * the line value for corpus counts → one shuffle join back on line → per-doc
+    * rebuild via sorted collect_list. Both shuffles key on the line text; a
+    * degenerate hot line (e.g. "") spreads fine because the count side is
+    * pre-aggregated map-side before the join.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                maxOccurrences: Int = 2): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("lineNo", "line")))
+    val counts = lines.groupBy("line").agg(count(lit(1)).as("_c"))
+    lines.join(counts, "line")
+      .withColumn("_keep", col("_c") <= maxOccurrences)
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls `when` leaves for dropped lines;
+        // array_sort on (lineNo, line) structs restores original order.
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_keep"),
+              struct(col("lineNo"), col("line"))))),
+            x => x.getField("line")), "\n").as("cleaned"))
+  }
+
   /** 16-bit SimHash: bit j of the fingerprint is the sign of
     * Σ_tokens (high-bit of md5(token)'s j-th hex nibble ? +1 : −1).
     *

@@ -54,6 +54,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q5 six-table join: dims broadcast, date range pushed to the orders scan") {
+    val p = plan("q5_region")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(o_orderdate"))
+  }
+
   test("postings BM25 search prunes by term and never tokenizes the corpus") {
     val p = plan("t2b_bm25_postings")
     // The query terms reach the postings parquet scan as pushed filters...
