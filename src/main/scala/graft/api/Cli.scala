@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.api.Cli create-jira   --collection c --json FILE [--cloud] ...
   *   graft.api.Cli create-confluence --collection c --json FILE ...
   *   graft.api.Cli update-files  --collection c --path DIR ...
+  *   graft.api.Cli update        --collection c            (re-drives the manifest's stored reader)
   *   graft.api.Cli search        --collection c --query Q [--filter DSL] [--max-docs 5]
   *                               [--max-chunks 15] [--include-text] [--format json|json_indent|toon]
   *   graft.api.Cli fetch         --collection c --doc ID [--start 1] [--end 200]
@@ -71,7 +72,14 @@ object Cli {
 
     cmd match {
       case "create-files" =>
-        val m = cm.create(req("collection"), filesDocs(req("path")))
+        // Reader details persist in the manifest (get_reader_details,
+        // files_document_reader.py:162-169) so `update` can re-drive the
+        // source from the collection name alone.
+        val m = cm.create(req("collection"), filesDocs(req("path")), readerDetails = Map(
+          "type" -> "localFiles",
+          "basePath" -> req("path"),
+          "includePatterns" -> opts.getOrElse("include", Seq(".*")).mkString("\t"),
+          "excludePatterns" -> opts.getOrElse("exclude", Nil).mkString("\t")))
         println(s"""{"created": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
       case "create-jira" =>
         val issues = spark.read.json(req("json"))
@@ -91,6 +99,27 @@ object Cli {
         val changed = Converters.files(
           FilesSource.read(spark, req("path"), modifiedAfter = after), splitter)
         val m = cm.update(req("collection"), changed)
+        println(s"""{"updated": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
+      case "update" =>
+        // Generic update from the manifest's stored reader details — the
+        // reference's update adapter takes only the collection name
+        // (update_collection_factory.py:34-65).
+        val man = cm.readManifest(req("collection"))
+        require(man.reader.getOrElse("type", "") == "localFiles",
+          s"update re-drives stored reader details; collection '${man.collectionName}' " +
+            s"has reader type '${man.reader.getOrElse("type", "<none>")}' — " +
+            "only localFiles re-reads without credentials (REST sources: use create-* with fresh payloads)")
+        val wm2 = man.lastModifiedDocumentTime
+        val after2 = if (wm2.isEmpty) None else Some(java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.parse(wm2).minusMinutes(5)))
+        def pats(k: String, dflt: Seq[String]) =
+          man.reader.get(k).map(_.split('\t').toSeq.filter(_.nonEmpty)).getOrElse(dflt)
+        val changed2 = Converters.files(
+          FilesSource.read(spark, man.reader("basePath"),
+            includePatterns = pats("includePatterns", Seq(".*")),
+            excludePatterns = pats("excludePatterns", Nil),
+            modifiedAfter = after2), splitter)
+        val m = cm.update(req("collection"), changed2)
         println(s"""{"updated": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
       case "search" =>
         val maxDocs = opt("max-docs").map(_.toInt).getOrElse(5)

@@ -65,16 +65,21 @@ final class CollectionManager(
   private def nowIso: String = java.time.Instant.now().toString
 
   def writeManifest(m: Model.Manifest, name: String): Unit = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val json =
-      s"""{"collectionName": ${q(m.collectionName)},
-         | "updatedTime": ${q(m.updatedTime)},
-         | "lastModifiedDocumentTime": ${q(m.lastModifiedDocumentTime)},
-         | "numberOfDocuments": ${m.numberOfDocuments},
-         | "numberOfChunks": ${m.numberOfChunks},
-         | "lastIndexItemId": ${m.lastIndexItemId},
-         | "indexers": [${m.indexers.map(q).mkString(", ")}],
-         | "chunkSize": ${m.chunkSize}, "chunkOverlap": ${m.chunkOverlap}}""".stripMargin
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("collectionName", m.collectionName)
+    root.put("updatedTime", m.updatedTime)
+    root.put("lastModifiedDocumentTime", m.lastModifiedDocumentTime)
+    root.put("numberOfDocuments", m.numberOfDocuments)
+    root.put("numberOfChunks", m.numberOfChunks)
+    root.put("lastIndexItemId", m.lastIndexItemId)
+    val idx = root.putArray("indexers")
+    m.indexers.foreach(idx.add)
+    root.put("chunkSize", m.chunkSize)
+    root.put("chunkOverlap", m.chunkOverlap)
+    val rdr = root.putObject("reader")
+    m.reader.toSeq.sortBy(_._1).foreach { case (k, v) => rdr.put(k, v) }
+    val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
     val out = fs.create(new Path(manifestPath(name)), true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
@@ -84,23 +89,20 @@ final class CollectionManager(
     val json = try new String(
       org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
     finally in.close()
-    def str(k: String) = s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r
-      .findFirstMatchIn(json).map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-      .getOrElse("")
-    def num(k: String) = s""""$k"\\s*:\\s*(-?\\d+)""".r
-      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    import scala.jdk.CollectionConverters._
     Model.Manifest(
-      collectionName = str("collectionName"),
-      updatedTime = str("updatedTime"),
-      lastModifiedDocumentTime = str("lastModifiedDocumentTime"),
-      numberOfDocuments = num("numberOfDocuments"),
-      numberOfChunks = num("numberOfChunks"),
-      lastIndexItemId = num("lastIndexItemId"),
-      indexers = """"indexers"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
-        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq).getOrElse(Nil),
-      chunkSize = num("chunkSize").toInt,
-      chunkOverlap = num("chunkOverlap").toInt)
+      collectionName = root.path("collectionName").asText(""),
+      updatedTime = root.path("updatedTime").asText(""),
+      lastModifiedDocumentTime = root.path("lastModifiedDocumentTime").asText(""),
+      numberOfDocuments = root.path("numberOfDocuments").asLong(0L),
+      numberOfChunks = root.path("numberOfChunks").asLong(0L),
+      lastIndexItemId = root.path("lastIndexItemId").asLong(0L),
+      indexers = root.path("indexers").elements().asScala.map(_.asText).toSeq,
+      chunkSize = root.path("chunkSize").asInt(0),
+      chunkOverlap = root.path("chunkOverlap").asInt(0),
+      reader = root.path("reader").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap)
   }
 
   def exists(name: String): Boolean = fs.exists(new Path(manifestPath(name)))
@@ -121,7 +123,8 @@ final class CollectionManager(
     * chunks (header semantics, per-page metadata) are kept as-is; the splitter
     * only runs when the input has no `chunks` column.
     */
-  def create(name: String, rawDocs: DataFrame): Model.Manifest = {
+  def create(name: String, rawDocs: DataFrame,
+             readerDetails: Map[String, String] = Map.empty): Model.Manifest = {
     val docs = withChunks(rawDocs)
     docs.write.mode(SaveMode.Overwrite).parquet(docsPath(name))
 
@@ -139,7 +142,8 @@ final class CollectionManager(
       numberOfDocuments = stats.getLong(2), numberOfChunks = stats.getLong(0),
       lastIndexItemId = stats.getLong(1),
       indexers = Seq("vector_exact_l2", "bm25"),
-      chunkSize = splitter.chunkSize, chunkOverlap = splitter.chunkOverlap)
+      chunkSize = splitter.chunkSize, chunkOverlap = splitter.chunkOverlap,
+      reader = readerDetails)
     writeManifest(m, name)
     m
   }

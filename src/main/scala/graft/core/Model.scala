@@ -53,7 +53,11 @@ object Model {
     StructField("metadata", MapType(StringType, StringType), nullable = true),
     StructField("embedding", ArrayType(FloatType), nullable = true)))
 
-  /** Collection manifest (reference: documents_collection_creator.py:255-279). */
+  /** Collection manifest (reference: documents_collection_creator.py:255-279).
+    * `reader` carries the source configuration (`get_reader_details` in the
+    * reference, e.g. base_document_reader.py contract) so `update` can re-drive
+    * the source from the collection name alone — secrets excluded.
+    */
   case class Manifest(
       collectionName: String,
       updatedTime: String,
@@ -63,5 +67,6 @@ object Model {
       lastIndexItemId: Long,
       indexers: Seq[String],
       chunkSize: Int,
-      chunkOverlap: Int)
+      chunkOverlap: Int,
+      reader: Map[String, String] = Map.empty)
 }

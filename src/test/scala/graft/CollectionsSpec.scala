@@ -52,6 +52,20 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
     assert(ops.map(_.getString(0)).toSet === Set("d2"))
   }
 
+  test("manifest stores reader details for name-only update") {
+    val tmp = Files.createTempDirectory("graft-coll").toString
+    val cm = mkManager(tmp)
+    val details = Map("type" -> "localFiles", "basePath" -> "/data/docs",
+      "includePatterns" -> ".*\\.md\t.*\\.txt", "excludePatterns" -> "")
+    cm.create("cr", rawDocs(docsV1), readerDetails = details)
+    val m = cm.readManifest("cr")
+    assert(m.reader === details)
+    // update preserves the reader details through old.copy
+    val updated = cm.update("cr", rawDocs(docsV1.take(1)))
+    assert(updated.reader === details)
+    assert(cm.readManifest("cr").reader === details)
+  }
+
   test("index selection: subset search, ivf discovery, unknown name errors") {
     val tmp = Files.createTempDirectory("graft-coll").toString
     val cm = mkManager(tmp)
