@@ -28,10 +28,18 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => }
     }
-    val results = queries.map { case (name, fn) =>
+    // Two timed passes, keep the per-query minimum: steady-state throughput is
+    // the quantity of interest, and the min is robust to a transient external
+    // CPU burst landing on one query in one pass.
+    def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try consume(fn(spark, sfDir)) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = queries.map { case (name, _) =>
+      name -> math.min(p1(name), p2(name))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -17,6 +17,8 @@ import org.apache.spark.sql.SparkSession
   *                               [--chunk-size 1000] [--chunk-overlap 100] [--data-dir D]
   *   graft.api.Cli create-jira   --collection c --json FILE [--cloud] ...
   *   graft.api.Cli create-confluence --collection c --json FILE ...
+  *   graft.api.Cli update-jira   --collection c --json FILE [--cloud]
+  *   graft.api.Cli update-confluence --collection c --json FILE [--cloud]
   *   graft.api.Cli update-files  --collection c --path DIR ...
   *   graft.api.Cli update        --collection c            (re-drives the manifest's stored reader)
   *   graft.api.Cli search        --collection c --query Q [--filter DSL] [--max-docs 5]
@@ -90,6 +92,18 @@ object Cli {
         val pages = spark.read.json(req("json"))
         val m = cm.create(req("collection"), Converters.confluence(pages, splitter))
         println(s"""{"created": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
+      case "update-jira" =>
+        // Re-read payloads replace their documents by id (anti-join merge) —
+        // the reference's update adapter shape for REST sources.
+        val docs = Converters.jira(spark.read.json(req("json")), splitter,
+          cloud = flags.contains("cloud"))
+        val m = cm.update(req("collection"), docs)
+        println(s"""{"updated": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
+      case "update-confluence" =>
+        val m = cm.update(req("collection"),
+          Converters.confluence(spark.read.json(req("json")), splitter,
+            cloud = flags.contains("cloud")))
+        println(s"""{"updated": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
       case "update-files" =>
         // Incremental: only files modified after the stored watermark − 5 min
         // (update_collection_factory.py:55-65) re-read and merge.

@@ -77,6 +77,7 @@ final class CollectionManager(
     m.indexers.foreach(idx.add)
     root.put("chunkSize", m.chunkSize)
     root.put("chunkOverlap", m.chunkOverlap)
+    root.put("embedder", m.embedder)
     val rdr = root.putObject("reader")
     m.reader.toSeq.sortBy(_._1).foreach { case (k, v) => rdr.put(k, v) }
     val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
@@ -102,7 +103,8 @@ final class CollectionManager(
       chunkSize = root.path("chunkSize").asInt(0),
       chunkOverlap = root.path("chunkOverlap").asInt(0),
       reader = root.path("reader").properties().asScala
-        .map(e => e.getKey -> e.getValue.asText).toMap)
+        .map(e => e.getKey -> e.getValue.asText).toMap,
+      embedder = root.path("embedder").asText(""))
   }
 
   def exists(name: String): Boolean = fs.exists(new Path(manifestPath(name)))
@@ -143,7 +145,7 @@ final class CollectionManager(
       lastIndexItemId = stats.getLong(1),
       indexers = Seq("vector_exact_l2", "bm25"),
       chunkSize = splitter.chunkSize, chunkOverlap = splitter.chunkOverlap,
-      reader = readerDetails)
+      reader = readerDetails, embedder = embedder.name)
     writeManifest(m, name)
     m
   }
@@ -251,6 +253,12 @@ final class CollectionManager(
       includeAllChunksContent: Boolean = false,
       indexNames: Option[Seq[String]] = None,
       rrfK: Int = 60): DataFrame = {
+    // Searching with a different embedder than the one that built the vectors
+    // returns garbage distances silently; the manifest identity makes it loud.
+    val manifestEmbedder = readManifest(name).embedder
+    require(manifestEmbedder.isEmpty || manifestEmbedder == embedder.name,
+      s"collection '$name' was embedded with '$manifestEmbedder' but this manager " +
+        s"uses '${embedder.name}' — construct the CollectionManager with the matching embedder")
     val proj = Search.Projection(
       includeText, includeMatchedChunkContent, includeAllChunksContent,
       documents = if (includeText || includeAllChunksContent) Some(documents(name)) else None)

@@ -68,5 +68,6 @@ object Model {
       indexers: Seq[String],
       chunkSize: Int,
       chunkOverlap: Int,
-      reader: Map[String, String] = Map.empty)
+      reader: Map[String, String] = Map.empty,
+      embedder: String = "")
 }

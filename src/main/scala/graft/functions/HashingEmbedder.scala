@@ -7,6 +7,12 @@ import scala.util.hashing.MurmurHash3
   */
 trait Embedder extends Serializable {
   def dim: Int
+  /** Stable identity (model + config) recorded in collection manifests so a
+    * search with a different embedder fails loudly instead of returning garbage
+    * distances — the reference encodes the same thing in its
+    * `type__embeddingModel` index names (indexer_factory.py:29-35).
+    */
+  def name: String = s"${getClass.getSimpleName}-$dim"
   def embed(text: String): Array[Float]
   def embedAll(texts: Iterator[String]): Iterator[Array[Float]] = texts.map(embed)
 }
@@ -22,6 +28,8 @@ trait Embedder extends Serializable {
   * capability is identical to a real model's. A real model slots in via [[Embedder]].
   */
 final class HashingEmbedder(val dim: Int = 64, seed: Int = 42) extends Embedder {
+
+  override def name: String = s"hashing-$dim-$seed"
 
   private def tokens(text: String): Array[String] =
     text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)

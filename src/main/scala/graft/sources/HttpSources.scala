@@ -102,6 +102,13 @@ trait RestSource {
     else spark.read.json(spark.createDataset(items))
   }
 
+  /** [[load]] through the S6 read-through cache: the same `config` key replays
+    * the staged parquet without touching the REST API (the reference's
+    * document_cache_reader_decorator composed over any reader the same way).
+    */
+  def loadCached(spark: SparkSession, cache: CachedSource, config: String): DataFrame =
+    cache.readThrough(config)(load(spark))
+
   protected def nodeText(n: JsonNode): String = Http.mapper.writeValueAsString(n)
 }
 

@@ -52,6 +52,19 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
     assert(ops.map(_.getString(0)).toSet === Set("d2"))
   }
 
+  test("embedder identity guard: mismatched embedder fails loudly at search") {
+    val tmp = Files.createTempDirectory("graft-coll").toString
+    val cm16 = mkManager(tmp)
+    cm16.create("ce", rawDocs(docsV1))
+    assert(cm16.readManifest("ce").embedder === "hashing-16-42")
+    assert(cm16.search("ce", "vector search").collect().nonEmpty)
+
+    val cm32 = new CollectionManager(spark, tmp,
+      new HashingEmbedder(dim = 32), new TextSplitter(50, 10))
+    val e = intercept[IllegalArgumentException](cm32.search("ce", "vector search"))
+    assert(e.getMessage.contains("hashing-16-42") && e.getMessage.contains("hashing-32-42"))
+  }
+
   test("manifest stores reader details for name-only update") {
     val tmp = Files.createTempDirectory("graft-coll").toString
     val cm = mkManager(tmp)

@@ -189,6 +189,20 @@ class HttpSourcesSpec extends AnyFunSuite with SparkSuite with BeforeAndAfterAll
       JiraSource(base, "q", token = None, login = Some("u"), password = None))
   }
 
+  test("cached load replays from parquet without re-fetching (S6 over S1)") {
+    val src = JiraSource(base, "project = PRJ", token = Some("tkn"),
+      login = None, password = None, config = cfg)
+    val cache = new CachedSource(spark,
+      java.nio.file.Files.createTempDirectory("graft-http-cache").toString)
+    val cfgKey = "jira|" + base + "|project = PRJ"
+    val before = requests.size
+    assert(src.loadCached(spark, cache, cfgKey).count() === 5)
+    val afterFirst = requests.size
+    assert(afterFirst > before) // first load hits the stub
+    assert(src.loadCached(spark, cache, cfgKey).count() === 5)
+    assert(requests.size === afterFirst) // replay: no new HTTP requests
+  }
+
   // ------------------------------------------------------------- Jira Cloud S2
 
   test("jira cloud e2e: nextPageToken pagination to isLast") {
