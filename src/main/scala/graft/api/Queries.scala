@@ -810,6 +810,24 @@ object Queries {
     Some("""SELECT event_type, round(sum(value), 2) AS sum_value, count(event_id) AS cnt
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Salted equi-join (hot-key spread: big side salts, small side replicates
+    * per salt) — lossless, so the oracle is the plain join.
+    */
+  private val skewSaltedJoin = Q(
+    (s, d) => {
+      val big = D.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      val small = D.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(big, small, "l_orderkey",
+          saltSource = col("l_quantity"), numSalts = 8)
+        .groupBy("o_orderpriority")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   /** Full indexing pipeline throughput (M1/M5): recursive split → header chunk →
     * global sequential ids (zipWithIndex) → hashing embeddings, reduced to
     * per-document chunk counts. Rows-only (the recursive splitter and murmur
@@ -849,6 +867,36 @@ object Queries {
         .orderBy(col("dist").asc, col("vec_id").asc)
     },
     None)
+
+  /** Sign-LSH multi-probe ANN ([[graft.operators.Ann.searchSignLsh]]): scan only
+    * the query's sign bucket plus its Hamming-1 neighbors, brute-force cosine
+    * inside. The oracle replicates bucket assignment + probe-set expansion in
+    * SQL, so the scan-reduction path itself is hash-gated (not just spec'd).
+    */
+  private val annLshTopk = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d).filter(col("vec_id") =!= 0)
+      graft.operators.Ann.searchSignLsh(emb, "embedding", queryVec(s, d), 5,
+          bits = 6, probeHamming = 1, metric = "cosine")
+        .select(col("vec_id"), round(-col("score"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+    },
+    Some(s"""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+            |qb AS (SELECT array_to_string(list_transform((SELECT e FROM q)[1:6],
+            |         x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS b),
+            |probes AS (
+            |  SELECT b AS p FROM qb
+            |  UNION ALL
+            |  SELECT b[1:i-1] || (CASE WHEN b[i:i] = '1' THEN '0' ELSE '1' END) || b[i+1:] AS p
+            |  FROM qb, (SELECT unnest(generate_series(1, 6)) AS i)),
+            |bucketed AS (
+            |  SELECT vec_id, embedding, array_to_string(list_transform(embedding[1:6],
+            |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+            |  FROM embeddings WHERE vec_id <> 0),
+            |cand AS (SELECT vec_id, embedding FROM bucketed WHERE bucket IN (SELECT p FROM probes)),
+            |scored AS (SELECT vec_id, ${cosSql("embedding", "(SELECT e FROM q)")} AS s FROM cand),
+            |topk AS (SELECT vec_id, s FROM scored ORDER BY s DESC, vec_id LIMIT 5)
+            |SELECT vec_id, round(s, 6) AS sim FROM topk ORDER BY round(s, 6) DESC, vec_id""".stripMargin))
 
   /** Multimodal plumbing, oracle-checkable slice: treat text as an opaque binary
     * column; byte length + content hash are the portable metadata ops (decode /
@@ -935,9 +983,11 @@ object Queries {
     "st1_tumbling_window" -> st1TumblingWindow,
     "f_scalar_json" -> fScalarJson,
     "ann_ivf_topk" -> annIvfTopk,
+    "ann_lsh_topk" -> annLshTopk,
     "mm_binary_meta" -> mmBinaryMeta,
     "w3_sessionize" -> w3Sessionize,
     "skew_salted_agg" -> skewSaltedAgg,
+    "skew_salted_join" -> skewSaltedJoin,
     "m1_embed_pipeline" -> m1EmbedPipeline,
     "dedup_clusters" -> dedupClusters,
     "pipeline_filter" -> pipelineFilter)
