@@ -604,6 +604,41 @@ object Queries {
          |FROM sig ORDER BY doc_id""".stripMargin
     })
 
+  /** Dataset-card statistics per (lang, source): doc/token counts, size
+    * distribution, mean quality — one scan + one hash aggregation.
+    */
+  private val corpusStats = Q(
+    (s, d) => graft.operators.TextAnalysis.corpusStats(
+        D.documents(s, d).select("doc_id", "lang", "source", "text"),
+        "text", Seq("lang", "source"))
+      .orderBy("lang", "source"),
+    Some {
+      val allStops = graft.operators.TextAnalysis.langMarkers.values.flatten.toSeq
+        .distinct.sorted.map(w => s"'$w'").mkString(", ")
+      s"""WITH x AS (SELECT doc_id, lang, source, text, $toksSql AS t FROM documents),
+         |sig AS (
+         |  SELECT doc_id, lang, source,
+         |    len(t) AS n_tokens, length(text) AS n_chars,
+         |    round(coalesce(list_sum(list_transform(t, w -> length(w))), 0) / greatest(len(t), 1), 4) AS mwl,
+         |    round(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) / greatest(length(text), 1), 4) AS ar,
+         |    round(len(list_filter(t, w -> w IN ($allStops))) / greatest(len(t), 1), 4) AS sr
+         |  FROM x),
+         |q AS (
+         |  SELECT lang, source, n_tokens, n_chars,
+         |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+         |      CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0 END +
+         |      ar * 0.2 +
+         |      CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 0.2 ELSE 0 END, 4) AS quality
+         |  FROM sig)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+         |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+         |  round(avg(n_chars), 2) AS avg_chars,
+         |  round(avg(quality), 4) AS avg_quality
+         |FROM q GROUP BY lang, source ORDER BY lang, source""".stripMargin
+    })
+
   private val textTokens = Q(
     (s, d) => graft.operators.TextAnalysis.tokenCounts(
         D.documents(s, d).select("doc_id", "text"), "text")
@@ -975,6 +1010,7 @@ object Queries {
     "dedup_embedding" -> dedupEmbedding,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
+    "corpus_stats" -> corpusStats,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "j3_incremental_update" -> j3IncrementalUpdate,

@@ -92,6 +92,23 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
     .withColumn("approx_tokens", ceil(length(col(textCol)) / lit(4.0)).cast("long"))
 
+  /** Corpus statistics by group (the "dataset card" aggregation a training
+    * pipeline runs before/after curation): document and token counts, text-size
+    * distribution, and mean quality per group — one scan, one hash aggregation.
+    */
+  def corpusStats(docs: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame = {
+    val withSignals = qualitySignals(docs, textCol)
+    withSignals
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("n_chars_t").as("min_chars"),
+        max("n_chars_t").as("max_chars"),
+        round(avg("n_chars_t"), 2).as("avg_chars"),
+        round(avg("quality_score"), 4).as("avg_quality"))
+  }
+
   /** Winnowing document fingerprint: k-char shingles → 8-hex md5 hashes → minimum
     * per sliding window of w → distinct set (first-occurrence order). Robust to
     * small edits; the fingerprint count and minimum are stable per-document
