@@ -46,12 +46,6 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "missing subcommand")
-    val cmd = args.head
-    val (opts, flags) = parseArgs(args.tail.toSeq)
-    def opt(k: String): Option[String] = opts.get(k).flatMap(_.lastOption)
-    def req(k: String): String = opt(k).getOrElse(sys.error(s"missing --$k"))
-
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-cli")
@@ -60,6 +54,18 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(args, spark) finally spark.stop()
+  }
+
+  /** Command dispatch against a caller-owned session (testable without
+    * stopping a shared session).
+    */
+  def run(args: Array[String], spark: SparkSession): Unit = {
+    require(args.nonEmpty, "missing subcommand")
+    val cmd = args.head
+    val (opts, flags) = parseArgs(args.tail.toSeq)
+    def opt(k: String): Option[String] = opts.get(k).flatMap(_.lastOption)
+    def req(k: String): String = opt(k).getOrElse(sys.error(s"missing --$k"))
 
     val dataDir = opt("data-dir").getOrElse("./data/collections")
     val splitter = new TextSplitter(
@@ -161,6 +167,5 @@ object Cli {
         println(cm.list().mkString("[\"", "\", \"", "\"]"))
       case other => sys.error(s"unknown subcommand $other")
     }
-    spark.stop()
   }
 }

@@ -94,7 +94,13 @@ final class Bm25Indexer(
     val persisted = spark.read.parquet(p("postings"))
     persisted.groupBy("term").agg(count("*").as("df"))
       .write.mode(SaveMode.Overwrite).parquet(p("termDf"))
-    toks.agg(count("*").as("n"), avg(arraySize(col("tokens"))).as("avgdl"))
+    // Corpus stats from the persisted postings (distinct docId carries docLen):
+    // saves a second full-corpus tokenize, and counts docs-with-tokens — the
+    // population BM25 length normalization is defined over (a doc with zero
+    // tokens can never match, so excluding it from n/avgdl is the FTS5-faithful
+    // choice and what the DuckDB oracle computes).
+    persisted.select("docId", "docLen").distinct()
+      .agg(count("*").as("n"), avg("docLen").as("avgdl"))
       .write.mode(SaveMode.Overwrite).parquet(p("corpus"))
   }
 

@@ -1,0 +1,62 @@
+package graft
+
+import graft.api.Cli
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end CLI surface: create-files → list → search → fetch → update —
+  * the command set a reference user runs, driven through Cli.run with captured
+  * stdout.
+  */
+class CliSpec extends AnyFunSuite with SparkSuite {
+
+  private def captured(args: String*): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+      Cli.run(args.toArray, spark)
+    }
+    bos.toString("UTF-8")
+  }
+
+  test("create-files → list → search → fetch → update round-trip") {
+    val srcDir = Files.createTempDirectory("graft-cli-src")
+    val dataDir = Files.createTempDirectory("graft-cli-data").toString
+    Files.writeString(srcDir.resolve("spark.md"),
+      "# Spark guide\n\nvector search with spark and broadcast joins\nsecond line here")
+    Files.writeString(srcDir.resolve("deploy.txt"),
+      "deployment runbook for the ops team")
+
+    val created = captured("create-files", "--collection", "docs",
+      "--path", srcDir.toString, "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10")
+    assert(created.contains("\"created\": \"docs\""))
+    assert(created.contains("\"documents\": 2"))
+
+    assert(captured("list", "--data-dir", dataDir).contains("\"docs\""))
+
+    val hits = captured("search", "--collection", "docs", "--query", "vector search",
+      "--data-dir", dataDir, "--chunk-size", "60", "--chunk-overlap", "10",
+      "--format", "json")
+    assert(hits.contains("spark.md"))
+
+    val bm25Only = captured("search", "--collection", "docs", "--query", "deployment runbook",
+      "--data-dir", dataDir, "--chunk-size", "60", "--chunk-overlap", "10",
+      "--indexes", "bm25", "--format", "json")
+    assert(bm25Only.contains("deploy.txt"))
+
+    val fetched = captured("fetch", "--collection", "docs", "--doc", "spark.md",
+      "--data-dir", dataDir, "--chunk-size", "60", "--chunk-overlap", "10")
+    assert(fetched.contains("vector search with spark"))
+
+    // name-only update: re-drives the reader stored in the manifest
+    Files.writeString(srcDir.resolve("new.txt"), "a brand new document about indexing")
+    val updated = captured("update", "--collection", "docs",
+      "--data-dir", dataDir, "--chunk-size", "60", "--chunk-overlap", "10")
+    assert(updated.contains("\"documents\": 3"))
+
+    val afterUpdate = captured("search", "--collection", "docs", "--query", "brand new indexing",
+      "--data-dir", dataDir, "--chunk-size", "60", "--chunk-overlap", "10",
+      "--format", "json")
+    assert(afterUpdate.contains("new.txt"))
+  }
+}
