@@ -80,6 +80,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(windowLines.forall(l => !l.contains("text")))
   }
 
+  test("no registered query plans a cartesian product (bounded-verify excepted)") {
+    // dedup_ngram_jaccard is BY CONTRACT a bounded cross join (the exact-verify
+    // path callers feed an LSH bucket or a capped subset); everything else must
+    // never plan one. This is the blanket regression net under the targeted
+    // audits above.
+    val allowed = Set("dedup_ngram_jaccard")
+    Queries.all.keys.toSeq.sorted.filterNot(allowed).foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $name")
+    }
+  }
+
   test("set ops run as one full-outer join of the two distinct sets") {
     val p = plan("u2_set_ops").split("== Initial Plan ==")(0) // AQE repeats the tree
     assert(p.contains("FullOuter"))
