@@ -235,10 +235,42 @@ final class McpServer(
   }
 }
 
-/** stdio entry point:
+/** Streamable-HTTP transport: POST /mcp carries one JSON-RPC message per
+  * request (the unified adapter's `--http` mode,
+  * collection_search_unified_mcp_adapter.py:24-28). Notifications get 202 with
+  * an empty body; responses are application/json.
+  */
+object McpHttpTransport {
+  def serve(server: McpServer, port: Int): com.sun.net.httpserver.HttpServer = {
+    val http = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    http.createContext("/mcp", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        if (ex.getRequestMethod != "POST") {
+          ex.sendResponseHeaders(405, -1)
+        } else {
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          server.handleLine(body) match {
+            case Some(resp) =>
+              val bytes = resp.getBytes(StandardCharsets.UTF_8)
+              ex.getResponseHeaders.set("Content-Type", "application/json")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              ex.getResponseBody.write(bytes)
+            case None => ex.sendResponseHeaders(202, -1) // notification
+          }
+        }
+      } finally ex.close()
+    })
+    http.start()
+    http
+  }
+}
+
+/** Entry point — stdio by default, HTTP with `--http`:
   * {{{
   *   graft.api.McpStdioAdapter [--data-dir D] [--collections a,b,c]
   *     [--format json|json_with_indent|toon] [--default-chunks 50] [--max-chunks 100]
+  *     [--rrfK 60] [--http true] [--http-port 8000]
   * }}}
   */
 object McpStdioAdapter {
@@ -263,9 +295,16 @@ object McpStdioAdapter {
       opts.get("max-chunks").map(_.toInt).getOrElse(100),
       opts.get("rrfK").map(_.toInt).getOrElse(60))
 
-    val out = new java.io.PrintStream(System.out, true, StandardCharsets.UTF_8)
-    scala.io.Source.stdin.getLines().foreach { line =>
-      if (line.trim.nonEmpty) server.handleLine(line).foreach(out.println)
+    if (opts.get("http").contains("true")) {
+      val port = opts.get("http-port").map(_.toInt).getOrElse(8000)
+      McpHttpTransport.serve(server, port)
+      System.err.println(s"[mcp] serving streamable-http on :$port/mcp")
+      Thread.currentThread.join() // serve until killed
+    } else {
+      val out = new java.io.PrintStream(System.out, true, StandardCharsets.UTF_8)
+      scala.io.Source.stdin.getLines().foreach { line =>
+        if (line.trim.nonEmpty) server.handleLine(line).foreach(out.println)
+      }
     }
     spark.stop()
   }

@@ -100,6 +100,27 @@ class McpServerSpec extends AnyFunSuite with SparkSuite {
     assert(badTool.path("result").path("isError").asBoolean === true)
   }
 
+  test("http transport: POST /mcp round-trips tool calls, 202 for notifications") {
+    val http = graft.api.McpHttpTransport.serve(server, 0)
+    try {
+      val port = http.getAddress.getPort
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(body: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"http://127.0.0.1:$port/mcp"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+
+      val resp = post("""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"search_in_collection","arguments":{"collection":"wiki","query":"vector search"}}}""")
+      assert(resp.statusCode === 200)
+      assert(mapper.readTree(resp.body).path("result").path("content").get(0)
+        .path("text").asText.contains("https://wiki/d1"))
+
+      val note = post("""{"jsonrpc":"2.0","method":"notifications/initialized"}""")
+      assert(note.statusCode === 202)
+    } finally http.stop(0)
+  }
+
   test("allowlist validation fails loudly for missing collections") {
     val tmp = Files.createTempDirectory("graft-mcp2").toString
     val cm = new CollectionManager(
