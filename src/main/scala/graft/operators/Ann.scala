@@ -49,8 +49,11 @@ object Ann {
       vectors.sample(withReplacement = false, sampleFraction, seed) else vectors)
       .select(toVec(col(vecCol)).as("features"))
     // A coarse quantizer needs rough centroids, not convergence — cap iterations
-    // (FAISS trains its IVF quantizer with a similarly small fixed budget).
+    // and use random init (FAISS trains its IVF quantizer with a similarly
+    // small fixed budget; k-means|| init would double the job count for
+    // precision the probe layer doesn't need).
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
       .setFeaturesCol("features")
       .fit(train)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))

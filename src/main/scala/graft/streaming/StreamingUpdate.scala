@@ -57,6 +57,22 @@ object StreamingUpdate {
       .select(col("event_type"), col("w.start").as("window_start"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming NEAR-dup suppression: drop documents whose 16-bit SimHash
+    * fingerprint was already seen inside the watermark horizon. SimHash is a
+    * narrow per-row expression (no aggregation), so it composes with streaming
+    * `dropDuplicates` directly — near-identical replays (same fingerprint)
+    * drop; genuinely new content passes. State is bounded by the watermark.
+    */
+  def nearDedupBySimhash(
+      docs: DataFrame, // streaming DF: ts timestamp, <textCol> string
+      textCol: String,
+      lateness: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", lateness)
+      .withColumn("_fp", graft.operators.Dedup.simhash16(textCol))
+      .dropDuplicates("_fp")
+      .drop("_fp")
+
   /** One event for the stateful sessionizer: (user, event-time). The timestamp
     * keeps its column form — the streaming checker requires the watermarked
     * event-time attribute to reach the stateful operator.

@@ -101,6 +101,28 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       (2L, ts(12, 0), 1L, 0L)))
   }
 
+  test("streaming near-dedup by simhash drops same-fingerprint replays") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, String, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+    def t(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    stream.addData(
+      (t(0), "a", "the quick brown fox jumps over the lazy dog"),
+      (t(1), "a2", "the quick brown fox jumps over the lazy dog"), // exact replay
+      (t(2), "b", "a completely different document about spark internals"))
+
+    val q = StreamingUpdate.nearDedupBySimhash(docs, "text")
+      .writeStream.format("memory").queryName("neardedup")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("neardedup").select("doc_id").collect().map(_.getString(0)).toSet
+    assert(ids.contains("b"))
+    assert((ids - "b").size === 1) // exactly one of the fingerprint-equal pair survives
+  }
+
   test("windowed event counts with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
