@@ -604,6 +604,35 @@ object Queries {
          |FROM sig ORDER BY doc_id""".stripMargin
     })
 
+  /** Gopher-style repetition quality signals: within-doc duplicate-line
+    * fraction + most-frequent-bigram share.
+    */
+  private val textRepetition = Q(
+    (s, d) => graft.operators.TextAnalysis.repetitionSignals(
+        D.documents(s, d).select("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "n_lines", "n_distinct_lines", "dup_line_frac",
+        "n_bigrams", "top_bigram_frac")
+      .orderBy("doc_id"),
+    Some(s"""WITH ln AS (
+            |  SELECT doc_id,
+            |    len(string_split(text, chr(10))) AS n_lines,
+            |    len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines
+            |  FROM documents),
+            |tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+            |bg AS (SELECT doc_id,
+            |  CASE WHEN len(t) < 2 THEN [] ELSE list_transform(generate_series(1, len(t) - 1),
+            |    i -> t[i] || ' ' || t[i + 1]) END AS b FROM tok),
+            |ex AS (SELECT doc_id, unnest(b) AS bigram FROM bg),
+            |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM ex GROUP BY doc_id, bigram),
+            |top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id),
+            |base AS (SELECT doc_id, len(b) AS n_bigrams FROM bg)
+            |SELECT l.doc_id, l.n_lines, l.n_distinct_lines,
+            |  round((l.n_lines - l.n_distinct_lines) / greatest(l.n_lines, 1), 4) AS dup_line_frac,
+            |  b.n_bigrams,
+            |  round(coalesce(t.top_c, 0) / greatest(b.n_bigrams, 1), 4) AS top_bigram_frac
+            |FROM ln l JOIN base b USING(doc_id) LEFT JOIN top t USING(doc_id)
+            |ORDER BY l.doc_id""".stripMargin))
+
   /** Dataset-card statistics per (lang, source): doc/token counts, size
     * distribution, mean quality — one scan + one hash aggregation.
     */
@@ -1011,6 +1040,7 @@ object Queries {
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "corpus_stats" -> corpusStats,
+    "text_repetition" -> textRepetition,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "j3_incremental_update" -> j3IncrementalUpdate,

@@ -92,6 +92,44 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
     .withColumn("approx_tokens", ceil(length(col(textCol)) / lit(4.0)).cast("long"))
 
+  /** Gopher-style within-document repetition signals (the repetition family of
+    * pretraining quality rules): the fraction of duplicated lines, and the
+    * share of word-bigram occurrences taken by the single most frequent bigram.
+    * High values mark boilerplate-heavy or degenerate documents.
+    *
+    * Lines/distinct are narrow per-row ops; the top-bigram count distributes as
+    * explode → per-(doc, bigram) count → per-doc max (two hash aggs keyed by
+    * doc — no per-row O(n²) interpreted fold).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lineSignals = docs.select(
+      col(idCol),
+      size(split(col(textCol), "\n")).cast("long").as("n_lines"),
+      size(array_distinct(split(col(textCol), "\n"))).cast("long").as("n_distinct_lines"))
+      .withColumn("dup_line_frac",
+        round((col("n_lines") - col("n_distinct_lines")) /
+          greatest(col("n_lines"), lit(1L)).cast("double"), 4))
+
+    val bigramExpr =
+      s"""CASE WHEN size(_t) < 2 THEN array()
+         |ELSE transform(sequence(1, size(_t) - 1),
+         |       i -> concat_ws(' ', element_at(_t, CAST(i AS INT)),
+         |                           element_at(_t, CAST(i + 1 AS INT)))) END""".stripMargin
+    val bigrams = docs
+      .select(col(idCol), expr(toksExpr(textCol)).as("_t"))
+      .select(col(idCol), expr(bigramExpr).as("_b"))
+      .select(col(idCol), size(col("_b")).cast("long").as("n_bigrams"),
+        explode_outer(col("_b")).as("bigram"))
+    val topBigram = bigrams
+      .groupBy(idCol, "n_bigrams", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy(idCol, "n_bigrams")
+      .agg(max(when(col("bigram").isNotNull, col("c")).otherwise(0L)).as("top_c"))
+      .withColumn("top_bigram_frac",
+        round(col("top_c") / greatest(col("n_bigrams"), lit(1L)).cast("double"), 4))
+
+    lineSignals.join(topBigram.select(col(idCol), col("n_bigrams"), col("top_bigram_frac")), idCol)
+  }
+
   /** Corpus statistics by group (the "dataset card" aggregation a training
     * pipeline runs before/after curation): document and token counts, text-size
     * distribution, and mean quality per group — one scan, one hash aggregation.
