@@ -239,6 +239,29 @@ object Queries {
             |topk AS (SELECT vec_id, s FROM scored ORDER BY s DESC, vec_id LIMIT 10)
             |SELECT vec_id, round(s, 6) AS sim FROM topk ORDER BY round(s, 6) DESC, vec_id""".stripMargin))
 
+  /** Batch kNN: top-5 corpus neighbors for each of 5 query vectors in one pass
+    * (broadcast query batch; per-query window over narrow score triples).
+    */
+  private val t1bVectorBatch = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+      Search.vectorTopKBatch(corpus, "embedding", "vec_id",
+          queries, "qid", "qv", k = 5, metric = "cosine")
+        .select(col("qid"), col("vec_id"), round(-col("score"), 6).as("sim"), col("rank"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+            |scored AS (SELECT qid, vec_id, ${cosSql("embedding", "qv")} AS s
+            |           FROM corpus CROSS JOIN qs),
+            |ranked AS (SELECT qid, vec_id, s,
+            |  row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rank FROM scored)
+            |SELECT qid, vec_id, round(s, 6) AS sim, rank FROM ranked
+            |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+
   // ---------------------------------------------------------------------- BM25
 
   /** DuckDB CTEs computing BM25 (k1=1.2, b=0.75) over `documents` for searchTerms. */
@@ -1027,6 +1050,7 @@ object Queries {
     "m5_chunk_fanout" -> m5ChunkFanout,
     "dedup_exact" -> dedupExact,
     "t1_vector_topk" -> t1VectorTopK,
+    "t1b_vector_batch" -> t1bVectorBatch,
     "t2_bm25_topk" -> t2Bm25TopK,
     "t2b_bm25_postings" -> t2bBm25Postings,
     "a1_rrf_fusion" -> a1RrfFusion,

@@ -62,6 +62,33 @@ object Search {
     scored.orderBy(col("score").asc, col(idCol).asc).limit(k)
   }
 
+  /** Batch exact kNN: top-k corpus neighbors for EVERY query vector in one
+    * pass — the shape for deduping/linking a batch of new embeddings against a
+    * corpus. The (small) query batch broadcasts against the corpus scan; the
+    * per-query top-k window shuffles only narrow (queryId, id, score) triples,
+    * never the vectors. For large batches route per-query IVF probes instead
+    * ([[Ann.searchIvf]]) — this is the exact baseline they're measured against.
+    * Score convention matches [[vectorTopK]]: ascending = better.
+    */
+  def vectorTopKBatch(
+      corpus: DataFrame, embeddingCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, metric: String = "l2"): DataFrame = {
+    val scoreCol = metric match {
+      case "l2"     => l2SqF(col(embeddingCol), col(qVecCol))
+      case "cosine" => -cosineF(col(embeddingCol), col(qVecCol))
+      case "dot"    => -dotF(col(embeddingCol), col(qVecCol))
+      case m        => throw new IllegalArgumentException(s"unknown metric $m")
+    }
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(qIdCol), col(idCol), scoreCol.as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(qIdCol)
+          .orderBy(col("score").asc, col(idCol).asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** BM25 top-k with the reference's conjunctive semantics (every query term must
     * appear: sqllite_indexer.py:145-150). Robertson k1=1.2 b=0.75; idf =
     * ln(1 + (N - df + 0.5)/(df + 0.5)) — standard Lucene/FTS5-style formulation.
