@@ -54,35 +54,28 @@ object Dedup {
       .select(col(idCol), expr(toksExpr(textCol)).as("_t"))
       .select(col(idCol), expr(shinglesFromToks("_t", n)).as("sh"))
 
-  /** Per-document minhash signatures: explode shingles → one codegen'd md5 per
-    * shingle → hash-aggregate the 4 slice-minimums. Signature h = lexicographic
-    * MIN over shingles of the h-th disjoint 8-hex-char slice of md5(shingle).
+  /** Per-document minhash signatures. Signature h = lexicographic MIN over
+    * shingles of the h-th disjoint 8-hex-char slice of md5(shingle).
     *
-    * The explode+groupBy shape beats array lambdas twofold at scale: md5 runs
-    * exactly once per shingle inside whole-stage codegen (higher-order array
-    * functions are interpreted and get re-inlined per reference by projection
-    * collapse), and the min-aggregation combines map-side — the shuffle carries
-    * 4×8 hex chars per document, not shingle arrays.
+    * Native [[graft.plans.MinHashSig]] expression: shingle bytes stream into a
+    * reused digest (no shingle strings allocated) and the 4 slice-minima fold
+    * in one pass per document — a NARROW map, no explode and no shuffle at all.
+    * The previous explode + md5 + min-groupBy shape was already map-combined,
+    * but still shuffled a (doc, 4×8 hex) row per document and paid one codegen'd
+    * md5 expression eval per shingle row; at 100 TB removing the corpus-sized
+    * exchange entirely is the difference that matters. Parity with the
+    * declarative formulation (and the DuckDB oracle) is locked by TextHashSpec.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3): DataFrame = {
-    // InferFiltersFromGenerate adds `size(sh) > 0 AND isnotnull(sh)` for the
-    // explode, and projection collapse then inlines the whole tokenizer+shingle
-    // tree into that filter — re-evaluating it per row. The inferred filter is
-    // purely an optimization (explode already emits nothing for empty/null
-    // arrays), so sessions that run this at scale should exclude the rule —
-    // see SparkEntry.configure, which does so for all graft entry points. The
-    // operator itself must not mutate shared session conf.
-    withShingles(docs, idCol, textCol, shingleN)
-      .select(col(idCol), explode(col("sh")).as("_s"))
-      .select(col(idCol), md5(col("_s")).as("_m"))
-      .groupBy(idCol)
-      .agg(
-        min(substring(col("_m"), 1, 8)).as("sig0"),
-        min(substring(col("_m"), 9, 8)).as("sig1"),
-        min(substring(col("_m"), 17, 8)).as("sig2"),
-        min(substring(col("_m"), 25, 8)).as("sig3"))
-  }
+                        shingleN: Int = 3): DataFrame =
+    docs
+      .select(col(idCol), graft.plans.TextHashFunctions.minhashSig(
+        expr(toksExpr(textCol)), shingleN).as("_sig"))
+      .select(col(idCol),
+        element_at(col("_sig"), 1).as("sig0"),
+        element_at(col("_sig"), 2).as("sig1"),
+        element_at(col("_sig"), 3).as("sig2"),
+        element_at(col("_sig"), 4).as("sig3"))
 
   /** Signatures plus LSH band-bucket sizes (2 bands × 2 rows). A doc is a
     * near-dup candidate iff it shares a band bucket with another doc.

@@ -61,6 +61,67 @@ object TextHashOps extends Serializable {
     fp
   }
 
+  private val spaceByte = ' '.toByte
+
+  /** MinHash signature slices over a token array: word-`n`-gram shingles (docs
+    * shorter than n tokens collapse to one whole-text shingle, matching the
+    * declarative `withShingles` CASE), one md5 per shingle via the reused
+    * digest — shingle bytes stream straight into the digest, no string
+    * allocation — and the four signatures are the per-slice unsigned minima of
+    * digest words 0..3 (8 hex chars == 4 digest bytes; lexicographic hex order
+    * == unsigned int order at fixed width).
+    */
+  def minhashSig(tokens: ArrayData, n: Int): ArrayData = {
+    val md = md5Local.get()
+    val digest = new Array[Byte](16)
+    val count = tokens.numElements()
+    // mins stored sign-flipped so plain signed < is unsigned order; every code
+    // path folds at least one shingle (an empty token array still hashes the
+    // empty whole-text shingle), so the init value never escapes.
+    val mins = Array.fill(4)(Int.MaxValue)
+
+    def fold(): Unit = {
+      md.digest(digest, 0, 16)
+      var s = 0
+      while (s < 4) {
+        val w = (((digest(4 * s) & 0xff) << 24) | ((digest(4 * s + 1) & 0xff) << 16) |
+          ((digest(4 * s + 2) & 0xff) << 8) | (digest(4 * s + 3) & 0xff)) ^ 0x80000000
+        if (w < mins(s)) mins(s) = w
+        s += 1
+      }
+    }
+
+    if (count < n) {
+      // whole-text shingle: tokens joined by single spaces (array_join semantics)
+      md.reset()
+      var i = 0
+      while (i < count) {
+        if (i > 0) md.update(spaceByte)
+        if (!tokens.isNullAt(i)) md.update(tokens.getUTF8String(i).getBytes)
+        i += 1
+      }
+      fold()
+    } else {
+      var i = 0
+      while (i <= count - n) {
+        md.reset()
+        var j = 0
+        while (j < n) {
+          if (j > 0) md.update(spaceByte)
+          if (!tokens.isNullAt(i + j)) md.update(tokens.getUTF8String(i + j).getBytes)
+          j += 1
+        }
+        fold()
+        i += 1
+      }
+    }
+
+    val out = new Array[Any](4)
+    var s = 0
+    while (s < 4) { out(s) = hex8(mins(s) ^ 0x80000000); s += 1 }
+    new GenericArrayData(out)
+  }
+
   private def hex8(v: Int): UTF8String = {
     val out = new Array[Byte](8)
     var i = 0
@@ -156,6 +217,23 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** MinHash signature slices of a token array (array<string> → array<string>[4]). */
+case class MinHashSig(child: Expression, n: Int) extends UnaryExpression {
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(tokens: Any): Any =
+    TextHashOps.minhashSig(tokens.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = ctx.addReferenceObj("textHashOps", TextHashOps, "graft.plans.TextHashOps$")
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ops.minhashSig($c, $n);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing fingerprint set of a text column (string → array<string>). */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
   override def prettyName: String = "winnow_fingerprint"
@@ -177,6 +255,7 @@ object TextHashFunctions {
   import ColumnBridge.{toCol, toExpr}
 
   def simhash16(tokens: Column): Column = toCol(SimHash16(toExpr(tokens)))
+  def minhashSig(tokens: Column, n: Int): Column = toCol(MinHashSig(toExpr(tokens), n))
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     toCol(WinnowFingerprint(toExpr(text), k, w))
 }

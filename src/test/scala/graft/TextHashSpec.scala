@@ -51,6 +51,34 @@ class TextHashSpec extends AnyFunSuite with SparkSuite {
     samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
   }
 
+  test("native minhash signatures match the explode+groupBy formulation") {
+    import graft.operators.Dedup
+    val shinglesOf = {
+      // the declarative shingle builder (withShingles semantics, n=3)
+      val parts = (0 until 3).map(j => s"element_at(_t, CAST(i + $j AS INT))").mkString(", ")
+      s"""CASE WHEN size(_t) < 3 THEN array(array_join(_t, ' '))
+         |ELSE transform(sequence(1, size(_t) - 2), i -> concat_ws(' ', $parts)) END""".stripMargin
+    }
+    val declarative = df
+      .select(col("id"), expr(s"($toks)").as("_t"))
+      .select(col("id"), expr(shinglesOf).as("sh"))
+      .select(col("id"), explode(col("sh")).as("_s"))
+      .select(col("id"), md5(col("_s")).as("_m"))
+      .groupBy("id")
+      .agg(
+        min(substring(col("_m"), 1, 8)).as("sig0"),
+        min(substring(col("_m"), 9, 8)).as("sig1"),
+        min(substring(col("_m"), 17, 8)).as("sig2"),
+        min(substring(col("_m"), 25, 8)).as("sig3"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val native = Dedup.minhashSignatures(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(native.keySet === declarative.keySet)
+    native.keySet.foreach { id =>
+      assert(native(id) === declarative(id), s"minhash mismatch for id=$id")
+    }
+  }
+
   test("native simhash16 matches the declarative formulation") {
     val got = df.select(col("id"),
       graft.operators.Dedup.simhash16("text").as("native"),
