@@ -843,6 +843,30 @@ object Queries {
            |  lower(event_type) AS type_lower
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** As-of join: each purchase event picks the user's most recent click at or
+    * before it ([[graft.operators.AsOf.asOfJoin]] — one shuffle, no range join);
+    * oracle = DuckDB's native ASOF LEFT JOIN.
+    */
+  private val j5AsofJoin = Q(
+    (s, d) => {
+      val ev = D.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      // unique (user_id, ts) on the right side: keep the max click id per instant
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      graft.operators.AsOf.asOfJoin(purchases, clicks,
+          Seq("user_id"), "ts", "ts", Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("click_id"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           |c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+           |      WHERE event_type = 'click' GROUP BY user_id, ts)
+           |SELECT p.event_id, p.user_id, c.click_id
+           |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+           |ORDER BY p.event_id""".stripMargin))
+
   /** Gap-based sessionization over the events stream table: a >30-minute silence
     * from the same user starts a new session (lag + running sum of boundaries —
     * the batch twin of Structured Streaming session windows).
@@ -1069,6 +1093,7 @@ object Queries {
     "text_fingerprint" -> textFingerprint,
     "j3_incremental_update" -> j3IncrementalUpdate,
     "j4_semi_anti" -> j4SemiAnti,
+    "j5_asof_join" -> j5AsofJoin,
     "u2_set_ops" -> u2SetOps,
     "st1_tumbling_window" -> st1TumblingWindow,
     "f_scalar_json" -> fScalarJson,
