@@ -867,6 +867,36 @@ object Queries {
            |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
            |ORDER BY p.event_id""".stripMargin))
 
+  /** Range join ([[graft.operators.RangeJoin.pointInInterval]]): clicks within
+    * ±5 minutes of a same-user error — time-bin bucketing turns the inequality
+    * join into an equi-join on (user, bin) + exact containment filter; the
+    * oracle is the plain inequality join.
+    */
+  private val j6RangeJoin = Q(
+    (s, d) => {
+      val ev = D.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          (col("ts") - expr("INTERVAL 5 MINUTES")).as("w_start"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("w_end"))
+      graft.operators.RangeJoin.pointInInterval(
+          clicks, "cts", errors, "w_start", "w_end", Seq("user_id"), binSeconds = 600L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("click_id").as("n_clicks"),
+          countDistinct("error_id").as("n_errors"))
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+           |e AS (SELECT user_id, event_id AS error_id, ts FROM events WHERE event_type = 'error')
+           |SELECT c.user_id, count(*) AS n_pairs,
+           |  count(DISTINCT c.click_id) AS n_clicks, count(DISTINCT e.error_id) AS n_errors
+           |FROM c JOIN e ON c.user_id = e.user_id
+           |  AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+           |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
+
   /** Gap-based sessionization over the events stream table: a >30-minute silence
     * from the same user starts a new session (lag + running sum of boundaries —
     * the batch twin of Structured Streaming session windows).
@@ -1094,6 +1124,7 @@ object Queries {
     "j3_incremental_update" -> j3IncrementalUpdate,
     "j4_semi_anti" -> j4SemiAnti,
     "j5_asof_join" -> j5AsofJoin,
+    "j6_range_join" -> j6RangeJoin,
     "u2_set_ops" -> u2SetOps,
     "st1_tumbling_window" -> st1TumblingWindow,
     "f_scalar_json" -> fScalarJson,
