@@ -691,6 +691,65 @@ object Queries {
          |FROM q GROUP BY lang, source ORDER BY lang, source""".stripMargin
     })
 
+  /** Capstone curation pipeline composing the pipeline operators end-to-end:
+    * line-level boilerplate removal → quality gate on the CLEANED text →
+    * simhash near-dup removal (keep min doc id per fingerprint) → per-language
+    * survivor statistics. One declarative plan; every stage reuses the
+    * oracle-gated operator it composes.
+    */
+  private val pipelineCuration = Q(
+    (s, d) => {
+      val docs = D.documents(s, d)
+      val cleaned = graft.operators.Dedup.lineDedup(
+          docs.select("doc_id", "text"), "doc_id", "text", maxOccurrences = 2)
+        .select(col("doc_id"), col("cleaned"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val kept = graft.operators.TextAnalysis.qualitySignals(cleaned, "cleaned")
+        .filter(col("n_tokens") >= 40 && col("quality_score") >= 0.5)
+      val unique = kept
+        .withColumn("fp", graft.operators.Dedup.simhash16("cleaned"))
+        .withColumn("is_first",
+          col("doc_id") === min("doc_id").over(Window.partitionBy("fp")))
+        .filter(col("is_first"))
+      unique.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("lang")
+    },
+    Some {
+      val allStops = graft.operators.TextAnalysis.langMarkers.values.flatten.toSeq
+        .distinct.sorted.map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+         |idx AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM base),
+         |lines AS (SELECT doc_id, i, ls[i] AS line FROM idx),
+         |lcnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+         |joined AS (SELECT l.doc_id, l.i, l.line, c.c FROM lines l JOIN lcnt c USING(line)),
+         |reb AS (SELECT doc_id, coalesce(string_agg(CASE WHEN c <= 2 THEN line END, chr(10) ORDER BY i), '') AS cleaned
+         |        FROM joined GROUP BY doc_id),
+         |tk AS (SELECT r.doc_id, d.lang, r.cleaned,
+         |         list_filter(regexp_split_to_array(lower(r.cleaned), '[^a-z0-9]+'), x -> x <> '') AS t
+         |       FROM reb r JOIN documents d USING(doc_id)),
+         |sig AS (SELECT doc_id, lang, t, len(t) AS n_tokens,
+         |    round(coalesce(list_sum(list_transform(t, w -> length(w))), 0) / greatest(len(t), 1), 4) AS mwl,
+         |    round(length(regexp_replace(lower(cleaned), '[^a-z0-9 ]', '', 'g')) / greatest(length(cleaned), 1), 4) AS ar,
+         |    round(len(list_filter(t, w -> w IN ($allStops))) / greatest(len(t), 1), 4) AS sr
+         |  FROM tk),
+         |q AS (SELECT doc_id, lang, t, n_tokens,
+         |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+         |      CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0 END +
+         |      ar * 0.2 +
+         |      CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 0.2 ELSE 0 END, 4) AS quality
+         |  FROM sig),
+         |kept AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(coalesce(list_sum(list_transform(generate_series(1, 16), j ->
+         |      CASE WHEN coalesce(list_sum(list_transform(list_transform(t, x -> md5(x)), x ->
+         |        CASE WHEN strpos('0123456789abcdef', x[j:j]) >= 9 THEN 1 ELSE -1 END)), 0) > 0
+         |      THEN 1 << (j - 1) ELSE 0 END)), 0) AS BIGINT) AS fp
+         |  FROM q WHERE n_tokens >= 40 AND quality >= 0.5),
+         |uniq AS (SELECT * FROM kept QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp))
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM uniq GROUP BY lang ORDER BY lang""".stripMargin
+    })
+
   private val textTokens = Q(
     (s, d) => graft.operators.TextAnalysis.tokenCounts(
         D.documents(s, d).select("doc_id", "text"), "text")
@@ -1136,7 +1195,8 @@ object Queries {
     "skew_salted_join" -> skewSaltedJoin,
     "m1_embed_pipeline" -> m1EmbedPipeline,
     "dedup_clusters" -> dedupClusters,
-    "pipeline_filter" -> pipelineFilter)
+    "pipeline_filter" -> pipelineFilter,
+    "pipeline_curation" -> pipelineCuration)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {
