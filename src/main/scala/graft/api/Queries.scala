@@ -419,7 +419,7 @@ object Queries {
            |cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
            |joined AS (SELECT l.doc_id, l.i, l.line, c.c FROM lines l JOIN cnt c USING(line))
            |SELECT doc_id, count(*) AS n_lines,
-           |  sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS n_kept,
+           |  CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            |  md5(coalesce(string_agg(CASE WHEN c <= 2 THEN line END, chr(10) ORDER BY i), '')) AS h
            |FROM joined GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
@@ -825,9 +825,13 @@ object Queries {
           coalesce(col("without_orders"), lit(0L)).as("without_orders"))
         .orderBy("n_name")
     },
+    // CAST→BIGINT: DuckDB returns sum(INTEGER) as HUGEINT which pandas reads as
+    // float64 (hash mismatch vs Spark's long). The c_nationkey IS NOT NULL guard
+    // keeps a customer-less nation at without_orders=0 (the LEFT JOIN's phantom
+    // NULL row would otherwise fall into the ELSE branch and count as 1).
     Some("""SELECT n_name,
-           |  coalesce(sum(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS with_orders,
-           |  coalesce(sum(CASE WHEN has_o THEN 0 ELSE 1 END), 0) AS without_orders
+           |  CAST(coalesce(sum(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS BIGINT) AS with_orders,
+           |  CAST(coalesce(sum(CASE WHEN c_nationkey IS NOT NULL AND NOT has_o THEN 1 ELSE 0 END), 0) AS BIGINT) AS without_orders
            |FROM nation LEFT JOIN (
            |  SELECT c_nationkey, EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
            |  FROM customer) c ON c_nationkey = n_nationkey
