@@ -52,6 +52,22 @@ object FilesSource {
 
   private val markdownToTextUdf = udf(markdownToText _)
 
+  /** PDF → one content element per non-empty page with pageNumber metadata,
+    * the shape the reference builds from Unstructured's page grouping
+    * (files_document_reader.py:239-246). Parse failures yield an empty
+    * content array, feeding the quarantine path rather than failing the task.
+    */
+  private val pdfContentUdf = udf { (bytes: Array[Byte]) =>
+    DocFormats.pdfPages(bytes).map { case (pn, text) =>
+      DocFormats.ContentPart(DocFormats.PageMeta(pn.toString), text)
+    }
+  }
+
+  /** DOCX → a single unpaginated element (files_document_reader.py:233-237). */
+  private val docxContentUdf = udf { (bytes: Array[Byte]) =>
+    Seq(DocFormats.ContentPart(null, DocFormats.docxText(bytes)))
+  }
+
   /** Read files under `basePath` as rows
     * (fileRelativePath, fileFullPath, createdTime, modifiedTime, content) ready for
     * [[Converters.files]]. Regex semantics mirror the reference: include = fullmatch
@@ -61,10 +77,11 @@ object FilesSource {
     * Content parse dispatches per extension, mirroring the reference's
     * per-format reader map (files_document_reader.py:126-129, which also reads
     * .json as plain text on purpose): HTML is tag-stripped, markdown is
-    * de-syntaxed, everything else UTF-8 decodes as-is. Paginated binary formats
-    * (PDF/DOCX — Unstructured in the reference, :227-246) have no JVM parser in
-    * this container; they slot into the same dispatch with per-page elements,
-    * which is why `content` stays an ARRAY of (metadata.pageNumber, text).
+    * de-syntaxed, PDF extracts per-page elements carrying pageNumber metadata
+    * and DOCX unzips its document part ([[DocFormats]], standing in for the
+    * reference's Unstructured partition, :227-246), everything else UTF-8
+    * decodes as-is. `content` is an ARRAY of (metadata.pageNumber, text) so
+    * paginated and unpaginated formats share one schema.
     */
   def read(
       spark: SparkSession,
@@ -97,16 +114,21 @@ object FilesSource {
       .when(extCol.isin("md", "markdown"), markdownToTextUdf(rawText))
       .otherwise(rawText)
 
+    // Text formats parse to one unpaginated element; PDF fans out per page,
+    // DOCX unzips its document part — both on the raw binary column.
+    val contentCol = when(extCol === "pdf", pdfContentUdf(col("content")))
+      .when(extCol === "docx", docxContentUdf(col("content")))
+      .otherwise(array(struct(
+        lit(null).cast("struct<pageNumber:string>").as("metadata"),
+        parsedText.as("text"))))
+
     withRel
       .filter(includeCol && !excludeCol && notBinary && mtimeCol)
       .select(
         col("fileRelativePath"), col("fileFullPath"),
         date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss").as("createdTime"),
         date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss").as("modifiedTime"),
-        // One content element for unpaginated formats, no page metadata.
-        array(struct(
-          lit(null).cast("struct<pageNumber:string>").as("metadata"),
-          parsedText.as("text"))).as("content"))
+        contentCol.as("content"))
   }
 
   /** Per-row parse quarantine (S7's error recovery + A6's read stats, as data
