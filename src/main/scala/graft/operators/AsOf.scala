@@ -25,14 +25,40 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object AsOf {
 
+  /** Keys whose combined row count exceeds `cap` — the degenerate-input hazard
+    * of ANY keyed as-of: the window sort concentrates each key in one task, so
+    * one hot key (e.g. a null-ish default id) serializes that task at scale.
+    * Run as a pre-flight on big inputs; mitigation is pre-aggregating the right
+    * side or splitting the hot key upstream (see SCALE.md §temporal-joins).
+    */
+  def hotKeys(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              cap: Long): DataFrame =
+    left.select(keyCols.map(col): _*).unionByName(right.select(keyCols.map(col): _*))
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("rowsPerKey"))
+      .filter(col("rowsPerKey") > cap)
+      .orderBy(col("rowsPerKey").desc)
+
   /** @param rightPayload right columns to carry (must not collide with left names)
     * @param toleranceSeconds match only if left-ts − right-ts <= tolerance
+    * @param maxRowsPerKey opt-in sanity cap: when set, counts rows per key
+    *   (one cheap aggregate job over the key columns only) and WARNs with the
+    *   hottest offenders before running the join — the join itself proceeds,
+    *   degraded not broken, matching the skew guard's advisory role
     */
   def asOfJoin(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTsCol: String, rightTsCol: String,
       rightPayload: Seq[String],
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None,
+      maxRowsPerKey: Option[Long] = None): DataFrame = {
+    maxRowsPerKey.foreach { cap =>
+      val hot = hotKeys(left, right, keyCols, cap).limit(5).collect()
+      if (hot.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"asOfJoin: ${hot.length}+ key(s) exceed maxRowsPerKey=$cap — " +
+            s"hottest: ${hot.mkString(", ")}; one window task per key will " +
+            "serialize these (pre-aggregate the right side or split the key)")
+    }
     require(rightPayload.nonEmpty, "rightPayload must name at least one column")
     val collisions = rightPayload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"rightPayload collides with left columns: $collisions")

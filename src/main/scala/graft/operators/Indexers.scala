@@ -88,8 +88,13 @@ final class Bm25Indexer(
       .select(col("docId"), arraySize(col("tokens")).as("docLen"),
         explode(col("tokens")).as("term"))
       .groupBy("term", "docId", "docLen").agg(count("*").as("tf"))
-    // Sort by term so parquet row-group min/max stats prune term lookups.
-    postings.repartition(col("term")).sortWithinPartitions("term")
+    // Range-partition on (term, docId) rather than hash on term: a
+    // stopword-grade hot term would land its entire postings list in one hash
+    // partition, while a range boundary splits it across partitions (bounded
+    // skew) and keeps terms contiguous so parquet row-group min/max stats
+    // still prune term lookups.
+    postings.repartitionByRange(col("term"), col("docId"))
+      .sortWithinPartitions("term", "docId")
       .write.mode(SaveMode.Overwrite).parquet(p("postings"))
     val persisted = spark.read.parquet(p("postings"))
     persisted.groupBy("term").agg(count("*").as("df"))

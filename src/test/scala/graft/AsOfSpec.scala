@@ -52,4 +52,20 @@ class AsOfSpec extends AnyFunSuite with SparkSuite {
       AsOf.asOfJoin(trades, quotes.withColumnRenamed("px", "qty"),
         Seq("k"), "ts", "ts", Seq("qty")))
   }
+
+  test("hot-key guard flags the planted key; the join still runs correct") {
+    val (trades, quotes) = fixture
+    // key 1 has 3 quotes + 3 trades = 6 rows; every other key has <= 2
+    val hot = AsOf.hotKeys(trades, quotes, Seq("k"), cap = 5).collect()
+    assert(hot.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 6L)))
+    assert(AsOf.hotKeys(trades, quotes, Seq("k"), cap = 100).collect().isEmpty)
+
+    // Advisory, not fatal: results with the guard on match the unguarded run.
+    val guarded = AsOf.asOfJoin(trades, quotes, Seq("k"), "ts", "ts", Seq("px"),
+        maxRowsPerKey = Some(1))
+      .select("k", "qty", "px").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(guarded((1L, 300L)) === Some(12.0))
+    assert(guarded((3L, 500L)) === None)
+  }
 }
