@@ -216,6 +216,14 @@ object Queries {
     * float32 and diverges from Spark's double math; this form matches bit-for-bit
     * after rounding.
     */
+  /** Squared L2 in DuckDB with the same arithmetic as the codegen'd l2_sq_f
+    * expression: per-element double subtraction, double accumulation.
+    */
+  private def l2Sql(v: String, q: String): String =
+    s"""list_sum(list_transform(list_zip($v, $q),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
+
   private def cosSql(v: String, q: String): String =
     s"""list_sum(list_transform(list_zip($v, $q), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
        |    ( sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
@@ -1058,19 +1066,48 @@ object Queries {
 
   // ---------------------------------------------------- ANN + multimodal binary
 
-  /** IVF approximate kNN (k-means inverted lists, probe subset). No SQL oracle —
-    * k-means isn't reproducible in DuckDB — so the driver records the weaker
-    * rows-only check; exactness vs brute force is covered by AnnMultimodalSpec.
+  /** IVF approximate kNN with FIXED centroids (corpus vectors 1..16) so the
+    * whole scale path — nearest-list assignment, nProbe probe-set selection,
+    * brute-force top-k inside the probed lists — replays exactly in DuckDB and
+    * is hash-gated. The k-means fit itself ([[graft.operators.Ann.buildIvf]])
+    * is not SQL-expressible and stays spec-covered (AnnMultimodalSpec); the
+    * probe machinery is identical either way ([[graft.operators.Ann.searchIvf]]).
     */
   private val annIvfTopk = Q(
     (s, d) => {
       val emb = D.embeddings(s, d).filter(col("vec_id") =!= 0)
-      val idx = graft.operators.Ann.buildIvf(emb, "embedding", nLists = 16)
+      val centroids = D.embeddings(s, d)
+        .filter(col("vec_id").between(1, 16)).orderBy("vec_id")
+        .collect().map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      val idx = graft.operators.Ann.IvfIndex(
+        graft.operators.Ann.assignLists(emb, "embedding", centroids),
+        centroids, "embedding")
       graft.operators.Ann.searchIvf(idx, queryVec(s, d), 10, nProbe = 4)
         .select(col("vec_id"), round(col("score"), 6).as("dist"))
         .orderBy(col("dist").asc, col("vec_id").asc)
     },
-    None)
+    Some(s"""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+            |cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+            |         WHERE vec_id BETWEEN 1 AND 16),
+            |probe AS (SELECT cid FROM
+            |  (SELECT cid, ${l2Sql("c", "(SELECT e FROM q)")} AS pd FROM cent)
+            |  ORDER BY pd ASC, cid LIMIT 4),
+            |dists AS (SELECT v.vec_id, v.embedding, c.cid,
+            |    ${l2Sql("v.embedding", "c.c")} AS dc
+            |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0) v
+            |  CROSS JOIN cent c),
+            |assigned AS (SELECT vec_id, embedding, cid FROM
+            |  (SELECT vec_id, embedding, cid,
+            |     row_number() OVER (PARTITION BY vec_id ORDER BY dc ASC, cid ASC) AS rn
+            |   FROM dists)
+            |  WHERE rn = 1),
+            |cand AS (SELECT vec_id, embedding FROM assigned
+            |         WHERE cid IN (SELECT cid FROM probe)),
+            |scored AS (SELECT vec_id,
+            |    ${l2Sql("embedding", "(SELECT e FROM q)")} AS dd FROM cand),
+            |topk AS (SELECT vec_id, dd FROM scored ORDER BY dd ASC, vec_id LIMIT 10)
+            |SELECT vec_id, round(dd, 6) AS dist FROM topk
+            |ORDER BY round(dd, 6) ASC, vec_id""".stripMargin))
 
   /** Sign-LSH multi-probe ANN ([[graft.operators.Ann.searchSignLsh]]): scan only
     * the query's sign bucket plus its Hamming-1 neighbors, brute-force cosine
