@@ -41,6 +41,57 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(cm.chunks("live").filter(col("indexedData").contains("about spark")).count() === 0)
   }
 
+  test("streaming update keeps the chunk-id sequence continuous across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val tmp = Files.createTempDirectory("graft-stream-hwm").toString
+    val cm = new CollectionManager(spark, s"$tmp/coll",
+      new HashingEmbedder(dim = 16), new TextSplitter(50, 10))
+
+    val stream = MemoryStream[(String, String, String)]
+    val docs = stream.toDF().toDF("id", "url", "text")
+      .withColumn("metadata", map(lit("source"), lit("stream")))
+      .select("id", "url", "metadata", "text")
+
+    // Batch 1 creates the collection.
+    stream.addData(
+      ("a", "ua", "alpha document with several words of text"),
+      ("b", "ub", "beta document mentioning zeppelins"))
+    StreamingUpdate.collectionUpdateWriter(docs, cm, "hwm", s"$tmp/ckpt")
+      .start().awaitTermination(60000)
+    val m1 = cm.readManifest("hwm")
+    val ids1 = cm.chunks("hwm").select("chunkId").as[Long].collect().sorted
+    assert(m1.lastIndexItemId === ids1.max) // manifest tracks the real high water
+
+    // Batch 2 rewrites a and adds c through the SAME checkpoint lineage.
+    stream.addData(
+      ("a", "ua", "alpha rewritten completely, nothing shared"),
+      ("c", "uc", "gamma document, brand new"))
+    StreamingUpdate.collectionUpdateWriter(docs, cm, "hwm", s"$tmp/ckpt")
+      .start().awaitTermination(60000)
+
+    val m2 = cm.readManifest("hwm")
+    val chunks2 = cm.chunks("hwm")
+      .select(col("chunkId"), col("documentId")).as[(Long, String)].collect()
+    val ids2 = chunks2.map(_._1).sorted
+    // continuity: every batch-2 chunk id is strictly above batch-1's high water,
+    // no id is ever reused, and the manifest advances to the new max
+    assert(ids2.distinct.length === ids2.length)
+    val newIds = chunks2.filter(c => c._2 == "a" || c._2 == "c").map(_._1)
+    assert(newIds.nonEmpty && newIds.forall(_ > m1.lastIndexItemId))
+    assert(m2.lastIndexItemId === ids2.max && m2.lastIndexItemId > m1.lastIndexItemId)
+    // kept doc b retains its original ids
+    val bIds = chunks2.filter(_._2 == "b").map(_._1)
+    assert(bIds.forall(_ <= m1.lastIndexItemId))
+
+    // and the collection still searches correctly after both batches
+    val hits = cm.search("hwm", "alpha rewritten").collect()
+    assert(hits.map(_.getAs[String]("documentId")).contains("a"))
+    assert(cm.search("hwm", "zeppelins").collect()
+      .map(_.getAs[String]("documentId")).contains("b"))
+  }
+
   test("streaming exact dedup with watermark drops replayed docs") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
