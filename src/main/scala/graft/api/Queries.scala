@@ -758,6 +758,77 @@ object Queries {
          |FROM uniq GROUP BY lang ORDER BY lang""".stripMargin
     })
 
+  /** PII redaction ([[graft.operators.Curation.redactPii]]): the documents table
+    * has no organic PII, so both engines append the SAME deterministic
+    * synthetic contacts (email always; phone on even ids; ip on ids%3==0)
+    * before redacting — regex semantics, replacement order, and counts are
+    * what the hash gate locks.
+    */
+  private val pipelineRedactPii = Q(
+    (s, d) => {
+      val pii = D.documents(s, d).select(col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call +1 555 0"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"))).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.Curation.redactPii(pii, "text")
+        .select(col("doc_id"), md5(col("redacted")).as("h"),
+          col("n_emails"), col("n_ips"), col("n_phones"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH pii AS (SELECT doc_id,
+           |    text || ' contact user' || doc_id || '@example.com'
+           |      || (CASE WHEN doc_id % 2 = 0
+           |          THEN ' call +1 555 0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+           |          ELSE '' END)
+           |      || (CASE WHEN doc_id % 3 = 0
+           |          THEN ' host 10.0.' || (doc_id % 256) || '.7' ELSE '' END) AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           |    '\+\d{1,3} \d{3} \d{4}', '<PHONE>', 'g')) AS h,
+           |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           |  CAST(len(regexp_extract_all(t, '\+\d{1,3} \d{3} \d{4}')) AS BIGINT) AS n_phones
+           |FROM pii ORDER BY doc_id""".stripMargin))
+
+  /** Benchmark decontamination ([[graft.operators.Curation.decontaminate]]):
+    * 13-gram overlap flags, benchmark = every 41st document (a stand-in
+    * benchmark corpus drawn from the same table so the oracle sees it too).
+    * The corpus side joins the broadcast benchmark hash set — no corpus
+    * shuffle; the oracle joins raw ngrams (same flags barring a 64-bit hash
+    * collision).
+    */
+  private val pipelineDecontaminate = Q(
+    (s, d) => {
+      val docs = D.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").as("bench_id"), col("text").as("bench_text"))
+      graft.operators.Curation.decontaminate(
+          docs, bench, "doc_id", "text", "bench_id", "bench_text", n = 13)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+           |  FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+           |    ELSE list_transform(generate_series(1, len(t) - 12),
+           |           i -> array_to_string(t[i:i+12], ' ')) END AS sh FROM toks),
+           |doc_ng AS (SELECT doc_id, unnest(sh) AS ng FROM sh),
+           |bench_ng AS (SELECT DISTINCT ng FROM doc_ng WHERE doc_id % 41 = 0),
+           |hits AS (SELECT d.doc_id, count(DISTINCT d.ng) AS n
+           |  FROM doc_ng d JOIN bench_ng b USING (ng) GROUP BY d.doc_id)
+           |SELECT doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_contaminated_ngrams,
+           |  coalesce(n, 0) > 0 AS contaminated
+           |FROM documents LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin))
+
   private val textTokens = Q(
     (s, d) => graft.operators.TextAnalysis.tokenCounts(
         D.documents(s, d).select("doc_id", "text"), "text")
@@ -1237,7 +1308,9 @@ object Queries {
     "m1_embed_pipeline" -> m1EmbedPipeline,
     "dedup_clusters" -> dedupClusters,
     "pipeline_filter" -> pipelineFilter,
-    "pipeline_curation" -> pipelineCuration)
+    "pipeline_curation" -> pipelineCuration,
+    "pipeline_redact_pii" -> pipelineRedactPii,
+    "pipeline_decontaminate" -> pipelineDecontaminate)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** Curation operators on crafted inputs (the registered queries hash-gate them
+  * against DuckDB at sf scale; this pins the semantics on readable examples).
+  */
+class CurationSpec extends AnyFunSuite with SparkSuite {
+
+  test("redactPii replaces emails, ips, phones and counts before redacting") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.smith+x@corp.example.org and b@x.io, host 10.20.30.40, call +44 123 4567"),
+      (2L, "no pii here at all"),
+      (3L, "version 1.2 is not an ip, 999.1.1.1.1 has a real ip inside"))
+      .toDF("id", "text")
+    val out = Curation.redactPii(df, "text").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("redacted"), r.getAs[Long]("n_emails"),
+         r.getAs[Long]("n_ips"), r.getAs[Long]("n_phones"))).toMap
+
+    val (r1, e1, i1, p1) = out(1L)
+    assert(e1 === 2L && i1 === 1L && p1 === 1L)
+    assert(r1 === "mail <EMAIL> and <EMAIL>, host <IP>, call <PHONE>")
+    assert(out(2L) === (("no pii here at all", 0L, 0L, 0L)))
+    // "1.2" (two octets) isn't an IP; "999.1.1.1.1" contains the IP 999.1.1.1?
+    // No: \b\d{1,3}... matches the leading "999.1.1.1" — the pattern is a
+    // scrubber, not a validator, and over-redaction is the safe direction.
+    val (r3, _, i3, _) = out(3L)
+    assert(i3 === 1L && r3.contains("version 1.2 is not an ip"))
+    assert(r3.contains("<IP>"))
+  }
+
+  test("decontaminate flags only docs sharing a full n-gram with the benchmark") {
+    import spark.implicits._
+    val phrase = (1 to 13).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"prefix words $phrase suffix words"), // contains the benchmark 13-gram
+      (2L, s"prefix words ${phrase.replace("w7", "other")} suffix"), // 12 of 13 — clean
+      (3L, "completely unrelated content entirely"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"benchmark item saying $phrase verbatim"))
+      .toDF("bench_id", "bench_text")
+
+    val out = Curation.decontaminate(docs, bench, "doc_id", "text",
+        "bench_id", "bench_text", n = 13)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_contaminated_ngrams"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(out(1L)._2 === true && out(1L)._1 >= 1L)
+    assert(out(2L) === ((0L, false)))
+    assert(out(3L) === ((0L, false)))
+  }
+
+  test("decontaminate short-text fallback: sub-n docs match as whole text") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny benchmark question"), (2L, "different tiny text"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "tiny benchmark question")).toDF("bench_id", "bench_text")
+    val out = Curation.decontaminate(docs, bench, "doc_id", "text",
+        "bench_id", "bench_text", n = 13)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(out === Map(1L -> true, 2L -> false))
+  }
+}
