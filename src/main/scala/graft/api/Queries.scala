@@ -1210,6 +1210,32 @@ object Queries {
             |topk AS (SELECT vec_id, s FROM scored ORDER BY s DESC, vec_id LIMIT 5)
             |SELECT vec_id, round(s, 6) AS sim FROM topk ORDER BY round(s, 6) DESC, vec_id""".stripMargin))
 
+  /** Graph-ANN ([[graft.operators.GraphAnn.nswTopK]]): per-partition NSW
+    * shards + global merge, run here in EXHAUSTIVE mode (efSearch far above
+    * any shard size), where the graph walk provably visits every node — so
+    * the result equals exact brute force and the whole shard/merge pipeline
+    * hash-gates against a plain top-k oracle. The approximate regime (the
+    * recall/speed trade) is not SQL-expressible and is recall-gated in
+    * GraphAnnSpec instead.
+    */
+  private val annGraphTopk = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .repartitionByRange(4, col("vec_id"))
+      graft.operators.GraphAnn.nswTopK(emb, "vec_id", "embedding",
+          Seq((0L, queryVec(s, d))), 10, m = 8, efConstruction = 32,
+          efSearch = 1 << 20)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+    },
+    Some(s"""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+            |scored AS (SELECT vec_id,
+            |    ${l2Sql("embedding", "(SELECT e FROM q)")} AS dd
+            |  FROM embeddings WHERE vec_id <> 0),
+            |topk AS (SELECT vec_id, dd FROM scored ORDER BY dd ASC, vec_id LIMIT 10)
+            |SELECT vec_id, round(dd, 6) AS dist FROM topk
+            |ORDER BY round(dd, 6) ASC, vec_id""".stripMargin))
+
   /** Multimodal plumbing, oracle-checkable slice: treat text as an opaque binary
     * column; byte length + content hash are the portable metadata ops (decode /
     * features / frame-sampling are stub-backed and spec-tested instead).
@@ -1301,6 +1327,7 @@ object Queries {
     "f_scalar_json" -> fScalarJson,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_lsh_topk" -> annLshTopk,
+    "ann_graph_topk" -> annGraphTopk,
     "mm_binary_meta" -> mmBinaryMeta,
     "w3_sessionize" -> w3Sessionize,
     "skew_salted_agg" -> skewSaltedAgg,
