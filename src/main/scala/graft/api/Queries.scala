@@ -829,6 +829,89 @@ object Queries {
            |  coalesce(n, 0) > 0 AS contaminated
            |FROM documents LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin))
 
+  /** Training-mix rates for the stratified-sampling query (shared between the
+    * Spark call and the generated oracle CASE so they can never drift).
+    */
+  private val mixRates = Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1)
+  private val mixDefault = 0.05
+
+  /** Reproducible stratified sampling
+    * ([[graft.operators.Curation.stratifiedSample]]): per-language keep rates
+    * decided by an md5 threshold compare — rerun-stable at any parallelism.
+    * The oracle CASE is generated from the same rate table and threshold
+    * function, so the hash gate pins the exact draw, not just the rates.
+    */
+  private val sampleStratified = Q(
+    (s, d) => graft.operators.Curation.stratifiedSample(
+        D.documents(s, d), "doc_id", "lang",
+        mixRates.toMap, defaultRate = mixDefault)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id"),
+    Some {
+      def hex(r: Double) = graft.operators.Curation.rateThresholdHex(r)
+      val arms = mixRates.map { case (l, r) => s"WHEN '$l' THEN '${hex(r)}'" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) <
+         |  CASE lang $arms ELSE '${hex(mixDefault)}' END
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  /** Token-budget shard packing ([[graft.operators.Curation.packByTokenBudget]]):
+    * documents virtually concatenate in (source, doc_id) order and cut every
+    * 5000 chars into training shards — a distributed prefix sum (per-bucket
+    * windows + a #buckets-row offset table), never a global single-partition
+    * window. The oracle computes the same two-level cumulative math.
+    */
+  private val samplePackShards = Q(
+    (s, d) => graft.operators.Curation.packByTokenBudget(
+        D.documents(s, d).select("doc_id", "source", "n_chars"),
+        bucketCol = "source", orderCol = "doc_id",
+        tokensCol = "n_chars", budget = 5000L)
+      .select(col("doc_id"), col("source"), col("shard_id"))
+      .orderBy("doc_id"),
+    Some("""WITH bt AS (SELECT source, sum(n_chars) AS t FROM documents GROUP BY source),
+           |off AS (SELECT source, CAST(coalesce(sum(t) OVER (ORDER BY source
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+           |  FROM bt),
+           |w AS (SELECT doc_id, source, CAST(coalesce(sum(n_chars) OVER (PARTITION BY source
+           |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+           |  FROM documents)
+           |SELECT w.doc_id, w.source, CAST(floor((o + before) / 5000) AS BIGINT) AS shard_id
+           |FROM w JOIN off USING (source) ORDER BY doc_id""".stripMargin))
+
+  /** Embedding-space cluster assignment + per-cluster stats
+    * ([[graft.operators.Ann.assignListsWithDist]] with fixed centroids —
+    * corpus vectors 1..8 — so assignment replays in SQL): the topic-bucket
+    * organization pass of a corpus card. Narrow map + one 8-group aggregate.
+    */
+  private val clusterAssign = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val centroids = D.embeddings(s, d)
+        .filter(col("vec_id").between(1, 8)).orderBy("vec_id")
+        .collect().map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      graft.operators.Ann.assignListsWithDist(emb, "embedding", centroids)
+        .groupBy(col("listId").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n"), round(avg(col("listDist")), 6).as("mean_dist"),
+          min("vec_id").as("min_vec_id"), max("vec_id").as("max_vec_id"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+            |         WHERE vec_id BETWEEN 1 AND 8),
+            |dists AS (SELECT v.vec_id, c.cid, ${l2Sql("v.embedding", "c.c")} AS dc
+            |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0) v
+            |  CROSS JOIN cent c),
+            |assigned AS (SELECT vec_id, cid, dc FROM
+            |  (SELECT vec_id, cid, dc,
+            |     row_number() OVER (PARTITION BY vec_id ORDER BY dc ASC, cid ASC) AS rn
+            |   FROM dists)
+            |  WHERE rn = 1)
+            |SELECT CAST(cid - 1 AS BIGINT) AS cluster_id, count(*) AS n,
+            |  round(avg(dc), 6) AS mean_dist,
+            |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+            |FROM assigned GROUP BY cid ORDER BY cluster_id""".stripMargin))
+
   private val textTokens = Q(
     (s, d) => graft.operators.TextAnalysis.tokenCounts(
         D.documents(s, d).select("doc_id", "text"), "text")
@@ -1337,7 +1420,10 @@ object Queries {
     "pipeline_filter" -> pipelineFilter,
     "pipeline_curation" -> pipelineCuration,
     "pipeline_redact_pii" -> pipelineRedactPii,
-    "pipeline_decontaminate" -> pipelineDecontaminate)
+    "pipeline_decontaminate" -> pipelineDecontaminate,
+    "sample_stratified" -> sampleStratified,
+    "sample_pack_shards" -> samplePackShards,
+    "cluster_assign" -> clusterAssign)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {

@@ -65,11 +65,23 @@ object Ann {
     * l2_sq_f expression against a literal centroid array (no UDF in the hot path).
     */
   def assignLists(vectors: DataFrame, vecCol: String,
-                  centroids: Array[Array[Float]]): DataFrame = {
+                  centroids: Array[Array[Float]]): DataFrame =
+    assignListsWithDist(vectors, vecCol, centroids).drop("listDist")
+
+  /** [[assignLists]] plus the distance to the assigned centroid (for cluster
+    * quality stats). The argmin struct binds to a column ONCE and both fields
+    * project from it — inlining it twice would re-evaluate every centroid
+    * distance (CollapseProject does not dedupe non-cheap expressions).
+    */
+  def assignListsWithDist(vectors: DataFrame, vecCol: String,
+                          centroids: Array[Array[Float]]): DataFrame = {
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       struct(l2SqF(col(vecCol), typedLit(c)).as("d"), lit(i).as("i"))
     }
-    vectors.withColumn("listId", array_min(array(dists: _*)).getField("i"))
+    vectors.withColumn("_best", array_min(array(dists: _*)))
+      .withColumn("listId", col("_best").getField("i"))
+      .withColumn("listDist", col("_best").getField("d"))
+      .drop("_best")
   }
 
   /** Probe the nProbe lists nearest to the query, brute-force inside them.

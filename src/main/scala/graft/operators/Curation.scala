@@ -78,4 +78,66 @@ object Curation {
         coalesce(col("n_contaminated_ngrams"), lit(0L)).as("n_contaminated_ngrams"))
       .withColumn("contaminated", col("n_contaminated_ngrams") > 0)
   }
+
+  /** First 6 hex chars of (2^24 × rate), the keep-threshold for
+    * [[stratifiedSample]]'s lexicographic compare. Rates ≥ 1 keep everything.
+    */
+  def rateThresholdHex(rate: Double): String =
+    f"${math.max(0L, math.min(1 << 24, math.round(rate * (1 << 24))))}%06x"
+
+  /** Reproducible stratified sampling for training mixtures: keep a row iff
+    * the first 6 hex chars of md5(salt ++ id) compare below the stratum's
+    * rate threshold. A pure per-row predicate — no RNG state, no shuffle, no
+    * ordering sensitivity — so the same (id, salt) draws the same decision at
+    * any parallelism or scale, reruns are exact, and DuckDB replays it
+    * bit-for-bit (lowercase-hex lexicographic order IS numeric order).
+    * Changing `salt` redraws the sample without touching the rates.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    val h = substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 6)
+    def keepFor(rate: Double) =
+      if (rate >= 1.0) lit(true) else h < lit(rateThresholdHex(rate))
+    val keep = rates.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (stratum, rate)) => acc.when(col(stratumCol) === stratum, keepFor(rate))
+    }.otherwise(keepFor(defaultRate))
+    df.filter(keep)
+  }
+
+  /** Pack ordered rows into fixed token-budget training shards: virtually
+    * concatenate documents in (bucketCol, orderCol) order and cut every
+    * `budget` tokens — shard = floor(tokens-before / budget), the standard
+    * pretraining shard rule.
+    *
+    * Scale shape — a distributed prefix sum, NOT one global window: the
+    * running sum partitions by `bucketCol` (a coarse ordered grouping the
+    * caller already has: ingest date, source file, id range), and bucket
+    * start-offsets come from a #buckets-row aggregate whose own window is
+    * metadata-sized. The only corpus-wide exchanges are the per-bucket
+    * aggregate and the bucket window partitioning; nothing ever funnels the
+    * corpus through one task. `orderCol` must be unique within a bucket for
+    * a deterministic cut.
+    */
+  def packByTokenBudget(
+      df: DataFrame, bucketCol: String, orderCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val totals = df.groupBy(col(bucketCol).as("_b"))
+      .agg(sum(col(tokensCol)).as("_bt"))
+    val wBuckets = org.apache.spark.sql.expressions.Window
+      .orderBy("_b").rowsBetween(Long.MinValue, -1)
+    val offsets = totals
+      .withColumn("_off", coalesce(sum("_bt").over(wBuckets), lit(0L)))
+      .drop("_bt")
+    val wInBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bucketCol)).orderBy(col(orderCol))
+      .rowsBetween(Long.MinValue, -1)
+    df.join(broadcast(offsets), col(bucketCol) === col("_b")).drop("_b")
+      .withColumn("_before",
+        col("_off") + coalesce(sum(col(tokensCol)).over(wInBucket), lit(0L)))
+      .withColumn("shard_id", floor(col("_before") / budget))
+      .drop("_off", "_before")
+  }
 }

@@ -54,6 +54,48 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(out(3L) === ((0L, false)))
   }
 
+  test("stratifiedSample: rerun-stable, rate-accurate, salt redraws") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val rates = Map("en" -> 0.5, "de" -> 0.1)
+    def ids(salt: String) = Curation.stratifiedSample(df, "id", "lang", rates,
+        salt = salt).select("id").as[Long].collect().toSet
+    val a = ids(""); val b = ids("")
+    assert(a === b) // exact rerun stability
+    val byLang = df.filter(col("id").isInCollection(a))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") / 2000.0 - 0.5) < 0.05)
+    assert(math.abs(byLang("de") / 2000.0 - 0.1) < 0.03)
+    assert(ids("other-salt") !== a) // a different salt draws a different sample
+    // rate 1.0 keeps everything; rate 0 keeps nothing
+    assert(Curation.stratifiedSample(df, "id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.0).count() === 2000)
+  }
+
+  test("packByTokenBudget: shards cut at the budget across bucket boundaries") {
+    import spark.implicits._
+    // two buckets: a(1,2,3) sizes 400/400/400; b(4,5) sizes 300/4800
+    val df = Seq(
+      (1L, "a", 400L), (2L, "a", 400L), (3L, "a", 400L),
+      (4L, "b", 300L), (5L, "b", 4800L))
+      .toDF("id", "bucket", "n_tok")
+    val out = Curation.packByTokenBudget(df, "bucket", "id", "n_tok", budget = 1000L)
+      .select("id", "shard_id").as[(Long, Long)].collect().toMap
+    // cumulative-before: 0,400,800 | 1200,1500 → shards 0,0,0 | 1,1
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+    // every doc with tokens-before in [k*budget, (k+1)*budget) lands in shard k
+    val big = (1 to 500).map(i => (i.toLong, s"b${i % 7}", (i % 90 + 10).toLong))
+      .toDF("id", "bucket", "n_tok")
+    val packed = Curation.packByTokenBudget(big, "bucket", "id", "n_tok", 700L)
+      .collect()
+    val shardSizes = packed.groupBy(_.getAs[Long]("shard_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tok")).sum).toMap
+    // no shard except the last may end more than one doc short of the budget
+    val full = shardSizes.toSeq.sortBy(_._1).dropRight(1)
+    assert(full.forall { case (_, tks) => tks >= 700L - 99 && tks <= 700L + 99 })
+  }
+
   test("decontaminate short-text fallback: sub-n docs match as whole text") {
     import spark.implicits._
     val docs = Seq((1L, "tiny benchmark question"), (2L, "different tiny text"))
