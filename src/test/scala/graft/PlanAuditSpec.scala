@@ -100,4 +100,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
         l.contains("BroadcastHashJoin"))
     assert(joins === 1, s"expected exactly one join, plan:\n$p")
   }
+
+  test("decontamination joins the benchmark ngram set as a broadcast") {
+    val p = plan("pipeline_decontaminate")
+    // corpus ngrams never shuffle into the benchmark join — it must broadcast
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("stratified sampling is a pure scan filter — only the output sort exchanges") {
+    val p = plan("sample_stratified")
+    // the operator itself must not shuffle: the only exchange allowed is the
+    // rangepartitioning of the query's final deterministic orderBy
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"sampling must not hash-shuffle, plan:\n$p")
+  }
+
+  test("shard packing: bucket offsets broadcast; no corpus-wide global window") {
+    val p = plan("sample_pack_shards")
+    assert(p.contains("BroadcastHashJoin"))
+    // the only unpartitioned window runs over the #buckets-row offset table,
+    // upstream of the broadcast exchange — the corpus-side window is keyed
+    val corpusSide = p.split("BroadcastExchange")(0)
+    assert(!corpusSide.contains("Window [") ||
+      corpusSide.linesIterator.filter(_.contains("Window"))
+        .forall(_.contains("windowspecdefinition(source")),
+      s"corpus-side window must partition by bucket, plan:\n$p")
+  }
+
+  test("cluster assignment aggregates partially before its one exchange") {
+    val p = plan("cluster_assign")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+  }
 }
