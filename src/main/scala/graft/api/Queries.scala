@@ -388,6 +388,40 @@ object Queries {
             |  CAST(b0_size > 1 OR b1_size > 1 AS INT) AS is_candidate
             |FROM z ORDER BY doc_id""".stripMargin))
 
+  /** Incremental dedup-on-arrival ([[graft.operators.Dedup.incrementalNearDups]]):
+    * docs 400+ arrive as the "new batch" and gate against the persisted
+    * signature table of docs 0..399 — the corpus side contributes only its
+    * narrow signature columns, never text, and the new batch broadcasts.
+    */
+  private val dedupIncremental = Q(
+    (s, d) => {
+      val docs = D.documents(s, d)
+      val existingSigs = graft.operators.Dedup.minhashSignatures(
+          docs.filter(col("doc_id") < 400), "doc_id", "text")
+        .withColumnRenamed("doc_id", "ex_id")
+      graft.operators.Dedup.incrementalNearDups(
+          docs.filter(col("doc_id") >= 400), existingSigs, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $shinglesCte,
+            |m AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS m FROM sh),
+            |sig AS (SELECT doc_id,
+            |  list_min(list_transform(m, x -> substring(x, 1, 8))) AS sig0,
+            |  list_min(list_transform(m, x -> substring(x, 9, 8))) AS sig1,
+            |  list_min(list_transform(m, x -> substring(x, 17, 8))) AS sig2,
+            |  list_min(list_transform(m, x -> substring(x, 25, 8))) AS sig3
+            |  FROM m),
+            |b AS (SELECT doc_id, sig0 || sig1 AS band0, sig2 || sig3 AS band1 FROM sig),
+            |exb AS (SELECT doc_id AS ex_id, unnest([band0, band1]) AS band
+            |        FROM b WHERE doc_id < 400),
+            |newb AS (SELECT doc_id, unnest([band0, band1]) AS band
+            |         FROM b WHERE doc_id >= 400),
+            |hits AS (SELECT doc_id, min(ex_id) AS dup_of
+            |         FROM newb JOIN exb USING (band) GROUP BY doc_id)
+            |SELECT d.doc_id, hits.dup_of, hits.dup_of IS NOT NULL AS is_dup
+            |FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+            |LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin))
+
   /** The LSH candidate-pair JOIN itself (bucket-local self-join + exact Jaccard
     * verify) — the path that replaces all-pairs at scale. Gated separately from
     * dedup_minhash_lsh, which only checks signatures/band occupancy.
@@ -1390,6 +1424,7 @@ object Queries {
     "a1_rrf_fusion" -> a1RrfFusion,
     "a2_group_docs" -> a2GroupDocs,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_lsh_pairs" -> dedupLshPairs,
     "dedup_lines" -> dedupLines,
     "dedup_simhash" -> dedupSimhash,

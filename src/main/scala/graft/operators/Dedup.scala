@@ -90,6 +90,38 @@ object Dedup {
       .withColumn("is_candidate", (col("b0_size") > 1 || col("b1_size") > 1).cast("int"))
   }
 
+  /** Incremental near-dup gate for continuous ingest: flag each NEW document
+    * whose minhash band bucket collides with the PERSISTED signature table of
+    * the existing corpus ([[minhashSignatures]] output, written once at index
+    * time). This is the production shape of dedup-on-arrival: the corpus text
+    * is never re-read or re-hashed — only its narrow (id, sig0..sig3) table
+    * loads, and the new batch (small by definition) BROADCASTS into the band
+    * join, so nothing corpus-sized shuffles per ingest tick.
+    *
+    * Returns one row per new doc: (idCol, dup_of = smallest colliding
+    * existing id or null, is_dup). Band collision is the LSH candidate
+    * criterion (same as [[minhashLsh]]); chain [[ngramJaccardPairs]]-style
+    * exact verification downstream if the use case needs it.
+    */
+  def incrementalNearDups(
+      newDocs: DataFrame, existingSigs: DataFrame,
+      idCol: String, textCol: String, existingIdCol: String = "ex_id",
+      shingleN: Int = 3): DataFrame = {
+    def banded(sigs: DataFrame, id: Column) = sigs.select(
+      id.as("_id"),
+      explode(array(concat(col("sig0"), col("sig1")),
+        concat(col("sig2"), col("sig3")))).as("band"))
+    val newBands = banded(
+      minhashSignatures(newDocs, idCol, textCol, shingleN), col(idCol))
+    val exBands = banded(existingSigs, col(existingIdCol))
+    val hits = exBands.withColumnRenamed("_id", "_ex")
+      .join(broadcast(newBands), "band")
+      .groupBy(col("_id").as(idCol)).agg(min("_ex").as("dup_of"))
+    newDocs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
+  }
+
   /** Candidate pairs from an LSH band bucket, verified with exact shingle-set
     * Jaccard. The self-join is keyed on the band value — bucket-local, no all-pairs.
     *

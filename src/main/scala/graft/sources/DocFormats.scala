@@ -250,6 +250,48 @@ object DocFormats {
     }.filter(_.nonEmpty).toSeq
   }
 
+  // ------------------------------------------------------------------ PPTX
+
+  /** PPTX → one element per slide, slide number as the page number (the same
+    * shape Unstructured emits for presentations — the reference groups it by
+    * pageNumber exactly like PDF, files_document_reader.py:239-246). Text
+    * lives in `<a:t>` runs inside `ppt/slides/slideN.xml`; paragraphs
+    * (`<a:p>`) join with newlines, slides are ordered by their number.
+    * Returns Nil for unparseable input.
+    */
+  def pptxSlides(bytes: Array[Byte]): Seq[(Int, String)] =
+    try {
+      val slidePat = """ppt/slides/slide(\d+)\.xml""".r
+      zipEntries(bytes) { name => slidePat.findFirstMatchIn(name).map(_.group(1).toInt) }
+        .map { case (n, xml) => (n, pptxSlideText(xml)) }
+        .filter(_._2.nonEmpty)
+        .sortBy(_._1)
+    } catch { case NonFatal(_) => Nil }
+
+  private[graft] def pptxSlideText(xml: String): String = {
+    val para = """(?s)<a:p(?:\s[^>]*)?>.*?</a:p>""".r
+    val run = """(?s)<a:t(?:\s[^>]*)?>(.*?)</a:t>""".r
+    para.findAllIn(xml).map { p =>
+      run.findAllMatchIn(p).map(m => unescapeXml(m.group(1))).mkString
+    }.map(_.trim).filter(_.nonEmpty).mkString("\n").trim
+  }
+
+  /** All zip entries whose name maps to Some(key), decoded as UTF-8. */
+  private def zipEntries[K](bytes: Array[Byte])(select: String => Option[K]): Seq[(K, String)] = {
+    val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val out = ListBuffer.empty[(K, String)]
+      var e = zis.getNextEntry
+      while (e != null) {
+        select(e.getName).foreach { k =>
+          out += ((k, new String(zis.readAllBytes(), StandardCharsets.UTF_8)))
+        }
+        e = zis.getNextEntry
+      }
+      out.toSeq
+    } finally zis.close()
+  }
+
   private def zipEntry(bytes: Array[Byte], name: String): Option[String] = {
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {

@@ -68,6 +68,13 @@ object FilesSource {
     Seq(DocFormats.ContentPart(null, DocFormats.docxText(bytes)))
   }
 
+  /** PPTX → one element per slide, slide number as pageNumber (:239-246). */
+  private val pptxContentUdf = udf { (bytes: Array[Byte]) =>
+    DocFormats.pptxSlides(bytes).map { case (n, text) =>
+      DocFormats.ContentPart(DocFormats.PageMeta(n.toString), text)
+    }
+  }
+
   /** Read files under `basePath` as rows
     * (fileRelativePath, fileFullPath, createdTime, modifiedTime, content) ready for
     * [[Converters.files]]. Regex semantics mirror the reference: include = fullmatch
@@ -118,6 +125,7 @@ object FilesSource {
     // DOCX unzips its document part — both on the raw binary column.
     val contentCol = when(extCol === "pdf", pdfContentUdf(col("content")))
       .when(extCol === "docx", docxContentUdf(col("content")))
+      .when(extCol === "pptx", pptxContentUdf(col("content")))
       .otherwise(array(struct(
         lit(null).cast("struct<pageNumber:string>").as("metadata"),
         parsedText.as("text"))))

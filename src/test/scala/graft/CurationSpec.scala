@@ -96,6 +96,29 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(full.forall { case (_, tks) => tks >= 700L - 99 && tks <= 700L + 99 })
   }
 
+  test("incrementalNearDups: new batch gates against persisted signatures only") {
+    import spark.implicits._
+    val phrase = "the quick brown fox jumps over the lazy dog again and again"
+    val existing = Seq(
+      (10L, phrase),
+      (11L, "entirely different corpus content about spark partitions"))
+      .toDF("doc_id", "text")
+    // the production flow persists signatures at index time; here we build them
+    val sigs = graft.operators.Dedup.minhashSignatures(existing, "doc_id", "text")
+      .withColumnRenamed("doc_id", "ex_id")
+    val incoming = Seq(
+      (100L, phrase),                                  // exact replay → dup of 10
+      (101L, "fresh never-seen material with new words"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.incrementalNearDups(
+        incoming, sigs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+         r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(100L) === ((Some(10L), true)))
+    assert(out(101L) === ((None, false)))
+  }
+
   test("decontaminate short-text fallback: sub-n docs match as whole text") {
     import spark.implicits._
     val docs = Seq((1L, "tiny benchmark question"), (2L, "different tiny text"))

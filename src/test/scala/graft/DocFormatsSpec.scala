@@ -71,6 +71,22 @@ class DocFormatsSpec extends AnyFunSuite with SparkSuite {
     out.toByteArray
   }
 
+  private def pptx(slides: Seq[Seq[String]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(out)
+    z.putNextEntry(new ZipEntry("[Content_Types].xml"))
+    z.write("<Types/>".getBytes(StandardCharsets.UTF_8)); z.closeEntry()
+    slides.zipWithIndex.foreach { case (paras, i) =>
+      val body = paras.map(p => s"<a:p><a:r><a:t>$p</a:t></a:r></a:p>").mkString
+      val xml = s"""<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">
+                   |<p:txBody>$body</p:txBody></p:sld>""".stripMargin
+      z.putNextEntry(new ZipEntry(s"ppt/slides/slide${i + 1}.xml"))
+      z.write(xml.getBytes(StandardCharsets.UTF_8)); z.closeEntry()
+    }
+    z.close()
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------- unit level
 
   test("pdfPages: page order, Flate + raw streams, Tj/TJ/hex/quote operators") {
@@ -97,12 +113,25 @@ class DocFormatsSpec extends AnyFunSuite with SparkSuite {
     assert(DocFormats.docxText("junk".getBytes) === "")
   }
 
+  test("pptxSlides: one element per slide in slide order, runs concatenate") {
+    val bytes = pptx(Seq(
+      Seq("Title slide", "subtitle here"),
+      Seq("Agenda &amp; goals")))
+    val slides = DocFormats.pptxSlides(bytes)
+    assert(slides === Seq(
+      (1, "Title slide\nsubtitle here"),
+      (2, "Agenda & goals")))
+    assert(DocFormats.pptxSlides("junk".getBytes) === Nil)
+  }
+
   // -------------------------------------------------------------- e2e level
 
   test("files source e2e: PDF chunks carry pageNumber, DOCX text lands") {
     val tmp = Files.createTempDirectory("graft-docfmt")
     Files.write(tmp.resolve("report.pdf"), twoPagePdf())
     Files.write(tmp.resolve("memo.docx"), docx(Seq("Budget memo", "Numbers go up")))
+    Files.write(tmp.resolve("deck.pptx"),
+      pptx(Seq(Seq("Quarterly deck"), Seq("The numbers slide"))))
 
     val df = FilesSource.read(spark, tmp.toString)
     val docs = Converters.files(df, new TextSplitter(50, 0))
@@ -126,5 +155,12 @@ class DocFormatsSpec extends AnyFunSuite with SparkSuite {
     // unpaginated: no pageNumber key on docx chunks
     assert(docxChunks.forall(c =>
       !c.getAs[Map[String, String]]("metadata").contains("pageNumber")))
+
+    val pptxChunks = docs("deck.pptx")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("chunks")
+    val slidePages = pptxChunks.tail.map(
+      _.getAs[Map[String, String]]("metadata").getOrElse("pageNumber", "?")).toSet
+    assert(slidePages === Set("1", "2"))
+    assert(pptxChunks.exists(_.getAs[String]("indexedData").contains("numbers slide")))
   }
 }

@@ -92,6 +92,31 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .map(_.getAs[String]("documentId")).contains("b"))
   }
 
+  test("stream-static enrichment join broadcasts the dimension") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // static dimension — the classic enrichment shape: a streaming fact joins
+    // a small static table; Spark plans it as a broadcast per micro-batch, so
+    // the stream side never shuffles for the join
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[(Long, Double)]
+    val enriched = stream.toDF().toDF("user_id", "amount")
+      .join(broadcast(dim), Seq("user_id"), "left")
+
+    val tmp = Files.createTempDirectory("graft-enrich").toString
+    stream.addData((1L, 10.0), (2L, 5.0), (3L, 1.0))
+    val q = enriched.writeStream.format("memory").queryName("enriched_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val rows = spark.table("enriched_out").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(rows === Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+  }
+
   test("streaming exact dedup with watermark drops replayed docs") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
