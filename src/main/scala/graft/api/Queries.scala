@@ -863,6 +863,52 @@ object Queries {
            |  coalesce(n, 0) > 0 AS contaminated
            |FROM documents LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin))
 
+  /** Character-entropy quality signal
+    * ([[graft.operators.TextAnalysis.withCharEntropy]]): the compression-proxy
+    * score (low ⇒ boilerplate, anomalously high ⇒ binary junk). abs() kills
+    * the −0.0-vs-0.0 hash hazard on degenerate inputs (entropy is ≥ 0).
+    */
+  private val textEntropy = Q(
+    (s, d) => graft.operators.TextAnalysis.withCharEntropy(D.documents(s, d), "text")
+      .select(col("doc_id"), abs(col("entropy")).as("entropy"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, abs(round(-coalesce(list_sum(list_transform(cnt,
+           |    c -> (c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)))), 0), 4)) AS entropy
+           |FROM (SELECT doc_id, len(ch) AS n,
+           |        list_transform(list_distinct(ch), c -> len(list_filter(ch, x -> x = c))) AS cnt
+           |      FROM (SELECT doc_id,
+           |              list_transform(generate_series(1, length(text)), i -> text[i:i]) AS ch
+           |            FROM documents))
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Per-domain provenance stats ([[graft.operators.Curation.withDomains]]):
+    * the documents table has no organic URLs, so both engines append the same
+    * deterministic links before extracting — URL regex, domain capture, and
+    * per-domain distinct-doc counts are what the hash gate locks.
+    */
+  private val textDomains = Q(
+    (s, d) => {
+      val withUrls = D.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/page/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0, lit(" http://cdn.example.net/x"))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.Curation.withDomains(withUrls, "text")
+        .select(col("doc_id"), explode(col("domains")).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+        .orderBy("domain")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |    text || ' see https://site' || (doc_id % 7) || '.example.com/page/' || doc_id
+           |      || (CASE WHEN doc_id % 3 = 0 THEN ' http://cdn.example.net/x' ELSE '' END) AS tx
+           |  FROM documents),
+           |u AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    regexp_extract_all(tx, 'https?://[A-Za-z0-9.-]+(?:/[^\s]*)?'),
+           |    x -> regexp_extract(x, 'https?://([A-Za-z0-9.-]+)', 1)))) AS domain
+           |  FROM t)
+           |SELECT domain, count(*) AS n_docs FROM u GROUP BY domain ORDER BY domain""".stripMargin))
+
   /** Training-mix rates for the stratified-sampling query (shared between the
     * Spark call and the generated oracle CASE so they can never drift).
     */
@@ -1456,6 +1502,8 @@ object Queries {
     "pipeline_curation" -> pipelineCuration,
     "pipeline_redact_pii" -> pipelineRedactPii,
     "pipeline_decontaminate" -> pipelineDecontaminate,
+    "text_entropy" -> textEntropy,
+    "text_domains" -> textDomains,
     "sample_stratified" -> sampleStratified,
     "sample_pack_shards" -> samplePackShards,
     "cluster_assign" -> clusterAssign)

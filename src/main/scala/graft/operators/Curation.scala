@@ -79,6 +79,21 @@ object Curation {
       .withColumn("contaminated", col("n_contaminated_ngrams") > 0)
   }
 
+  /** URL pattern for [[withDomains]], in the Java/RE2 common subset. */
+  val urlPattern = "https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?"
+  private val domainPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** Extract URLs and their distinct domains per document — the input to
+    * domain-level corpus curation (blocklist filtering, per-domain caps,
+    * provenance stats). Pure per-row map: `urls` (all matches, in order) and
+    * `domains` (distinct, first-occurrence order).
+    */
+  def withDomains(df: DataFrame, textCol: String): DataFrame =
+    df
+      .withColumn("urls", regexp_extract_all(col(textCol), lit(urlPattern), lit(0)))
+      .withColumn("domains", array_distinct(
+        transform(col("urls"), u => regexp_extract(u, domainPattern, 1))))
+
   /** First 6 hex chars of (2^24 × rate), the keep-threshold for
     * [[stratifiedSample]]'s lexicographic compare. Rates ≥ 1 keep everything.
     */

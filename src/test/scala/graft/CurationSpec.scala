@@ -96,6 +96,33 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(full.forall { case (_, tks) => tks >= 700L - 99 && tks <= 700L + 99 })
   }
 
+  test("withCharEntropy: uniform text scores 0, varied text scores higher") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaaaaaa"),                  // one symbol → 0 bits
+      (2L, "abababab"),                  // two equiprobable symbols → 1 bit
+      (3L, "the quick brown fox jumps"), // natural text → ~4 bits
+      (4L, ""))                          // empty → 0, not an ANSI index error
+      .toDF("id", "text")
+    val out = graft.operators.TextAnalysis.withCharEntropy(df, "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("entropy")).toMap
+    assert(math.abs(out(1L)) === 0.0)
+    assert(math.abs(out(2L) - 1.0) < 1e-9)
+    assert(out(3L) > 3.0 && out(3L) < 5.0)
+    assert(out(4L) === 0.0)
+  }
+
+  test("withDomains extracts ordered urls and distinct domains") {
+    import spark.implicits._
+    val df = Seq((1L,
+      "read https://a.example.com/x then http://b.example.net/y and https://a.example.com/z"))
+      .toDF("id", "text")
+    val row = Curation.withDomains(df, "text").collect()(0)
+    assert(row.getAs[scala.collection.Seq[String]]("urls").length === 3)
+    assert(row.getAs[scala.collection.Seq[String]]("domains").toSeq ===
+      Seq("a.example.com", "b.example.net")) // distinct, first-occurrence order
+  }
+
   test("incrementalNearDups: new batch gates against persisted signatures only") {
     import spark.implicits._
     val phrase = "the quick brown fox jumps over the lazy dog again and again"
