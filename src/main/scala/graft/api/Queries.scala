@@ -698,6 +698,65 @@ object Queries {
             |FROM ln l JOIN base b USING(doc_id) LEFT JOIN top t USING(doc_id)
             |ORDER BY l.doc_id""".stripMargin))
 
+  /** Exact size-distribution percentiles per language (p50/p90/p99 of
+    * n_chars) — the dataset-card quantile panel. Spark's exact `percentile`
+    * and DuckDB's `quantile_cont` share the linear-interpolation definition,
+    * so the gate pins the interpolation math itself. At 100 TB switch to
+    * `percentile_approx` (t-digest) — same plan shape, bounded memory.
+    */
+  private val corpusPercentiles = Q(
+    (s, d) => D.documents(s, d)
+      .groupBy("lang")
+      .agg(percentile(col("n_chars"), typedlit(Seq(0.5, 0.9, 0.99))).as("_q"))
+      .select(col("lang"),
+        round(element_at(col("_q"), 1), 4).as("p50"),
+        round(element_at(col("_q"), 2), 4).as("p90"),
+        round(element_at(col("_q"), 3), 4).as("p99"))
+      .orderBy("lang"),
+    Some("""SELECT lang,
+           |  round(qs[1], 4) AS p50, round(qs[2], 4) AS p90, round(qs[3], 4) AS p99
+           |FROM (SELECT lang, quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS qs
+           |      FROM documents GROUP BY lang)
+           |ORDER BY lang""".stripMargin))
+
+  /** CUBE over (lang, source): every aggregation granularity — per pair, per
+    * lang, per source, grand total — in ONE pass (Spark expands grouping sets
+    * map-side; no re-scan per level). The OLAP rollup panel of a corpus card.
+    */
+  private val corpusCube = Q(
+    (s, d) => D.documents(s, d)
+      .cube("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("source")),
+    Some("""SELECT lang, source, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM documents GROUP BY CUBE (lang, source)
+           |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin))
+
+  /** PIVOT: per-source doc counts as one column per language (fixed value
+    * list — at scale an unpinned pivot needs a distinct-scan first; pinning
+    * the columns keeps it one pass). Oracle spells it as portable CASE sums.
+    */
+  private val corpusPivot = Q(
+    (s, d) => D.documents(s, d)
+      .groupBy("source")
+      .pivot("lang", Seq("en", "de", "fr", "es", "zh"))
+      .agg(count(lit(1)))
+      .select(col("source"),
+        coalesce(col("en"), lit(0L)).as("n_en"),
+        coalesce(col("de"), lit(0L)).as("n_de"),
+        coalesce(col("fr"), lit(0L)).as("n_fr"),
+        coalesce(col("es"), lit(0L)).as("n_es"),
+        coalesce(col("zh"), lit(0L)).as("n_zh"))
+      .orderBy("source"),
+    Some("""SELECT source,
+           |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+           |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+           |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+           |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
   /** Dataset-card statistics per (lang, source): doc/token counts, size
     * distribution, mean quality — one scan + one hash aggregation.
     */
@@ -1479,6 +1538,9 @@ object Queries {
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "corpus_stats" -> corpusStats,
+    "corpus_percentiles" -> corpusPercentiles,
+    "corpus_cube" -> corpusCube,
+    "corpus_pivot" -> corpusPivot,
     "text_repetition" -> textRepetition,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
