@@ -800,19 +800,16 @@ object Queries {
     */
   private val pipelineCuration = Q(
     (s, d) => {
-      val docs = D.documents(s, d)
-      val cleaned = graft.operators.Dedup.lineDedup(
-          docs.select("doc_id", "text"), "doc_id", "text", maxOccurrences = 2)
-        .select(col("doc_id"), col("cleaned"))
-        .join(docs.select("doc_id", "lang"), "doc_id")
-      val kept = graft.operators.TextAnalysis.qualitySignals(cleaned, "cleaned")
-        .filter(col("n_tokens") >= 40 && col("quality_score") >= 0.5)
-      val unique = kept
-        .withColumn("fp", graft.operators.Dedup.simhash16("cleaned"))
-        .withColumn("is_first",
-          col("doc_id") === min("doc_id").over(Window.partitionBy("fp")))
-        .filter(col("is_first"))
-      unique.groupBy("lang")
+      // expressed through the config-driven Pipeline API — hashing against the
+      // same oracle proves the wrapper composes the stages identically to the
+      // hand-written plan it replaced
+      val curated = graft.operators.Pipeline.curate(
+        D.documents(s, d).select("doc_id", "lang", "text"), "doc_id", "text",
+        graft.operators.Pipeline.CurationConfig(
+          lineDedupMaxOccurrences = Some(2),
+          minTokens = 40, minQuality = 0.5,
+          nearDedup = true))
+      curated.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
         .orderBy("lang")
     },

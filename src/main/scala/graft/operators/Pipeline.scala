@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Config-driven curation pipeline: the end-to-end pass a training-data run
+  * executes between raw ingest and tokenization, composing the individually
+  * oracle-gated operators into ONE declarative plan (Catalyst sees the whole
+  * DAG — filters merge, projections prune, nothing materializes between
+  * stages). Stage order is the standard one: structural cleanup → quality
+  * gates → privacy scrub → near-dup removal → decontamination → mixture
+  * sampling. Every stage is optional; `CurationConfig()` is pass-through.
+  *
+  * Scale: stages add only the shuffles their underlying operators need
+  * (lineDedup: line-keyed exchange; near-dup: one fingerprint window;
+  * decontamination: broadcast benchmark join) — disabled stages cost nothing.
+  */
+object Pipeline {
+
+  /** @param lineDedupMaxOccurrences drop lines appearing more than this many
+    *   times corpus-wide (None = skip structural cleanup)
+    * @param minTokens,minQuality gates on [[TextAnalysis.qualitySignals]]
+    * @param entropyBand keep docs whose char entropy lies in [lo, hi]
+    * @param redactPii replace emails/IPs/phones with typed placeholders
+    * @param nearDedup keep only the smallest id per 16-bit SimHash bucket
+    * @param sampleRates per-stratum keep rates (requires `stratumCol` at
+    *   [[curate]]); None = keep everything
+    */
+  final case class CurationConfig(
+      lineDedupMaxOccurrences: Option[Int] = None,
+      minTokens: Long = 0L,
+      minQuality: Double = 0.0,
+      entropyBand: Option[(Double, Double)] = None,
+      redactPii: Boolean = false,
+      nearDedup: Boolean = false,
+      sampleRates: Option[Map[String, Double]] = None,
+      sampleDefaultRate: Double = 0.0,
+      decontaminateNgram: Int = 13)
+
+  /** Run the configured stages over `docs`. Output keeps every input column,
+    * with `textCol` rewritten in place by cleanup/redaction stages, plus the
+    * signal columns the enabled stages computed (n_tokens, quality_score,
+    * entropy, …) — the audit trail of why each surviving doc survived.
+    *
+    * @param benchmark optional (df, idCol, textCol) to decontaminate against
+    * @param stratumCol column holding the sampling stratum (required when
+    *   `cfg.sampleRates` is set)
+    */
+  def curate(
+      docs: DataFrame, idCol: String, textCol: String,
+      cfg: CurationConfig = CurationConfig(),
+      benchmark: Option[(DataFrame, String, String)] = None,
+      stratumCol: Option[String] = None): DataFrame = {
+
+    val otherCols = docs.columns.filter(c => c != idCol && c != textCol)
+
+    // 1. structural cleanup: C4-style boilerplate line removal
+    var cur = cfg.lineDedupMaxOccurrences match {
+      case Some(m) =>
+        val cleaned = Dedup.lineDedup(docs.select(col(idCol), col(textCol)),
+            idCol, textCol, maxOccurrences = m)
+          .select(col(idCol), col("cleaned").as(textCol))
+        if (otherCols.isEmpty) cleaned
+        else cleaned.join(docs.drop(textCol), Seq(idCol))
+      case None => docs
+    }
+
+    // 2. quality gates (signals computed once, reused by the filter)
+    if (cfg.minTokens > 0 || cfg.minQuality > 0) {
+      cur = TextAnalysis.qualitySignals(cur, textCol)
+        .filter(col("n_tokens") >= cfg.minTokens &&
+          col("quality_score") >= cfg.minQuality)
+    }
+    cfg.entropyBand.foreach { case (lo, hi) =>
+      cur = TextAnalysis.withCharEntropy(cur, textCol)
+        .filter(col("entropy").between(lo, hi))
+    }
+
+    // 3. privacy scrub (text rewritten in place; counts kept as audit trail)
+    if (cfg.redactPii) {
+      cur = Curation.redactPii(cur, textCol)
+        .drop(textCol).withColumnRenamed("redacted", textCol)
+    }
+
+    // 4. near-dup removal: first doc id per fingerprint wins
+    if (cfg.nearDedup) {
+      cur = cur.withColumn("_fp", Dedup.simhash16(textCol))
+        .withColumn("_keep",
+          col(idCol) === min(idCol).over(Window.partitionBy("_fp")))
+        .filter(col("_keep")).drop("_fp", "_keep")
+    }
+
+    // 5. benchmark decontamination (broadcast ngram set; drop contaminated)
+    benchmark.foreach { case (bench, bid, btext) =>
+      val flags = Curation.decontaminate(cur, bench, idCol, textCol,
+        bid, btext, n = cfg.decontaminateNgram)
+      cur = cur.join(
+        flags.filter(!col("contaminated")).select(col(idCol)), Seq(idCol), "left_semi")
+    }
+
+    // 6. reproducible mixture sampling
+    cfg.sampleRates.foreach { rates =>
+      val stratum = stratumCol.getOrElse(throw new IllegalArgumentException(
+        "sampleRates requires stratumCol"))
+      cur = Curation.stratifiedSample(cur, idCol, stratum, rates,
+        defaultRate = cfg.sampleDefaultRate)
+    }
+    cur
+  }
+}

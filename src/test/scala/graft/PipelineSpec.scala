@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pipeline
+import graft.operators.Pipeline.CurationConfig
+
+/** The config-driven curation pipeline end to end: each stage eliminates the
+  * doc planted to trip it, survivors keep their audit-trail signals, and the
+  * default config is a pass-through.
+  */
+class PipelineSpec extends AnyFunSuite with SparkSuite {
+
+  private val boiler = "subscribe to our newsletter now"
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      // survivor: long, varied, clean
+      (1L, "en", ("the quick brown fox jumps over the lazy dog near the river bank " * 3)
+        + boiler),
+      // near-dup of 1 (same text, higher id) → dropped by nearDedup
+      (2L, "en", ("the quick brown fox jumps over the lazy dog near the river bank " * 3)
+        + boiler),
+      // too short → dropped by minTokens
+      (3L, "en", "tiny"),
+      // low entropy → dropped by entropyBand
+      (4L, "en", "aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa " +
+        "aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa"),
+      // has PII → survives with redaction
+      (5L, "en", ("contact me at someone@example.org about the quarterly planning " +
+        "document we reviewed together last week with the team ") * 2 + boiler))
+      .toDF("doc_id", "lang", "text")
+  }
+
+  test("default config is a pass-through") {
+    val out = Pipeline.curate(corpus, "doc_id", "text")
+    assert(out.count() === corpus.count())
+    assert(out.columns.toSet === Set("doc_id", "lang", "text"))
+  }
+
+  test("each stage eliminates its planted doc; survivors carry signals") {
+    // every doc contains `boiler` except 3/4; with maxOccurrences=2 the line
+    // survives (3 occurrences would need 3+ docs sharing it) — keep it simple:
+    val out = Pipeline.curate(corpus, "doc_id", "text",
+      CurationConfig(
+        lineDedupMaxOccurrences = Some(5), // structural stage on, nothing dropped
+        minTokens = 10,
+        entropyBand = Some((2.0, 6.0)),
+        redactPii = true,
+        nearDedup = true))
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(byId.keySet === Set(1L, 5L)) // 2 near-dup, 3 short, 4 low-entropy
+    // audit-trail columns present
+    assert(out.columns.contains("n_tokens") && out.columns.contains("entropy"))
+    // PII was scrubbed in place
+    val t5 = byId(5L).getAs[String]("text")
+    assert(t5.contains("<EMAIL>") && !t5.contains("example.org"))
+    assert(byId(5L).getAs[Long]("n_emails") === 2L)
+    // non-text columns survived the stages
+    assert(byId(1L).getAs[String]("lang") === "en")
+  }
+
+  test("decontamination and sampling stages compose at the tail") {
+    import spark.implicits._
+    val bench = Seq((900L,
+      "the quick brown fox jumps over the lazy dog near the river bank and beyond"))
+      .toDF("bid", "btext")
+    val out = Pipeline.curate(corpus, "doc_id", "text",
+      CurationConfig(minTokens = 1),
+      benchmark = Some((bench, "bid", "btext")))
+    // docs 1 and 2 share a 13-gram with the benchmark → decontaminated away
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(3L, 4L, 5L))
+
+    val sampled = Pipeline.curate(corpus, "doc_id", "text",
+      CurationConfig(sampleRates = Some(Map("en" -> 1.0))),
+      stratumCol = Some("lang"))
+    assert(sampled.count() === 5) // rate 1.0 keeps all
+    val none = Pipeline.curate(corpus, "doc_id", "text",
+      CurationConfig(sampleRates = Some(Map("en" -> 0.0))),
+      stratumCol = Some("lang"))
+    assert(none.count() === 0)
+  }
+}
