@@ -165,6 +165,38 @@ object Cli {
         println(Formatting.jsonIndent(result))
       case "list" =>
         println(cm.list().mkString("[\"", "\", \"", "\"]"))
+      case "curate" =>
+        // Training-data curation over a parquet corpus (an extension beyond
+        // the reference's adapters): parquet in → Pipeline.curate → parquet
+        // out, with a one-line JSON summary on stdout.
+        import graft.operators.Pipeline
+        val in = req("in"); val out = req("out")
+        val idCol = opt("id-col").getOrElse("doc_id")
+        val textCol = opt("text-col").getOrElse("text")
+        val cfg = Pipeline.CurationConfig(
+          lineDedupMaxOccurrences = opt("line-dedup-max").map(_.toInt),
+          minTokens = opt("min-tokens").map(_.toLong).getOrElse(0L),
+          minQuality = opt("min-quality").map(_.toDouble).getOrElse(0.0),
+          entropyBand = (opt("min-entropy"), opt("max-entropy")) match {
+            case (Some(lo), Some(hi)) => Some((lo.toDouble, hi.toDouble))
+            case _ => None
+          },
+          redactPii = flags("redact-pii"),
+          nearDedup = flags("near-dedup"),
+          sampleRates = opt("sample-rates").map(_.split(",").map { kv =>
+            val Array(k, v) = kv.split("="); k -> v.toDouble
+          }.toMap),
+          sampleDefaultRate = opt("sample-default").map(_.toDouble).getOrElse(0.0))
+        val bench = opt("benchmark").map(p => (
+          spark.read.parquet(p),
+          opt("benchmark-id-col").getOrElse(idCol),
+          opt("benchmark-text-col").getOrElse(textCol)))
+        val docs = spark.read.parquet(in)
+        val curated = Pipeline.curate(docs, idCol, textCol, cfg,
+          benchmark = bench, stratumCol = opt("stratum-col"))
+        curated.write.mode("overwrite").parquet(out)
+        val (nIn, nOut) = (docs.count(), spark.read.parquet(out).count())
+        println(s"""{"in":$nIn,"out":$nOut,"dropped":${nIn - nOut},"path":"$out"}""")
       case other => sys.error(s"unknown subcommand $other")
     }
   }

@@ -59,4 +59,25 @@ class CliSpec extends AnyFunSuite with SparkSuite {
       "--format", "json")
     assert(afterUpdate.contains("new.txt"))
   }
+
+  test("curate: parquet in → configured pipeline → parquet out + summary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val work = Files.createTempDirectory("graft-cli-curate")
+    val in = s"$work/in"; val out = s"$work/out"
+    Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog beside the river " * 3),
+      (2L, "en", "tiny"),
+      (3L, "en", "write to someone@example.com about the launch plan for next quarter " * 2))
+      .toDF("doc_id", "lang", "text").write.parquet(in)
+
+    val summary = captured("curate", "--in", in, "--out", out,
+      "--min-tokens", "5", "--redact-pii")
+    assert(summary.contains("\"in\":3") && summary.contains("\"out\":2") &&
+      summary.contains("\"dropped\":1"))
+    val kept = spark.read.parquet(out)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(kept.filter(col("doc_id") === 3L).select("text").collect()(0)
+      .getString(0).contains("<EMAIL>"))
+  }
 }
