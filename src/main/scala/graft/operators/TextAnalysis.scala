@@ -163,31 +163,14 @@ object TextAnalysis {
 
   /** Character-level Shannon entropy (bits/char) — the compression-proxy
     * quality signal (low entropy ⇒ repetitive/boilerplate text; binary junk
-    * decoded as text scores anomalously high). Narrow per-row expression;
-    * every intermediate binds to a column once (inlined forms re-evaluate per
-    * lambda element). Counts come from run lengths over the SORTED char array
-    * — O(n log n) with O(1) element_at lookups; the distinct×filter spelling
-    * is O(distinct × n) and benched 2.7× slower at sf0.1, and the
-    * sequence+substring char-split spelling re-seeks UTF-8 offsets per index
-    * (O(n²), 8 s vs 0.3 s for the split('') one-pass).
+    * decoded as text scores anomalously high). A native codegen'd expression
+    * ([[graft.plans.CharEntropy]]): one pass over the UTF-8 bytes into a
+    * codepoint histogram. The declarative spellings it replaced benched far
+    * slower at sf0.1 (run-length-over-sorted-chars ~1.3 s, distinct×filter
+    * ~3.5 s, sequence+substring ~8 s — that one re-seeks UTF-8 offsets per
+    * index, O(n²)); the kernel is a map at scan cost.
     */
   def withCharEntropy(docs: DataFrame, textCol: String): DataFrame =
-    docs
-      .withColumn("_s", array_sort(filter(split(col(textCol), ""), c => c =!= "")))
-      // indices where a run of equal chars ends (1-based, ascending); the
-      // empty guard matters under ANSI: sequence(1, 0) counts DOWN and the
-      // lambda would then index past the empty array
-      .withColumn("_b", when(size(col("_s")) > 0, expr(
-          "filter(sequence(1, size(_s)), i -> i = size(_s) OR element_at(_s, i) != element_at(_s, i + 1))"))
-        .otherwise(typedLit(Array.empty[Int])))
-      .withColumn("entropy",
-        when(size(col("_s")) > 0, round(-expr(
-          """aggregate(
-            |  transform(sequence(1, size(_b)),
-            |    j -> ((element_at(_b, j) - CASE WHEN j = 1 THEN 0
-            |                                    ELSE element_at(_b, j - 1) END)
-            |          / CAST(size(_s) AS DOUBLE))),
-            |  CAST(0.0 AS DOUBLE), (acc, p) -> acc + p * log2(p))""".stripMargin), 4))
-          .otherwise(lit(0.0)))
-      .drop("_s", "_b")
+    docs.withColumn("entropy",
+      round(graft.plans.TextHashFunctions.charEntropy(col(textCol)), 4))
 }

@@ -201,6 +201,74 @@ object TextHashOps extends Serializable {
   }
 }
 
+/** One-pass character-entropy kernel behind [[CharEntropy]]: UTF-8 codepoint
+  * histogram (dense int[128] for ASCII, map spill for the rest) folded into
+  * -Σ p·log2 p. Replaces a sort + two higher-order passes; value parity with
+  * the declarative run-length formulation is locked by the text_entropy
+  * oracle (summation-order double drift is absorbed by the 4-dp round, the
+  * same tolerance the DuckDB comparison already exercises).
+  */
+object CharEntropyOps extends Serializable {
+  private val LOG2 = math.log(2.0)
+
+  def entropy(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 0.0
+    val ascii = new Array[Int](128)
+    var other: java.util.HashMap[Integer, Array[Int]] = null
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b < 0x80) { ascii(b) += 1; i += 1 }
+      else {
+        val len =
+          if ((b & 0xe0) == 0xc0) 2 else if ((b & 0xf0) == 0xe0) 3
+          else if ((b & 0xf8) == 0xf0) 4 else 1
+        var cp = 0
+        var j = 0
+        while (j < len && i + j < bytes.length) {
+          cp = (cp << 8) | (bytes(i + j) & 0xff); j += 1
+        }
+        if (other == null) other = new java.util.HashMap()
+        other.computeIfAbsent(cp, _ => new Array[Int](1))(0) += 1
+        i += math.min(len, bytes.length - i)
+      }
+      n += 1
+    }
+    val nd = n.toDouble
+    var h = 0.0
+    var c = 0
+    while (c < 128) {
+      val k = ascii(c)
+      if (k > 0) { val p = k / nd; h -= p * math.log(p) / LOG2 }
+      c += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) { val p = it.next()(0) / nd; h -= p * math.log(p) / LOG2 }
+    }
+    h
+  }
+}
+
+/** Shannon entropy in bits/char of a string's codepoints (string → double). */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "char_entropy"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    CharEntropyOps.entropy(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = ctx.addReferenceObj("charEntropyOps", CharEntropyOps,
+      "graft.plans.CharEntropyOps$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ops.entropy($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 16-bit simhash of a token array (array<string> → bigint). */
 case class SimHash16(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash16"
@@ -255,6 +323,7 @@ object TextHashFunctions {
   import ColumnBridge.{toCol, toExpr}
 
   def simhash16(tokens: Column): Column = toCol(SimHash16(toExpr(tokens)))
+  def charEntropy(text: Column): Column = toCol(CharEntropy(toExpr(text)))
   def minhashSig(tokens: Column, n: Int): Column = toCol(MinHashSig(toExpr(tokens), n))
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     toCol(WinnowFingerprint(toExpr(text), k, w))
