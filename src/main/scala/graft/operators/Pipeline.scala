@@ -47,11 +47,16 @@ object Pipeline {
     * @param stratumCol column holding the sampling stratum (required when
     *   `cfg.sampleRates` is set)
     */
+  /** @param qualityModel optional (model, minScore): fasttext-style linear
+    *   scorer applied after the heuristic gates — docs below minScore drop,
+    *   survivors keep their `model_quality` score
+    */
   def curate(
       docs: DataFrame, idCol: String, textCol: String,
       cfg: CurationConfig = CurationConfig(),
       benchmark: Option[(DataFrame, String, String)] = None,
-      stratumCol: Option[String] = None): DataFrame = {
+      stratumCol: Option[String] = None,
+      qualityModel: Option[(graft.functions.LinearQualityModel, Double)] = None): DataFrame = {
 
     val otherCols = docs.columns.filter(c => c != idCol && c != textCol)
 
@@ -75,6 +80,12 @@ object Pipeline {
     cfg.entropyBand.foreach { case (lo, hi) =>
       cur = TextAnalysis.withCharEntropy(cur, textCol)
         .filter(col("entropy").between(lo, hi))
+    }
+
+    // 2b. model-based quality gate (after the cheap heuristics so the model
+    // scores only their survivors)
+    qualityModel.foreach { case (model, minScore) =>
+      cur = model.filterByQuality(cur, textCol, minScore)
     }
 
     // 3. privacy scrub (text rewritten in place; counts kept as audit trail)

@@ -62,6 +62,46 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(byId(1L).getAs[String]("lang") === "en")
   }
 
+  test("model-based quality stage drops low scorers, keeps the score column") {
+    import spark.implicits._
+    val good = "a thoughtful well written paragraph about distributed systems"
+    val bad = "buy now click here buy now click here buy now"
+    val e = new graft.functions.HashingEmbedder(64)
+    val w = e.embed(good).zip(e.embed(bad)).map { case (g, b) => g - b }
+    val model = graft.functions.LinearQualityModel.fromWeights(0.0, w)
+    val docs = Seq((1L, good), (2L, bad)).toDF("doc_id", "text")
+    val out = Pipeline.curate(docs, "doc_id", "text",
+      qualityModel = Some((model, 0.5)))
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+    assert(rows.head.getAs[Double]("model_quality") > 0.5)
+  }
+
+  test("curate composes inside a streaming foreachBatch merge") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-curate")
+    val outDir = s"$tmp/out"
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Pipeline.curate(batch, "doc_id", "text",
+            Pipeline.CurationConfig(minTokens = 3, redactPii = true))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+    stream.addData(
+      (1L, "a long enough document mentioning someone@example.com today"),
+      (2L, "too short"))
+    q.start().awaitTermination(60000)
+    val rows = spark.read.parquet(outDir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+    assert(rows.head.getAs[String]("text").contains("<EMAIL>"))
+  }
+
   test("decontamination and sampling stages compose at the tail") {
     import spark.implicits._
     val bench = Seq((900L,
