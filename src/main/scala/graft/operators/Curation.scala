@@ -3,19 +3,23 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Training-corpus curation beyond dedup: PII redaction and benchmark
-  * decontamination — the two scrub passes every large-scale pretraining
-  * pipeline runs between raw ingest and tokenization (C4/Dolma-style; the
-  * reference engine stops at search, so these are LLM-pipeline extensions in
-  * the same spirit as the dedup family in [[Dedup]]).
+/** Training-corpus curation beyond dedup — the passes a large-scale
+  * pretraining pipeline runs between raw ingest and tokenization
+  * (C4/Dolma-style; the reference engine stops at search, so these are
+  * LLM-pipeline extensions in the same spirit as the dedup family in
+  * [[Dedup]]): PII redaction, benchmark decontamination, URL/domain
+  * provenance, reproducible stratified mixture sampling, and token-budget
+  * shard packing. [[Pipeline.curate]] composes them behind one config.
   *
   * Scale shapes:
-  *  - redaction is a pure per-row map (regexp_replace / regexp_count are
-  *    codegen'd) — zero shuffles, scales linearly with the scan;
+  *  - redaction / domain extraction / sampling are pure per-row maps and
+  *    predicates (codegen'd regex, md5-threshold compare) — zero shuffles;
   *  - decontamination explodes word n-grams on the corpus side but BROADCASTS
   *    the benchmark side (benchmarks are MBs, corpora are TBs), so the join
   *    adds no corpus shuffle; the only exchange is the per-doc count groupBy
-  *    on (id, hash) pairs.
+  *    on (id, hash) pairs;
+  *  - shard packing is a distributed prefix sum: per-bucket windows plus a
+  *    metadata-sized broadcast offset table — no global window anywhere.
   */
 object Curation {
 

@@ -129,6 +129,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"corpus-side window must partition by bucket, plan:\n$p")
   }
 
+  test("graph-ANN merge shuffles only narrow triples, keyed by query") {
+    val p = plan("ann_graph_topk")
+    // after the per-partition shard search, the only hash exchange is the
+    // per-query merge — vectors never cross it
+    val hashEx = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("query_id")),
+      s"expected only the query_id merge exchange, plan:\n$p")
+    assert(!hashEx.exists(_.contains("embedding")),
+      "vectors must not cross the merge exchange")
+  }
+
   test("cluster assignment aggregates partially before its one exchange") {
     val p = plan("cluster_assign")
     assert(!p.contains("CartesianProduct"))
