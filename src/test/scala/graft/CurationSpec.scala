@@ -123,6 +123,25 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       Seq("a.example.com", "b.example.net")) // distinct, first-occurrence order
   }
 
+  test("containmentPairs: quoted doc scores high asymmetrically") {
+    import spark.implicits._
+    val quoted = "the committee concluded that the proposal should be adopted without further amendment"
+    val host = s"as reported earlier this week, $quoted — a decision observers called overdue, " +
+      "with several members dissenting on procedural grounds at considerable additional length"
+    val docs = Seq(
+      (1L, quoted), (2L, host),
+      (3L, "wholly unrelated text about parquet row group statistics and pruning"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
+        minContainment = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("containment")).toMap
+    // 1 is mostly inside 2; 2 is NOT mostly inside 1 (asymmetry); 3 matches nothing
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) > 0.5)
+    assert(!out.contains((2L, 1L)))
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("incrementalNearDups: new batch gates against persisted signatures only") {
     import spark.implicits._
     val phrase = "the quick brown fox jumps over the lazy dog again and again"
