@@ -757,6 +757,60 @@ object Queries {
            |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
            |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
+  /** TPC-H Q18 shape: large-order customers via a HAVING-gated aggregate
+    * subquery joined back to its dimensions. The aggregate runs ONCE (one
+    * shuffle on l_orderkey), the HAVING prunes before the joins, and both
+    * dimension joins broadcast — the filtered key set is tiny by design.
+    */
+  private val q18LargeOrders = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d); val o = D.orders(s, d); val c = D.customer(s, d)
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 250)
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"), round(col("total_qty"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey, o_totalprice, round(total_qty, 2) AS total_qty
+           |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+           |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+           |JOIN orders ON o_orderkey = l_orderkey
+           |JOIN customer ON c_custkey = o_custkey
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin))
+
+  /** Heavy hitters: top-5 tokens per language by document frequency — the
+    * vocabulary panel of a corpus card (and the classic top-k-per-group
+    * shape: explode map-side, one (lang, token) aggregate, a k-row window
+    * per group). Document frequency (distinct docs) rather than raw count so
+    * a single repetitive doc can't dominate the list.
+    */
+  private val corpusHeavyHitters = Q(
+    (s, d) => {
+      val toks = D.documents(s, d).select(col("lang"), col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), "[^a-z0-9]+"))).as("token"))
+        .filter(col("token") =!= "")
+      val counts = toks.groupBy("lang", "token")
+        .agg(count(lit(1)).as("df"))
+      counts.withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("df").desc, col("token").asc)))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk").cast("long").as("rk"), col("token"), col("df"))
+        .orderBy("lang", "rk")
+    },
+    Some("""WITH t AS (SELECT lang, doc_id,
+           |    unnest(list_distinct(list_filter(
+           |      regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS token
+           |  FROM documents),
+           |c AS (SELECT lang, token, count(*) AS df FROM t GROUP BY lang, token),
+           |r AS (SELECT lang, token, df,
+           |    row_number() OVER (PARTITION BY lang ORDER BY df DESC, token ASC) AS rk
+           |  FROM c)
+           |SELECT lang, rk, token, df FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin))
+
   /** Dataset-card statistics per (lang, source): doc/token counts, size
     * distribution, mean quality — one scan + one hash aggregation.
     */
@@ -1573,6 +1627,8 @@ object Queries {
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "corpus_stats" -> corpusStats,
+    "q18_large_orders" -> q18LargeOrders,
+    "corpus_heavy_hitters" -> corpusHeavyHitters,
     "corpus_percentiles" -> corpusPercentiles,
     "corpus_cube" -> corpusCube,
     "corpus_pivot" -> corpusPivot,

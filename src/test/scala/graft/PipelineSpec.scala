@@ -33,6 +33,23 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       .toDF("doc_id", "lang", "text")
   }
 
+  test("null text flows through every stage without crashing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a perfectly ordinary document with plenty of words to survive the quality gates in place"),
+      (2L, "en", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "text")
+    // every filtering stage on: the null doc must drop cleanly, never throw
+    val out = Pipeline.curate(docs, "doc_id", "text",
+      CurationConfig(minTokens = 3, entropyBand = Some((1.0, 6.0)),
+        redactPii = true, nearDedup = true))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // and the per-op entry points tolerate null too
+    assert(graft.operators.Curation.redactPii(docs, "text").count() === 2)
+    assert(graft.operators.Curation.withDomains(docs, "text").count() === 2)
+    assert(graft.operators.TextAnalysis.withCharEntropy(docs, "text").count() === 2)
+  }
+
   test("default config is a pass-through") {
     val out = Pipeline.curate(corpus, "doc_id", "text")
     assert(out.count() === corpus.count())
