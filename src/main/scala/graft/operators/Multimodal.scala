@@ -180,4 +180,43 @@ object Multimodal {
       when(length(col("bytes")) > maxBytes,
         expr(s"substring(bytes, 1, $maxBytes)").cast(BinaryType))
       .otherwise(col("bytes")))
+
+  /** REAL nearest-neighbor resize for RAW RGB buffers (row-major W×H×3):
+    * the post-decode half of the image pipeline is pure array math and needs
+    * no codec, so unlike the codec-bound JPEG/PNG pixel decode it is NOT a
+    * stub. Compose: decode (stub for compressed formats) → resizeRawRgb
+    * (real) → extractFeatures (real). Buffers that don't match their claimed
+    * dimensions resize to null — quarantine, don't crash the task.
+    *
+    * Source pixel = floor mapping (x·srcW/dstW, y·srcH/dstH), the standard
+    * nearest-neighbor rule. Per-row map, zero shuffles.
+    */
+  def resizeRawRgb(media: DataFrame, dstW: Int, dstH: Int,
+                   widthCol: String = "width", heightCol: String = "height"): DataFrame = {
+    require(dstW > 0 && dstH > 0, "target dims must be positive")
+    val resizeUdf = udf { (bytes: Array[Byte], w: Int, h: Int) =>
+      if (bytes == null || w <= 0 || h <= 0 || bytes.length < w * h * 3) null
+      else {
+        val out = new Array[Byte](dstW * dstH * 3)
+        var y = 0
+        while (y < dstH) {
+          val sy = y * h / dstH
+          var x = 0
+          while (x < dstW) {
+            val sx = x * w / dstW
+            val src = (sy * w + sx) * 3
+            val dst = (y * dstW + x) * 3
+            out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
+    media
+      .withColumn("bytes", resizeUdf(col("bytes"), col(widthCol), col(heightCol)))
+      .withColumn(widthCol, when(col("bytes").isNotNull, lit(dstW)).otherwise(col(widthCol)))
+      .withColumn(heightCol, when(col("bytes").isNotNull, lit(dstH)).otherwise(col(heightCol)))
+  }
 }

@@ -66,6 +66,35 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(got("gif") === ((21, 11, 3)))
   }
 
+  test("multimodal: real nearest-neighbor resize of raw RGB buffers") {
+    import spark.implicits._
+    // 4×4 gradient: pixel (x,y) = (x*60, y*60, 10)
+    val buf = Array.tabulate(4 * 4 * 3) { i =>
+      val p = i / 3; val (x, y) = (p % 4, p / 4)
+      (i % 3 match { case 0 => x * 60; case 1 => y * 60; case _ => 10 }).toByte
+    }
+    val media = Seq(
+      ("ok", buf, 4, 4),
+      ("short", Array.fill(5)(1.toByte), 4, 4)) // claims 4×4, lies → null
+      .toDF("mediaId", "bytes", "width", "height")
+
+    val down = Multimodal.resizeRawRgb(media, dstW = 2, dstH = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val d = down("ok").getAs[Array[Byte]]("bytes")
+    assert(d.length === 2 * 2 * 3)
+    // nearest = floor mapping: dst(1,1) ← src(2,2) = (120, 120, 10)
+    assert((d(9) & 0xff, d(10) & 0xff, d(11) & 0xff) === ((120, 120, 10)))
+    assert(down("ok").getAs[Int]("width") === 2)
+    assert(down("short").getAs[Array[Byte]]("bytes") === null) // quarantined
+    assert(down("short").getAs[Int]("width") === 4)            // dims untouched
+
+    // upscale replicates pixels; round-trip down-up keeps the corner pixel
+    val up = Multimodal.resizeRawRgb(media.filter($"mediaId" === "ok"), 8, 8)
+      .head().getAs[Array[Byte]]("bytes")
+    assert(up.length === 8 * 8 * 3)
+    assert((up(0) & 0xff) === 0 && (up(2) & 0xff) === 10) // (0,0) survives
+  }
+
   test("multimodal: decode stub, features, frame sampling, resize") {
     import spark.implicits._
     val media = Seq(
