@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Pre-flight fan-out report for a candidate `binSeconds`: per-interval bin
+    * replication (len/bin + 1) summarized as (n_intervals, max_fanout,
+    * mean_fanout, total_exploded_rows). The hazard this surfaces is the dual
+    * of the as-of hot key: one open-ended or year-long interval against
+    * hour bins explodes to ~9k rows — run this on big inputs, then either
+    * raise binSeconds, cap interval length upstream, or split the offender.
+    * One cheap aggregate over the two timestamp columns only.
+    */
+  def fanoutStats(intervals: DataFrame, startTs: String, endTs: String,
+                  binSeconds: Long): DataFrame = {
+    val fan = (floor(unix_timestamp(col(endTs)) / binSeconds) -
+      floor(unix_timestamp(col(startTs)) / binSeconds) + 1)
+    intervals.select(fan.as("_f"))
+      .agg(count(lit(1)).as("n_intervals"), max("_f").as("max_fanout"),
+        round(avg("_f"), 2).as("mean_fanout"),
+        sum("_f").as("total_exploded_rows"))
+  }
+
   /** @param points    DataFrame with `pointTs` (timestamp) + key + payload cols
     * @param intervals DataFrame with `startTs`/`endTs` (timestamps, inclusive
     *                  bounds) + key + payload cols (names must not collide with

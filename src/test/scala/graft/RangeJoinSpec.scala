@@ -40,4 +40,19 @@ class RangeJoinSpec extends AnyFunSuite with SparkSuite {
       Seq("k"), binSeconds = 600L).count()
     assert(rows === 1L)
   }
+
+  test("fanoutStats flags the interval that would explode under small bins") {
+    import spark.implicits._
+    val intervals = Seq(
+      (1L, t(0), t(9)),    // 1 bin at 600s
+      (2L, t(0), t(119)))  // 12 bins at 600s — the offender
+      .toDF("iid", "s", "e")
+    val r = RangeJoin.fanoutStats(intervals, "s", "e", binSeconds = 600L).head()
+    assert(r.getAs[Long]("n_intervals") === 2L)
+    assert(r.getAs[Long]("max_fanout") === 12L)
+    assert(r.getAs[Long]("total_exploded_rows") === 13L)
+    // the mitigation: bigger bins collapse the fan-out
+    val big = RangeJoin.fanoutStats(intervals, "s", "e", binSeconds = 7200L).head()
+    assert(big.getAs[Long]("max_fanout") === 1L)
+  }
 }
