@@ -99,10 +99,14 @@ object Curation {
         transform(col("urls"), u => regexp_extract(u, domainPattern, 1))))
 
   /** First 6 hex chars of (2^24 × rate), the keep-threshold for
-    * [[stratifiedSample]]'s lexicographic compare. Rates ≥ 1 keep everything.
+    * [[stratifiedSample]]'s lexicographic compare. Rates ≥ 1 keep everything
+    * (handled by keepFor's lit(true)); for rates just below 1 the rounded
+    * value is clamped to 2^24−1 = "ffffff" — 1<<24 would format as the
+    * 7-char "1000000", whose lexicographic compare against 6-char hashes
+    * silently keeps only ~6% of rows.
     */
   def rateThresholdHex(rate: Double): String =
-    f"${math.max(0L, math.min(1 << 24, math.round(rate * (1 << 24))))}%06x"
+    f"${math.max(0L, math.min((1 << 24) - 1, math.round(rate * (1 << 24))))}%06x"
 
   /** Reproducible stratified sampling for training mixtures: keep a row iff
     * the first 6 hex chars of md5(salt ++ id) compare below the stratum's

@@ -36,6 +36,12 @@ object GraphAnn {
     private val ids = mutable.ArrayBuffer.empty[Long]
     private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     private val adj = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
+    // parentOf(x) = the closest already-inserted node at x's insertion time
+    // (-1 for the entry node). The edge parentOf(x) -> x is PERMANENT: the
+    // degree-cap shrink never evicts it, so the parent edges form a spanning
+    // tree rooted at node 0 and every node stays reachable from the entry —
+    // the structural guarantee behind "exhaustive mode equals brute force".
+    private val parentOf = mutable.ArrayBuffer.empty[Int]
 
     def size: Int = ids.length
 
@@ -94,17 +100,30 @@ object GraphAnn {
           .sortBy { case (i, d) => (d, ids(i)) }.take(m)
         ids += id; vecs += vec
         adj += near.map(_._1).to(mutable.ArrayBuffer)
+        parentOf += near.head._1
         near.foreach { case (nb, _) =>
           adj(nb) += newIdx
           if (adj(nb).length > maxDegree) {
-            // degree cap: keep the closest neighbors (HNSW's shrink step)
-            val kept = adj(nb)
+            // Degree cap (HNSW's shrink step): keep the closest neighbors,
+            // EXCEPT that spanning-tree edges (nb -> x where parentOf(x)
+            // == nb) are never evicted — otherwise a node whose last
+            // in-edge gets shrunk away becomes unreachable from entry 0
+            // and exhaustive-mode completeness would be data-dependent.
+            // Degree may exceed maxDegree by nb's tree-child count (~1 on
+            // average, since each node has exactly one parent).
+            val (tree, rest) = adj(nb)
+              .partition(x => parentOf(x) == nb)
+            val kept = rest
               .map(x => (dist(vecs(nb), vecs(x)), ids(x), x))
-              .sortBy(t => (t._1, t._2)).take(maxDegree).map(_._3)
-            adj(nb) = kept
+              .sortBy(t => (t._1, t._2))
+              .take(math.max(0, maxDegree - tree.length)).map(_._3)
+            adj(nb) = tree ++ kept
           }
         }
-      } else { ids += id; vecs += vec; adj += mutable.ArrayBuffer.empty[Int] }
+      } else {
+        ids += id; vecs += vec
+        adj += mutable.ArrayBuffer.empty[Int]; parentOf += -1
+      }
     }
 
     /** Top-k (id, dist), ascending dist with id tie-break. */

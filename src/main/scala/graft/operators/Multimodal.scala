@@ -195,7 +195,10 @@ object Multimodal {
                    widthCol: String = "width", heightCol: String = "height"): DataFrame = {
     require(dstW > 0 && dstH > 0, "target dims must be positive")
     val resizeUdf = udf { (bytes: Array[Byte], w: Int, h: Int) =>
-      if (bytes == null || w <= 0 || h <= 0 || bytes.length < w * h * 3) null
+      // Long math: corrupt metadata claiming huge dims (e.g. 65536×65536)
+      // overflows Int w*h*3 to a small/zero value and would pass the guard.
+      if (bytes == null || w <= 0 || h <= 0 ||
+          bytes.length.toLong < w.toLong * h.toLong * 3L) null
       else {
         val out = new Array[Byte](dstW * dstH * 3)
         var y = 0

@@ -3,6 +3,7 @@ package graft.sources
 import java.io.ByteArrayInputStream
 import java.nio.charset.StandardCharsets
 import java.util.zip.{Inflater, ZipInputStream}
+import scala.collection.mutable
 import scala.collection.mutable.ListBuffer
 import scala.util.control.NonFatal
 
@@ -87,14 +88,23 @@ object DocFormats {
       m.group(1).toInt -> obj
     }.toMap
 
+  /** Walks /Pages → /Kids. A malformed (or malicious) page tree can contain
+    * cycles — an object listing itself or an ancestor in /Kids — so the walk
+    * carries a visited set and a depth cap; cyclic or absurdly deep refs are
+    * skipped, degrading to fewer pages rather than a StackOverflowError
+    * (which NonFatal would not catch and would fail the task).
+    */
   private def collectPageRefs(num: Int, objs: Map[Int, PdfObj],
-                              acc: ListBuffer[Int]): Seq[Int] = {
+                              acc: ListBuffer[Int],
+                              seen: mutable.Set[Int] = mutable.Set.empty,
+                              depth: Int = 0): Seq[Int] = {
+    if (depth > 64 || !seen.add(num)) return acc.toSeq
     objs.get(num).foreach { o =>
       if (o.dict.matches("(?s).*?/Type\\s*/Pages\\b.*")) {
         for {
           kids <- """/Kids\s*\[([^\]]*)\]""".r.findFirstMatchIn(o.dict)
           ref <- """(\d+)\s+\d+\s+R""".r.findAllMatchIn(kids.group(1))
-        } collectPageRefs(ref.group(1).toInt, objs, acc)
+        } collectPageRefs(ref.group(1).toInt, objs, acc, seen, depth + 1)
       } else acc += num
     }
     acc.toSeq

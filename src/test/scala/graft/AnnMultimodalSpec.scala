@@ -75,7 +75,10 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSuite {
     }
     val media = Seq(
       ("ok", buf, 4, 4),
-      ("short", Array.fill(5)(1.toByte), 4, 4)) // claims 4×4, lies → null
+      ("short", Array.fill(5)(1.toByte), 4, 4), // claims 4×4, lies → null
+      // 65536×65536×3 wraps to 0 in Int math — the guard must use Long math
+      // and quarantine, not pass and crash on index overflow
+      ("overflow", Array.fill(5)(1.toByte), 65536, 65536))
       .toDF("mediaId", "bytes", "width", "height")
 
     val down = Multimodal.resizeRawRgb(media, dstW = 2, dstH = 2)
@@ -87,6 +90,8 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(down("ok").getAs[Int]("width") === 2)
     assert(down("short").getAs[Array[Byte]]("bytes") === null) // quarantined
     assert(down("short").getAs[Int]("width") === 4)            // dims untouched
+    assert(down("overflow").getAs[Array[Byte]]("bytes") === null)
+    assert(down("overflow").getAs[Int]("width") === 65536)
 
     // upscale replicates pixels; round-trip down-up keeps the corner pixel
     val up = Multimodal.resizeRawRgb(media.filter($"mediaId" === "ok"), 8, 8)

@@ -71,6 +71,13 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     // rate 1.0 keeps everything; rate 0 keeps nothing
     assert(Curation.stratifiedSample(df, "id", "lang",
       Map("en" -> 1.0), defaultRate = 0.0).count() === 2000)
+    // rate just below 1: round() hits 2^24, which must clamp to the 6-char
+    // "ffffff" — the unclamped 7-char "1000000" compares below every hash
+    // starting with a letter and silently kept only ~6% of rows
+    assert(Curation.rateThresholdHex(1.0 - math.pow(2, -26)) === "ffffff")
+    val nearOne = Curation.stratifiedSample(df, "id", "lang",
+      Map("en" -> (1.0 - math.pow(2, -26))), defaultRate = 0.0).count()
+    assert(nearOne >= 1990, s"rate≈1 kept only $nearOne of 2000")
   }
 
   test("packByTokenBudget: shards cut at the budget across bucket boundaries") {

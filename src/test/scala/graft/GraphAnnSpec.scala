@@ -71,6 +71,28 @@ class GraphAnnSpec extends AnyFunSuite with SparkSuite {
     assert(run() === run())
   }
 
+  test("degree-cap shrink keeps every node reachable from the entry") {
+    import spark.implicits._
+    // Adversarial shrink pressure: 8 tight clusters far apart, interleaved
+    // in insertion order, with the smallest degree cap (m=2 → maxDegree=4).
+    // Without the permanent spanning-tree edges, shrink can evict every
+    // in-edge of an early node and exhaustive search silently misses it;
+    // with them, exhaustive mode must return ALL n nodes.
+    val n = 400
+    val df = (0 until n).map { i =>
+      val c = i % 8
+      val rnd = new scala.util.Random(i * 31L + 7)
+      val v = Array.tabulate(16)(d =>
+        (if (d == c * 2) 100f else 0f) + rnd.nextFloat() * 0.01f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding").repartition(1)
+    val got = GraphAnn.nswTopK(df, "vec_id", "embedding",
+        Seq((1L, Array.fill(16)(0f))), n,
+        m = 2, efConstruction = 8, efSearch = 1 << 20)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.size === n, s"exhaustive search reached only ${got.size} of $n")
+  }
+
   test("degenerate inputs: empty partitions and a one-vector corpus") {
     import spark.implicits._
     val one = Seq((42L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
