@@ -1019,6 +1019,68 @@ object Queries {
            |  FROM t)
            |SELECT domain, count(*) AS n_docs FROM u GROUP BY domain ORDER BY domain""".stripMargin))
 
+  /** CCNet-style bigram-LM perplexity ([[graft.operators.LanguageModel]]):
+    * add-α smoothed bigram model trained on the corpus itself, each document
+    * scored by mean −ln p(w2|w1) and perplexity. The whole path — top-V vocab
+    * cut (count-desc, token-asc tie-break), OOV→unk mapping, bigram counts,
+    * left-marginal denominator, smoothing arithmetic — is replicated in
+    * DuckDB, so train AND score hash-gate end to end. All double math is
+    * forced to DOUBLE in the oracle (DuckDB's bare 0.1 is DECIMAL).
+    */
+  private val textLmPerplexity = Q(
+    (s, d) => graft.operators.LanguageModel.bigramPerplexity(
+        D.documents(s, d).select("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           |                             x -> x <> '') AS ts
+           |  FROM documents),
+           |tok_rows AS (SELECT unnest(ts) AS tok FROM toks),
+           |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tok_rows GROUP BY tok)
+           |          ORDER BY c DESC, tok ASC LIMIT 4096),
+           |vsz AS (SELECT count(*) + 1 AS v FROM vocab),
+           |pairs AS (
+           |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+           |    i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS bg
+           |  FROM toks WHERE len(ts) >= 2),
+           |mapped AS (
+           |  SELECT doc_id,
+           |    CASE WHEN v1.tok IS NULL THEN '<unk>' ELSE p.bg['w1'] END AS w1,
+           |    CASE WHEN v2.tok IS NULL THEN '<unk>' ELSE p.bg['w2'] END AS w2
+           |  FROM pairs p LEFT JOIN vocab v1 ON p.bg['w1'] = v1.tok
+           |               LEFT JOIN vocab v2 ON p.bg['w2'] = v2.tok),
+           |bc AS (SELECT w1, w2, count(*) AS c_bg FROM mapped GROUP BY w1, w2),
+           |marg AS (SELECT w1, sum(c_bg) AS c_left FROM bc GROUP BY w1),
+           |scored AS (
+           |  SELECT m.doc_id,
+           |    -ln((COALESCE(bc.c_bg, 0) + 0.1::DOUBLE) /
+           |        (COALESCE(marg.c_left, 0) + 0.1::DOUBLE * (SELECT v FROM vsz))) AS nll
+           |  FROM mapped m LEFT JOIN bc USING (w1, w2) LEFT JOIN marg USING (w1)),
+           |agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(nll) AS a
+           |        FROM scored GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+           |  round(agg.a, 6) AS avg_nll, round(exp(round(agg.a, 6)), 4) AS ppl
+           |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin))
+
+  /** Z-order clustering key ([[graft.operators.ZOrder]]): the Morton
+    * bit-interleave of (l_partkey, l_suppkey) that [[graft.operators.ZOrder.clusterByMorton]]
+    * range-partitions clustered writes on. The Spark expression and the
+    * oracle's bit arithmetic are generated from the same Scala loop, so the
+    * gate pins the exact key. ZOrderSpec covers the layout half (per-file
+    * min/max tiles shrink).
+    */
+  private val zorderKey = Q(
+    (s, d) => D.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.operators.ZOrder.mortonKey(
+          col("l_partkey").cast("long").bitwiseAND(lit(65535L)),
+          col("l_suppkey").cast("long").bitwiseAND(lit(65535L)), 16).as("zkey"))
+      .orderBy("zkey", "l_orderkey", "l_linenumber"),
+    Some(s"""SELECT l_orderkey, l_linenumber,
+            |  ${graft.operators.ZOrder.mortonSql(
+                  "l_partkey::BIGINT & 65535", "l_suppkey::BIGINT & 65535", 16)} AS zkey
+            |FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin))
+
   /** Training-mix rates for the stratified-sampling query (shared between the
     * Spark call and the generated oracle CASE so they can never drift).
     */
@@ -1657,6 +1719,8 @@ object Queries {
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "text_entropy" -> textEntropy,
     "text_domains" -> textDomains,
+    "text_lm_perplexity" -> textLmPerplexity,
+    "zorder_key" -> zorderKey,
     "sample_stratified" -> sampleStratified,
     "sample_pack_shards" -> samplePackShards,
     "cluster_assign" -> clusterAssign)
