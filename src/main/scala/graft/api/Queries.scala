@@ -1081,6 +1081,89 @@ object Queries {
                   "l_partkey::BIGINT & 65535", "l_suppkey::BIGINT & 65535", 16)} AS zkey
             |FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin))
 
+  /** Weighted sampling without replacement
+    * ([[graft.operators.Curation.weightedSample]], Efraimidis–Spirakis):
+    * top-30 docs per language by ln(u)/w with w = max(1, |text|). The uniform
+    * draw is the shared exact-integer hash32 (Spark `conv`, oracle digit-sum
+    * generated from the same constant table), so the gate pins the exact
+    * sample, not just its size.
+    */
+  private val sampleWeighted = Q(
+    (s, d) => graft.operators.Curation.weightedSample(
+        D.documents(s, d).select(col("doc_id"), col("lang"),
+          greatest(length(col("text")), lit(1)).cast("long").as("w")),
+        "doc_id", "lang", "w", n = 30, salt = "w1")
+      .select("lang", "doc_id", "es_key")
+      .orderBy(col("lang"), col("es_key").desc, col("doc_id")),
+    Some(s"""WITH h AS (SELECT doc_id, lang,
+            |    substring(md5('w1' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx,
+            |    CAST(greatest(length(text), 1) AS BIGINT) AS w FROM documents),
+            |v AS (SELECT doc_id, lang, w,
+            |    ${graft.operators.Curation.hash32DigitSumSql("hx")} AS hv FROM h),
+            |k AS (SELECT doc_id, lang,
+            |    round(ln((hv + 0.5::DOUBLE) / 4294967296.0::DOUBLE) / w, 9) AS es_key
+            |  FROM v),
+            |r AS (SELECT doc_id, lang, es_key,
+            |    row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id ASC) AS rn
+            |  FROM k)
+            |SELECT lang, doc_id, es_key FROM r WHERE rn <= 30
+            |ORDER BY lang, es_key DESC, doc_id""".stripMargin))
+
+  /** Per-domain document cap ([[graft.operators.Curation.capPerKey]] over
+    * [[graft.operators.Curation.withDomains]]'s first domain): keep the 40
+    * largest docs per domain — the C4/RefinedWeb boilerplate-site guard.
+    */
+  private val curateDomainCap = Q(
+    (s, d) => {
+      val withUrls = D.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")).as("text"))
+      val dd = graft.operators.Curation.withDomains(withUrls, "text")
+        .select(col("doc_id"), element_at(col("domains"), 1).as("domain"),
+          length(col("text")).cast("long").as("sz"))
+      graft.operators.Curation.capPerKey(dd, "domain", "doc_id", "sz", n = 40)
+        .select("domain", "doc_id", "sz").orderBy("domain", "doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |    text || ' https://site' || (doc_id % 7) || '.example.com/p/' || doc_id AS tx
+           |  FROM documents),
+           |d AS (SELECT doc_id,
+           |    list_extract(list_distinct(list_transform(
+           |      regexp_extract_all(tx, 'https?://[A-Za-z0-9.-]+(?:/[^\s]*)?'),
+           |      x -> regexp_extract(x, 'https?://([A-Za-z0-9.-]+)', 1))), 1) AS domain,
+           |    CAST(length(tx) AS BIGINT) AS sz FROM t),
+           |r AS (SELECT domain, doc_id, sz,
+           |    row_number() OVER (PARTITION BY domain ORDER BY sz DESC, doc_id ASC) AS rn
+           |  FROM d)
+           |SELECT domain, doc_id, sz FROM r WHERE rn <= 40
+           |ORDER BY domain, doc_id""".stripMargin))
+
+  /** Cross-document repeated 8-token spans
+    * ([[graft.operators.Dedup.repeatedSpans]]): per doc, how many window
+    * positions and distinct spans are shared with ≥1 other document — the
+    * fixed-width distributed stand-in for suffix-array substring dedup.
+    */
+  private val dedupSpans = Q(
+    (s, d) => graft.operators.Dedup.repeatedSpans(
+        D.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        nTokens = 8, minDocs = 2)
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           |                             x -> x <> '') AS ts
+           |  FROM documents),
+           |spans AS (
+           |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 7),
+           |    i -> md5(array_to_string(ts[i:i+7], ' ')))) AS span_hash
+           |  FROM toks WHERE len(ts) >= 8),
+           |shared AS (SELECT span_hash FROM
+           |  (SELECT span_hash, count(DISTINCT doc_id) AS nd FROM spans GROUP BY span_hash)
+           |  WHERE nd >= 2)
+           |SELECT doc_id, count(*) AS n_shared_positions,
+           |  count(DISTINCT span_hash) AS n_shared_spans
+           |FROM spans JOIN shared USING (span_hash)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Training-mix rates for the stratified-sampling query (shared between the
     * Spark call and the generated oracle CASE so they can never drift).
     */
@@ -1721,6 +1804,9 @@ object Queries {
     "text_domains" -> textDomains,
     "text_lm_perplexity" -> textLmPerplexity,
     "zorder_key" -> zorderKey,
+    "sample_weighted" -> sampleWeighted,
+    "curate_domain_cap" -> curateDomainCap,
+    "dedup_spans" -> dedupSpans,
     "sample_stratified" -> sampleStratified,
     "sample_pack_shards" -> samplePackShards,
     "cluster_assign" -> clusterAssign)

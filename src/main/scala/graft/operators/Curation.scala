@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-corpus curation beyond dedup — the passes a large-scale
@@ -162,5 +162,65 @@ object Curation {
         col("_off") + coalesce(sum(col(tokensCol)).over(wInBucket), lit(0L)))
       .withColumn("shard_id", floor(col("_before") / budget))
       .drop("_off", "_before")
+  }
+
+  /** First 8 md5 hex chars of (salt ++ id), parsed as an exact BIGINT in
+    * [0, 2^32) — the per-row uniform draw behind [[weightedSample]]. Integer
+    * math end to end, so Spark (`conv`) and the oracle ([[hash32DigitSumSql]],
+    * DuckDB has no hex-parse) agree bit for bit.
+    */
+  def hash32(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** DuckDB replica of [[hash32]]: positional digit-sum over a column already
+    * holding the 8-char hex prefix (compute the md5 once in a prior CTE).
+    */
+  def hash32DigitSumSql(hexCol: String): String =
+    (1 to 8).map { i =>
+      s"(strpos('0123456789abcdef', substring($hexCol, $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+    }.mkString(" + ")
+
+  /** Reproducible weighted sampling without replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006): rank
+    * rows by u^(1/w) for a uniform u and keep the top n per stratum. Ranking
+    * by ln(u)/w is the same order (monotone transform) with less libm, and u
+    * comes from [[hash32]] — a pure per-row draw, so the sample is identical
+    * at any parallelism and reruns are exact, like [[stratifiedSample]].
+    * Ranks compare the key ROUNDED to 9 decimals with an id tie-break so a
+    * last-ulp ln() divergence between engines cannot reorder rows.
+    *
+    * Rows with non-positive weight are dropped. Adds `es_key` (the rounded
+    * ranking key). One exchange: the per-stratum ranking window.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, stratumCol: String, weightCol: String,
+      n: Int, salt: String = ""): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (hash32(col(idCol), salt) + lit(0.5)) / lit(4294967296.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", round(log(u) / col(weightCol).cast("double"), 9))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= n)
+      .drop("_rn")
+  }
+
+  /** Cap rows per key (the per-domain document cap of C4/RefinedWeb-style
+    * curation): keep the top `n` rows of each `keyCol` group by
+    * (orderCol desc, idCol asc). One exchange: the per-key ranking window —
+    * bounded by the largest group, the same discipline as any keyed window.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+                orderCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= n)
+      .drop("_rn")
   }
 }

@@ -334,6 +334,43 @@ object Dedup {
     * dimensions. Near-identical vectors collide; the near-dup self-join is
     * bucket-local (2^bits buckets bound pair counts).
     */
+  /** Cross-document repeated token spans — the signal behind exact substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022, which uses suffix arrays; a suffix array is a
+    * single-machine structure, so the distributed shape here is fixed-width
+    * span hashing): hash every `nTokens`-token window, keep hashes seen in
+    * ≥ `minDocs` distinct documents, and report per document how many of its
+    * window positions (and distinct spans) are shared. Callers cut or
+    * down-weight those spans (boilerplate headers, license blocks, chrome).
+    *
+    * Scale: window hashing is a narrow per-row explode (rows ≈ token count —
+    * same order as tokenization itself); the only exchanges are the
+    * hash-keyed countDistinct and the join back on the hash — both keyed by
+    * 32-hex strings, never by text. Degenerate inputs (one span repeated
+    * millions of times) concentrate a hash key: the countDistinct side
+    * partial-aggregates map-side, and the join back can only fan out to the
+    * actual span occurrences, which is the output's own size.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    nTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(nTokens >= 2 && minDocs >= 2, "nTokens and minDocs must be >= 2")
+    val spans = docs
+      .withColumn("_ts", expr(toksExpr(textCol)))
+      .where(size(col("_ts")) >= nTokens)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(_ts) - ${nTokens - 1}), " +
+          s"i -> md5(array_join(slice(_ts, i, $nTokens), ' ')))")))
+      .select(col(idCol), (col("pos") + 1).as("span_pos"), col("col").as("span_hash"))
+    val shared = spans.groupBy("span_hash")
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select("span_hash")
+    spans.join(shared, Seq("span_hash"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_positions"),
+        countDistinct(col("span_hash")).as("n_shared_spans"))
+  }
+
   def signBucket(vecCol: Column, bits: Int = 8): Column =
     array_join(transform(slice(vecCol, 1, bits),
       x => when(x >= 0f, lit("1")).otherwise(lit("0"))), "")

@@ -182,4 +182,54 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
     assert(out === Map(1L -> true, 2L -> false))
   }
+
+  test("weightedSample: exact n per stratum, rerun-stable, weight-sensitive") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i =>
+      (i, if (i <= 100) "a" else "b", if (i == 7L) 1000000000L else 1L))
+      .toDF("id", "s", "w")
+    def ids(salt: String) = Curation.weightedSample(df, "id", "s", "w",
+        n = 10, salt = salt).select("id").as[Long].collect().toSet
+    val got = ids("")
+    assert(got.size === 20) // 10 per stratum
+    assert(got === ids("")) // exact rerun stability
+    // the single overwhelming weight is (essentially) always drawn:
+    // ln(u)/1e9 ≈ 0 beats every unit-weight key ln(u)/1 except u > ~0.999...
+    assert(got.contains(7L))
+    assert(ids("other") !== got) // a new salt redraws the rest
+    // non-positive weights are dropped, not sampled
+    val withZero = Curation.weightedSample(
+      df.withColumn("w", when($"id" === 8L, 0L).otherwise($"w")),
+      "id", "s", "w", n = 200)
+    assert(!withZero.select("id").as[Long].collect().contains(8L))
+  }
+
+  test("capPerKey keeps top-n per key by (order desc, id asc)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x", 50L), (2L, "x", 90L), (3L, "x", 90L), (4L, "x", 10L),
+      (5L, "y", 5L))
+      .toDF("id", "k", "sz")
+    val kept = Curation.capPerKey(df, "k", "id", "sz", n = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L, 5L)) // x: two 90s (id tie-break), y: all
+  }
+
+  test("repeatedSpans flags cross-doc spans, ignores within-doc repeats") {
+    import spark.implicits._
+    val boiler = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"alpha $boiler beta"),
+      (2L, s"$boiler gamma delta"),
+      (3L, "entirely distinct words nine ten eleven twelve thirteen fourteen"),
+      // the same 8-token span twice in ONE doc — not cross-doc, not flagged
+      (4L, "p1 p2 p3 p4 p5 p6 p7 p8 zz p1 p2 p3 p4 p5 p6 p7 p8"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text",
+        nTokens = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.contains(1L) && out.contains(2L))
+    assert(out(1L)._2 === out(2L)._2) // same shared span set
+    assert(!out.contains(3L) && !out.contains(4L))
+  }
 }

@@ -146,4 +146,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
   }
+
+  test("LM perplexity: vocab and marginal tables broadcast into the scoring") {
+    val p = plan("text_lm_perplexity")
+    // the OOV mapping (×2) and the left-marginal denominator must all be
+    // broadcast joins — document text never shuffles for the model side
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"expected vocab+marginal broadcasts, plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("zorder key is a pure projection — only the output sort exchanges") {
+    val p = plan("zorder_key")
+    assert(!p.contains("Join"), s"morton key must not join, plan:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"only the deterministic output sort may exchange, plan:\n$p")
+  }
+
+  test("weighted sampling exchanges only for its stratum window and output sort") {
+    val p = plan("sample_weighted")
+    // one hash exchange keyed by the stratum (the ranking window), nothing
+    // keyed by document text or id
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(_.contains("lang")),
+      s"only the per-stratum window may hash-exchange, plan:\n$p")
+  }
+
+  test("repeated spans: exchanges key on the span hash, never on text") {
+    val p = plan("dedup_spans")
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty)
+    assert(!hashEx.exists(_.contains("text")),
+      s"document text must not cross an exchange, plan:\n$p")
+  }
 }
