@@ -357,18 +357,20 @@ object Dedup {
     val spans = docs
       .withColumn("_ts", expr(toksExpr(textCol)))
       .where(size(col("_ts")) >= nTokens)
-      .select(col(idCol), posexplode(expr(
+      .select(col(idCol), explode(expr(
         s"transform(sequence(1, size(_ts) - ${nTokens - 1}), " +
-          s"i -> md5(array_join(slice(_ts, i, $nTokens), ' ')))")))
-      .select(col(idCol), (col("pos") + 1).as("span_pos"), col("col").as("span_hash"))
-    val shared = spans.groupBy("span_hash")
-      .agg(countDistinct(col(idCol)).as("_nd"))
+          s"i -> md5(array_join(slice(_ts, i, $nTokens), ' ')))")).as("span_hash"))
+    // One pass over the corpus: (hash, doc) position counts first, then the
+    // ≥minDocs sharing test as a window over that (much smaller) table —
+    // no second tokenize+hash of the corpus, no semi-join back.
+    val perDoc = spans.groupBy(col("span_hash"), col(idCol))
+      .agg(count(lit(1)).as("_np"))
+    perDoc
+      .withColumn("_nd", count(lit(1)).over(Window.partitionBy("span_hash")))
       .where(col("_nd") >= minDocs)
-      .select("span_hash")
-    spans.join(shared, Seq("span_hash"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shared_positions"),
-        countDistinct(col("span_hash")).as("n_shared_spans"))
+      .agg(sum("_np").as("n_shared_positions"),
+        count(lit(1)).as("n_shared_spans"))
   }
 
   def signBucket(vecCol: Column, bits: Int = 8): Column =

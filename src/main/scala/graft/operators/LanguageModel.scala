@@ -64,37 +64,43 @@ object LanguageModel {
 
   /** Train on `docs`: top-`vocabSize` tokens by count (ties broken by token
     * order, so the cut is deterministic), then bigram counts over the
-    * unk-mapped pair stream.
+    * unk-mapped pair stream. The vocabulary materializes to the driver (≤ V
+    * strings, the same budget as broadcast centroids) so its size is free
+    * and the two OOV-mapping joins replay a local relation instead of
+    * re-running the unigram aggregate.
     */
   def train(docs: DataFrame, idCol: String, textCol: String,
             vocabSize: Int = 4096, alpha: Double = 0.1): BigramModel = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val tokRows = docs.select(explode(expr(toksExpr(textCol))).as("tok"))
-    val vocab = tokRows.groupBy("tok").agg(count(lit(1)).as("c"))
+    val vocabLocal = tokRows.groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
-      .select("tok")
+      .select("tok").as[String].collect()
+    val vocab = vocabLocal.toSeq.toDF("tok")
     val bigrams = bigramRows(docs, idCol, textCol, vocab)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
-    BigramModel(vocab, bigrams, vocab.count() + 1, alpha)
+    BigramModel(vocab, bigrams, vocabLocal.length + 1L, alpha)
   }
 
-  /** Score `docs` under `model`: per document, the mean over its bigrams of
-    * −ln p(w2|w1) with p = (c(w1,w2) + α) / (c(w1·) + α·(V+1)), plus
-    * perplexity e^mean. Documents with < 2 tokens score null (no evidence —
-    * callers decide; CCNet buckets by perplexity, so null ≠ bad).
-    * Output: idCol, n_bigrams, avg_nll (round 6), ppl (round 4 of e^rounded).
+  /** Score per-(doc, pair) count rows under a model: weighted mean of
+    * −ln p(w2|w1) with p = (c(w1,w2) + α) / (c(w1·) + α·(V+1)) — identical
+    * to averaging per occurrence, since Σ n·nll / Σ n over distinct pairs IS
+    * the occurrence mean. Shared by [[scoreAgainst]] and [[bigramPerplexity]].
     */
-  def scoreAgainst(docs: DataFrame, idCol: String, textCol: String,
-                   model: BigramModel): DataFrame = {
-    val marg = model.bigrams.groupBy("w1").agg(sum("c_bg").as("c_left"))
+  private def scorePairs(docs: DataFrame, idCol: String, docPair: DataFrame,
+                         bigrams: DataFrame, model: BigramModel): DataFrame = {
+    val marg = bigrams.groupBy("w1").agg(sum("c_bg").as("c_left"))
     val denomAdd = lit(model.alpha * model.vocabSizeWithUnk)
-    val scored = bigramRows(docs, idCol, textCol, model.vocab)
-      .join(model.bigrams, Seq("w1", "w2"), "left")
+    val scored = docPair
+      .join(bigrams, Seq("w1", "w2"), "left")
       .join(broadcast(marg), Seq("w1"), "left")
       .withColumn("nll", -log(
         (coalesce(col("c_bg"), lit(0L)) + lit(model.alpha)) /
           (coalesce(col("c_left"), lit(0L)) + denomAdd)))
     val agg = scored.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), avg("nll").as("_avg"))
+      .agg(sum("_n").as("n_bigrams"),
+        (sum(col("nll") * col("_n")) / sum("_n")).as("_avg"))
     docs.select(col(idCol))
       .join(agg, Seq(idCol), "left")
       .select(col(idCol),
@@ -103,10 +109,31 @@ object LanguageModel {
         round(exp(round(col("_avg"), 6)), 4).as("ppl"))
   }
 
+  /** Score `docs` under an (externally trained) `model`: per document, the
+    * mean over its bigrams of −ln p(w2|w1), plus perplexity e^mean.
+    * Documents with < 2 tokens score null (no evidence — callers decide;
+    * CCNet buckets by perplexity, so null ≠ bad).
+    * Output: idCol, n_bigrams, avg_nll (round 6), ppl (round 4 of e^rounded).
+    */
+  def scoreAgainst(docs: DataFrame, idCol: String, textCol: String,
+                   model: BigramModel): DataFrame = {
+    val docPair = bigramRows(docs, idCol, textCol, model.vocab)
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("_n"))
+    scorePairs(docs, idCol, docPair, model.bigrams, model)
+  }
+
   /** Train-and-score on the same corpus (the self-scoring instance the
-    * `text_lm_perplexity` oracle gates end to end).
+    * `text_lm_perplexity` oracle gates end to end). The model's bigram
+    * counts are a second-level aggregate of the SAME per-(doc, pair) table
+    * the scoring consumes, so Spark's exchange reuse runs the tokenize +
+    * explode + unk-map pipeline once, not once per branch.
     */
   def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
-                       vocabSize: Int = 4096, alpha: Double = 0.1): DataFrame =
-    scoreAgainst(docs, idCol, textCol, train(docs, idCol, textCol, vocabSize, alpha))
+                       vocabSize: Int = 4096, alpha: Double = 0.1): DataFrame = {
+    val model = train(docs, idCol, textCol, vocabSize, alpha)
+    val docPair = bigramRows(docs, idCol, textCol, model.vocab)
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("_n"))
+    val bc = docPair.groupBy("w1", "w2").agg(sum("_n").as("c_bg"))
+    scorePairs(docs, idCol, docPair, bc, model)
+  }
 }
