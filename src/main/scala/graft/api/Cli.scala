@@ -183,6 +183,7 @@ object Cli {
           },
           redactPii = flags("redact-pii"),
           nearDedup = flags("near-dedup"),
+          domainCap = opt("domain-cap").map(_.toInt),
           sampleRates = opt("sample-rates").map(_.split(",").map { kv =>
             val Array(k, v) = kv.split("="); k -> v.toDouble
           }.toMap),
@@ -191,9 +192,16 @@ object Cli {
           spark.read.parquet(p),
           opt("benchmark-id-col").getOrElse(idCol),
           opt("benchmark-text-col").getOrElse(textCol)))
+        // --lm-train <parquet dir>: train a bigram LM on that corpus and gate
+        // docs above --lm-max-nll (CCNet's train-clean/score-crawl split)
+        val lm = opt("lm-train").map { p =>
+          (graft.operators.LanguageModel.train(
+            spark.read.parquet(p), idCol, textCol),
+           opt("lm-max-nll").map(_.toDouble).getOrElse(10.0))
+        }
         val docs = spark.read.parquet(in)
         val curated = Pipeline.curate(docs, idCol, textCol, cfg,
-          benchmark = bench, stratumCol = opt("stratum-col"))
+          benchmark = bench, stratumCol = opt("stratum-col"), lmModel = lm)
         curated.write.mode("overwrite").parquet(out)
         val (nIn, nOut) = (docs.count(), spark.read.parquet(out).count())
         println(s"""{"in":$nIn,"out":$nOut,"dropped":${nIn - nOut},"path":"$out"}""")

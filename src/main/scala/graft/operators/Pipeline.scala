@@ -24,6 +24,8 @@ object Pipeline {
     * @param entropyBand keep docs whose char entropy lies in [lo, hi]
     * @param redactPii replace emails/IPs/phones with typed placeholders
     * @param nearDedup keep only the smallest id per 16-bit SimHash bucket
+    * @param domainCap keep only the n largest docs per first-URL domain
+    *   (docs without a URL pass through uncapped)
     * @param sampleRates per-stratum keep rates (requires `stratumCol` at
     *   [[curate]]); None = keep everything
     */
@@ -34,6 +36,7 @@ object Pipeline {
       entropyBand: Option[(Double, Double)] = None,
       redactPii: Boolean = false,
       nearDedup: Boolean = false,
+      domainCap: Option[Int] = None,
       sampleRates: Option[Map[String, Double]] = None,
       sampleDefaultRate: Double = 0.0,
       decontaminateNgram: Int = 13)
@@ -50,13 +53,18 @@ object Pipeline {
   /** @param qualityModel optional (model, minScore): fasttext-style linear
     *   scorer applied after the heuristic gates — docs below minScore drop,
     *   survivors keep their `model_quality` score
+    * @param lmModel optional (bigram model, maxAvgNll): CCNet-style LM gate —
+    *   docs whose mean −ln p(w2|w1) under the model exceeds the cap drop;
+    *   docs with no evidence (< 2 tokens → null score) pass through, since
+    *   null is "unmeasured", not "unnatural". Survivors keep `avg_nll`/`ppl`.
     */
   def curate(
       docs: DataFrame, idCol: String, textCol: String,
       cfg: CurationConfig = CurationConfig(),
       benchmark: Option[(DataFrame, String, String)] = None,
       stratumCol: Option[String] = None,
-      qualityModel: Option[(graft.functions.LinearQualityModel, Double)] = None): DataFrame = {
+      qualityModel: Option[(graft.functions.LinearQualityModel, Double)] = None,
+      lmModel: Option[(LanguageModel.BigramModel, Double)] = None): DataFrame = {
 
     val otherCols = docs.columns.filter(c => c != idCol && c != textCol)
 
@@ -88,6 +96,14 @@ object Pipeline {
       cur = model.filterByQuality(cur, textCol, minScore)
     }
 
+    // 2c. LM-perplexity gate (model tables broadcast; one bigram-key join)
+    lmModel.foreach { case (model, maxAvgNll) =>
+      val scores = LanguageModel.scoreAgainst(
+        cur.select(col(idCol), col(textCol)), idCol, textCol, model)
+      cur = cur.join(scores.drop("n_bigrams"), Seq(idCol))
+        .filter(col("avg_nll").isNull || col("avg_nll") <= maxAvgNll)
+    }
+
     // 3. privacy scrub (text rewritten in place; counts kept as audit trail)
     if (cfg.redactPii) {
       cur = Curation.redactPii(cur, textCol)
@@ -100,6 +116,19 @@ object Pipeline {
         .withColumn("_keep",
           col(idCol) === min(idCol).over(Window.partitionBy("_fp")))
         .filter(col("_keep")).drop("_fp", "_keep")
+    }
+
+    // 4b. per-domain cap: largest docs win per first-URL-domain; docs with
+    // no URL carry no site identity and pass through uncapped
+    cfg.domainCap.foreach { n =>
+      val withDom = Curation.withDomains(cur, textCol)
+        .withColumn("_dom", try_element_at(col("domains"), lit(1))) // ANSI-safe on []
+        .drop("urls", "domains")
+      val capped = Curation.capPerKey(
+        withDom.filter(col("_dom").isNotNull)
+          .withColumn("_sz", length(col(textCol)).cast("long")),
+        "_dom", idCol, "_sz", n).drop("_sz")
+      cur = capped.unionByName(withDom.filter(col("_dom").isNull)).drop("_dom")
     }
 
     // 5. benchmark decontamination (broadcast ngram set; drop contaminated)

@@ -80,4 +80,28 @@ class CliSpec extends AnyFunSuite with SparkSuite {
     assert(kept.filter(col("doc_id") === 3L).select("text").collect()(0)
       .getString(0).contains("<EMAIL>"))
   }
+
+  test("curate: --lm-train gates on perplexity, --domain-cap limits per site") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-cli-lm")
+    val in = s"$work/in"; val out = s"$work/out"; val clean = s"$work/clean"
+    val natural = "the quick brown fox jumps over the lazy dog " * 4
+    (1L to 20L).map(i => (i, natural)).toDF("doc_id", "text")
+      .write.parquet(clean)
+    Seq(
+      (1L, natural + "see https://a.example.com/1"),
+      (2L, natural + "see https://a.example.com/2 plus a few extra words"),
+      (3L, natural + "see https://a.example.com/3"), // 3rd on domain a → capped
+      (4L, "zq xv qj vx zk wq jx kq zz vv xx"))      // gibberish → LM-gated
+      .toDF("doc_id", "text").write.parquet(in)
+
+    val summary = captured("curate", "--in", in, "--out", out,
+      "--lm-train", clean, "--lm-max-nll", "1.0", "--domain-cap", "2")
+    assert(summary.contains("\"out\":2"), summary)
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // doc 2 is largest on domain a, then doc 1 (id tie-break on equal... sizes
+    // differ); cap keeps the 2 largest = {1, 2} (3 shortest of the three)
+    assert(kept === Set(1L, 2L))
+  }
 }

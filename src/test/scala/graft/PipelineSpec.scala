@@ -119,6 +119,38 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(rows.head.getAs[String]("text").contains("<EMAIL>"))
   }
 
+  test("LM-perplexity gate drops unnatural text, passes null-evidence docs") {
+    import spark.implicits._
+    val natural = "the quick brown fox jumps over the lazy dog " * 4
+    val train = (1L to 20L).map(i => (i, natural)).toDF("doc_id", "text")
+    val model = graft.operators.LanguageModel.train(train, "doc_id", "text")
+    val docs = Seq(
+      (1L, natural),                             // in-distribution → avg_nll ≈ 0.17
+      (2L, "zq xv qj vx zk wq jx kq zz vv xx"),  // all-OOV → smoothing floor ln|V+1|
+      (3L, "solo"))                              // 1 token → null score, passes
+      .toDF("doc_id", "text")
+    val out = Pipeline.curate(docs, "doc_id", "text",
+        lmModel = Some((model, 1.0)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 3L))
+  }
+
+  test("domain cap keeps the n largest docs per domain, un-URLed pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see https://spam.example.com/a " + ("filler words here " * 10)),
+      (2L, "see https://spam.example.com/b " + ("filler words here " * 6)),
+      (3L, "see https://spam.example.com/c " + ("filler words here " * 2)),
+      (4L, "see https://other.example.net/x page content"),
+      (5L, "no links at all in this perfectly fine document"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.curate(docs, "doc_id", "text",
+        CurationConfig(domainCap = Some(2)))
+      .select("doc_id").as[Long].collect().toSet
+    // spam domain capped to its 2 largest (1, 2); other domain + no-URL kept
+    assert(out === Set(1L, 2L, 4L, 5L))
+  }
+
   test("decontamination and sampling stages compose at the tail") {
     import spark.implicits._
     val bench = Seq((900L,

@@ -153,6 +153,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // broadcast joins — document text never shuffles for the model side
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
       s"expected vocab+marginal broadcasts, plan:\n$p")
+    // the model's counts and the scorer share the per-(doc,pair) aggregate:
+    // the tokenize+unk-map pipeline must run once, not once per branch
+    assert(p.contains("ReusedExchange"),
+      s"expected the shared docPair exchange to be reused, plan:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
