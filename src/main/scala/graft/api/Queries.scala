@@ -1164,6 +1164,48 @@ object Queries {
            |FROM spans JOIN shared USING (span_hash)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Product-quantization ADC search ([[graft.operators.Pq]]): fixed
+    * centroids (sub-vectors of corpus ids 1..16, the same replayable recipe
+    * as `cluster_assign`/IVF) make encode AND the asymmetric-distance top-k
+    * SQL-expressible, so compression + search hash-gate end to end. The
+    * Spark cut over-fetches raw then cuts on the ROUNDED distance with an id
+    * tie-break, mirroring the oracle exactly.
+    */
+  private val annPqAdc = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d)
+      val model = graft.operators.Pq.fitFromIds(
+        emb.filter(col("vec_id").between(1, 16)), "vec_id", "embedding",
+        numSub = 8, k = 16)
+      val codes = graft.operators.Pq.encode(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", model)
+      graft.operators.Pq.adcTopK(codes, "vec_id", "code", model, queryVec(s, d), 50)
+        .select(col("vec_id"), round(col("adc"), 6).as("adc"))
+        .orderBy(col("adc"), col("vec_id")).limit(10)
+    },
+    Some(s"""WITH grid AS (SELECT unnest(generate_series(0, 7)) AS sub),
+            |cent AS (SELECT g.sub, e.vec_id - 1 AS cid,
+            |    e.embedding[g.sub*8+1 : g.sub*8+8] AS cvec
+            |  FROM grid g CROSS JOIN
+            |    (SELECT vec_id, embedding FROM embeddings WHERE vec_id BETWEEN 1 AND 16) e),
+            |subs AS (SELECT v.vec_id, g.sub, v.embedding[g.sub*8+1 : g.sub*8+8] AS svec
+            |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0) v
+            |  CROSS JOIN grid g),
+            |enc AS (SELECT vec_id, sub, cid FROM (
+            |    SELECT v.vec_id, v.sub, c.cid, ${l2Sql("v.svec", "c.cvec")} AS dc,
+            |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+            |                         ORDER BY dc ASC, c.cid ASC) AS rn
+            |    FROM subs v JOIN cent c ON v.sub = c.sub) WHERE rn = 1),
+            |q0 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+            |lut AS (SELECT c.sub, c.cid,
+            |    ${l2Sql("c.cvec", "q.e[c.sub*8+1 : c.sub*8+8]")} AS qd
+            |  FROM cent c CROSS JOIN q0 q),
+            |adc AS (SELECT e.vec_id, sum(l.qd) AS adc
+            |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.cid = l.cid
+            |  GROUP BY e.vec_id)
+            |SELECT vec_id, round(adc, 6) AS adc FROM adc
+            |ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin))
+
   /** Training-mix rates for the stratified-sampling query (shared between the
     * Spark call and the generated oracle CASE so they can never drift).
     */
@@ -1807,6 +1849,7 @@ object Queries {
     "sample_weighted" -> sampleWeighted,
     "curate_domain_cap" -> curateDomainCap,
     "dedup_spans" -> dedupSpans,
+    "ann_pq_adc" -> annPqAdc,
     "sample_stratified" -> sampleStratified,
     "sample_pack_shards" -> samplePackShards,
     "cluster_assign" -> clusterAssign)
