@@ -1206,6 +1206,74 @@ object Queries {
             |SELECT vec_id, round(adc, 6) AS adc FROM adc
             |ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin))
 
+  /** Full IVF-PQ composition ([[graft.operators.Ann]] coarse lists ×
+    * [[graft.operators.Pq]] codes): probe the 4 lists nearest the query,
+    * ADC-score only their members' codes — the FAISS IVF-PQ search shape
+    * (sans residual encoding, documented in Pq's scaladoc). Probe selection
+    * happens driver-side with the same (dist, cid)-ordered double math the
+    * oracle's `probe` CTE replays, so the whole path hash-gates.
+    */
+  private val annIvfPqTopk = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val centroids = D.embeddings(s, d)
+        .filter(col("vec_id").between(1, 16)).orderBy("vec_id")
+        .collect().map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      val qv = queryVec(s, d)
+      val probes: Seq[Int] = centroids.zipWithIndex.map { case (c, i) =>
+        var dd = 0.0; var j = 0
+        while (j < c.length) { val t = qv(j).toDouble - c(j); dd += t * t; j += 1 }
+        (dd, i + 1) // cid = vec_id of the coarse centroid
+      }.sortBy(identity).take(4).map(_._2).toSeq
+      val model = graft.operators.Pq.fitFromIds(
+        D.embeddings(s, d).filter(col("vec_id").between(1, 16)),
+        "vec_id", "embedding", numSub = 8, k = 16)
+      val cand = graft.operators.Ann.assignListsWithDist(emb, "embedding", centroids)
+        .select(col("vec_id"), (col("listId") + 1).as("cid"), col("embedding"))
+        .filter(col("cid").isin(probes: _*))
+      val codes = graft.operators.Pq.encode(cand, "vec_id", "embedding", model)
+      graft.operators.Pq.adcTopK(codes, "vec_id", "code", model, qv, 50)
+        .select(col("vec_id"), round(col("adc"), 6).as("adc"))
+        .orderBy(col("adc"), col("vec_id")).limit(10)
+    },
+    Some(s"""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+            |cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+            |         WHERE vec_id BETWEEN 1 AND 16),
+            |probe AS (SELECT cid FROM
+            |  (SELECT cid, ${l2Sql("c", "(SELECT e FROM q)")} AS pd FROM cent)
+            |  ORDER BY pd ASC, cid LIMIT 4),
+            |dists AS (SELECT v.vec_id, v.embedding, c.cid,
+            |    ${l2Sql("v.embedding", "c.c")} AS dc
+            |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0) v
+            |  CROSS JOIN cent c),
+            |assigned AS (SELECT vec_id, embedding, cid FROM
+            |  (SELECT vec_id, embedding, cid,
+            |     row_number() OVER (PARTITION BY vec_id ORDER BY dc ASC, cid ASC) AS rn
+            |   FROM dists)
+            |  WHERE rn = 1),
+            |cand AS (SELECT vec_id, embedding FROM assigned
+            |         WHERE cid IN (SELECT cid FROM probe)),
+            |grid AS (SELECT unnest(generate_series(0, 7)) AS sub),
+            |pcent AS (SELECT g.sub, e.vec_id - 1 AS pcid,
+            |    e.embedding[g.sub*8+1 : g.sub*8+8] AS cvec
+            |  FROM grid g CROSS JOIN
+            |    (SELECT vec_id, embedding FROM embeddings WHERE vec_id BETWEEN 1 AND 16) e),
+            |subs AS (SELECT v.vec_id, g.sub, v.embedding[g.sub*8+1 : g.sub*8+8] AS svec
+            |  FROM cand v CROSS JOIN grid g),
+            |enc AS (SELECT vec_id, sub, pcid FROM (
+            |    SELECT v.vec_id, v.sub, c.pcid, ${l2Sql("v.svec", "c.cvec")} AS dc,
+            |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+            |                         ORDER BY dc ASC, c.pcid ASC) AS rn
+            |    FROM subs v JOIN pcent c ON v.sub = c.sub) WHERE rn = 1),
+            |lut AS (SELECT c.sub, c.pcid,
+            |    ${l2Sql("c.cvec", "q.e[c.sub*8+1 : c.sub*8+8]")} AS qd
+            |  FROM pcent c CROSS JOIN q),
+            |adc AS (SELECT e.vec_id, sum(l.qd) AS adc
+            |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.pcid = l.pcid
+            |  GROUP BY e.vec_id)
+            |SELECT vec_id, round(adc, 6) AS adc FROM adc
+            |ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin))
+
   /** Training-mix rates for the stratified-sampling query (shared between the
     * Spark call and the generated oracle CASE so they can never drift).
     */
@@ -1850,6 +1918,7 @@ object Queries {
     "curate_domain_cap" -> curateDomainCap,
     "dedup_spans" -> dedupSpans,
     "ann_pq_adc" -> annPqAdc,
+    "ann_ivfpq_topk" -> annIvfPqTopk,
     "sample_stratified" -> sampleStratified,
     "sample_pack_shards" -> samplePackShards,
     "cluster_assign" -> clusterAssign)
