@@ -1274,6 +1274,35 @@ object Queries {
             |SELECT vec_id, round(adc, 6) AS adc FROM adc
             |ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin))
 
+  /** Target corpus shares for the mixture planner (shared between the Spark
+    * call and the generated oracle CASE).
+    */
+  private val planShares = Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2)
+
+  /** Mixture-rate planning ([[graft.operators.Curation.mixturePlan]]): from
+    * target per-language shares and a token budget to the per-language keep
+    * rates that stratifiedSample executes — the planning half of training-mix
+    * construction, one |strata|-row aggregate.
+    */
+  private val sampleMixturePlan = Q(
+    (s, d) => graft.operators.Curation.mixturePlan(
+        D.documents(s, d).select(col("lang"),
+          size(expr("filter(split(text, '\\\\s+'), x -> x != '')")).cast("long")
+            .as("n_tok")),
+        "lang", "n_tok", planShares.toMap, budget = 100000L)
+      .orderBy("lang"),
+    Some(s"""SELECT lang, count(*) AS n_docs,
+            |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+            |    x -> x <> ''))) AS BIGINT) AS n_tokens,
+            |  ${planShares.map { case (k, v) => s"WHEN lang = '$k' THEN ${v}::DOUBLE" }
+                 .mkString("CASE ", " ", " ELSE 0.0::DOUBLE END")} AS target_share,
+            |  round(least(1.0::DOUBLE,
+            |    100000.0::DOUBLE * ${planShares.map { case (k, v) => s"WHEN lang = '$k' THEN ${v}::DOUBLE" }
+                 .mkString("CASE ", " ", " ELSE 0.0::DOUBLE END")}
+            |    / greatest(CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+            |        x -> x <> ''))) AS DOUBLE), 1.0::DOUBLE)), 6) AS rate
+            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
   /** Training-mix rates for the stratified-sampling query (shared between the
     * Spark call and the generated oracle CASE so they can never drift).
     */
@@ -1915,6 +1944,7 @@ object Queries {
     "text_lm_perplexity" -> textLmPerplexity,
     "zorder_key" -> zorderKey,
     "sample_weighted" -> sampleWeighted,
+    "sample_mixture_plan" -> sampleMixturePlan,
     "curate_domain_cap" -> curateDomainCap,
     "dedup_spans" -> dedupSpans,
     "ann_pq_adc" -> annPqAdc,

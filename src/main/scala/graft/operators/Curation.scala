@@ -208,6 +208,29 @@ object Curation {
       .drop("_rn")
   }
 
+  /** Training-mixture rate planner: given target corpus shares per stratum
+    * and a total token budget, compute the per-stratum keep rate
+    * min(1, budget·share / stratum_tokens) that [[stratifiedSample]] then
+    * executes. One metadata-sized aggregate (|strata| rows) — the planning
+    * half of mixture construction, kept separate from the sampling half so
+    * rates are inspectable (and cappable) before any data moves.
+    * Output per stratum: n_docs, n_tokens, target_share, rate.
+    */
+  def mixturePlan(df: DataFrame, stratumCol: String, tokensCol: String,
+                  targetShares: Map[String, Double], budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val share = targetShares.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0.0))) { case (acc, (k, v)) =>
+        acc.when(col(stratumCol) === k, lit(v))
+      }.otherwise(lit(0.0))
+    df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
+      .withColumn("target_share", share)
+      .withColumn("rate", round(
+        least(lit(1.0), lit(budget.toDouble) * col("target_share") /
+          greatest(col("n_tokens").cast("double"), lit(1.0))), 6))
+  }
+
   /** Cap rows per key (the per-domain document cap of C4/RefinedWeb-style
     * curation): keep the top `n` rows of each `keyCol` group by
     * (orderCol desc, idCol asc). One exchange: the per-key ranking window —

@@ -204,6 +204,24 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(!withZero.select("id").as[Long].collect().contains(8L))
   }
 
+  test("mixturePlan rates reproduce the target mix through stratifiedSample") {
+    import spark.implicits._
+    // en: 1000 docs × 20 tokens = 20k; de: 100 docs × 20 tokens = 2k
+    val df = ((1L to 1000L).map(i => (i, "en", 20L)) ++
+      (1001L to 1100L).map(i => (i, "de", 20L))).toDF("id", "lang", "n_tok")
+    val plan = Curation.mixturePlan(df, "lang", "n_tok",
+      Map("en" -> 0.5, "de" -> 0.5), budget = 8000L)
+    val rates = plan.collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("rate")).toMap
+    assert(rates("en") === 0.2)   // 4000 of 20000 tokens
+    assert(rates("de") === 1.0)   // demand (4000) exceeds supply (2000) → capped
+    val kept = Curation.stratifiedSample(df, "id", "lang", rates)
+      .groupBy("lang").agg(sum("n_tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("de") === 2000L)
+    assert(math.abs(kept("en") - 4000L) < 800, s"en tokens ${kept("en")}")
+  }
+
   test("capPerKey keeps top-n per key by (order desc, id asc)") {
     import spark.implicits._
     val df = Seq(

@@ -39,10 +39,14 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       (1L, "en", "a perfectly ordinary document with plenty of words to survive the quality gates in place"),
       (2L, "en", null.asInstanceOf[String]))
       .toDF("doc_id", "lang", "text")
-    // every filtering stage on: the null doc must drop cleanly, never throw
+    // every filtering stage on (incl. domain cap + LM gate): the null doc
+    // must drop cleanly, never throw
+    val lm = graft.operators.LanguageModel.train(
+      docs.filter($"text".isNotNull), "doc_id", "text")
     val out = Pipeline.curate(docs, "doc_id", "text",
       CurationConfig(minTokens = 3, entropyBand = Some((1.0, 6.0)),
-        redactPii = true, nearDedup = true))
+        redactPii = true, nearDedup = true, domainCap = Some(5)),
+      lmModel = Some((lm, 50.0)))
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
     // and the per-op entry points tolerate null too
     assert(graft.operators.Curation.redactPii(docs, "text").count() === 2)
