@@ -1881,6 +1881,138 @@ object Queries {
             |FROM ranked r JOIN chunks c USING(chunk_id)
             |GROUP BY c.doc_id ORDER BY doc_rank, c.doc_id LIMIT 10""".stripMargin))
 
+  // ------------------------------------------------ sketches / semantic dedup
+
+  /** Bloom-filter decontamination ([[graft.operators.Sketches.bloomDecontaminate]]):
+    * the 100 TB shape of `pipeline_decontaminate` — the corpus probes a fixed
+    * 128 KiB bitset per ngram instead of joining a benchmark hash table. The
+    * bloom is DETERMINISTIC (md5-word bits), so the oracle replicates the
+    * bitset — including any false positives — from the same benchmark rows
+    * (every 41st doc), making the probe path hash-gated end to end.
+    */
+  private val bloomM = 1 << 20
+  private val bloomDecontaminate = Q(
+    (s, d) => {
+      val docs = D.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").as("bench_id"), col("text").as("bench_text"))
+      graft.operators.Sketches.bloomDecontaminate(
+          docs, bench, "doc_id", "text", "bench_id", "bench_text", n = 13, m = bloomM)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+            |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+            |  FROM documents),
+            |sh AS (SELECT doc_id, CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+            |    ELSE list_transform(generate_series(1, len(t) - 12),
+            |           i -> array_to_string(t[i:i+12], ' ')) END AS sh FROM toks),
+            |ng AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            |doc_ng AS (SELECT doc_id, md5(g) AS h FROM ng),
+            |bits AS (SELECT DISTINCT unnest([
+            |    ${(0 until 4).map(j => graft.operators.Sketches.bloomBitSql("h", j, bloomM)).mkString(",\n|    ")}]) AS b
+            |  FROM (SELECT DISTINCT h FROM doc_ng WHERE doc_id % 41 = 0)),
+            |probe AS (SELECT DISTINCT doc_id, h,
+            |    ${(0 until 4).map(j => graft.operators.Sketches.bloomBitSql("h", j, bloomM) + s" AS b$j").mkString(",\n|    ")}
+            |  FROM doc_ng),
+            |flagged AS (SELECT doc_id, h FROM probe
+            |  WHERE b0 IN (SELECT b FROM bits) AND b1 IN (SELECT b FROM bits)
+            |    AND b2 IN (SELECT b FROM bits) AND b3 IN (SELECT b FROM bits)),
+            |hits AS (SELECT doc_id, count(DISTINCT h) AS n FROM flagged GROUP BY doc_id)
+            |SELECT doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_flagged,
+            |  coalesce(n, 0) > 0 AS flagged
+            |FROM documents LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin))
+
+  /** KMV distinct-count sketch ([[graft.operators.Sketches.kmvDistinct]]):
+    * per-language distinct 3-gram-shingle estimate from the 64 smallest
+    * md5-word hashes (3-9k true distincts per language, so the estimation
+    * branch — not the exact-below-k fallback — is what the gate locks). The
+    * estimate itself is oracle-gated, because the hash is the engine-shared
+    * [[graft.operators.Curation.hash32]]. `n_exact` (distinct hashes, exact)
+    * rides along to show the error; at scale you would drop it and keep only
+    * the fixed-size sketch.
+    */
+  private val kmvK = 64
+  private val sketchDistinctKmv = Q(
+    (s, d) => {
+      val hashed = graft.operators.Dedup.withShingles(
+          D.documents(s, d).select("doc_id", "lang", "text"),
+          "doc_id", "text", n = 3, keep = Seq("lang"))
+        .select(col("lang"), explode(col("sh")).as("g"))
+        .select(col("lang"), graft.operators.Curation.hash32(col("g"), "k1").as("h"))
+      val exact = hashed.groupBy("lang").agg(countDistinct("h").as("n_exact"))
+      graft.operators.Sketches.kmvDistinct(hashed, "lang", "h", kmvK)
+        .join(exact, "lang")
+        .select("lang", "n_kmv", "kmv_estimate", "n_exact")
+        .orderBy("lang")
+    },
+    Some(s"""WITH toks AS (SELECT lang,
+            |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+            |  FROM documents),
+            |shl AS (SELECT lang, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+            |    ELSE list_transform(generate_series(1, len(t) - 2),
+            |           i -> array_to_string(t[i:i+2], ' ')) END) AS g FROM toks),
+            |hx AS (SELECT DISTINCT lang, substring(md5('k1' || g), 1, 8) AS hx8 FROM shl),
+            |hv AS (SELECT lang, ${graft.operators.Curation.hash32DigitSumSql("hx8")} AS hv FROM hx),
+            |r AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv ASC) AS rn FROM hv),
+            |agg AS (SELECT lang, count(*) AS n_distinct,
+            |    max(CASE WHEN rn = $kmvK THEN hv END) AS kth FROM r GROUP BY lang)
+            |SELECT lang, CAST(least(n_distinct, $kmvK) AS BIGINT) AS n_kmv,
+            |  round(CASE WHEN n_distinct < $kmvK THEN CAST(n_distinct AS DOUBLE)
+            |    ELSE ${kmvK - 1} * 4294967296.0 / kth END, 4) AS kmv_estimate,
+            |  CAST(n_distinct AS BIGINT) AS n_exact
+            |FROM agg ORDER BY lang""".stripMargin))
+
+  /** SemDeDup ([[graft.operators.Dedup.semanticDedup]]): embedding-space
+    * semantic dedup — cluster (pinned centroids = embeddings 1..8, like
+    * `cluster_assign`), then drop any vector with a smaller-id neighbor at
+    * cosine ≥ 0.35 INSIDE its cluster. Cluster-locality bounds the pair step;
+    * the kept/dropped decision per vector is what the gate locks.
+    */
+  private val dedupSemantic = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val centroids = D.embeddings(s, d)
+        .filter(col("vec_id").between(1, 8)).orderBy("vec_id")
+        .collect().map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      graft.operators.Dedup.semanticDedup(emb, "vec_id", "embedding", centroids, 0.35)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+            |         WHERE vec_id BETWEEN 1 AND 8),
+            |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+            |dists AS (SELECT v.vec_id, c.cid, ${l2Sql("v.embedding", "c.c")} AS dc
+            |  FROM e v CROSS JOIN cent c),
+            |assigned AS (SELECT vec_id, cid FROM
+            |  (SELECT vec_id, cid, dc,
+            |     row_number() OVER (PARTITION BY vec_id ORDER BY dc ASC, cid ASC) AS rn
+            |   FROM dists)
+            |  WHERE rn = 1),
+            |av AS (SELECT a.vec_id, a.cid, e.embedding FROM assigned a JOIN e USING (vec_id)),
+            |dropped AS (SELECT DISTINCT b.vec_id AS dv FROM av a JOIN av b
+            |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+            |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35)
+            |SELECT a.vec_id, CAST(a.cid - 1 AS BIGINT) AS cluster_id,
+            |  d.dv IS NULL AS kept
+            |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.dv
+            |ORDER BY a.vec_id""".stripMargin))
+
+  /** Corpus length-histogram profile: fixed-width buckets (250 chars, capped
+    * at bucket 15) per language — the dataset-card length distribution as one
+    * hash-aggregate. Fixed bounds keep it a single pass (no min/max pre-scan).
+    */
+  private val corpusHistogram = Q(
+    (s, d) => D.documents(s, d)
+      .groupBy(col("lang"),
+        least(lit(15L), floor(length(col("text")) / 250)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_chars", (col("bucket") * 250).cast("long"))
+      .select("lang", "bucket", "lo_chars", "n")
+      .orderBy("lang", "bucket"),
+    Some("""SELECT lang, CAST(least(15, length(text) // 250) AS BIGINT) AS bucket,
+           |  CAST(least(15, length(text) // 250) * 250 AS BIGINT) AS lo_chars,
+           |  count(*) AS n
+           |FROM documents GROUP BY 1, 2, 3 ORDER BY lang, bucket""".stripMargin))
+
   // ------------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -1951,7 +2083,11 @@ object Queries {
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "sample_stratified" -> sampleStratified,
     "sample_pack_shards" -> samplePackShards,
-    "cluster_assign" -> clusterAssign)
+    "cluster_assign" -> clusterAssign,
+    "bloom_decontaminate" -> bloomDecontaminate,
+    "sketch_distinct_kmv" -> sketchDistinctKmv,
+    "dedup_semantic" -> dedupSemantic,
+    "corpus_histogram" -> corpusHistogram)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {

@@ -46,13 +46,18 @@ object Dedup {
        |       i -> concat_ws(' ', $parts)) END""".stripMargin
   }
 
-  /** (id, sh: array<string>) — word n-gram shingles; docs shorter than n tokens
-    * fall back to one whole-text shingle so every doc gets a signature.
+  /** (id, keep…, sh: array<string>) — word n-gram shingles; docs shorter than
+    * n tokens fall back to one whole-text shingle so every doc gets a
+    * signature. `keep` columns ride along unchanged (e.g. a stratum key for
+    * per-group sketches).
     */
-  def withShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+  def withShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                   keep: Seq[String] = Nil): DataFrame = {
+    val head = col(idCol) +: keep.map(col)
     docs
-      .select(col(idCol), expr(toksExpr(textCol)).as("_t"))
-      .select(col(idCol), expr(shinglesFromToks("_t", n)).as("sh"))
+      .select(head :+ expr(toksExpr(textCol)).as("_t"): _*)
+      .select(head :+ expr(shinglesFromToks("_t", n)).as("sh"): _*)
+  }
 
   /** Per-document minhash signatures. Signature h = lexicographic MIN over
     * shingles of the h-th disjoint 8-hex-char slice of md5(shingle).
@@ -391,5 +396,41 @@ object Dedup {
       .withColumn("cos", cosineF(col("v_a"), col("v_b")))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540): cluster the embedding
+    * space, then deduplicate WITHIN each cluster by cosine similarity, keeping
+    * one representative per near-dup group. Clustering makes the quadratic
+    * pair step cluster-local — pair counts are bounded by max cluster size,
+    * never corpus², the same containment discipline as the LSH band joins.
+    *
+    * Representative choice is the deterministic greedy rule: a row is dropped
+    * iff some SMALLER-id row in its cluster is within `minCosine` — so every
+    * near-dup star keeps exactly its min-id member, at any parallelism.
+    *
+    * `centroids` are caller-supplied (production: MLlib k-means fit on a
+    * sample, like [[Ann.buildIvf]]; tests/oracle: pinned rows) — assignment
+    * reuses [[Ann.assignLists]]'s codegen'd argmin, so this composes with an
+    * existing IVF index's centroids for free.
+    *
+    * Output: (idCol, cluster_id, kept). One shuffle: the cluster-keyed
+    * self-join.
+    */
+  def semanticDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], minCosine: Double): DataFrame = {
+    import graft.plans.VectorFunctions.cosineF
+    val assigned = Ann.assignLists(emb, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("listId").cast("long").as("cluster_id"))
+    val a = assigned.select(col(idCol).as("id_a"), col("cluster_id"), col(vecCol).as("v_a"))
+    val b = assigned.select(col(idCol).as("id_b"), col("cluster_id"), col(vecCol).as("v_b"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineF(col("v_a"), col("v_b")) >= minCosine)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.select(col(idCol), col("cluster_id"))
+      .join(dropped.withColumn("_drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"), col("_drop").isNull.as("kept"))
   }
 }

@@ -12,9 +12,10 @@ import org.apache.spark.sql.types._
   * /root/reference/main/sources/files/files_document_reader.py:10-108); this is the
   * training-data-pipeline extension. Image dimensions decode FOR REAL from the
   * container headers (PNG IHDR, JPEG SOFn, GIF logical screen — no codec
-  * needed); audio/video duration would need a demuxer that isn't in this
-  * container, so that branch REMAINS A DETERMINISTIC STUB (clearly marked
-  * below): fake durations derive from the content hash. Everything around it —
+  * needed), and so does WAV audio (RIFF chunk walk → channels/sample-rate/
+  * duration); compressed audio and video duration would need a demuxer that
+  * isn't in this container, so those branches REMAIN A DETERMINISTIC STUB
+  * (clearly marked below): fake durations derive from the content hash. Everything around it —
   * the media schema, the per-partition batched map (the Scala analogue of a
   * Pandas-UDF `mapInPandas` batch), the feature vector shape, partitioning-safe
   * signatures — is real and tested, so swapping in a JNI/ONNX decoder changes
@@ -93,10 +94,49 @@ object Multimodal {
       Some((le16(b, 6), le16(b, 8), 3))
     else None
 
-  /** Image headers parse for real (PNG/JPEG/GIF need no codec); audio/video
-    * duration still needs a container demuxer that isn't in this classpath, so
-    * THOSE REMAIN A DETERMINISTIC STUB (dims/durations derived from md5 of the
-    * content, clearly bounded here). Swapping in a real demuxer changes only the
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+
+  /** Decoded WAV container metadata — REAL header parse, no codec needed. */
+  case class WavMeta(audioFormat: Int, channels: Int, sampleRateHz: Int,
+                     bitsPerSample: Int, dataBytes: Long, durationMs: Long)
+
+  /** RIFF/WAVE: "RIFF" + size + "WAVE", then a chunk walk — each chunk is a
+    * 4-char id + little-endian u32 size + payload (word-aligned). The `fmt `
+    * chunk carries format/channels/sampleRate/byteRate/blockAlign/bits
+    * (RIFF spec, Microsoft/IBM 1991, "fmt " §); `data` carries the sample
+    * payload whose size over byteRate gives the duration. Malformed input
+    * (truncated chunks, zero byteRate, cyclic sizes are impossible — the walk
+    * is strictly forward) degrades to None, never a throw.
+    */
+  def wavMeta(b: Array[Byte]): Option[WavMeta] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Long, Int)] = None // format, ch, rate, byteRate, bits
+    var dataBytes = -1L
+    while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+      val id = new String(b.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length)
+        fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(b, i + 12).toInt,
+          le32(b, i + 16), le16(b, i + 22)))
+      else if (id == "data") dataBytes = size
+      val next = i.toLong + 8L + size + (size & 1) // chunks are word-aligned
+      if (next > Int.MaxValue) i = b.length // truncated/corrupt size: stop the walk
+      else i = next.toInt
+    }
+    fmt.collect { case (f, ch, rate, byteRate, bits) if byteRate > 0 && dataBytes >= 0 =>
+      WavMeta(f, ch, rate, bits, dataBytes, dataBytes * 1000L / byteRate)
+    }
+  }
+
+  /** Image headers parse for real (PNG/JPEG/GIF need no codec), and WAV audio
+    * parses for real ([[wavMeta]]); compressed audio and video duration still
+    * need a container demuxer that isn't in this classpath, so THOSE REMAIN A
+    * DETERMINISTIC STUB (dims/durations derived from md5 of the content,
+    * clearly bounded here). Swapping in a real demuxer changes only the
     * fallback branch; the batching shape stays.
     */
   private def decodeOne(kind: String, bytes: Array[Byte]): (Int, Int, Int, Long) = {
@@ -105,6 +145,12 @@ object Multimodal {
       pngDims(bytes).orElse(jpegDims(bytes)).orElse(gifDims(bytes)) match {
         case Some((w, h, c)) => return (w, h, c, 0L)
         case None            => // unknown image container: stub fallback below
+      }
+    }
+    if (kind == "audio") {
+      wavMeta(bytes) match { // WAV parses for real (header-only, like the images)
+        case Some(m) => return (0, 0, m.channels, m.durationMs)
+        case None    => // compressed audio (mp3/aac): stub fallback below
       }
     }
     val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)

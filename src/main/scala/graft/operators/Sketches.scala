@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Fixed-size probabilistic summaries — the structures that replace
+  * corpus-sized state with kilobyte-sized state at 100 TB.
+  *
+  * Everything here is DETERMINISTIC and built on the md5 primitive shared with
+  * the DuckDB oracle (see [[Curation.hash32]]), so the driver's hash gate can
+  * replicate the sketches bit for bit — including Bloom false positives. The
+  * production swap-ins (Spark's `DataFrameStatFunctions.bloomFilter`,
+  * `approx_count_distinct`) use engine-private hashing and are noted per
+  * method; the semantics and the scale posture are identical.
+  */
+object Sketches {
+
+  // ------------------------------------------------------------------- bloom
+
+  /** Number of hash functions: the 32-char md5 hex splits into exactly four
+    * disjoint 32-bit words, so k = 4 costs one digest per element.
+    */
+  val bloomK = 4
+
+  /** The j-th (0-based) 32-bit word of an md5 hex string as a non-negative
+    * long, reduced mod `m` — one Bloom bit position per word.
+    */
+  def bloomBit(hexMd5: Column, j: Int, m: Int): Column =
+    conv(substring(hexMd5, 1 + 8 * j, 8), 16, 10).cast("long") % m
+
+  /** All four bit positions for one element (given its md5 hex). */
+  def bloomBits(hexMd5: Column, m: Int): Column =
+    array((0 until bloomK).map(bloomBit(hexMd5, _, m)): _*)
+
+  /** Build the bitset from the SMALL side (a benchmark / blocklist — the side
+    * that is metadata-sized by definition). The distinct bit positions are
+    * collected to the driver (≤ 4×|elements|, each a long) and packed into a
+    * long-word bitset of m/64 words — 128 KiB at the default m = 2^20, a
+    * broadcast-sized object regardless of corpus size.
+    */
+  def buildBloom(elements: DataFrame, elemMd5: Column, m: Int): Array[Long] = {
+    require(m % 64 == 0, "m must be a multiple of 64")
+    val words = new Array[Long](m / 64)
+    elements.select(explode(bloomBits(elemMd5, m)).as("b")).distinct()
+      .collect().foreach { r =>
+        val b = r.getLong(0)
+        words((b >> 6).toInt) |= (1L << (b & 63))
+      }
+    words
+  }
+
+  /** Membership probe as a Column: a scala UDF over the element's md5 hex,
+    * testing all four word-bits against the broadcast bitset. O(1) per row, no
+    * join, no shuffle — the corpus side never moves. (A UDF rather than a
+    * codegen expression: the probe is 4 array reads against a broadcast
+    * variable, which codegen cannot improve; Spark's own
+    * BloomFilterMightContain runtime filter has the same shape.)
+    */
+  def mightContain(spark: SparkSession, bits: Array[Long], m: Int): Column => Column = {
+    val bc = spark.sparkContext.broadcast(bits)
+    val probe = udf { hex: String =>
+      if (hex == null) false
+      else {
+        val w = bc.value
+        var j = 0
+        var all = true
+        while (all && j < bloomK) {
+          val v = java.lang.Long.parseLong(hex.substring(8 * j, 8 * j + 8), 16) % m
+          all = (w((v >> 6).toInt) & (1L << (v & 63))) != 0
+          j += 1
+        }
+        all
+      }
+    }
+    (c: Column) => probe(c)
+  }
+
+  /** Benchmark decontamination via Bloom filter — the 100 TB shape of
+    * [[Curation.decontaminate]]: instead of joining the corpus ngrams against
+    * a broadcast benchmark hash TABLE, the corpus probes a fixed 128 KiB
+    * bitset per row. Flags are a superset of the exact join's (Bloom false
+    * positives), which is the safe direction for decontamination: never miss
+    * real contamination, occasionally re-check a clean doc.
+    *
+    * Output per doc: (idCol, n_flagged = distinct flagged ngrams, flagged).
+    * Reference contract: same screening role as the conjunctive search gate
+    * (reference `main/indexes/indexers/sqllite_indexer.py:69-78`), lifted to
+    * corpus hygiene.
+    */
+  def bloomDecontaminate(
+      docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      benchIdCol: String, benchTextCol: String,
+      n: Int = 13, m: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    val benchNg = Dedup.withShingles(benchmark, benchIdCol, benchTextCol, n)
+      .select(explode(col("sh")).as("ng")).select(md5(col("ng")).as("h")).distinct()
+    val bloom = buildBloom(benchNg, col("h"), m)
+    val probe = mightContain(spark, bloom, m)
+    val hits = Dedup.withShingles(docs, idCol, textCol, n)
+      .select(col(idCol), explode(col("sh")).as("ng"))
+      .select(col(idCol), md5(col("ng")).as("h"))
+      .filter(probe(col("h")))
+      .groupBy(idCol).agg(countDistinct("h").as("n_flagged"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      .withColumn("flagged", col("n_flagged") > 0)
+  }
+
+  /** DuckDB replica of [[bloomBit]]: positional digit-sum over the j-th
+    * 8-hex-char word of `hexCol`, mod m. Companion to
+    * [[Curation.hash32DigitSumSql]] (DuckDB has no hex-parse).
+    */
+  def bloomBitSql(hexCol: String, j: Int, m: Int): String = {
+    val sum = (1 to 8).map { i =>
+      s"(strpos('0123456789abcdef', substring($hexCol, ${8 * j + i}, 1)) - 1) * ${1L << (4 * (8 - i))}"
+    }.mkString(" + ")
+    s"(($sum) % $m)"
+  }
+
+  // --------------------------------------------------------------------- kmv
+
+  /** Bounded k-minimum-values buffer: sorted, distinct, at most k entries.
+    * Map-side partial aggregation keeps per-group state at k longs no matter
+    * how many rows flow through — the whole point of the sketch. The common
+    * case (value already present, or buffer full and value above the current
+    * k-th minimum) is a binary search with no allocation.
+    */
+  class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Vector.empty
+
+    override def reduce(buf: Seq[Long], v: Long): Seq[Long] = {
+      val idx = buf.search(v)(Ordering.Long)
+      idx match {
+        case scala.collection.Searching.Found(_) => buf
+        case scala.collection.Searching.InsertionPoint(i) =>
+          if (buf.length >= k && i >= k) buf
+          else {
+            val grown = (buf.take(i) :+ v) ++ buf.drop(i)
+            if (grown.length > k) grown.take(k) else grown
+          }
+      }
+    }
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).distinct.sorted.take(k)
+
+    override def finish(buf: Seq[Long]): Seq[Long] = buf
+    override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** KMV (k-minimum-values) distinct-count estimate per group (Bar-Yossef et
+    * al., "Counting distinct elements in a data stream", RANDOM 2002): keep
+    * the k smallest distinct 32-bit hashes; if fewer than k exist the count is
+    * exact, otherwise estimate (k−1)·2^32 / h_(k). The hash is the shared
+    * md5-word [[Curation.hash32]], so the estimate — not just the code path —
+    * is replicated by the oracle. Production swap-in: HLL
+    * (`approx_count_distinct`) for smaller state; KMV keeps oracle parity and
+    * supports set operations on sketches.
+    *
+    * Input: one row per (group, element); `hashCol` must already hold the
+    * hash32 value. Output: (groupCol, n_kmv = |sketch|, kmv_estimate).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, hashCol: String, k: Int): DataFrame = {
+    val sketch = udaf(new KmvAggregator(k))
+    df.groupBy(col(groupCol))
+      .agg(sketch(col(hashCol)).as("_sk"))
+      .select(
+        col(groupCol),
+        size(col("_sk")).cast("long").as("n_kmv"),
+        round(
+          when(size(col("_sk")) < k, size(col("_sk")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / element_at(col("_sk"), k)),
+          4).as("kmv_estimate"))
+  }
+}

@@ -136,4 +136,50 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSuite {
     val resized = Multimodal.resizeStub(media, 100)
     assert(resized.select(max(length($"bytes"))).head().getInt(0) <= 100)
   }
+
+  /** Minimal canonical PCM WAV: RIFF/WAVE + "fmt "(16) + "data"(n). */
+  private def wavBytes(channels: Int, rateHz: Int, bits: Int, dataLen: Int,
+                       extraChunk: Boolean = false): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(64 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = rateHz * channels * bits / 8
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    if (extraChunk) { // a LIST chunk before fmt — the walk must skip it
+      bb.put("LIST".getBytes); bb.putInt(4); bb.put("INFO".getBytes)
+    }
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1.toShort); bb.putShort(channels.toShort)
+    bb.putInt(rateHz); bb.putInt(byteRate)
+    bb.putShort((channels * bits / 8).toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes); bb.putInt(dataLen); bb.put(new Array[Byte](dataLen))
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  test("WAV header decodes for real: channels, rate, duration from RIFF chunks") {
+    // 16-bit stereo 8kHz, 32000 data bytes → exactly 1000 ms
+    val m = Multimodal.wavMeta(wavBytes(2, 8000, 16, 32000)).get
+    assert(m.channels === 2 && m.sampleRateHz === 8000 && m.bitsPerSample === 16)
+    assert(m.durationMs === 1000L)
+    // chunk walk skips unknown chunks before fmt
+    val skipped = Multimodal.wavMeta(wavBytes(1, 16000, 8, 8000, extraChunk = true)).get
+    assert(skipped.channels === 1 && skipped.durationMs === 500L)
+    // malformed inputs degrade to None, never throw
+    assert(Multimodal.wavMeta("RIFFjunk".getBytes).isEmpty)
+    assert(Multimodal.wavMeta(wavBytes(1, 8000, 16, 4000).take(30)).isEmpty)
+    assert(Multimodal.wavMeta(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decode() uses the real WAV branch for audio, stub only for non-WAV") {
+    import spark.implicits._
+    val media = Seq(
+      ("wav1", "audio", wavBytes(2, 8000, 16, 16000), Map.empty[String, String]),
+      ("mp3ish", "audio", "not-a-wav-container".getBytes, Map.empty[String, String])
+    ).toDF("mediaId", "kind", "bytes", "meta")
+    val out = Multimodal.decode(media).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("wav1").getAs[Int]("channels") === 2)
+    assert(out("wav1").getAs[Long]("durationMs") === 500L)
+    // the stub branch still yields a deterministic plausible duration
+    assert(out("mp3ish").getAs[Long]("durationMs") >= 1000L)
+  }
 }

@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.{Curation, Dedup, Sketches}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite with SparkSuite {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------------- bloom
+
+  test("bloom: every inserted element probes true (no false negatives, ever)") {
+    val elems = (1 to 200).map(i => s"element number $i").toDF("e")
+      .select(md5(col("e")).as("h"))
+    val bits = Sketches.buildBloom(elems, col("h"), m = 1 << 16)
+    val probe = Sketches.mightContain(spark, bits, 1 << 16)
+    val hits = elems.filter(probe(col("h"))).count()
+    assert(hits === 200)
+  }
+
+  test("bloom: false-positive rate at the design point stays low") {
+    val elems = (1 to 200).map(i => s"in $i").toDF("e").select(md5(col("e")).as("h"))
+    val bits = Sketches.buildBloom(elems, col("h"), m = 1 << 16)
+    val probe = Sketches.mightContain(spark, bits, 1 << 16)
+    val out = (1 to 2000).map(i => s"out $i").toDF("e").select(md5(col("e")).as("h"))
+    val fp = out.filter(probe(col("h"))).count()
+    // 200 elements × 4 bits in 65536 → fill ≈ 1.2%, fp ≈ fill^4 ≈ 2e-8.
+    // Allow a generous margin; the point is "rare", not the exact constant.
+    assert(fp <= 2)
+  }
+
+  test("bloomDecontaminate flags a superset of the exact join's flags") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely unrelated text about spark catalyst optimizer rules"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today ok"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val bench = Seq((10L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("bench_id", "bench_text")
+    val bloom = Sketches.bloomDecontaminate(
+      docs, bench, "doc_id", "text", "bench_id", "bench_text", n = 13)
+      .orderBy("doc_id").collect()
+    val exact = Curation.decontaminate(
+      docs, bench, "doc_id", "text", "bench_id", "bench_text", n = 13)
+      .orderBy("doc_id").collect()
+    // docs 1 and 3 share full 13-grams with the benchmark; 2 and 4 share none
+    assert(exact.map(r => r.getAs[Boolean]("contaminated")).toSeq ===
+      Seq(true, false, true, false))
+    bloom.zip(exact).foreach { case (b, e) =>
+      // no false negatives: exact-contaminated implies bloom-flagged, and the
+      // distinct-ngram hit count can only grow under false positives
+      if (e.getAs[Boolean]("contaminated")) assert(b.getAs[Boolean]("flagged"))
+      assert(b.getAs[Long]("n_flagged") >= e.getAs[Long]("n_contaminated_ngrams"))
+    }
+  }
+
+  test("bloomBitSql mirrors bloomBit for arbitrary md5 words") {
+    // the SQL replica is exercised end-to-end by the driver oracle; here just
+    // pin the Spark side: four words, all within [0, m)
+    val m = 1 << 20
+    val row = Seq("some element").toDF("e").select(md5(col("e")).as("h"))
+      .select(Sketches.bloomBits(col("h"), m).as("b")).head()
+    val bitsArr = row.getSeq[Long](0)
+    assert(bitsArr.length === 4)
+    assert(bitsArr.forall(b => b >= 0 && b < m))
+    assert(bitsArr.distinct.length > 1) // words differ for a real digest
+  }
+
+  // --------------------------------------------------------------------- kmv
+
+  test("KmvAggregator keeps a sorted, distinct, bounded buffer") {
+    val agg = new Sketches.KmvAggregator(5)
+    val buf = Seq(9L, 2L, 7L, 2L, 11L, 1L, 5L, 3L, 9L, 4L)
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(buf === Seq(1L, 2L, 3L, 4L, 5L))
+    // merge keeps global k-minima across partials
+    val other = Seq(0L, 2L, 6L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(buf, other) === Seq(0L, 1L, 2L, 3L, 4L))
+    // values above a full buffer's max are rejected without growth
+    assert(agg.reduce(buf, 100L) === buf)
+  }
+
+  test("kmvDistinct is exact below k and estimates above k") {
+    val below = (1 to 10).flatMap(i => Seq(("g", i.toLong), ("g", i.toLong)))
+      .toDF("grp", "h")
+    val exact = Sketches.kmvDistinct(below, "grp", "h", k = 64).head()
+    assert(exact.getAs[Long]("n_kmv") === 10L)
+    assert(exact.getAs[Double]("kmv_estimate") === 10.0)
+
+    // k = 16 over 2000 uniform-ish hash32 values: estimate within 50% of truth
+    val vals = (1 to 2000).map(i => ("g", i)).toDF("grp", "v")
+      .select(col("grp"), Curation.hash32(col("v"), "s").as("h"))
+    val est = Sketches.kmvDistinct(vals, "grp", "h", k = 16)
+      .head().getAs[Double]("kmv_estimate")
+    assert(est > 1000 && est < 4000, s"estimate $est far from 2000")
+  }
+
+  test("kmvDistinct partial-aggregates: result is parallelism-independent") {
+    val vals = (1 to 500).map(i => ("g", i)).toDF("grp", "v")
+      .select(col("grp"), Curation.hash32(col("v"), "s").as("h"))
+    val one = Sketches.kmvDistinct(vals.coalesce(1), "grp", "h", k = 32).head()
+    val many = Sketches.kmvDistinct(vals.repartition(7), "grp", "h", k = 32).head()
+    assert(one.getAs[Double]("kmv_estimate") === many.getAs[Double]("kmv_estimate"))
+  }
+
+  // ---------------------------------------------------------------- semdedup
+
+  test("semanticDedup keeps the min-id representative per near-dup star") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (1L, v(1, 0, 0, 0)),   // centroid-ish A
+      (2L, v(0.99, 0.01, 0, 0)), // near-dup of 1 → dropped
+      (3L, v(0.98, -0.02, 0, 0)), // near-dup of 1 → dropped
+      (4L, v(0, 1, 0, 0)),   // centroid-ish B
+      (5L, v(0.01, 0.99, 0, 0)), // near-dup of 4 → dropped
+      (6L, v(0, 0, 1, 0))    // assigned to nearer centroid, far from both reps
+    ).toDF("id", "vec")
+    val centroids = Array(v(1, 0, 0, 0), v(0, 1, 0, 0))
+    val out = Dedup.semanticDedup(rows, "id", "vec", centroids, minCosine = 0.9)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Boolean]("kept")).toSeq ===
+      Seq(true, false, false, true, false, true))
+    // cluster ids are the argmin assignment
+    assert(out.map(_.getAs[Long]("cluster_id")).toSeq === Seq(0L, 0L, 0L, 1L, 1L, 0L))
+  }
+
+  test("semanticDedup drops nothing when the threshold excludes all pairs") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val rows = Seq((1L, v(1, 0)), (2L, v(0, 1)), (3L, v(-1, 0))).toDF("id", "vec")
+    val out = Dedup.semanticDedup(rows, "id", "vec",
+      Array(v(1, 0), v(0, 1)), minCosine = 0.999)
+    assert(out.filter(!col("kept")).count() === 0)
+  }
+}
