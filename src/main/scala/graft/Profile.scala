@@ -2,7 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc stage profiler for slow queries. */
+/** Ad-hoc stage profiler for slow queries (scratch tool, rewritten per
+  * investigation; current target: dedup_containment's branch reuse).
+  */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,32 +23,37 @@ object Profile {
       df.write.format("noop").mode("overwrite").save()
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    // warm the scan
-    time("scan warmup")(consume(docs.select("doc_id", "text")))
-    // stage 1: char split only
-    val ch = docs.select(col("doc_id"),
-      filter(split(col("text"), ""), c => c =!= "").as("_ch"))
-    (1 to 3).foreach(i => time(s"split pass $i")(consume(ch)))
-    // stage 2: + distinct counts
-    val cnt = ch.withColumn("_cnt",
-      expr("transform(array_distinct(_ch), c -> size(filter(_ch, x -> x = c)))"))
-    (1 to 3).foreach(i => time(s"counts pass $i")(consume(cnt)))
-    // stage 2b: aggregate-based counts (no per-char array allocation)
-    val cntAgg = ch.withColumn("_cnt",
-      expr("transform(array_distinct(_ch), c -> aggregate(_ch, 0, (a, x) -> a + (CASE WHEN x = c THEN 1 ELSE 0 END)))"))
-    (1 to 3).foreach(i => time(s"counts-agg pass $i")(consume(cntAgg)))
-    // stage 2c: run-length counts on the sorted array (O(n log n), O(1) lookups)
-    val cntRl = ch
-      .withColumn("_s", array_sort(col("_ch")))
-      .withColumn("_b", expr(
-        "filter(sequence(1, size(_s)), i -> i = size(_s) OR element_at(_s, i) != element_at(_s, i + 1))"))
-      .withColumn("_cnt", expr(
-        "transform(sequence(1, size(_b)), j -> element_at(_b, j) - CASE WHEN j = 1 THEN 0 ELSE element_at(_b, j - 1) END)"))
-    (1 to 3).foreach(i => time(s"counts-runlen pass $i")(consume(cntRl)))
-    // stage 3: full entropy
-    val full = graft.operators.TextAnalysis.withCharEntropy(
-      docs.select("doc_id", "text"), "text")
-    (1 to 3).foreach(i => time(s"entropy pass $i")(consume(full)))
-    spark.stop()
+      .select(col("doc_id"), col("text"))
+    time("scan warmup")(consume(docs))
+
+    // baseline: the registered query path
+    def q() = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text")
+    (1 to 3).foreach(i => time(s"containment as-is $i")(consume(q())))
+
+    // stage costs
+    val ex = graft.operators.TextAnalysis.fingerprintDf(docs, "text")
+      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+    (1 to 2).foreach(i => time(s"fingerprint explode $i")(consume(ex)))
+
+    // persist variant: materialize kept once
+    def qPersist() = {
+      val informative = ex.groupBy("fp").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= 1000).select("fp")
+      val kept = ex.join(informative, Seq("fp")).persist()
+      val sizes = kept.groupBy(col("doc_id").as("id_a")).agg(count(lit(1)).as("n_a"))
+      val out = kept.select(col("doc_id").as("id_a"), col("fp"))
+        .join(kept.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .join(sizes, "id_a")
+        .withColumn("containment", col("shared") / col("n_a"))
+        .filter(col("containment") >= 0.5)
+      (out, kept)
+    }
+    (1 to 3).foreach { i =>
+      val (out, kept) = qPersist()
+      time(s"containment persist $i")(consume(out))
+      kept.unpersist()
+    }
   }
 }

@@ -1962,6 +1962,48 @@ object Queries {
             |  CAST(n_distinct AS BIGINT) AS n_exact
             |FROM agg ORDER BY lang""".stripMargin))
 
+  /** Count-min sketch heavy hitters ([[graft.operators.Sketches.cmsBuild]] /
+    * [[graft.operators.Sketches.cmsEstimate]]): token frequencies from a
+    * fixed 4×1024 counter grid instead of a corpus-sized count table; the 25
+    * highest-frequency tokens' estimates ride next to their exact counts (the
+    * CMS overestimate property — collisions only add — is visible in the
+    * gated output). Grid hashing = the same md5 words as the Bloom filter, so
+    * the oracle rebuilds the identical grid.
+    */
+  private val cmsW = 1024
+  private val sketchCmsTopk = Q(
+    (s, d) => {
+      val toks = D.documents(s, d)
+        .select(explode(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")).as("tok"))
+      val cms = graft.operators.Sketches.cmsBuild(toks, md5(col("tok")), cmsW)
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      val cand = exact.orderBy(col("n_exact").desc, col("tok").asc).limit(25)
+      graft.operators.Sketches.cmsEstimate(cms, cand, "tok", md5(col("tok")), cmsW)
+        .join(cand, "tok")
+        .select(col("tok"), col("n_exact"), col("cms_estimate"))
+        .orderBy(col("n_exact").desc, col("tok").asc)
+    },
+    Some(s"""WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+            |    x -> x <> '')) AS t FROM documents),
+            |hx AS (SELECT t, md5(t) AS h FROM tok),
+            |pos AS (${(0 until 4).map(j =>
+                s"SELECT h, $j AS r, ${graft.operators.Sketches.bloomBitSql("h", j, cmsW)} AS b FROM hx")
+              .mkString("\n|  UNION ALL ")}),
+            |cms AS (SELECT r, b, count(*) AS c FROM pos GROUP BY r, b),
+            |exact AS (SELECT t, count(*) AS n_exact FROM tok GROUP BY t),
+            |cand AS (SELECT t, n_exact FROM (SELECT t, n_exact,
+            |    row_number() OVER (ORDER BY n_exact DESC, t ASC) AS rn FROM exact)
+            |  WHERE rn <= 25),
+            |ch AS (SELECT t, md5(t) AS h FROM cand),
+            |cpos AS (${(0 until 4).map(j =>
+                s"SELECT t, $j AS r, ${graft.operators.Sketches.bloomBitSql("h", j, cmsW)} AS b FROM ch")
+              .mkString("\n|  UNION ALL ")}),
+            |est AS (SELECT cpos.t, min(c) AS cms_estimate FROM cpos
+            |  JOIN cms USING (r, b) GROUP BY cpos.t)
+            |SELECT cand.t AS tok, n_exact, cms_estimate
+            |FROM cand JOIN est ON cand.t = est.t
+            |ORDER BY n_exact DESC, tok ASC""".stripMargin))
+
   /** SemDeDup ([[graft.operators.Dedup.semanticDedup]]): embedding-space
     * semantic dedup — cluster (pinned centroids = embeddings 1..8, like
     * `cluster_assign`), then drop any vector with a smaller-id neighbor at
@@ -2086,6 +2128,7 @@ object Queries {
     "cluster_assign" -> clusterAssign,
     "bloom_decontaminate" -> bloomDecontaminate,
     "sketch_distinct_kmv" -> sketchDistinctKmv,
+    "sketch_cms_topk" -> sketchCmsTopk,
     "dedup_semantic" -> dedupSemantic,
     "corpus_histogram" -> corpusHistogram)
 

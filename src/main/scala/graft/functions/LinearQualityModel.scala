@@ -54,6 +54,17 @@ final class LinearQualityModel private (
   /** Keep rows scoring at or above `minScore`. */
   def filterByQuality(df: DataFrame, textCol: String, minScore: Double): DataFrame =
     scoreDf(df, textCol).filter(col("model_quality") >= minScore)
+
+  /** Export as the plain-text artifact [[LinearQualityModel.fromFile]] reads —
+    * the ship format for a model trained with [[LinearQualityModel.train]].
+    */
+  def save(path: String): Unit = {
+    val sb = new StringBuilder
+    sb.append("# linear quality model: line 1 = bias, then one weight per line\n")
+    sb.append(bias).append('\n')
+    weights.foreach(w => sb.append(w).append('\n'))
+    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
 }
 
 object LinearQualityModel {
@@ -77,4 +88,32 @@ object LinearQualityModel {
   def fromWeights(bias: Double, weights: Array[Float], seed: Int = 42): LinearQualityModel =
     new LinearQualityModel(weights.length, bias, weights,
       f"mem${weights.length}%04d", seed)
+
+  /** Train the classifier with MLlib logistic regression over the SAME hashed
+    * uni+bigram features the scorer applies — closing the loop from "weights
+    * file slot" to "trained in this engine": fit on a labeled sample
+    * (distributed L-BFGS), [[LinearQualityModel#save]] the weights artifact,
+    * ship it to the scoring pipeline via [[fromFile]] (which stamps the
+    * content digest into the model identity).
+    *
+    * `labelCol` must be 0/1 (1 = keep-quality). Feature extraction is the
+    * same per-row map scoring uses — no shuffle beyond MLlib's aggregation
+    * rounds, whose state is O(dim) per partition, not corpus-sized.
+    */
+  def train(df: DataFrame, textCol: String, labelCol: String,
+            dim: Int = 1024, seed: Int = 42, maxIter: Int = 50,
+            regParam: Double = 1e-4): LinearQualityModel = {
+    val emb = new HashingEmbedder(dim, seed)
+    val toVec = udf { t: String =>
+      org.apache.spark.ml.linalg.Vectors.dense(
+        emb.embed(if (t == null) "" else t).map(_.toDouble))
+    }
+    val data = df.select(toVec(col(textCol)).as("features"),
+      col(labelCol).cast("double").as("label"))
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam).setStandardization(false)
+    val m = lr.fit(data)
+    new LinearQualityModel(dim, m.intercept,
+      m.coefficients.toArray.map(_.toFloat), f"fit${dim}%04d", seed)
+  }
 }

@@ -153,6 +153,35 @@ object Sketches {
     override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 
+  // --------------------------------------------------------------- count-min
+
+  /** Count-min sketch (Cormode & Muthukrishnan, "An improved data stream
+    * summary: the count-min sketch and its applications", J. Algorithms 2005)
+    * over a stream of elements: a depth-4 × width-`w` counter grid — the four
+    * md5 words are the four hash rows, shared with [[bloomBit]] so the oracle
+    * replicates the grid exactly. Output (row, bucket, cnt): at most 4·w rows
+    * REGARDLESS of stream size — the fixed-size state that replaces a
+    * corpus-sized token-count table at 100 TB. One hash aggregate; partial
+    * (map-side) combine collapses each partition to ≤ 4·w rows before the
+    * exchange.
+    */
+  def cmsBuild(elems: DataFrame, elemMd5: Column, w: Int): DataFrame =
+    elems.select(posexplode(bloomBits(elemMd5, w)).as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate counts for `candidates` against a built sketch: each
+    * candidate probes one bucket per row and takes the min — an overestimate
+    * by design (collisions only ever add). The sketch side is ≤ 4·w rows, so
+    * the join broadcasts; the candidate stream never shuffles against the raw
+    * element stream.
+    */
+  def cmsEstimate(cms: DataFrame, candidates: DataFrame,
+                  candCol: String, candMd5: Column, w: Int): DataFrame =
+    candidates
+      .select(col(candCol), posexplode(bloomBits(candMd5, w)).as(Seq("row", "bucket")))
+      .join(broadcast(cms), Seq("row", "bucket"))
+      .groupBy(candCol).agg(min("cnt").as("cms_estimate"))
+
   /** KMV (k-minimum-values) distinct-count estimate per group (Bar-Yossef et
     * al., "Counting distinct elements in a data stream", RANDOM 2002): keep
     * the k smallest distinct 32-bit hashes; if fewer than k exist the count is

@@ -54,4 +54,27 @@ class LinearQualityModelSpec extends AnyFunSuite with SparkSuite {
     assert(kept.map(_.getLong(0)).toSeq === Seq(1L))
     assert(kept.head.getAs[Double]("model_quality") > 0.5)
   }
+
+  test("MLlib training → save → fromFile round-trip separates the classes") {
+    import spark.implicits._
+    // 40 labeled docs: prose-ish positives, repetitive-junk negatives
+    val good = (1 to 20).map(i =>
+      (s"a thoughtful analysis of topic $i covering methods results and open questions", 1))
+    val junk = (1 to 20).map(i => (("spam buy now " * 8) + i, 0))
+    val df = (good ++ junk).toDF("text", "label")
+    val trained = LinearQualityModel.train(df, "text", "label", dim = 256, maxIter = 30)
+    // separation on held-out-ish probes with the same vocabulary shape
+    val sGood = trained.score("an analysis of methods and results with open questions")
+    val sJunk = trained.score("spam buy now spam buy now spam buy now spam")
+    assert(sGood > 0.7, s"good probe scored $sGood")
+    assert(sJunk < 0.3, s"junk probe scored $sJunk")
+    // the shipped artifact reproduces the trained scores bit-for-bit-ish
+    val f = java.nio.file.Files.createTempFile("graft-trained", ".txt")
+    trained.save(f.toString)
+    val loaded = LinearQualityModel.fromFile(f.toString)
+    assert(loaded.dim === 256)
+    assert(math.abs(loaded.score(goodText) - trained.score(goodText)) < 1e-6)
+    // and carries a content-digest identity distinct from the in-memory one
+    assert(loaded.name !== trained.name)
+  }
 }

@@ -184,4 +184,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!hashEx.exists(_.contains("text")),
       s"document text must not cross an exchange, plan:\n$p")
   }
+
+  test("bloom decontamination: probe is a map-side filter, no pre-agg join") {
+    val p = plan("bloom_decontaminate")
+    // the bitset probe must run as a Filter over the exploded ngrams — the
+    // corpus never joins a benchmark table in this variant
+    assert(p.contains("Filter UDF"), s"bloom probe must be a scan-side filter:\n$p")
+    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.nonEmpty && joins.forall(_.contains("BroadcastHashJoin")),
+      s"only the final per-doc broadcast join may appear, plan:\n$p")
+  }
+
+  test("KMV sketch partial-aggregates bounded buffers before its one exchange") {
+    val p = plan("sketch_distinct_kmv")
+    // plan text reads top-down: the exchange sits above the partial aggregate,
+    // which sits above the generate — so partial buffers (k longs each), not
+    // raw hash rows, are what cross the wire
+    val iExch = p.indexOf("Exchange hashpartitioning(lang")
+    val iPartial = p.indexOf("partial_kmvaggregator")
+    val iGen = p.indexOf("Generate explode")
+    assert(iExch >= 0 && iPartial > iExch && iGen > iPartial,
+      s"expected Exchange > partial_kmv > explode order, plan:\n$p")
+  }
+
+  test("semantic dedup: cluster-keyed pair join, never a cartesian product") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay cluster-local, plan:\n$p")
+  }
 }

@@ -67,6 +67,32 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(bitsArr.distinct.length > 1) // words differ for a real digest
   }
 
+  // --------------------------------------------------------------- count-min
+
+  test("cmsBuild: grid is bounded by 4×w rows and each row sums to the stream size") {
+    val elems = (1 to 1000).map(i => s"item ${i % 137}").toDF("e")
+      .select(md5(col("e")).as("h"))
+    val cms = Sketches.cmsBuild(elems, col("h"), w = 64)
+    assert(cms.count() <= 4L * 64)
+    val rowSums = cms.groupBy("row").agg(sum("cnt").as("s"))
+      .collect().map(_.getAs[Long]("s"))
+    assert(rowSums.length === 4 && rowSums.forall(_ === 1000L))
+  }
+
+  test("cmsEstimate never underestimates, and is exact without collisions") {
+    val stream = Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
+      (1 to 200).map(i => s"noise $i")
+    val elems = stream.toDF("e")
+    val cms = Sketches.cmsBuild(elems, md5(col("e")), w = 2048)
+    val cand = Seq("alpha", "beta", "noise 7").toDF("e")
+    val est = Sketches.cmsEstimate(cms, cand, "e", md5(col("e")), w = 2048)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("cms_estimate")).toMap
+    assert(est("alpha") >= 50 && est("beta") >= 30 && est("noise 7") >= 1)
+    // with 280 items in 2048 buckets × min-of-4, collisions on all four rows
+    // at once are vanishingly rare — the estimates should be exact here
+    assert(est("alpha") === 50L && est("beta") === 30L)
+  }
+
   // --------------------------------------------------------------------- kmv
 
   test("KmvAggregator keeps a sorted, distinct, bounded buffer") {
