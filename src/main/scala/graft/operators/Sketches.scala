@@ -169,6 +169,15 @@ object Sketches {
     elems.select(posexplode(bloomBits(elemMd5, w)).as(Seq("row", "bucket")))
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Merge two count-min grids: cell-wise sum. CMS is a linear sketch, so
+    * merging shard-local (or micro-batch-local) grids equals sketching the
+    * concatenated stream — the property that lets 1000 executors (or a
+    * Structured Streaming `foreachBatch` accumulator) each sketch locally and
+    * combine at negligible cost. Locked by SketchesSpec.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+
   /** Point-estimate counts for `candidates` against a built sketch: each
     * candidate probes one bucket per row and takes the min — an overestimate
     * by design (collisions only ever add). The sketch side is ≤ 4·w rows, so

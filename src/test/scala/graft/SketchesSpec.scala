@@ -93,6 +93,17 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(est("alpha") === 50L && est("beta") === 30L)
   }
 
+  test("cmsMerge of shard-local grids equals the grid of the whole stream") {
+    val part1 = (1 to 300).map(i => s"e ${i % 40}").toDF("e")
+    val part2 = (301 to 500).map(i => s"e ${i % 55}").toDF("e")
+    val whole = Sketches.cmsBuild(part1.unionAll(part2), md5(col("e")), w = 128)
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsBuild(part1, md5(col("e")), w = 128),
+      Sketches.cmsBuild(part2, md5(col("e")), w = 128))
+    assert(merged.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(merged).count() === 0)
+  }
+
   // --------------------------------------------------------------------- kmv
 
   test("KmvAggregator keeps a sorted, distinct, bounded buffer") {
