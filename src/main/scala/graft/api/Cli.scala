@@ -187,7 +187,8 @@ object Cli {
           sampleRates = opt("sample-rates").map(_.split(",").map { kv =>
             val Array(k, v) = kv.split("="); k -> v.toDouble
           }.toMap),
-          sampleDefaultRate = opt("sample-default").map(_.toDouble).getOrElse(0.0))
+          sampleDefaultRate = opt("sample-default").map(_.toDouble).getOrElse(0.0),
+          decontaminateViaBloom = flags("decontaminate-bloom"))
         val bench = opt("benchmark").map(p => (
           spark.read.parquet(p),
           opt("benchmark-id-col").getOrElse(idCol),

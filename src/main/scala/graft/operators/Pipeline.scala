@@ -39,7 +39,12 @@ object Pipeline {
       domainCap: Option[Int] = None,
       sampleRates: Option[Map[String, Double]] = None,
       sampleDefaultRate: Double = 0.0,
-      decontaminateNgram: Int = 13)
+      decontaminateNgram: Int = 13,
+      // probe a fixed bitset instead of joining the benchmark ngram table —
+      // the 100 TB path ([[Sketches.bloomDecontaminate]]); flags are a
+      // superset (false positives drop a few extra docs, never miss one)
+      decontaminateViaBloom: Boolean = false,
+      bloomM: Int = 1 << 20)
 
   /** Run the configured stages over `docs`. Output keeps every input column,
     * with `textCol` rewritten in place by cleanup/redaction stages, plus the
@@ -131,12 +136,19 @@ object Pipeline {
       cur = capped.unionByName(withDom.filter(col("_dom").isNull)).drop("_dom")
     }
 
-    // 5. benchmark decontamination (broadcast ngram set; drop contaminated)
+    // 5. benchmark decontamination (drop contaminated): exact broadcast ngram
+    // set by default, O(1)-per-ngram bloom probe when configured
     benchmark.foreach { case (bench, bid, btext) =>
-      val flags = Curation.decontaminate(cur, bench, idCol, textCol,
-        bid, btext, n = cfg.decontaminateNgram)
-      cur = cur.join(
-        flags.filter(!col("contaminated")).select(col(idCol)), Seq(idCol), "left_semi")
+      val clean =
+        if (cfg.decontaminateViaBloom)
+          Sketches.bloomDecontaminate(cur, bench, idCol, textCol,
+              bid, btext, n = cfg.decontaminateNgram, m = cfg.bloomM)
+            .filter(!col("flagged"))
+        else
+          Curation.decontaminate(cur, bench, idCol, textCol,
+              bid, btext, n = cfg.decontaminateNgram)
+            .filter(!col("contaminated"))
+      cur = cur.join(clean.select(col(idCol)), Seq(idCol), "left_semi")
     }
 
     // 6. reproducible mixture sampling

@@ -166,6 +166,12 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     // docs 1 and 2 share a 13-gram with the benchmark → decontaminated away
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(3L, 4L, 5L))
 
+    // the bloom path drops the same docs (no false positives at this scale)
+    val outBloom = Pipeline.curate(corpus, "doc_id", "text",
+      CurationConfig(minTokens = 1, decontaminateViaBloom = true),
+      benchmark = Some((bench, "bid", "btext")))
+    assert(outBloom.select("doc_id").collect().map(_.getLong(0)).toSet === Set(3L, 4L, 5L))
+
     val sampled = Pipeline.curate(corpus, "doc_id", "text",
       CurationConfig(sampleRates = Some(Map("en" -> 1.0))),
       stratumCol = Some("lang"))

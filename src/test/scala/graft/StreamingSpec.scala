@@ -226,4 +226,34 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       ("click", "2026-01-01 10:30:00.0", 1L, 4.0),
       ("view", "2026-01-01 10:00:00.0", 1L, 10.0)))
   }
+
+  test("foreachBatch accumulates a CMS grid across micro-batches (linear merge)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the streaming token-frequency accumulator from SCALE.md: each
+    // micro-batch sketches locally, cmsMerge folds it into the running grid —
+    // state is ≤ 4·w rows forever, regardless of how much streams through
+    val w = 256
+    var grid: Option[org.apache.spark.sql.DataFrame] = None
+    val stream = MemoryStream[String]
+    val tmp = Files.createTempDirectory("graft-cms").toString
+    val q = stream.toDF().toDF("e").writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val local = graft.operators.Sketches.cmsBuild(batch, md5(col("e")), w)
+        grid = Some(grid.fold(local)(g =>
+          graft.operators.Sketches.cmsMerge(g, local)).localCheckpoint())
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    stream.addData(Seq.fill(10)("alpha") ++ Seq.fill(4)("beta"): _*)
+    stream.addData(Seq.fill(7)("alpha") ++ Seq.fill(2)("gamma"): _*)
+    val run = q.start(); run.awaitTermination(60000)
+
+    val est = graft.operators.Sketches.cmsEstimate(
+        grid.get, Seq("alpha", "beta", "gamma").toDF("e"), "e", md5(col("e")), w)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("cms_estimate")).toMap
+    assert(est("alpha") >= 17 && est("beta") >= 4 && est("gamma") >= 2)
+    assert(grid.get.count() <= 4L * w)
+  }
 }
