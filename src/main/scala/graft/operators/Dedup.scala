@@ -419,10 +419,25 @@ object Dedup {
     */
   def semanticDedup(
       emb: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Float]], minCosine: Double): DataFrame = {
+      centroids: Array[Array[Float]], minCosine: Double,
+      maxClusterSize: Option[Long] = None): DataFrame = {
     import graft.plans.VectorFunctions.cosineF
     val assigned = Ann.assignLists(emb, vecCol, centroids)
       .select(col(idCol), col(vecCol), col("listId").cast("long").as("cluster_id"))
+    // Opt-in skew preflight (the AsOf.maxRowsPerKey pattern): the pair step is
+    // quadratic in cluster size, so one fat cluster dominates the stage. One
+    // cheap aggregate over (cluster_id) only; the dedup proceeds — degraded,
+    // not broken — but the caller learns WHICH centroids need re-fitting
+    // (SemDeDup's own remedy: more/balanced clusters).
+    maxClusterSize.foreach { cap =>
+      val fat = assigned.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap).orderBy(col("n").desc).limit(5).collect()
+      if (fat.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"semanticDedup: ${fat.length}+ cluster(s) exceed maxClusterSize=$cap — " +
+            s"fattest: ${fat.mkString(", ")}; pair counts grow quadratically " +
+            "in cluster size (re-fit with more centroids to split them)")
+    }
     val a = assigned.select(col(idCol).as("id_a"), col("cluster_id"), col(vecCol).as("v_a"))
     val b = assigned.select(col(idCol).as("id_b"), col("cluster_id"), col(vecCol).as("v_b"))
     val dropped = a.join(b, Seq("cluster_id"))

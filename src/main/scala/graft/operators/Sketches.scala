@@ -67,7 +67,9 @@ object Sketches {
         var j = 0
         var all = true
         while (all && j < bloomK) {
-          val v = java.lang.Long.parseLong(hex.substring(8 * j, 8 * j + 8), 16) % m
+          // range-parse: no substring allocation per word (hot path — this
+          // runs once per corpus ngram)
+          val v = java.lang.Long.parseLong(hex, 8 * j, 8 * j + 8, 16) % m
           all = (w((v >> 6).toInt) & (1L << (v & 63))) != 0
           j += 1
         }

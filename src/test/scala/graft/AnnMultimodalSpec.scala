@@ -169,6 +169,20 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.wavMeta(Array.emptyByteArray).isEmpty)
   }
 
+  test("wavMeta never throws: 300-case fuzz over random and mutated headers") {
+    val rnd = new scala.util.Random(20260813L)
+    val valid = wavBytes(2, 8000, 16, 256)
+    (1 to 300).foreach { i =>
+      val bytes =
+        if (i % 3 == 0) { // random garbage of random length
+          val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b); b
+        } else if (i % 3 == 1) { // valid header, one random byte corrupted
+          val b = valid.clone(); b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte; b
+        } else valid.take(rnd.nextInt(valid.length)) // random truncation
+      Multimodal.wavMeta(bytes) // Option out, never a throw
+    }
+  }
+
   test("decode() uses the real WAV branch for audio, stub only for non-WAV") {
     import spark.implicits._
     val media = Seq(

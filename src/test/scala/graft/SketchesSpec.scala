@@ -162,6 +162,16 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(out.map(_.getAs[Long]("cluster_id")).toSeq === Seq(0L, 0L, 0L, 1L, 1L, 0L))
   }
 
+  test("semanticDedup cluster-size preflight warns but never blocks") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val rows = (1L to 12L).map(i => (i, v(1, i * 0.001))).toDF("id", "vec")
+    // every row lands in cluster 0 → way over the cap; dedup still completes
+    val out = Dedup.semanticDedup(rows, "id", "vec",
+      Array(v(1, 0), v(0, 1)), minCosine = 2.0, maxClusterSize = Some(3L))
+    assert(out.count() === 12)
+    assert(out.filter(!col("kept")).count() === 0) // cos > 2 impossible
+  }
+
   test("semanticDedup drops nothing when the threshold excludes all pairs") {
     def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
     val rows = Seq((1L, v(1, 0)), (2L, v(0, 1)), (3L, v(-1, 0))).toDF("id", "vec")
