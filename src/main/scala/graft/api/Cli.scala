@@ -206,6 +206,16 @@ object Cli {
         curated.write.mode("overwrite").parquet(out)
         val (nIn, nOut) = (docs.count(), spark.read.parquet(out).count())
         println(s"""{"in":$nIn,"out":$nOut,"dropped":${nIn - nOut},"path":"$out"}""")
+      case "compact" =>
+        // Small-file maintenance for any parquet table this engine writes:
+        // --path <dir> [--target-mb 256] [--min-avg-mb 32]
+        import graft.operators.Maintenance
+        val path = req("path")
+        val target = opt("target-mb").map(_.toLong).getOrElse(256L) << 20
+        val minAvg = opt("min-avg-mb").map(_.toLong).getOrElse(32L) << 20
+        val (n0, bytes, _) = Maintenance.fileStats(spark, path)
+        val n1 = Maintenance.compact(spark, path, target, minAvg)
+        println(s"""{"path":"$path","filesBefore":$n0,"filesAfter":$n1,"bytes":$bytes}""")
       case other => sys.error(s"unknown subcommand $other")
     }
   }

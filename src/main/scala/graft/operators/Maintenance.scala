@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table maintenance for long-lived Parquet corpora: incremental pipelines
+  * (streaming `foreachBatch` appends, per-batch collection updates, per-source
+  * ingest runs) accrete small files, and at 100 TB the scan's task count — and
+  * the namenode/liststore pressure — is set by FILE count, not byte count.
+  * Compaction rewrites a fragmented table into ~`targetBytes` files and swaps
+  * it in atomically (the [[graft.core.CollectionManager]] rename discipline:
+  * readers see the old table or the new one, never a partial directory).
+  *
+  * The reference meets the same failure mode as SQLite page fragmentation and
+  * re-index cycles (`sqllite_indexer.py:117-129` rebuilds storage when the
+  * in-memory legacy format shows up); on a distributed store the fix is this
+  * rewrite, driven by [[fileStats]]'s cheap listing rather than a schedule.
+  */
+object Maintenance {
+
+  /** One listing pass: (nFiles, totalBytes, avgBytes) — the compact-or-not
+    * signal. Listing only; no data read.
+    */
+  def fileStats(spark: SparkSession, path: String): (Long, Long, Long) = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(path))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val n = files.length.toLong
+    val bytes = files.map(_.getLen).sum
+    (n, bytes, if (n == 0) 0L else bytes / n)
+  }
+
+  /** Rewrite `path` into ceil(totalBytes / targetBytes) files if the current
+    * average file size is below `minAvgBytes` (skip when healthy — compaction
+    * is itself a full rewrite, don't pay it gratuitously). Returns the file
+    * count after the call. Coalesce, not repartition: file-count reduction
+    * needs no shuffle, only a narrow merge of input splits.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long,
+              minAvgBytes: Long): Long = {
+    val (n, bytes, avg) = fileStats(spark, path)
+    if (n == 0 || avg >= minAvgBytes) return n
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val staging = path + "__compact"
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode("overwrite").parquet(staging)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val backup = new Path(path + "__old")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    fs.rename(target, backup)
+    fs.rename(new Path(staging), target)
+    fs.delete(backup, true)
+    fileStats(spark, path)._1
+  }
+}
