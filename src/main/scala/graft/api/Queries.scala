@@ -1774,6 +1774,71 @@ object Queries {
             |SELECT vec_id, round(dd, 6) AS dist FROM topk
             |ORDER BY round(dd, 6) ASC, vec_id""".stripMargin))
 
+  /** ANN recall evaluation ([[graft.operators.Ann.searchIvfBatch]] +
+    * [[graft.operators.Ann.recallAtK]]): the offline quality loop an index
+    * rebuild runs — a 20-query batch probes IVF (nProbe=4 of 16 lists) in ONE
+    * plan (broadcast probe table, per-query window over narrow triples), the
+    * same batch runs exact brute-force, and recall@10 per query is the gated
+    * output. Both the batch probe path AND the metric are hash-checked.
+    */
+  private val annRecallEval = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val centroids = D.embeddings(s, d)
+        .filter(col("vec_id").between(1, 16)).orderBy("vec_id")
+        .collect().map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      val idx = graft.operators.Ann.IvfIndex(
+        graft.operators.Ann.assignLists(emb, "embedding", centroids),
+        centroids, "embedding")
+      val qRows = D.embeddings(s, d)
+        .filter(col("vec_id").between(100, 119)).orderBy("vec_id")
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+      val approx = graft.operators.Ann.searchIvfBatch(idx, qRows.toSeq, 10, nProbe = 4)
+      import s.implicits._
+      val qDf = qRows.toSeq.toDF("qid", "qvec")
+      val exact = graft.operators.Search.vectorTopKBatch(
+        emb, "embedding", "vec_id", qDf, "qid", "qvec", 10)
+      graft.operators.Ann.recallAtK(approx, exact, "qid", "vec_id", 10)
+        .select(col("qid"), round(col("recall"), 6).as("recall"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+            |         WHERE vec_id BETWEEN 1 AND 16),
+            |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            |      WHERE vec_id BETWEEN 100 AND 119),
+            |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+            |adists AS (SELECT v.vec_id, v.embedding, c.cid,
+            |    ${l2Sql("v.embedding", "c.c")} AS dc
+            |  FROM corpus v CROSS JOIN cent c),
+            |assigned AS (SELECT vec_id, embedding, cid FROM
+            |  (SELECT vec_id, embedding, cid,
+            |     row_number() OVER (PARTITION BY vec_id ORDER BY dc ASC, cid ASC) AS rn
+            |   FROM adists)
+            |  WHERE rn = 1),
+            |pdist AS (SELECT q.qid, c.cid, ${l2Sql("c.c", "q.qv")} AS pd
+            |  FROM q CROSS JOIN cent c),
+            |probe AS (SELECT qid, cid FROM
+            |  (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY pd ASC, cid ASC) AS rn
+            |   FROM pdist)
+            |  WHERE rn <= 4),
+            |ascore AS (SELECT p.qid, a.vec_id, ${l2Sql("a.embedding", "q.qv")} AS dd
+            |  FROM probe p JOIN assigned a ON a.cid = p.cid JOIN q ON q.qid = p.qid),
+            |approx AS (SELECT qid, vec_id FROM
+            |  (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dd ASC, vec_id ASC) AS rn
+            |   FROM ascore)
+            |  WHERE rn <= 10),
+            |escore AS (SELECT q.qid, v.vec_id, ${l2Sql("v.embedding", "q.qv")} AS dd
+            |  FROM corpus v CROSS JOIN q),
+            |exact AS (SELECT qid, vec_id FROM
+            |  (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dd ASC, vec_id ASC) AS rn
+            |   FROM escore)
+            |  WHERE rn <= 10),
+            |hits AS (SELECT e.qid, count(*) AS nh FROM exact e
+            |  JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id GROUP BY e.qid)
+            |SELECT q.qid, round(coalesce(nh, 0) / 10.0, 6) AS recall
+            |FROM q LEFT JOIN hits ON q.qid = hits.qid ORDER BY q.qid""".stripMargin))
+
   /** Sign-LSH multi-probe ANN ([[graft.operators.Ann.searchSignLsh]]): scan only
     * the query's sign bucket plus its Hamming-1 neighbors, brute-force cosine
     * inside. The oracle replicates bucket assignment + probe-set expansion in
@@ -2101,6 +2166,7 @@ object Queries {
     "st1_tumbling_window" -> st1TumblingWindow,
     "f_scalar_json" -> fScalarJson,
     "ann_ivf_topk" -> annIvfTopk,
+    "ann_recall_eval" -> annRecallEval,
     "ann_lsh_topk" -> annLshTopk,
     "ann_graph_topk" -> annGraphTopk,
     "mm_binary_meta" -> mmBinaryMeta,

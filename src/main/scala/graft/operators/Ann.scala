@@ -98,6 +98,57 @@ object Ann {
       index.vecCol, queryVec, k, metric, idCol = idCol)
   }
 
+  /** Batch IVF probe — ANN serving for a whole query batch in ONE plan:
+    * probe lists resolve on the driver (centroids are local by construction),
+    * the (qid, listId, qvec) probe table broadcasts, and each corpus row
+    * scores only against the queries probing its list — an equi-join on
+    * listId into narrow (qid, vec_id, dist) triples, then a per-query top-k
+    * window. Scan cost equals the union of probed lists; one job instead of
+    * |queries| sequential [[searchIvf]] calls, and the corpus side never
+    * shuffles (the window keys on qid over k·|queries|-scale triples).
+    */
+  def searchIvfBatch(
+      index: IvfIndex, queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int,
+      metric: String = "l2", idCol: String = "vec_id"): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      index.centroids.zipWithIndex.map { case (c, i) => (l2Sq(c, qv), i) }
+        .sortBy(_._1).take(nProbe).map { case (_, i) => (qid, i, qv) }
+    }
+    val probes = probeRows.toDF("qid", "listId", "qvec")
+    val dist = metric match {
+      case "l2"     => l2SqF(col(index.vecCol), col("qvec"))
+      case "cosine" => -cosineF(col(index.vecCol), col("qvec"))
+      case "dot"    => -dotF(col(index.vecCol), col("qvec"))
+      case m        => throw new IllegalArgumentException(s"unknown metric $m")
+    }
+    index.assigned.join(broadcast(probes), "listId")
+      .select(col("qid"), col(idCol), dist.as("dist"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("dist").asc, col(idCol).asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Recall@k of an approximate result set against the exact one, per query:
+    * |approx ∩ exact| / k over (qidCol, idCol) membership. The standard ANN
+    * quality gauge, as a two-aggregate plan over k·|queries|-scale inputs —
+    * run it on a sampled query set to regression-track an index's recall
+    * after rebuilds (the evaluation loop FAISS users run offline).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+                qidCol: String, idCol: String, k: Int): DataFrame = {
+    val hits = exact.select(col(qidCol), col(idCol))
+      .join(approx.select(col(qidCol), col(idCol)), Seq(qidCol, idCol), "left_semi")
+      .groupBy(qidCol).agg((count(lit(1)) / k.toDouble).as("recall"))
+    // a query whose approx set misses ALL true neighbors must report 0, not
+    // silently vanish from the board
+    exact.select(col(qidCol)).distinct()
+      .join(hits, Seq(qidCol), "left")
+      .select(col(qidCol), coalesce(col("recall"), lit(0.0)).as("recall"))
+  }
+
   private def l2Sq(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     val n = math.min(a.length, b.length)

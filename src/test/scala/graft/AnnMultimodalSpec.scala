@@ -137,6 +137,29 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(resized.select(max(length($"bytes"))).head().getInt(0) <= 100)
   }
 
+  test("batch IVF with nProbe = nLists reproduces exact top-k per query (recall 1.0)") {
+    import spark.implicits._
+    val index = Ann.buildIvf(emb, "embedding", nLists = 8, seed = 7L)
+    val qRows = emb.filter(col("vec_id").between(10, 14)).orderBy("vec_id")
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).toArray)).toSeq
+    val approx = Ann.searchIvfBatch(index, qRows, k = 5, nProbe = 8)
+    val exact = Search.vectorTopKBatch(emb, "embedding", "vec_id",
+      qRows.toDF("qid", "qvec"), "qid", "qvec", 5)
+    val rec = Ann.recallAtK(approx, exact, "qid", "vec_id", 5).collect()
+    assert(rec.length === 5)
+    assert(rec.forall(_.getAs[Double]("recall") === 1.0))
+  }
+
+  test("recallAtK reports 0 for a query with no overlap instead of dropping it") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("qid", "vec_id")
+    val approx = Seq((1L, 10L), (2L, 99L)).toDF("qid", "vec_id")
+    val rec = Ann.recallAtK(approx, exact, "qid", "vec_id", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rec === Map(1L -> 0.5, 2L -> 0.0))
+  }
+
   /** Minimal canonical PCM WAV: RIFF/WAVE + "fmt "(16) + "data"(n). */
   private def wavBytes(channels: Int, rateHz: Int, bits: Int, dataLen: Int,
                        extraChunk: Boolean = false): Array[Byte] = {
