@@ -95,6 +95,74 @@ object Queries {
            |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
            |GROUP BY n_name ORDER BY n_name""".stripMargin))
 
+  /** TPC-H Q7 shape: bilateral shipping volume between two nations by year —
+    * the double-dimension-role join (nation joins TWICE under different
+    * aliases, both broadcast), a disjunctive cross-filter, and a year
+    * extraction in the grouping key.
+    */
+  private val q7Volume = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d); val o = D.orders(s, d)
+      val c = D.customer(s, d); val sup = D.supplier(s, d)
+      val n1 = D.nation(s, d).select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = D.nation(s, d).select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), sup("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+                (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS cnt
+           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+           |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+           |ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
+
+  /** TPC-H Q10 shape: returned-item revenue ranking — fact filtered on the
+    * return flag, date-bounded orders, broadcast nation, top-20 customers by
+    * revenue with a deterministic key tie-break.
+    */
+  private val q10Returns = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d); val o = D.orders(s, d)
+      val c = D.customer(s, d); val n = D.nation(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .filter(li("l_returnflag") === "R" &&
+          o("o_orderdate") >= lit("1996-10-01") && o("o_orderdate") < lit("1997-01-01"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+           |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS cnt
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |  JOIN lineitem ON o_orderkey = l_orderkey
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R'
+           |  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+           |GROUP BY c_custkey, c_name, n_name
+           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
   /** TPC-H Q14 shape: promo revenue share — fact scan with a pushed date range,
     * broadcast part dimension, one conditional aggregate pass.
     */
@@ -2127,6 +2195,8 @@ object Queries {
     "q3_join_agg" -> q3JoinAgg,
     "q5_region" -> q5Region,
     "q14_promo" -> q14Promo,
+    "q7_volume" -> q7Volume,
+    "q10_returns" -> q10Returns,
     "w1_rank_window" -> w1RankWindow,
     "a4_watermark_max" -> a4WatermarkMax,
     "p3_filter_dsl" -> p3FilterDsl,
