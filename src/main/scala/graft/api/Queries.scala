@@ -2137,6 +2137,30 @@ object Queries {
             |FROM cand JOIN est ON cand.t = est.t
             |ORDER BY n_exact DESC, tok ASC""".stripMargin))
 
+  /** Histogram quantile sketch ([[graft.operators.Sketches.histQuantiles]]):
+    * p50/p90/p99 of document length per language from a 64-bin fixed-width
+    * histogram — nBins longs of state per group where the exact percentile
+    * (`corpus_percentiles`) sorts the column. The interpolated estimates
+    * themselves are hash-gated; comparing against `corpus_percentiles` shows
+    * the bin-width-bounded error.
+    */
+  private val sketchQuantileHist = Q(
+    (s, d) => graft.operators.Sketches.histQuantiles(
+        D.documents(s, d), "lang", "n_chars",
+        binWidth = 64L, nBins = 64, qs = Seq(0.5, 0.9, 0.99))
+      .orderBy("lang", "q"),
+    Some("""WITH hist AS (SELECT lang, least(63, n_chars // 64) AS b, count(*) AS n
+           |  FROM documents GROUP BY 1, 2),
+           |cum AS (SELECT lang, b, n,
+           |    coalesce(sum(n) OVER (PARTITION BY lang ORDER BY b) - n, 0) AS below,
+           |    sum(n) OVER (PARTITION BY lang) AS total FROM hist),
+           |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+           |SELECT lang, q,
+           |  round(b * 64 + 64.0 * (q * total - below) / n, 4) AS quantile_est
+           |FROM cum CROSS JOIN qs
+           |WHERE below < q * total AND q * total <= below + n
+           |ORDER BY lang, q""".stripMargin))
+
   /** SemDeDup ([[graft.operators.Dedup.semanticDedup]]): embedding-space
     * semantic dedup — cluster (pinned centroids = embeddings 1..8, like
     * `cluster_assign`), then drop any vector with a smaller-id neighbor at
@@ -2265,6 +2289,7 @@ object Queries {
     "bloom_decontaminate" -> bloomDecontaminate,
     "sketch_distinct_kmv" -> sketchDistinctKmv,
     "sketch_cms_topk" -> sketchCmsTopk,
+    "sketch_quantile_hist" -> sketchQuantileHist,
     "dedup_semantic" -> dedupSemantic,
     "corpus_histogram" -> corpusHistogram)
 

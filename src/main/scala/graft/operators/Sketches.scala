@@ -123,6 +123,44 @@ object Sketches {
     s"(($sum) % $m)"
   }
 
+  // --------------------------------------------------------------- quantiles
+
+  /** Histogram quantile sketch: bucket counts over fixed-width bins, then
+    * linear interpolation inside the bucket holding the target rank — the
+    * fixed-size replacement for an exact percentile's full sort (t-digest's
+    * role, in a deterministic, oracle-replicable form; Spark's own
+    * `approx_percentile` is the engine-private swap-in). State per group is
+    * `nBins` longs; a 100 TB column profiles in one hash aggregate.
+    *
+    * Returns per group: one row per requested quantile q with the estimate
+    * lo + width·(targetRank − cumBelow)/bucketCount. Exact when values are
+    * uniform within buckets; bounded by the bin width always.
+    */
+  def histQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                    binWidth: Long, nBins: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1), "quantiles in (0,1)")
+    val bucket = least(lit(nBins - 1), floor(col(valueCol) / binWidth)).cast("long")
+    val hist = df.groupBy(col(groupCol), bucket.as("_b"))
+      .agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("_b")
+    val withCum = hist
+      .withColumn("_below", coalesce(sum("_n").over(w) - col("_n"), lit(0L)))
+      .withColumn("_total", sum("_n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qDf = qs.toDF("q")
+    withCum.crossJoin(broadcast(qDf))
+      .withColumn("_target", col("q") * col("_total"))
+      .filter(col("_below") < col("_target") &&
+        col("_target") <= col("_below") + col("_n"))
+      .select(col(groupCol), col("q"),
+        round(col("_b") * binWidth +
+          lit(binWidth) * (col("_target") - col("_below")) / col("_n"), 4)
+          .as("quantile_est"))
+  }
+
   // --------------------------------------------------------------------- kmv
 
   /** Bounded k-minimum-values buffer: sorted, distinct, at most k entries.

@@ -104,6 +104,23 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(whole.exceptAll(merged).count() === 0)
   }
 
+  // --------------------------------------------------------------- quantiles
+
+  test("histQuantiles: exact on uniform data, bounded by bin width otherwise") {
+    // 1..1000 uniform, bin width 10: p50 ≈ 500, p90 ≈ 900 within one bin
+    val vals = (1 to 1000).map(v => ("g", v.toLong)).toDF("grp", "v")
+    val est = Sketches.histQuantiles(vals, "grp", "v",
+        binWidth = 10L, nBins = 200, qs = Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(1) -> r.getAs[Double]("quantile_est")).toMap
+    assert(math.abs(est(0.5) - 500) <= 10, s"p50 ${est(0.5)}")
+    assert(math.abs(est(0.9) - 900) <= 10, s"p90 ${est(0.9)}")
+    // values past the last bin clamp into it rather than vanish
+    val clamped = Sketches.histQuantiles(vals, "grp", "v",
+        binWidth = 10L, nBins = 5, qs = Seq(0.99))
+      .head().getAs[Double]("quantile_est")
+    assert(clamped >= 40 && clamped <= 50) // everything ≥ bin 4 lands in bin 4
+  }
+
   // --------------------------------------------------------------------- kmv
 
   test("KmvAggregator keeps a sorted, distinct, bounded buffer") {
