@@ -192,6 +192,13 @@ final class CollectionManager(
     // merge — anti-join by docId + append — is the optimization when updates are
     // a small fraction; full rebuild keeps df/avgdl exact).
     bm25Indexer(name).index(spark.read.parquet(chunksPath(name)))
+    // If an IVF index was built, refresh its assignment against the frozen
+    // centroids — otherwise vector_ivf would keep serving deleted chunks and
+    // miss the replacements (BM25 gets its rebuild above; IVF must follow).
+    val ivfDir = s"${dir(name)}/indexes/ivf"
+    if (fs.exists(new Path(s"$ivfDir/centroids")))
+      new graft.operators.IvfVectorIndexer(spark, ivfDir, embedder)
+        .refresh(spark.read.parquet(chunksPath(name)))
 
     val stats = spark.read.parquet(chunksPath(name))
       .agg(count("*").as("n"), coalesce(max("chunkId"), lit(-1L)).as("maxId"),

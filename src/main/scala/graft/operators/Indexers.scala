@@ -178,6 +178,33 @@ final class IvfVectorIndexer(
     spark.read.parquet(centroidsPath).collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
 
+  /** Incrementally add chunks to an EXISTING index: assign against the
+    * persisted centroids (no re-fit) and APPEND into the listId partition
+    * dirs. This is the `foreachBatch` path for streaming collection updates —
+    * probes see new vectors on their next scan, and the one-dir-per-list
+    * layout (what makes probes a file-skip) is preserved by dynamic partition
+    * append. Re-run [[index]] when drift skews cluster sizes; until then the
+    * assignment stays consistent because the centroids are frozen on disk.
+    */
+  def append(chunks: DataFrame): Unit =
+    writeAssigned(chunks, SaveMode.Append)
+
+  /** Re-derive the WHOLE assignment from the current chunks table against the
+    * frozen centroids — the post-update refresh: deletions leave the index,
+    * replacements enter it, one assignLists pass, no k-means re-fit. (The
+    * incremental alternative — anti-join the assigned table by documentId +
+    * [[append]] — wins when updates are a small fraction; the full reassign
+    * keeps this path simple and exact, mirroring the BM25 rebuild choice.)
+    */
+  def refresh(chunks: DataFrame): Unit =
+    writeAssigned(chunks, SaveMode.Overwrite)
+
+  private def writeAssigned(chunks: DataFrame, mode: SaveMode): Unit = {
+    val cents = centroids().sortBy(_._1).map(_._2)
+    Ann.assignLists(chunks, "embedding", cents)
+      .write.mode(mode).partitionBy("listId").parquet(assignedPath)
+  }
+
   def search(query: String, k: Int, metadataFilter: Option[Column]): DataFrame = {
     val q = embedder.embed(query)
     def l2(a: Array[Float]): Double = {

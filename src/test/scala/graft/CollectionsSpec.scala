@@ -117,6 +117,29 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
     assert(row.getAs[Int]("endLine") === 3)
   }
 
+  test("update refreshes a built IVF index: no stale chunks, replacements probed") {
+    val tmp = Files.createTempDirectory("graft-coll").toString
+    val cm = mkManager(tmp)
+    cm.create("c5", rawDocs(docsV1))
+    cm.buildIvfIndex("c5", nLists = 2, nProbe = 2)
+
+    val changed = rawDocs(Seq(
+      ("d2", "file://d2", Map("space" -> "OPS", "lastModifiedAt" -> "2026-02-01T00:00:00"),
+        "rewritten deployment instructions\nnow with containers")))
+    cm.update("c5", changed)
+
+    // the IVF assignment must mirror the merged chunks table exactly
+    val assigned = spark.read.parquet(s"$tmp/c5/indexes/ivf/assigned")
+    val chunks = cm.chunks("c5")
+    assert(assigned.count() === chunks.count())
+    assert(assigned.join(chunks.select("chunkId"), Seq("chunkId"), "left_anti")
+      .count() === 0, "ivf index serves chunk ids absent from the chunks table")
+    // and IVF search reflects the replacement text, not the deleted one
+    val hits = cm.search("c5", "containers deployment",
+      indexNames = Some(Seq("vector_ivf")), includeText = true).collect()
+    assert(hits.nonEmpty)
+  }
+
   test("incremental update: anti-join replace + id high-water mark") {
     val tmp = Files.createTempDirectory("graft-coll").toString
     val cm = mkManager(tmp)

@@ -101,6 +101,26 @@ class IndexersSpec extends AnyFunSuite with SparkSuite {
     assert(ivf.size === cm.chunks("ix").count())
   }
 
+  test("IVF append: new vectors join the frozen-centroid index incrementally") {
+    import org.apache.spark.sql.functions._
+    val (cm, _, dir) = setup()
+    val ivf = cm.buildIvfIndex("ix", nLists = 4, nProbe = 4)
+    val before = ivf.size
+    // new arrivals: clone existing chunks under fresh ids (embedding reused →
+    // assignment against the frozen centroids is known-stable)
+    val newChunks = spark.read.parquet(s"$dir/chunks")
+      .withColumn("chunkId", col("chunkId") + lit(100000L))
+    ivf.append(newChunks)
+    assert(ivf.size === before + newChunks.count())
+    // probes see appended vectors immediately, still partition-pruned
+    val hits = ivf.search("vector search", 6, None)
+    val ids = hits.collect().map(_.getLong(0))
+    assert(ids.exists(_ >= 100000L) && ids.exists(_ < 100000L),
+      s"expected old and appended ids in top-k, got ${ids.mkString(",")}")
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("listId"))
+  }
+
   test("postings term filter prunes the scan (pushed filter present)") {
     val (_, _, dir) = setup()
     val bm = new Bm25Indexer(spark, s"$dir/indexes/bm25", s"$dir/chunks")
