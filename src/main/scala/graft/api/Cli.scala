@@ -206,6 +206,10 @@ object Cli {
         curated.write.mode("overwrite").parquet(out)
         val (nIn, nOut) = (docs.count(), spark.read.parquet(out).count())
         println(s"""{"in":$nIn,"out":$nOut,"dropped":${nIn - nOut},"path":"$out"}""")
+      case "delete" =>
+        // delete --name <collection> --ids a,b,c (reference: remove_ids path)
+        val m = cm.delete(req("name"), req("ids").split(",").toSeq)
+        println(s"""{"name":"${req("name")}","documents":${m.numberOfDocuments},"chunks":${m.numberOfChunks}}""")
       case "compact" =>
         // Small-file maintenance for any parquet table this engine writes:
         // --path <dir> [--target-mb 256] [--min-avg-mb 32]

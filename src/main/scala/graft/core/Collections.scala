@@ -212,6 +212,49 @@ final class CollectionManager(
     m
   }
 
+  /** Delete documents by id — [[update]]'s removal half without the re-add
+    * (reference contract: `remove_ids`, `sqllite_indexer.py:45` /
+    * `chroma_indexer.py` batched deletes, driven from
+    * `documents_collection_creator.py:204-221`): anti-join rewrite of the
+    * docs and chunks tables, BM25 rebuild, IVF refresh when built. Unknown
+    * ids are a no-op per row, like the reference's mapping lookup.
+    */
+  def delete(name: String, ids: Seq[String]): Model.Manifest = {
+    val old = readManifest(name)
+    import spark.implicits._
+    val idDf = broadcast(ids.toDF("id"))
+
+    val keptDocs = spark.read.parquet(docsPath(name))
+      .join(idDf, Seq("id"), "left_anti")
+    val docsStaging = s"${docsPath(name)}__staging"
+    keptDocs.write.mode(SaveMode.Overwrite).parquet(docsStaging)
+    swap(docsStaging, docsPath(name))
+
+    val keptChunks = spark.read.parquet(chunksPath(name))
+      .join(idDf.select(col("id").as("documentId")), Seq("documentId"), "left_anti")
+    val chunksStaging = s"${chunksPath(name)}__staging"
+    keptChunks.write.mode(SaveMode.Overwrite).parquet(chunksStaging)
+    swap(chunksStaging, chunksPath(name))
+
+    bm25Indexer(name).index(spark.read.parquet(chunksPath(name)))
+    val ivfDir = s"${dir(name)}/indexes/ivf"
+    if (fs.exists(new Path(s"$ivfDir/centroids")))
+      new graft.operators.IvfVectorIndexer(spark, ivfDir, embedder)
+        .refresh(spark.read.parquet(chunksPath(name)))
+
+    val stats = spark.read.parquet(chunksPath(name))
+      .agg(count("*").as("n"), coalesce(max("chunkId"), lit(-1L)).as("maxId"),
+           countDistinct("documentId").as("docs")).head()
+    val m = old.copy(
+      updatedTime = nowIso,
+      numberOfDocuments = stats.getLong(2), numberOfChunks = stats.getLong(0),
+      // the high-water mark never moves backwards: ids stay unique across the
+      // collection's whole history even if the max surviving id is lower
+      lastIndexItemId = math.max(old.lastIndexItemId, stats.getLong(1)))
+    writeManifest(m, name)
+    m
+  }
+
   /** Swap staging into place via rename-to-backup first: a crash between steps
     * leaves either the old table (backup not yet renamed away is recoverable) or
     * the new one — never a missing directory, unlike delete-then-rename.

@@ -140,6 +140,26 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
     assert(hits.nonEmpty)
   }
 
+  test("delete by id: docs, chunks, and indexes all drop the documents") {
+    val tmp = Files.createTempDirectory("graft-coll").toString
+    val cm = mkManager(tmp)
+    val m1 = cm.create("c6", rawDocs(docsV1))
+    cm.buildIvfIndex("c6", nLists = 2, nProbe = 2)
+
+    val m2 = cm.delete("c6", Seq("d2", "nonexistent"))
+    assert(m2.numberOfDocuments === 2)
+    assert(cm.documents("c6").filter(col("id") === "d2").count() === 0)
+    assert(cm.chunks("c6").filter(col("documentId") === "d2").count() === 0)
+    // high-water mark survives the delete: later additions never reuse ids
+    assert(m2.lastIndexItemId === m1.lastIndexItemId)
+    // every index stopped serving the deleted doc
+    val assigned = spark.read.parquet(s"$tmp/c6/indexes/ivf/assigned")
+    assert(assigned.join(cm.chunks("c6").select("chunkId"), Seq("chunkId"), "left_anti")
+      .count() === 0)
+    assert(cm.search("c6", "deploy script")
+      .collect().forall(_.getString(0) != "d2"))
+  }
+
   test("incremental update: anti-join replace + id high-water mark") {
     val tmp = Files.createTempDirectory("graft-coll").toString
     val cm = mkManager(tmp)
