@@ -165,8 +165,23 @@ final class CollectionManager(
     if (rawDocs.columns.contains("chunks")) rawDocs
     else Indexing.splitDocuments(rawDocs, splitter)
 
+  /** Embedding with a different model than the one that built the collection
+    * corrupts silently — search would rank garbage distances, update would MIX
+    * two vector spaces in one chunks table. The manifest identity makes both
+    * loud (mirrors the reference's index-info name check).
+    */
+  private def requireMatchingEmbedder(name: String): Unit = {
+    val manifestEmbedder = readManifest(name).embedder
+    require(manifestEmbedder.isEmpty || manifestEmbedder == embedder.name,
+      s"collection '$name' was embedded with '$manifestEmbedder' but this manager " +
+        s"uses '${embedder.name}' — construct the CollectionManager with the matching embedder")
+  }
+
   def update(name: String, changedRawDocs: DataFrame): Model.Manifest = {
     val old = readManifest(name)
+    // updating with a mismatched embedder would interleave incompatible
+    // vectors with the kept chunks — same guard as search, before any write
+    requireMatchingEmbedder(name)
     val changed = withChunks(changedRawDocs)
 
     val oldDocs = spark.read.parquet(docsPath(name))
@@ -303,12 +318,7 @@ final class CollectionManager(
       includeAllChunksContent: Boolean = false,
       indexNames: Option[Seq[String]] = None,
       rrfK: Int = 60): DataFrame = {
-    // Searching with a different embedder than the one that built the vectors
-    // returns garbage distances silently; the manifest identity makes it loud.
-    val manifestEmbedder = readManifest(name).embedder
-    require(manifestEmbedder.isEmpty || manifestEmbedder == embedder.name,
-      s"collection '$name' was embedded with '$manifestEmbedder' but this manager " +
-        s"uses '${embedder.name}' — construct the CollectionManager with the matching embedder")
+    requireMatchingEmbedder(name)
     val proj = Search.Projection(
       includeText, includeMatchedChunkContent, includeAllChunksContent,
       documents = if (includeText || includeAllChunksContent) Some(documents(name)) else None)

@@ -140,6 +140,18 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
     assert(hits.nonEmpty)
   }
 
+  test("update with a mismatched embedder fails loudly before any write") {
+    val tmp = Files.createTempDirectory("graft-coll").toString
+    mkManager(tmp).create("c7", rawDocs(docsV1))
+    val otherCm = new CollectionManager(
+      spark, tmp, new HashingEmbedder(dim = 32), new TextSplitter(50, 10))
+    val before = spark.read.parquet(s"$tmp/c7/chunks").count()
+    val e = intercept[IllegalArgumentException](
+      otherCm.update("c7", rawDocs(docsV1.take(1))))
+    assert(e.getMessage.contains("embedded with"))
+    assert(spark.read.parquet(s"$tmp/c7/chunks").count() === before) // untouched
+  }
+
   test("delete by id: docs, chunks, and indexes all drop the documents") {
     val tmp = Files.createTempDirectory("graft-coll").toString
     val cm = mkManager(tmp)
