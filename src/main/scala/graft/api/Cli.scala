@@ -200,9 +200,16 @@ object Cli {
             spark.read.parquet(p), idCol, textCol),
            opt("lm-max-nll").map(_.toDouble).getOrElse(10.0))
         }
+        // --quality-model <weights file>: fasttext-style linear gate, shipped
+        // as the plain-text artifact LinearQualityModel.train/save produces
+        val qm = opt("quality-model").map { p =>
+          (graft.functions.LinearQualityModel.fromFile(p),
+           opt("quality-model-min").map(_.toDouble).getOrElse(0.5))
+        }
         val docs = spark.read.parquet(in)
         val curated = Pipeline.curate(docs, idCol, textCol, cfg,
-          benchmark = bench, stratumCol = opt("stratum-col"), lmModel = lm)
+          benchmark = bench, stratumCol = opt("stratum-col"),
+          qualityModel = qm, lmModel = lm)
         curated.write.mode("overwrite").parquet(out)
         val (nIn, nOut) = (docs.count(), spark.read.parquet(out).count())
         println(s"""{"in":$nIn,"out":$nOut,"dropped":${nIn - nOut},"path":"$out"}""")

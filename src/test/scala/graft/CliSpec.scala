@@ -81,6 +81,29 @@ class CliSpec extends AnyFunSuite with SparkSuite {
       .getString(0).contains("<EMAIL>"))
   }
 
+  test("curate: --quality-model gates with a trained weights artifact") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-cli-qm")
+    val in = s"$work/in"; val out = s"$work/out"
+    val goodText = "a careful analysis of the results with methods and open questions"
+    val junkText = "spam buy now " * 10
+    // train on a small labeled set, ship the artifact, gate through the CLI
+    val labeled = ((1 to 15).map(i => (s"$goodText $i", 1)) ++
+      (1 to 15).map(i => (s"$junkText $i", 0))).toDF("text", "label")
+    val model = graft.functions.LinearQualityModel.train(
+      labeled, "text", "label", dim = 256, maxIter = 30)
+    val weights = s"$work/quality.txt"
+    model.save(weights)
+    Seq((1L, "en", goodText), (2L, "en", junkText))
+      .toDF("doc_id", "lang", "text").write.parquet(in)
+
+    val summary = captured("curate", "--in", in, "--out", out,
+      "--quality-model", weights)
+    assert(summary.contains("\"out\":1"), summary)
+    assert(spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("curate: --lm-train gates on perplexity, --domain-cap limits per site") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-cli-lm")
