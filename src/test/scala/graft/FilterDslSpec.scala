@@ -120,4 +120,14 @@ class FilterDslSpec extends AnyFunSuite {
       true
     })
   }
+
+  test("garbage fuzz: parse fails with ParseException only, never hangs or crashes") {
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = """ abc"'()=!<>and or x_1.\"""
+    (1 to 500).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      try { parse(s); parse(s, standardPrecedence = true) }
+      catch { case _: FilterDsl.ParseException => /* the typed contract for bad input */ }
+    }
+  }
 }
