@@ -213,6 +213,26 @@ object Cli {
         curated.write.mode("overwrite").parquet(out)
         val (nIn, nOut) = (docs.count(), spark.read.parquet(out).count())
         println(s"""{"in":$nIn,"out":$nOut,"dropped":${nIn - nOut},"path":"$out"}""")
+      case "help" =>
+        println(
+          """graft CLI — collection lifecycle, search, curation, maintenance
+            |
+            |  create-files --name N --path DIR [--include RX]... [--exclude RX]...
+            |  create-jira / create-confluence  --name N --url U --email E --token T [--jql/--cql Q]
+            |  update --name N            re-drive the manifest's stored reader
+            |  update-files/-jira/-confluence   source-specific incremental update
+            |  search --name N --query Q [--filter DSL] [--indexes a,b] [--rrfK K]
+            |         [--max-chunks K] [--max-docs K] [--include-text] [--format json|indent|toon]
+            |  fetch --name N --id ID [--from L --to L]
+            |  list
+            |  delete --name N --ids a,b,c
+            |  curate --in P --out P [--min-tokens N] [--min-quality Q] [--redact-pii]
+            |         [--line-dedup-max N] [--near-dedup] [--domain-cap N]
+            |         [--min-entropy E --max-entropy E] [--benchmark P] [--decontaminate-bloom]
+            |         [--lm-train P --lm-max-nll X] [--quality-model P --quality-model-min S]
+            |         [--sample-rates k=v,..] [--stratum-col C]
+            |  compact --path P [--target-mb 256] [--min-avg-mb 32]
+            |""".stripMargin)
       case "delete" =>
         // delete --name <collection> --ids a,b,c (reference: remove_ids path)
         val m = cm.delete(req("name"), req("ids").split(",").toSeq)
