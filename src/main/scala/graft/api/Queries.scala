@@ -1041,6 +1041,29 @@ object Queries {
            |  coalesce(n, 0) > 0 AS contaminated
            |FROM documents LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin))
 
+  /** Unicode NFC normalization ([[graft.operators.TextAnalysis.withNormalizedText]]):
+    * both engines implement UAX #15, so the HASH of the normalized text is
+    * gateable. The corpus is ASCII, so the query plants decomposed sequences
+    * (e+combining-acute, i+combining-diaeresis) and extra spacing on every
+    * row — the gate proves real composition work, not a pass-through.
+    */
+  private val textNormalize = Q(
+    (s, d) => {
+      val planted = D.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" café  naïve\t")).as("text"))
+      graft.operators.TextAnalysis.withNormalizedText(planted, "text")
+        .select(col("doc_id"), md5(col("norm_text")).as("h"),
+          length(col("norm_text")).cast("long").as("n_chars_norm"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(norm) AS h, CAST(length(norm) AS BIGINT) AS n_chars_norm
+           |FROM (SELECT doc_id,
+           |    trim(regexp_replace(nfc_normalize(
+           |      text || ' cafe' || chr(769) || '  nai' || chr(776) || 've' || chr(9)),
+           |      '\s+', ' ', 'g')) AS norm
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
   /** Character-entropy quality signal
     * ([[graft.operators.TextAnalysis.withCharEntropy]]): the compression-proxy
     * score (low ⇒ boilerplate, anomalously high ⇒ binary junk). abs() kills
@@ -1405,6 +1428,39 @@ object Queries {
     * windows + a #buckets-row offset table), never a global single-partition
     * window. The oracle computes the same two-level cumulative math.
     */
+  /** Fixed-length sequence packing ([[graft.operators.Curation.packSequences]]):
+    * the 2048-token pretraining pack as pure offset metadata — every doc's
+    * global offset, sequence range, and span count, cut positions included.
+    * Same distributed prefix sum as `sample_pack_shards`; the whole layout is
+    * hash-gated.
+    */
+  private val samplePackSequences = Q(
+    (s, d) => graft.operators.Curation.packSequences(
+        D.documents(s, d).select("doc_id", "source", "n_chars"),
+        bucketCol = "source", orderCol = "doc_id",
+        tokensCol = "n_chars", seqLen = 2048L)
+      .select(col("doc_id"), col("global_offset"),
+        col("seq_start"), col("seq_end"), col("n_seqs"))
+      .orderBy("doc_id"),
+    Some("""WITH bt AS (SELECT source, sum(n_chars) AS t FROM documents GROUP BY source),
+           |off AS (SELECT source, CAST(coalesce(sum(t) OVER (ORDER BY source
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+           |  FROM bt),
+           |w AS (SELECT doc_id, source, n_chars,
+           |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source
+           |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |      AS before FROM documents),
+           |g AS (SELECT doc_id, n_chars, o + before AS global_offset
+           |  FROM w JOIN off USING (source))
+           |SELECT doc_id, global_offset,
+           |  global_offset // 2048 AS seq_start,
+           |  CASE WHEN n_chars > 0 THEN (global_offset + n_chars - 1) // 2048
+           |       ELSE global_offset // 2048 END AS seq_end,
+           |  CASE WHEN n_chars > 0
+           |       THEN (global_offset + n_chars - 1) // 2048 - global_offset // 2048 + 1
+           |       ELSE 0 END AS n_seqs
+           |FROM g ORDER BY doc_id""".stripMargin))
+
   private val samplePackShards = Q(
     (s, d) => graft.operators.Curation.packByTokenBudget(
         D.documents(s, d).select("doc_id", "source", "n_chars"),
@@ -2274,6 +2330,7 @@ object Queries {
     "pipeline_redact_pii" -> pipelineRedactPii,
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "text_entropy" -> textEntropy,
+    "text_normalize" -> textNormalize,
     "text_domains" -> textDomains,
     "text_lm_perplexity" -> textLmPerplexity,
     "zorder_key" -> zorderKey,
@@ -2285,6 +2342,7 @@ object Queries {
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "sample_stratified" -> sampleStratified,
     "sample_pack_shards" -> samplePackShards,
+    "sample_pack_sequences" -> samplePackSequences,
     "cluster_assign" -> clusterAssign,
     "bloom_decontaminate" -> bloomDecontaminate,
     "sketch_distinct_kmv" -> sketchDistinctKmv,

@@ -147,6 +147,19 @@ object Curation {
       df: DataFrame, bucketCol: String, orderCol: String,
       tokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    withGlobalOffset(df, bucketCol, orderCol, tokensCol)
+      .withColumn("shard_id", floor(col("_before") / budget))
+      .drop("_before")
+  }
+
+  /** Global token offset of each row in (bucket, order) concatenation order —
+    * the distributed prefix sum shared by [[packByTokenBudget]] and
+    * [[packSequences]]: per-bucket windows do the heavy lifting in parallel,
+    * and only the |buckets|-row offset table runs through an unpartitioned
+    * window before broadcasting back. Adds `_before`.
+    */
+  private def withGlobalOffset(df: DataFrame, bucketCol: String,
+                               orderCol: String, tokensCol: String): DataFrame = {
     val totals = df.groupBy(col(bucketCol).as("_b"))
       .agg(sum(col(tokensCol)).as("_bt"))
     val wBuckets = org.apache.spark.sql.expressions.Window
@@ -160,8 +173,32 @@ object Curation {
     df.join(broadcast(offsets), col(bucketCol) === col("_b")).drop("_b")
       .withColumn("_before",
         col("_off") + coalesce(sum(col(tokensCol)).over(wInBucket), lit(0L)))
-      .withColumn("shard_id", floor(col("_before") / budget))
-      .drop("_off", "_before")
+      .drop("_off")
+  }
+
+  /** Fixed-length sequence packing — the LLM-pretraining pack: concatenate
+    * the (bucket, order)-ordered token stream and cut every `seqLen` tokens.
+    * Each doc reports its global token offset and the sequence range it lands
+    * in; a doc crossing a cut spans into the next sequence (standard packed
+    * pretraining — a loader that truncates instead drops the tail rows).
+    * Zero-token docs pin to their offset's sequence with n_seqs = 0. Same
+    * exchanges as [[packByTokenBudget]]; the cut positions are pure math on
+    * the offset, so the whole layout is metadata — no token materializes.
+    */
+  def packSequences(df: DataFrame, bucketCol: String, orderCol: String,
+                    tokensCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    withGlobalOffset(df, bucketCol, orderCol, tokensCol)
+      .withColumn("global_offset", col("_before"))
+      .withColumn("seq_start", floor(col("global_offset") / seqLen))
+      .withColumn("seq_end",
+        when(col(tokensCol) > 0,
+          floor((col("global_offset") + col(tokensCol) - 1) / seqLen))
+          .otherwise(floor(col("global_offset") / seqLen)))
+      .withColumn("n_seqs",
+        when(col(tokensCol) > 0, col("seq_end") - col("seq_start") + 1)
+          .otherwise(lit(0L)))
+      .drop("_before")
   }
 
   /** First 8 md5 hex chars of (salt ++ id), parsed as an exact BIGINT in

@@ -51,6 +51,18 @@ object TextAnalysis {
       .drop("_toks")
   }
 
+  /** Canonical text cleanup ahead of tokenization and hash-dedup: Unicode NFC
+    * (codegen'd [[graft.plans.NfcNormalize]] — UAX #15, the same spec DuckDB's
+    * `nfc_normalize` implements, so the oracle gates the normalized HASHES)
+    * plus whitespace-run collapse and trim. Visually-identical text in
+    * different compositions (é vs e+◌́) or spacing dedups and tokenizes
+    * identically after this. Pure per-row map — zero exchanges.
+    */
+  def withNormalizedText(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("norm_text",
+      trim(regexp_replace(
+        graft.plans.TextHashFunctions.nfcNormalize(col(textCol)), "\\s+", " ")))
+
   /** Quality-scoring signals: token count, char count, mean word length,
     * alnum-space ratio, stopword ratio, and a composite [0,1] score.
     * Tokens bind to a column once (see [[langId]]) — the three token-consuming

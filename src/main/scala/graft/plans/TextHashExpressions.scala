@@ -319,6 +319,38 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExp
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** JVM body for [[NfcNormalize]] — kept in an Ops object so codegen calls the
+  * same code as interpreted eval. `java.text.Normalizer` implements Unicode
+  * Standard Annex #15, the identical spec DuckDB's `nfc_normalize` follows,
+  * which is what lets the oracle gate normalized-text HASHES.
+  */
+object TextNormOps extends Serializable {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is a cheap scan, and real corpora
+    // are overwhelmingly already-NFC — skip the allocation for them
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode NFC normalization (string → string), codegen'd. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "nfc_normalize"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    TextNormOps.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = ctx.addReferenceObj("textNormOps", TextNormOps, "graft.plans.TextNormOps$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ops.nfc($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextHashFunctions {
   import ColumnBridge.{toCol, toExpr}
 
@@ -327,4 +359,5 @@ object TextHashFunctions {
   def minhashSig(tokens: Column, n: Int): Column = toCol(MinHashSig(toExpr(tokens), n))
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     toCol(WinnowFingerprint(toExpr(text), k, w))
+  def nfcNormalize(text: Column): Column = toCol(NfcNormalize(toExpr(text)))
 }

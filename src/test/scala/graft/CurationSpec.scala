@@ -103,6 +103,27 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(full.forall { case (_, tks) => tks >= 700L - 99 && tks <= 700L + 99 })
   }
 
+  test("packSequences: contiguous offsets, boundary spans, zero-token docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 1000L), (2L, "a", 0L), (3L, "a", 1500L), // 3 crosses the 2048 cut
+      (4L, "b", 100L), (5L, "b", 5000L))                 // 5 spans 3 sequences
+      .toDF("id", "bucket", "n_tok")
+    val out = Curation.packSequences(df, "bucket", "id", "n_tok", seqLen = 2048L)
+      .orderBy("id").collect()
+    // concatenation order a(1,2,3) then b(4,5): offsets 0,1000,1000,2500,2600
+    assert(out.map(_.getAs[Long]("global_offset")).toSeq ===
+      Seq(0L, 1000L, 1000L, 2500L, 2600L))
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(3L).getAs[Long]("seq_start") === 0L &&
+      byId(3L).getAs[Long]("seq_end") === 1L && byId(3L).getAs[Long]("n_seqs") === 2L)
+    assert(byId(2L).getAs[Long]("n_seqs") === 0L) // zero-token doc spans nothing
+    assert(byId(5L).getAs[Long]("seq_start") === 1L &&
+      byId(5L).getAs[Long]("seq_end") === 3L && byId(5L).getAs[Long]("n_seqs") === 3L)
+    // token-conservation: last doc's offset + tokens == total stream length
+    assert(byId(5L).getAs[Long]("global_offset") + 5000L === 7600L)
+  }
+
   test("withCharEntropy: uniform text scores 0, varied text scores higher") {
     import spark.implicits._
     val df = Seq(
