@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * /root/reference/main/sources/files/files_document_reader.py:10-108); this is the
   * training-data-pipeline extension. Image dimensions decode FOR REAL from the
   * container headers (PNG IHDR, JPEG SOFn, GIF logical screen — no codec
-  * needed), and so does WAV audio (RIFF chunk walk → channels/sample-rate/
-  * duration); compressed audio and video duration would need a demuxer that
-  * isn't in this container, so those branches REMAIN A DETERMINISTIC STUB
-  * (clearly marked below): fake durations derive from the content hash. Everything around it —
+  * needed), and so do WAV audio (RIFF chunk walk → channels/sample-rate/
+  * duration) and MP4 video duration (ISO BMFF box walk → mvhd timescale/
+  * duration); compressed audio (mp3/aac), non-BMFF video containers, and
+  * video frame DIMENSIONS (codec-level boxes) would need a demuxer that isn't
+  * in this container, so those branches REMAIN A DETERMINISTIC STUB (clearly
+  * marked below): fake values derive from the content hash. Everything around it —
   * the media schema, the per-partition batched map (the Scala analogue of a
   * Pandas-UDF `mapInPandas` batch), the feature vector shape, partitioning-safe
   * signatures — is real and tested, so swapping in a JNI/ONNX decoder changes
@@ -98,6 +100,58 @@ object Multimodal {
     (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
       (u8(b, i + 3).toLong << 24)) & 0xffffffffL
 
+  /** Decoded MP4 (ISO BMFF) container metadata — REAL box walk, no codec. */
+  case class Mp4Meta(timescale: Long, duration: Long, durationMs: Long)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i).toLong << 32) | (be32(b, i + 4).toLong & 0xffffffffL)
+
+  /** ISO BMFF (MP4/MOV): a stream of boxes [u32 size][4cc type][payload],
+    * size 1 → 64-bit largesize followas. Walk the top level to `moov`, then
+    * moov's children to `mvhd`, whose payload carries creation metadata and
+    * the movie timescale + duration (version 0: u32 fields at payload offsets
+    * 12/16; version 1: u64 at 20/28 — ISO/IEC 14496-12 §8.2.2). The walk is
+    * strictly forward with 64-bit position math, so malformed sizes degrade
+    * to None, never a throw or a loop.
+    */
+  def mp4Meta(b: Array[Byte]): Option[Mp4Meta] = {
+    def boxes(from: Long, until: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] { // (type, payloadStart, payloadEnd)
+        private var i = from
+        def hasNext: Boolean = i + 8 <= until
+        def next(): (String, Long, Long) = {
+          val sz32 = be32(b, i.toInt).toLong & 0xffffffffL
+          val tpe = new String(b.slice(i.toInt + 4, i.toInt + 8),
+            java.nio.charset.StandardCharsets.US_ASCII)
+          val (size, hdr) =
+            if (sz32 == 1 && i + 16 <= until) (be64(b, i.toInt + 8), 16L)
+            else (sz32, 8L)
+          val end = if (size < hdr) until else math.min(until, i + size)
+          val out = (tpe, i + hdr, end)
+          i = if (size < hdr) until else i + size // bad size: stop after this
+          out
+        }
+      }
+    if (b.length < 16) return None
+    // MP4 files open with an ftyp box in practice; require it as the sniff
+    val top = boxes(0, b.length.toLong).toSeq
+    if (!top.headOption.exists(_._1 == "ftyp")) return None
+    top.find(_._1 == "moov").flatMap { case (_, ms, me) =>
+      boxes(ms, me).find(_._1 == "mvhd").flatMap { case (_, ps, pe) =>
+        val p = ps.toInt
+        if (pe - ps < 20) None
+        else {
+          val version = u8(b, p)
+          val (ts, dur) =
+            if (version == 1 && pe - ps >= 36)
+              (be32(b, p + 20).toLong & 0xffffffffL, be64(b, p + 24))
+            else (be32(b, p + 12).toLong & 0xffffffffL, be32(b, p + 16).toLong & 0xffffffffL)
+          if (ts == 0) None else Some(Mp4Meta(ts, dur, dur * 1000L / ts))
+        }
+      }
+    }
+  }
+
   /** Decoded WAV container metadata — REAL header parse, no codec needed. */
   case class WavMeta(audioFormat: Int, channels: Int, sampleRateHz: Int,
                      bitsPerSample: Int, dataBytes: Long, durationMs: Long)
@@ -152,6 +206,12 @@ object Multimodal {
         case Some(m) => return (0, 0, m.channels, m.durationMs)
         case None    => // compressed audio (mp3/aac): stub fallback below
       }
+    }
+    if (kind == "video") {
+      mp4Meta(bytes) match { // MP4 duration parses for real (mvhd box walk);
+        case Some(m) => return (0, 0, 0, m.durationMs) // dims stay 0 (unknown
+        case None    => // — frame dims live in codec-level boxes); non-ISO-BMFF
+      }                 //   containers fall through to the stub below
     }
     val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     def u(i: Int) = h(i) & 0xff

@@ -206,6 +206,66 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  /** Minimal ISO BMFF: ftyp + moov(mvhd v0 with timescale/duration). */
+  private def mp4Bytes(timescale: Int, duration: Int,
+                       v1: Boolean = false): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(256) // big-endian by default
+    bb.putInt(16); bb.put("ftypisom".getBytes); bb.putInt(0x200)
+    // mvhd payload: v0 = 100 bytes, v1 = 112 (ISO 14496-12 §8.2.2)
+    val payloadLen = if (v1) 112 else 100
+    val mvhdLen = 8 + payloadLen
+    val moovStart = bb.position()
+    bb.putInt(8 + mvhdLen); bb.put("moov".getBytes)
+    val mvhdStart = bb.position()
+    bb.putInt(mvhdLen); bb.put("mvhd".getBytes)
+    if (v1) {
+      bb.put(1.toByte); bb.put(new Array[Byte](3)) // version 1, flags
+      bb.putLong(0L); bb.putLong(0L)               // creation, modification
+      bb.putInt(timescale); bb.putLong(duration.toLong)
+    } else {
+      bb.putInt(0)                                 // version 0, flags
+      bb.putInt(0); bb.putInt(0)                   // creation, modification
+      bb.putInt(timescale); bb.putInt(duration)
+    }
+    bb.put(new Array[Byte](mvhdStart + 8 + payloadLen - bb.position())) // rate..next_track
+    assert(bb.position() == moovStart + 8 + mvhdLen)
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  test("MP4 duration decodes for real from the mvhd box (v0 and v1)") {
+    // timescale 600, duration 1500 → 2500 ms
+    val m0 = Multimodal.mp4Meta(mp4Bytes(600, 1500)).get
+    assert(m0.timescale === 600L && m0.durationMs === 2500L)
+    val m1 = Multimodal.mp4Meta(mp4Bytes(90000, 45000, v1 = true)).get
+    assert(m1.durationMs === 500L)
+    // malformed: not ISO BMFF, truncated, zero timescale → None, never throw
+    assert(Multimodal.mp4Meta("nothing like an mp4 file".getBytes).isEmpty)
+    assert(Multimodal.mp4Meta(mp4Bytes(600, 1500).take(40)).isEmpty)
+    assert(Multimodal.mp4Meta(mp4Bytes(0, 1500)).isEmpty)
+    // fuzz: random corruption degrades to Option, never an exception
+    val rnd = new scala.util.Random(20260813L)
+    val valid = mp4Bytes(600, 1500)
+    (1 to 300).foreach { i =>
+      val bytes =
+        if (i % 2 == 0) { val c = valid.clone()
+          c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte; c }
+        else valid.take(rnd.nextInt(valid.length))
+      Multimodal.mp4Meta(bytes)
+    }
+  }
+
+  test("decode() uses the real MP4 branch for video duration") {
+    import spark.implicits._
+    val media = Seq(
+      ("v1", "video", mp4Bytes(1000, 7250), Map.empty[String, String]),
+      ("v2", "video", Array.fill(400)(3.toByte), Map.empty[String, String])
+    ).toDF("mediaId", "kind", "bytes", "meta")
+    val out = Multimodal.decode(media).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("durationMs")).toMap
+    assert(out("v1") === 7250L)
+    assert(out("v2") >= 5000L) // stub fallback for non-BMFF bytes
+  }
+
   test("decode() uses the real WAV branch for audio, stub only for non-WAV") {
     import spark.implicits._
     val media = Seq(
