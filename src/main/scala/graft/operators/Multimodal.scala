@@ -100,8 +100,12 @@ object Multimodal {
     (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
       (u8(b, i + 3).toLong << 24)) & 0xffffffffL
 
-  /** Decoded MP4 (ISO BMFF) container metadata — REAL box walk, no codec. */
-  case class Mp4Meta(timescale: Long, duration: Long, durationMs: Long)
+  /** Decoded MP4 (ISO BMFF) container metadata — REAL box walk, no codec.
+    * width/height are the PRESENTATION dims from the first video track's
+    * tkhd (16.16 fixed point, integer part; 0 when absent — audio-only).
+    */
+  case class Mp4Meta(timescale: Long, duration: Long, durationMs: Long,
+                     width: Int = 0, height: Int = 0)
 
   private def be64(b: Array[Byte], i: Int): Long =
     (be32(b, i).toLong << 32) | (be32(b, i + 4).toLong & 0xffffffffL)
@@ -137,7 +141,22 @@ object Multimodal {
     val top = boxes(0, b.length.toLong).toSeq
     if (!top.headOption.exists(_._1 == "ftyp")) return None
     top.find(_._1 == "moov").flatMap { case (_, ms, me) =>
-      boxes(ms, me).find(_._1 == "mvhd").flatMap { case (_, ps, pe) =>
+      val moovKids = boxes(ms, me).toSeq
+      // presentation dims: first trak whose tkhd carries nonzero width/height
+      // (tkhd v0 payload: width/height as 16.16 fixed at offsets 76/80; v1 has
+      // three u64 time fields instead of u32 → +12 — ISO 14496-12 §8.3.2)
+      val dims = moovKids.filter(_._1 == "trak").iterator.flatMap { case (_, ts0, te0) =>
+        boxes(ts0, te0).find(_._1 == "tkhd").flatMap { case (_, ps, pe) =>
+          val off = if (u8(b, ps.toInt) == 1) 88 else 76
+          if (pe - ps < off + 8) None
+          else {
+            val w = be32(b, ps.toInt + off) >>> 16
+            val h = be32(b, ps.toInt + off + 4) >>> 16
+            if (w > 0 && h > 0) Some((w, h)) else None
+          }
+        }
+      }.nextOption()
+      moovKids.find(_._1 == "mvhd").flatMap { case (_, ps, pe) =>
         val p = ps.toInt
         if (pe - ps < 20) None
         else {
@@ -146,7 +165,9 @@ object Multimodal {
             if (version == 1 && pe - ps >= 36)
               (be32(b, p + 20).toLong & 0xffffffffL, be64(b, p + 24))
             else (be32(b, p + 12).toLong & 0xffffffffL, be32(b, p + 16).toLong & 0xffffffffL)
-          if (ts == 0) None else Some(Mp4Meta(ts, dur, dur * 1000L / ts))
+          if (ts == 0) None
+          else Some(Mp4Meta(ts, dur, dur * 1000L / ts,
+            dims.map(_._1).getOrElse(0), dims.map(_._2).getOrElse(0)))
         }
       }
     }
@@ -208,10 +229,10 @@ object Multimodal {
       }
     }
     if (kind == "video") {
-      mp4Meta(bytes) match { // MP4 duration parses for real (mvhd box walk);
-        case Some(m) => return (0, 0, 0, m.durationMs) // dims stay 0 (unknown
-        case None    => // — frame dims live in codec-level boxes); non-ISO-BMFF
-      }                 //   containers fall through to the stub below
+      mp4Meta(bytes) match { // MP4 parses for real: mvhd duration + tkhd
+        case Some(m) => return (m.width, m.height, 0, m.durationMs) // presentation dims
+        case None    => // non-ISO-BMFF containers: stub fallback below
+      }
     }
     val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     def u(i: Int) = h(i) & 0xff

@@ -206,16 +206,17 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  /** Minimal ISO BMFF: ftyp + moov(mvhd v0 with timescale/duration). */
-  private def mp4Bytes(timescale: Int, duration: Int,
-                       v1: Boolean = false): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(256) // big-endian by default
+  /** Minimal ISO BMFF: ftyp + moov(mvhd + optional trak(tkhd) with dims). */
+  private def mp4Bytes(timescale: Int, duration: Int, v1: Boolean = false,
+                       dims: Option[(Int, Int)] = None): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(512) // big-endian by default
     bb.putInt(16); bb.put("ftypisom".getBytes); bb.putInt(0x200)
     // mvhd payload: v0 = 100 bytes, v1 = 112 (ISO 14496-12 §8.2.2)
     val payloadLen = if (v1) 112 else 100
     val mvhdLen = 8 + payloadLen
+    val trakLen = if (dims.isDefined) 8 + 8 + 84 else 0 // trak(tkhd v0: 84)
     val moovStart = bb.position()
-    bb.putInt(8 + mvhdLen); bb.put("moov".getBytes)
+    bb.putInt(8 + mvhdLen + trakLen); bb.put("moov".getBytes)
     val mvhdStart = bb.position()
     bb.putInt(mvhdLen); bb.put("mvhd".getBytes)
     if (v1) {
@@ -228,7 +229,13 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSuite {
       bb.putInt(timescale); bb.putInt(duration)
     }
     bb.put(new Array[Byte](mvhdStart + 8 + payloadLen - bb.position())) // rate..next_track
-    assert(bb.position() == moovStart + 8 + mvhdLen)
+    dims.foreach { case (w, h) =>
+      bb.putInt(8 + 8 + 84); bb.put("trak".getBytes)
+      bb.putInt(8 + 84); bb.put("tkhd".getBytes)
+      bb.put(new Array[Byte](76))        // v0 fields up to width
+      bb.putInt(w << 16); bb.putInt(h << 16) // 16.16 fixed
+    }
+    assert(bb.position() == moovStart + 8 + mvhdLen + trakLen)
     java.util.Arrays.copyOf(bb.array(), bb.position())
   }
 
@@ -238,6 +245,10 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(m0.timescale === 600L && m0.durationMs === 2500L)
     val m1 = Multimodal.mp4Meta(mp4Bytes(90000, 45000, v1 = true)).get
     assert(m1.durationMs === 500L)
+    // tkhd presentation dims (16.16 fixed) surface when a track is present
+    val md = Multimodal.mp4Meta(mp4Bytes(600, 1500, dims = Some((1920, 1080)))).get
+    assert(md.width === 1920 && md.height === 1080 && md.durationMs === 2500L)
+    assert(m0.width === 0 && m0.height === 0) // no track → dims unknown
     // malformed: not ISO BMFF, truncated, zero timescale → None, never throw
     assert(Multimodal.mp4Meta("nothing like an mp4 file".getBytes).isEmpty)
     assert(Multimodal.mp4Meta(mp4Bytes(600, 1500).take(40)).isEmpty)
