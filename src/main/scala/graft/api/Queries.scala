@@ -163,6 +163,30 @@ object Queries {
            |GROUP BY c_custkey, c_name, n_name
            |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
+  /** TPC-H Q16 shape: supplier diversity per part attribute — NOT-IN
+    * anti-subquery (negative-balance suppliers excluded) feeding a
+    * count(DISTINCT) over a brand/type/size grouping; lineitem stands in for
+    * partsupp (the relation the test schema omits). Anti-join broadcasts the
+    * excluded-supplier set; the distinct aggregation is the one shuffle.
+    */
+  private val q16SupplierCnt = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d); val p = D.part(s, d); val sup = D.supplier(s, d)
+      val excluded = sup.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      li.join(broadcast(excluded), li("l_suppkey") === excluded("s_suppkey"), "left_anti")
+        .join(broadcast(p.select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_size").asc)
+        .limit(25)
+    },
+    Some("""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+           |GROUP BY p_brand, p_size
+           |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 25""".stripMargin))
+
   /** TPC-H Q14 shape: promo revenue share — fact scan with a pushed date range,
     * broadcast part dimension, one conditional aggregate pass.
     */
@@ -968,6 +992,98 @@ object Queries {
          |uniq AS (SELECT * FROM kept QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp))
          |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM uniq GROUP BY lang ORDER BY lang""".stripMargin
+    })
+
+  /** THE capstone gate: the ENTIRE config-driven curation pipeline —
+    * line-dedup → token/quality gates → simhash near-dedup → per-domain cap →
+    * benchmark decontamination → stratified mixture sampling — one
+    * declarative plan through [[graft.operators.Pipeline.curate]], and the
+    * whole per-doc survivor list hash-matched against a single DuckDB
+    * replication of all six stages. URLs are planted (7 sites) so the domain
+    * cap has site identity; the benchmark is every 41st doc's RAW text.
+    */
+  private val pipelineFull = Q(
+    (s, d) => {
+      val planted = D.documents(s, d).select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")).as("text"))
+      val bench = D.documents(s, d).filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").as("bench_id"), col("text").as("bench_text"))
+      graft.operators.Pipeline.curate(
+          planted, "doc_id", "text",
+          graft.operators.Pipeline.CurationConfig(
+            lineDedupMaxOccurrences = Some(2),
+            minTokens = 40, minQuality = 0.5,
+            nearDedup = true,
+            domainCap = Some(40),
+            sampleRates = Some(Map("en" -> 0.8, "de" -> 1.0)),
+            sampleDefaultRate = 0.5),
+          benchmark = Some((bench, "bench_id", "bench_text")),
+          stratumCol = Some("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val allStops = graft.operators.TextAnalysis.langMarkers.values.flatten.toSeq
+        .distinct.sorted.map(w => s"'$w'").mkString(", ")
+      def hex(r: Double) = graft.operators.Curation.rateThresholdHex(r)
+      s"""WITH docs0 AS (SELECT doc_id, lang,
+         |    text || ' https://site' || (doc_id % 7) || '.example.com/p/' || doc_id AS text
+         |  FROM documents),
+         |base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs0),
+         |idx AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM base),
+         |lines AS (SELECT doc_id, i, ls[i] AS line FROM idx),
+         |lcnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+         |joined AS (SELECT l.doc_id, l.i, l.line, c.c FROM lines l JOIN lcnt c USING(line)),
+         |reb AS (SELECT doc_id, coalesce(string_agg(CASE WHEN c <= 2 THEN line END, chr(10) ORDER BY i), '') AS cleaned
+         |        FROM joined GROUP BY doc_id),
+         |tk AS (SELECT r.doc_id, d.lang, r.cleaned,
+         |         list_filter(regexp_split_to_array(lower(r.cleaned), '[^a-z0-9]+'), x -> x <> '') AS t
+         |       FROM reb r JOIN docs0 d USING(doc_id)),
+         |sig AS (SELECT doc_id, lang, cleaned, t, len(t) AS n_tokens,
+         |    round(coalesce(list_sum(list_transform(t, w -> length(w))), 0) / greatest(len(t), 1), 4) AS mwl,
+         |    round(length(regexp_replace(lower(cleaned), '[^a-z0-9 ]', '', 'g')) / greatest(length(cleaned), 1), 4) AS ar,
+         |    round(len(list_filter(t, w -> w IN ($allStops))) / greatest(len(t), 1), 4) AS sr
+         |  FROM tk),
+         |q AS (SELECT doc_id, lang, cleaned, t, n_tokens,
+         |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+         |      CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0 END +
+         |      ar * 0.2 +
+         |      CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 0.2 ELSE 0 END, 4) AS quality
+         |  FROM sig),
+         |kept AS (SELECT doc_id, lang, cleaned, t, n_tokens,
+         |    CAST(coalesce(list_sum(list_transform(generate_series(1, 16), j ->
+         |      CASE WHEN coalesce(list_sum(list_transform(list_transform(t, x -> md5(x)), x ->
+         |        CASE WHEN strpos('0123456789abcdef', x[j:j]) >= 9 THEN 1 ELSE -1 END)), 0) > 0
+         |      THEN 1 << (j - 1) ELSE 0 END)), 0) AS BIGINT) AS fp
+         |  FROM q WHERE n_tokens >= 40 AND quality >= 0.5),
+         |uniq AS (SELECT * FROM kept QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)),
+         |dom AS (SELECT *, list_extract(list_distinct(list_transform(
+         |    regexp_extract_all(cleaned, 'https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?'),
+         |    u -> regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1))), 1) AS d1
+         |  FROM uniq),
+         |cap AS (SELECT * FROM dom QUALIFY
+         |  row_number() OVER (PARTITION BY d1 ORDER BY length(cleaned) DESC, doc_id ASC) <= 40),
+         |csh AS (SELECT doc_id, CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+         |    ELSE list_transform(generate_series(1, len(t) - 12),
+         |           i -> array_to_string(t[i:i+12], ' ')) END AS sh FROM cap),
+         |cng AS (SELECT doc_id, unnest(sh) AS ng FROM csh),
+         |btoks AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+         |  FROM documents WHERE doc_id % 41 = 0),
+         |bsh AS (SELECT doc_id, CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+         |    ELSE list_transform(generate_series(1, len(t) - 12),
+         |           i -> array_to_string(t[i:i+12], ' ')) END AS sh FROM btoks),
+         |bng AS (SELECT DISTINCT unnest(sh) AS ng FROM bsh),
+         |contaminated AS (SELECT DISTINCT doc_id FROM cng JOIN bng USING (ng)),
+         |clean AS (SELECT cap.* FROM cap LEFT JOIN contaminated c USING (doc_id)
+         |  WHERE c.doc_id IS NULL),
+         |samp AS (SELECT * FROM clean WHERE CASE lang
+         |    WHEN 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '${hex(0.8)}'
+         |    WHEN 'de' THEN TRUE
+         |    ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '${hex(0.5)}' END)
+         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM samp ORDER BY doc_id""".stripMargin
     })
 
   /** PII redaction ([[graft.operators.Curation.redactPii]]): the documents table
@@ -2277,6 +2393,7 @@ object Queries {
     "q14_promo" -> q14Promo,
     "q7_volume" -> q7Volume,
     "q10_returns" -> q10Returns,
+    "q16_supplier_cnt" -> q16SupplierCnt,
     "w1_rank_window" -> w1RankWindow,
     "a4_watermark_max" -> a4WatermarkMax,
     "p3_filter_dsl" -> p3FilterDsl,
@@ -2327,6 +2444,7 @@ object Queries {
     "dedup_clusters" -> dedupClusters,
     "pipeline_filter" -> pipelineFilter,
     "pipeline_curation" -> pipelineCuration,
+    "pipeline_full" -> pipelineFull,
     "pipeline_redact_pii" -> pipelineRedactPii,
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "text_entropy" -> textEntropy,
