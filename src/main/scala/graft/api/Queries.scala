@@ -1157,6 +1157,26 @@ object Queries {
            |  coalesce(n, 0) > 0 AS contaminated
            |FROM documents LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin))
 
+  /** Sentence-shape signals ([[graft.operators.TextAnalysis.sentenceStats]]):
+    * count + mean/max sentence length from terminal-punctuation segmentation
+    * — the quality axis token stats miss.
+    */
+  private val textSentences = Q(
+    (s, d) => graft.operators.TextAnalysis.sentenceStats(
+        D.documents(s, d).select("doc_id", "text"), "text")
+      .select("doc_id", "n_sentences", "mean_sentence_chars", "max_sentence_chars")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CAST(len(s) AS BIGINT) AS n_sentences,
+           |  round(coalesce(list_sum(list_transform(s, x -> length(x))), 0)
+           |    / greatest(len(s), 1), 4) AS mean_sentence_chars,
+           |  CAST(coalesce(list_max(list_transform(s, x -> length(x))), 0) AS BIGINT)
+           |    AS max_sentence_chars
+           |FROM (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(text, '[.!?]+\s+'), x -> x <> '') AS s
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
   /** Unicode NFC normalization ([[graft.operators.TextAnalysis.withNormalizedText]]):
     * both engines implement UAX #15, so the HASH of the normalized text is
     * gateable. The corpus is ASCII, so the query plants decomposed sequences
@@ -1877,6 +1897,33 @@ object Queries {
     * from the same user starts a new session (lag + running sum of boundaries —
     * the batch twin of Structured Streaming session windows).
     */
+  /** Running-frame window breadth (W-family): per user in event-time order,
+    * a cumulative running total (integer cents — float window sums associate
+    * differently across engines), the lead-gap to the next event, and the
+    * ordinal. Exercises running frames + lead + row_number in one keyed pass.
+    */
+  private val w5RunningMetrics = Q(
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      D.events(s, d)
+        .withColumn("_cents", floor(col("value") * 100).cast("long"))
+        .withColumn("running_cents", sum("_cents").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("next_gap_s",
+          unix_timestamp(lead("ts", 1).over(byUser)) - unix_timestamp(col("ts")))
+        .withColumn("rn", row_number().over(byUser).cast("long"))
+        .select(col("event_id"), col("user_id"), col("rn"),
+          col("running_cents"), col("next_gap_s"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+           |  CAST(row_number() OVER w AS BIGINT) AS rn,
+           |  CAST(sum(CAST(floor(value * 100) AS BIGINT))
+           |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+           |  CAST(floor(epoch(lead(ts) OVER w)) - floor(epoch(ts)) AS BIGINT) AS next_gap_s
+           |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |ORDER BY event_id""".stripMargin))
+
   private val w3Sessionize = Q(
     (s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2438,6 +2485,7 @@ object Queries {
     "ann_graph_topk" -> annGraphTopk,
     "mm_binary_meta" -> mmBinaryMeta,
     "w3_sessionize" -> w3Sessionize,
+    "w5_running_metrics" -> w5RunningMetrics,
     "skew_salted_agg" -> skewSaltedAgg,
     "skew_salted_join" -> skewSaltedJoin,
     "m1_embed_pipeline" -> m1EmbedPipeline,
@@ -2449,6 +2497,7 @@ object Queries {
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "text_entropy" -> textEntropy,
     "text_normalize" -> textNormalize,
+    "text_sentences" -> textSentences,
     "text_domains" -> textDomains,
     "text_lm_perplexity" -> textLmPerplexity,
     "zorder_key" -> zorderKey,

@@ -63,6 +63,24 @@ object TextAnalysis {
       trim(regexp_replace(
         graft.plans.TextHashFunctions.nfcNormalize(col(textCol)), "\\s+", " ")))
 
+  /** Sentence segmentation stats: split on terminal-punctuation runs followed
+    * by whitespace (`[.!?]+\s+` — the Java/RE2 common subset; lookbehind
+    * would keep the punctuation but RE2 lacks it, and COUNTS are the signal
+    * here). Adds n_sentences, mean/max sentence length in chars — the
+    * sentence-shape quality axis (wall-of-text vs staccato boilerplate) that
+    * complements the token-level signals. Pure per-row map.
+    */
+  def sentenceStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_s",
+        filter(split(col(textCol), "[.!?]+\\s+"), x => x =!= ""))
+      .withColumn("n_sentences", size(col("_s")).cast("long"))
+      .withColumn("mean_sentence_chars",
+        round(coalesce(aggregate(col("_s"), lit(0L), (a, x) => a + length(x)), lit(0L))
+          / greatest(size(col("_s")), lit(1)).cast("double"), 4))
+      .withColumn("max_sentence_chars",
+        coalesce(array_max(transform(col("_s"), x => length(x))), lit(0)).cast("long"))
+      .drop("_s")
+
   /** Quality-scoring signals: token count, char count, mean word length,
     * alnum-space ratio, stopword ratio, and a composite [0,1] score.
     * Tokens bind to a column once (see [[langId]]) — the three token-consuming
