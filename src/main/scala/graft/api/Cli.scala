@@ -153,7 +153,10 @@ object Cli {
           includeAllChunksContent = flags.contains("include-all-chunks"),
           // --indexes a,b or repeated --indexes; --rrfK (search_cmd_adapter:19-20)
           indexNames = opts.get("indexes").map(_.flatMap(_.split(',')).map(_.trim)),
-          rrfK = opt("rrfK").map(_.toInt).getOrElse(60))
+          rrfK = opt("rrfK").map(_.toInt).getOrElse(60),
+          // --index-weights 2.0,1.0 (positional, matching --indexes order)
+          indexWeights = opt("index-weights")
+            .map(_.split(',').toSeq.map(_.trim.toDouble)).getOrElse(Nil))
         println(opt("format").getOrElse("json_indent") match {
           case "json"   => Formatting.json(result)
           case "toon"   => Formatting.toon(result, "documents")

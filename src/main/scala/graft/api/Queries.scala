@@ -446,6 +446,40 @@ object Queries {
             |SELECT id, round(rrf, 6) AS rrf_score, best_rank FROM fused
             |ORDER BY round(rrf, 6) DESC, id LIMIT 10""".stripMargin))
 
+  /** Weighted RRF ([[graft.operators.Search.rrfFuse]] with `weights`): the
+    * per-index importance knob over plain RRF — here vector counts 2× BM25.
+    * Same plan shape as `a1_rrf_fusion`; the weighted scores and the
+    * re-ordering they cause are what the gate locks.
+    */
+  private val a1bWeightedRrf = Q(
+    (s, d) => {
+      import graft.plans.VectorFunctions.cosineF
+      val emb = D.embeddings(s, d)
+      val vecList = emb
+        .select(col("vec_id").as("id"),
+                round(cosineF(col("embedding"), typedLit(queryVec(s, d))), 6).as("s"))
+        .orderBy(col("s").desc, col("id").asc).limit(20)
+      val bmList = bm25Spark(s, d, conjunctive = false, 20)
+        .select(col("doc_id").as("id"), col("score").as("s"))
+      Search.rrfFuse(Seq(vecList, bmList), "id", "s", Seq(false, false), 60, 10,
+          weights = Seq(2.0, 1.0))
+        .select(col("id"), round(col("rrfScore"), 6).as("rrf_score"),
+                col("bestRank").cast("long").as("best_rank"))
+        .orderBy(col("rrf_score").desc, col("id").asc)
+    },
+    Some(s"""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+            |vscored AS (
+            |  SELECT vec_id AS id, round(${cosSql("embedding", "(SELECT e FROM q)")}, 6) AS s
+            |  FROM embeddings),
+            |vtop AS (SELECT id, s FROM vscored ORDER BY s DESC, id LIMIT 20),
+            |vrank AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rank, 2.0 AS w FROM vtop),
+            |btop AS (${bm25Sql(conjunctive = false, 20).replace("\n", "\n  ")}),
+            |brank AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, 1.0 AS w FROM btop),
+            |allr AS (SELECT * FROM vrank UNION ALL SELECT * FROM brank),
+            |fused AS (SELECT id, sum(w/(60+rank)) AS rrf, min(rank) AS best_rank FROM allr GROUP BY id)
+            |SELECT id, round(rrf, 6) AS rrf_score, best_rank FROM fused
+            |ORDER BY round(rrf, 6) DESC, id LIMIT 10""".stripMargin))
+
   // ----------------------------------------------------- dedup family (extensions)
 
   /** Shared DuckDB fragments: tokens and word-3-gram shingles of documents.text. */
@@ -2452,6 +2486,7 @@ object Queries {
     "t2_bm25_topk" -> t2Bm25TopK,
     "t2b_bm25_postings" -> t2bBm25Postings,
     "a1_rrf_fusion" -> a1RrfFusion,
+    "a1b_weighted_rrf" -> a1bWeightedRrf,
     "a2_group_docs" -> a2GroupDocs,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_incremental" -> dedupIncremental,

@@ -317,7 +317,8 @@ final class CollectionManager(
       includeMatchedChunkContent: Boolean = false,
       includeAllChunksContent: Boolean = false,
       indexNames: Option[Seq[String]] = None,
-      rrfK: Int = 60): DataFrame = {
+      rrfK: Int = 60,
+      indexWeights: Seq[Double] = Nil): DataFrame = {
     requireMatchingEmbedder(name)
     val proj = Search.Projection(
       includeText, includeMatchedChunkContent, includeAllChunksContent,
@@ -336,7 +337,7 @@ final class CollectionManager(
     // Multi-index search over the prebuilt indexes (vector scan + BM25 postings),
     // RRF-fused, then grouped into documents — searcher.py:31-65 on columnar state.
     val fused = graft.operators.Indexers.multiSearch(
-      selected, query, maxChunks, filterCol, rrfK)
+      selected, query, maxChunks, filterCol, rrfK, weights = indexWeights)
     // A single selected index returns its raw ranked list (chunkId, score)
     // with its own sort direction; fusion output ranks by rrfScore.
     val order =

@@ -231,7 +231,8 @@ object Indexers {
     */
   def multiSearch(
       indexers: Seq[Indexer], query: String, k: Int,
-      metadataFilter: Option[Column] = None, rrfK: Int = 60): DataFrame = {
+      metadataFilter: Option[Column] = None, rrfK: Int = 60,
+      weights: Seq[Double] = Nil): DataFrame = {
     require(indexers.nonEmpty)
     metadataFilter.foreach(_ => indexers.foreach(i =>
       if (!i.supportsMetadataFiltering) throw new UnsupportedOperationException(
@@ -240,6 +241,6 @@ object Indexers {
       return indexers.head.search(query, k, metadataFilter)
     val lists = indexers.map(_.search(query, k, metadataFilter))
     Search.rrfFuse(lists, "chunkId", "score",
-      indexers.map(_.ascendingScores), rrfK, k)
+      indexers.map(_.ascendingScores), rrfK, k, weights = weights)
   }
 }

@@ -158,16 +158,23 @@ object Search {
       orderCol: String,
       ascending: Seq[Boolean],
       rrfK: Int = 60,
-      topK: Int = Int.MaxValue): DataFrame = {
+      topK: Int = Int.MaxValue,
+      weights: Seq[Double] = Nil): DataFrame = {
     require(rankedLists.nonEmpty && rankedLists.size == ascending.size)
-    val ranked = rankedLists.zip(ascending).map { case (l, asc) =>
+    require(weights.isEmpty || weights.size == rankedLists.size,
+      "weights must be empty (uniform) or one per ranked list")
+    // weighted RRF: score = Σ_i w_i / (k + rank_i) — the standard tuning knob
+    // when one index (say BM25 on titles) should count more than another;
+    // uniform weights reduce to the reference's plain RRF exactly
+    val ws = if (weights.isEmpty) Seq.fill(rankedLists.size)(1.0) else weights
+    val ranked = rankedLists.zip(ascending).zip(ws).map { case ((l, asc), w0) =>
       val ord = if (asc) col(orderCol).asc else col(orderCol).desc
       val w = Window.orderBy(ord, col(idCol).asc)
-      l.select(col(idCol), row_number().over(w).as("rank"))
+      l.select(col(idCol), row_number().over(w).as("rank"), lit(w0).as("_w"))
     }
     val fused = ranked.reduce(_.unionByName(_))
       .groupBy(idCol)
-      .agg(sum(lit(1.0) / (lit(rrfK) + col("rank"))).as("rrfScore"),
+      .agg(sum(col("_w") / (lit(rrfK) + col("rank"))).as("rrfScore"),
            min("rank").as("bestRank"))
       .orderBy(col("rrfScore").desc, col(idCol).asc)
     if (topK == Int.MaxValue) fused else fused.limit(topK)
