@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.Bpe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite with SparkSuite {
+
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    "the theory of the thing is that the theme repeats",
+    "there the other theory holds the theme together",
+    "this theory and that theory share the theme").toDF("text")
+
+  test("training learns frequent pairs first; encoding applies them greedily") {
+    val m = Bpe.train(corpus, "text", nMerges = 40)
+    assert(m.merges.length === 40)
+    // 'th' dominates this corpus → it must be among the earliest merges
+    assert(m.merges.take(3).contains(("t", "h")))
+    // full word 'the' compresses to a single token (the</w>)
+    assert(m.encodeWord("the") === Seq("the" + Bpe.endOfWord))
+    // unseen-but-composable words still encode (no OOV failure)
+    val rare = m.encodeWord("thesis")
+    assert(rare.nonEmpty && rare.mkString === "thesis" + Bpe.endOfWord)
+    // token counts: known word 1, gibberish decomposes to more pieces
+    assert(m.countTokens("the the the") === 3L)
+    assert(m.countTokens("zqxv") >= 2L)
+  }
+
+  test("merges artifact round-trips and the loaded model encodes identically") {
+    val m = Bpe.train(corpus, "text", nMerges = 25)
+    val f = java.nio.file.Files.createTempFile("graft-bpe", ".txt")
+    m.save(f.toString)
+    val loaded = Bpe.load(f.toString)
+    assert(loaded.merges === m.merges)
+    val probe = "the other theme theory thing"
+    assert(loaded.encode(probe) === m.encode(probe))
+    assert(loaded.countTokens(probe) === m.countTokens(probe))
+  }
+
+  test("tokenCountCol counts per row in a DataFrame pass (no shuffle)") {
+    val m = Bpe.train(corpus, "text", nMerges = 30)
+    val counted = corpus.withColumn("n_bpe", Bpe.tokenCountCol(m)(col("text")))
+    val rows = counted.collect()
+    assert(rows.forall(_.getAs[Long]("n_bpe") > 0))
+    // the trained count can never exceed the char+eow upper bound
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getAs[Long]("n_bpe") <= t.count(_.isLetterOrDigit) +
+        t.split("[^a-z0-9]+").count(_.nonEmpty))
+    }
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("training is deterministic: same corpus, same merges at any parallelism") {
+    val a = Bpe.train(corpus.repartition(1), "text", 20).merges
+    val b = Bpe.train(corpus.repartition(5), "text", 20).merges
+    assert(a === b)
+  }
+}
