@@ -38,6 +38,16 @@ object Maintenance {
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long,
               minAvgBytes: Long): Long = {
+    // A flat rewrite of a PARTITIONED table (e.g. the IVF assigned/listId=N
+    // layout) would silently flatten the directories and destroy partition
+    // pruning — refuse instead; partitioned tables compact per-partition.
+    val fsys = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val subdirs = fsys.listStatus(new Path(path))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+    require(subdirs.isEmpty,
+      s"compact: $path contains partition directories " +
+        s"(${subdirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "compact each partition directory individually to keep the layout")
     val (n, bytes, avg) = fileStats(spark, path)
     if (n == 0 || avg >= minAvgBytes) return n
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt

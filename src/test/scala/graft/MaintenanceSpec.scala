@@ -29,6 +29,20 @@ class MaintenanceSpec extends AnyFunSuite with SparkSuite {
     assert(!new java.io.File(dir + "__old").exists)
   }
 
+  test("compact refuses partitioned tables instead of flattening their layout") {
+    val dir = Files.createTempDirectory("graft-compact3").toString + "/t"
+    (1 to 100).map(i => (i.toLong, i % 4, s"row $i")).toDF("id", "part", "v")
+      .write.partitionBy("part").parquet(dir)
+    val e = intercept[IllegalArgumentException](
+      Maintenance.compact(spark, dir, targetBytes = 1 << 20, minAvgBytes = 1 << 20))
+    assert(e.getMessage.contains("partition directories"))
+    // per-partition compaction still works and keeps the layout
+    val n = Maintenance.compact(spark, s"$dir/part=0",
+      targetBytes = 1 << 20, minAvgBytes = 1 << 20)
+    assert(n === 1L)
+    assert(spark.read.parquet(dir).count() === 100)
+  }
+
   test("compact skips healthy tables (no gratuitous rewrite)") {
     val dir = Files.createTempDirectory("graft-compact2").toString + "/t"
     (1 to 100).map(i => (i.toLong, s"row $i")).toDF("id", "v")
