@@ -54,6 +54,21 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("trained counts feed sequence packing end to end (the token-budget loop)") {
+    val m = Bpe.train(corpus, "text", nMerges = 30)
+    val counted = corpus
+      .withColumn("doc_id", monotonically_increasing_id())
+      .withColumn("bucket", lit("all"))
+      .withColumn("n_bpe", Bpe.tokenCountCol(m)(col("text")))
+    val packed = graft.operators.Curation.packSequences(
+      counted, "bucket", "doc_id", "n_bpe", seqLen = 16L).collect()
+    // offsets are the running sum of the REAL subword counts
+    val total = counted.agg(sum("n_bpe")).head().getLong(0)
+    val last = packed.maxBy(_.getAs[Long]("global_offset"))
+    assert(last.getAs[Long]("global_offset") + last.getAs[Long]("n_bpe") === total)
+    assert(packed.forall(r => r.getAs[Long]("n_seqs") >= 1))
+  }
+
   test("training is deterministic: same corpus, same merges at any parallelism") {
     val a = Bpe.train(corpus.repartition(1), "text", 20).merges
     val b = Bpe.train(corpus.repartition(5), "text", 20).merges
