@@ -235,11 +235,23 @@ object Cli {
             |         [--lm-train P --lm-max-nll X] [--quality-model P --quality-model-min S]
             |         [--sample-rates k=v,..] [--stratum-col C]
             |  compact --path P [--target-mb 256] [--min-avg-mb 32]
+            |  stats --in P [--text-col text] [--lang-col lang]
             |""".stripMargin)
       case "delete" =>
         // delete --name <collection> --ids a,b,c (reference: remove_ids path)
         val m = cm.delete(req("name"), req("ids").split(",").toSeq)
         println(s"""{"name":"${req("name")}","documents":${m.numberOfDocuments},"chunks":${m.numberOfChunks}}""")
+      case "stats" =>
+        // Dataset card for a parquet corpus: --in <dir> [--text-col text]
+        // [--lang-col lang] — one aggregation pass, JSON summary per language.
+        val in = req("in"); val textCol = opt("text-col").getOrElse("text")
+        val langCol = opt("lang-col").getOrElse("lang")
+        val docs = spark.read.parquet(in)
+        val rows = graft.operators.TextAnalysis.corpusStats(
+          docs.select(org.apache.spark.sql.functions.col(langCol).as("lang"),
+            org.apache.spark.sql.functions.col(textCol).as("text")),
+          "text", Seq("lang"))
+        println(Formatting.json(rows.orderBy("lang")))
       case "compact" =>
         // Small-file maintenance for any parquet table this engine writes:
         // --path <dir> [--target-mb 256] [--min-avg-mb 32]

@@ -81,6 +81,19 @@ class CliSpec extends AnyFunSuite with SparkSuite {
       .getString(0).contains("<EMAIL>"))
   }
 
+  test("stats: dataset-card JSON per language from one aggregation pass") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-cli-stats")
+    val in = s"$work/in"
+    Seq((1L, "en", "the quick brown fox jumps over the dog"),
+        (2L, "en", "another english document with several words here"),
+        (3L, "de", "der schnelle braune fuchs springt"))
+      .toDF("doc_id", "lang", "text").write.parquet(in)
+    val out = captured("stats", "--in", in)
+    assert(out.contains("\"lang\":\"en\"") && out.contains("\"lang\":\"de\""))
+    assert(out.contains("\"n_docs\":2") && out.contains("\"n_docs\":1"))
+  }
+
   test("curate: --quality-model gates with a trained weights artifact") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-cli-qm")
