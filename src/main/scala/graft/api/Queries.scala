@@ -187,6 +187,40 @@ object Queries {
            |GROUP BY p_brand, p_size
            |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 25""".stripMargin))
 
+  /** TPC-H Q22 shape: "rich customers who never ordered" — a global-average
+    * scalar subquery (1-row broadcast cross join), an anti-join against the
+    * distinct order keys, and a derived group key. The classic
+    * correlated-threshold + NOT EXISTS combination.
+    */
+  private val q22NoOrders = Q(
+    (s, d) => {
+      val c = D.customer(s, d).filter(col("c_acctbal") > 0)
+        .withColumn("cc", (col("c_custkey") % 10).cast("long"))
+      val avgBal = c.agg(avg("c_acctbal").as("a"))
+      val buyers = D.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_custkey")).distinct()
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("a"))
+        .join(broadcast(buyers), c("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cc")
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+        .orderBy("cc")
+    },
+    Some("""WITH grp AS (SELECT c_custkey, c_acctbal, CAST(c_custkey % 10 AS BIGINT) AS cc
+           |  FROM customer WHERE c_acctbal > 0),
+           |avgbal AS (SELECT avg(c_acctbal) AS a FROM grp),
+           |cand AS (SELECT grp.* FROM grp, avgbal WHERE c_acctbal > a),
+           |noord AS (SELECT cand.* FROM cand
+           |  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+           |             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           |               AND o_orderdate < TIMESTAMP '1998-01-01') o
+           |    ON c_custkey = o_custkey
+           |  WHERE o_custkey IS NULL)
+           |SELECT cc, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+           |FROM noord GROUP BY cc ORDER BY cc""".stripMargin))
+
   /** TPC-H Q14 shape: promo revenue share — fact scan with a pushed date range,
     * broadcast part dimension, one conditional aggregate pass.
     */
@@ -2475,6 +2509,7 @@ object Queries {
     "q7_volume" -> q7Volume,
     "q10_returns" -> q10Returns,
     "q16_supplier_cnt" -> q16SupplierCnt,
+    "q22_no_orders" -> q22NoOrders,
     "w1_rank_window" -> w1RankWindow,
     "a4_watermark_max" -> a4WatermarkMax,
     "p3_filter_dsl" -> p3FilterDsl,
