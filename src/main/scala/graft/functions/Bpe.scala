@@ -72,7 +72,12 @@ object Bpe {
   def load(path: String): BpeModel = BpeModel(
     new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
       .linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l => val Array(a, b) = l.split(" ", 2); (a, b) }.toSeq)
+      .flatMap { l => // a merge line is exactly "left right"; anything else is
+        l.split(" ", 2) match { // a corrupt artifact line — skip it, don't crash
+          case Array(a, b) if a.nonEmpty && b.nonEmpty => Some((a, b))
+          case _ => None
+        }
+      }.toSeq)
 
   /** Train `nMerges` merges. The corpus reduces to (word, freq) in ONE
     * distributed aggregation; the loop then runs over that table locally

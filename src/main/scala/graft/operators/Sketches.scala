@@ -231,6 +231,15 @@ object Sketches {
       .join(broadcast(cms), Seq("row", "bucket"))
       .groupBy(candCol).agg(min("cnt").as("cms_estimate"))
 
+  /** Merge two KMV sketches (sorted distinct k-minima): union, dedup, keep
+    * the k smallest — KMV is a mergeable summary like the CMS grid, so
+    * shard-local or micro-batch sketches combine without revisiting data.
+    * (This is exactly [[KmvAggregator.merge]], exposed for driver-side /
+    * streaming composition.)
+    */
+  def kmvMerge(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
+    new KmvAggregator(k).merge(a, b)
+
   /** KMV (k-minimum-values) distinct-count estimate per group (Bar-Yossef et
     * al., "Counting distinct elements in a data stream", RANDOM 2002): keep
     * the k smallest distinct 32-bit hashes; if fewer than k exist the count is

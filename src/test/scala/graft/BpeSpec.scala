@@ -37,6 +37,10 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     val probe = "the other theme theory thing"
     assert(loaded.encode(probe) === m.encode(probe))
     assert(loaded.countTokens(probe) === m.countTokens(probe))
+    // corrupt artifact lines are skipped, not fatal
+    val f2 = java.nio.file.Files.createTempFile("graft-bpe-bad", ".txt")
+    java.nio.file.Files.writeString(f2, "t h\nmalformedline\n e r\n \n# c\n")
+    assert(Bpe.load(f2.toString).merges === Seq(("t", "h"), ("e", "r")))
   }
 
   test("tokenCountCol counts per row in a DataFrame pass (no shuffle)") {

@@ -150,6 +150,15 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(est > 1000 && est < 4000, s"estimate $est far from 2000")
   }
 
+  test("kmvMerge of shard sketches equals the whole-stream sketch") {
+    val agg = new Sketches.KmvAggregator(8)
+    val s1 = Seq(5L, 1L, 9L, 13L, 3L).foldLeft(agg.zero)(agg.reduce)
+    val s2 = Seq(2L, 7L, 1L, 20L, 4L).foldLeft(agg.zero)(agg.reduce)
+    val whole = Seq(5L, 1L, 9L, 13L, 3L, 2L, 7L, 1L, 20L, 4L)
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(Sketches.kmvMerge(s1, s2, 8) === whole)
+  }
+
   test("kmvDistinct partial-aggregates: result is parallelism-independent") {
     val vals = (1 to 500).map(i => ("g", i)).toDF("grp", "v")
       .select(col("grp"), Curation.hash32(col("v"), "s").as("h"))
