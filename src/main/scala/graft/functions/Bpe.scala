@@ -72,10 +72,11 @@ object Bpe {
   def load(path: String): BpeModel = BpeModel(
     new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
       .linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-      .flatMap { l => // a merge line is exactly "left right"; anything else is
-        l.split(" ", 2) match { // a corrupt artifact line — skip it, don't crash
-          case Array(a, b) if a.nonEmpty && b.nonEmpty => Some((a, b))
-          case _ => None
+      .map { l => // a merge line is exactly "left right" — anything else is a
+        l.split(" ", 2) match { // corrupt artifact; silently skipping would
+          case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b) // CHANGE the
+          case _ => throw new IllegalArgumentException( // tokenizer, so fail loud
+            s"bpe merges file $path: malformed line '$l'")
         }
       }.toSeq)
 

@@ -37,10 +37,12 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     val probe = "the other theme theory thing"
     assert(loaded.encode(probe) === m.encode(probe))
     assert(loaded.countTokens(probe) === m.countTokens(probe))
-    // corrupt artifact lines are skipped, not fatal
+    // a corrupt artifact fails LOUD — silently skipping a merge line would
+    // silently change the tokenizer (same philosophy as the embedder guard)
     val f2 = java.nio.file.Files.createTempFile("graft-bpe-bad", ".txt")
-    java.nio.file.Files.writeString(f2, "t h\nmalformedline\n e r\n \n# c\n")
-    assert(Bpe.load(f2.toString).merges === Seq(("t", "h"), ("e", "r")))
+    java.nio.file.Files.writeString(f2, "t h\nmalformedline\n e r\n")
+    val e = intercept[IllegalArgumentException](Bpe.load(f2.toString))
+    assert(e.getMessage.contains("malformed line"))
   }
 
   test("tokenCountCol counts per row in a DataFrame pass (no shuffle)") {
