@@ -187,6 +187,40 @@ object Queries {
            |GROUP BY p_brand, p_size
            |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 25""".stripMargin))
 
+  /** Snapshot diff ([[graft.operators.Maintenance.diffTables]]): the CDC
+    * primitive — v2 is derived in-query (every 13th doc dropped, every 7th
+    * rewritten, two appended), and each key's added/removed/changed/unchanged
+    * classification is gated. The diff runs on (key, md5) projections only.
+    */
+  private val j7SnapshotDiff = Q(
+    (s, d) => {
+      val v1 = D.documents(s, d).select("doc_id", "text")
+      val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited v2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(
+          D.documents(s, d).select((col("doc_id") + 100000).as("doc_id"), col("text"))
+            .filter(col("doc_id") === 100001 || col("doc_id") === 100002))
+      graft.operators.Maintenance.diffTables(v1, v2, "doc_id", "text")
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    },
+    Some("""WITH v1 AS (SELECT doc_id, text FROM documents),
+           |v2 AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text || ' [edited v2]' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 13 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text FROM documents
+           |  WHERE doc_id + 100000 IN (100001, 100002)),
+           |d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+           |         WHEN v2.doc_id IS NULL THEN 'removed'
+           |         WHEN md5(v1.text) = md5(v2.text) THEN 'unchanged'
+           |         ELSE 'changed' END AS status
+           |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+           |SELECT status, count(*) AS n FROM d GROUP BY status ORDER BY status""".stripMargin))
+
   /** TPC-H Q22 shape: "rich customers who never ordered" — a global-average
     * scalar subquery (1-row broadcast cross join), an anti-join against the
     * distinct order keys, and a derived group key. The classic
@@ -2546,6 +2580,7 @@ object Queries {
     "j4_semi_anti" -> j4SemiAnti,
     "j5_asof_join" -> j5AsofJoin,
     "j6_range_join" -> j6RangeJoin,
+    "j7_snapshot_diff" -> j7SnapshotDiff,
     "u2_set_ops" -> u2SetOps,
     "st1_tumbling_window" -> st1TumblingWindow,
     "f_scalar_json" -> fScalarJson,

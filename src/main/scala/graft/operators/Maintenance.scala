@@ -18,6 +18,28 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
+  /** Snapshot diff — the CDC primitive for corpus versioning: full-outer join
+    * two table versions on `keyCol` and classify every key as added / removed
+    * / changed / unchanged by comparing md5 of `valueCol`. One shuffle (the
+    * key join); at 100 TB run it on the narrow (key, hash) projection — text
+    * never moves, which is why the hash column exists. The input to "what did
+    * this recrawl actually change" decisions before paying for a re-index.
+    */
+  def diffTables(oldDf: org.apache.spark.sql.DataFrame,
+                 newDf: org.apache.spark.sql.DataFrame,
+                 keyCol: String, valueCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = oldDf.select(col(keyCol), md5(col(valueCol).cast("binary")).as("_ha"))
+    val b = newDf.select(col(keyCol), md5(col(valueCol).cast("binary")).as("_hb"))
+    a.join(b, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("_ha").isNull, "added")
+          .when(col("_hb").isNull, "removed")
+          .when(col("_ha") === col("_hb"), "unchanged")
+          .otherwise("changed"))
+      .select(col(keyCol), col("status"))
+  }
+
   /** One listing pass: (nFiles, totalBytes, avgBytes) — the compact-or-not
     * signal. Listing only; no data read.
     */
