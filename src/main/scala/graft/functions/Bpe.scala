@@ -73,11 +73,11 @@ object Bpe {
     new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
       .linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l => // a merge line is exactly "left right" — anything else is a
-        l.split(" ", 2) match { // corrupt artifact; silently skipping would
-          case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b) // CHANGE the
-          case _ => throw new IllegalArgumentException( // tokenizer, so fail loud
-            s"bpe merges file $path: malformed line '$l'")
-        }
+        l.split(" ") match { // corrupt artifact; silently skipping (or folding
+          case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b) // extra fields
+          case _ => throw new IllegalArgumentException( // into one token) would
+            s"bpe merges file $path: malformed line '$l'") // CHANGE the
+        } // tokenizer, so fail loud — an unlimited split makes 'a b c' hit here
       }.toSeq)
 
   /** Train `nMerges` merges. The corpus reduces to (word, freq) in ONE

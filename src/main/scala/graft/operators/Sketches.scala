@@ -139,7 +139,10 @@ object Sketches {
   def histQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                     binWidth: Long, nBins: Int, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1), "quantiles in (0,1)")
-    val bucket = least(lit(nBins - 1), floor(col(valueCol) / binWidth)).cast("long")
+    // Clamp BOTH ends: values ≥ nBins·width land in the top bin, negatives in
+    // bin 0 (without the lower clamp a negative value would yield a negative
+    // bucket index and a silently wrong interpolated quantile).
+    val bucket = greatest(lit(0L), least(lit(nBins - 1), floor(col(valueCol) / binWidth))).cast("long")
     val hist = df.groupBy(col(groupCol), bucket.as("_b"))
       .agg(count(lit(1)).as("_n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -223,13 +226,20 @@ object Sketches {
     * by design (collisions only ever add). The sketch side is ≤ 4·w rows, so
     * the join broadcasts; the candidate stream never shuffles against the raw
     * element stream.
+    *
+    * The grid is SPARSE (cmsBuild emits no zero-count cells), so the probe
+    * must be a LEFT join with `coalesce(cnt, 0)`: an empty cell is a zero
+    * counter, and min-over-d-rows must include it. With an inner join a
+    * candidate absent from the stream would vanish from the output, and a
+    * rare candidate with some empty cells would take min over only its
+    * non-empty cells — both break CMS semantics.
     */
   def cmsEstimate(cms: DataFrame, candidates: DataFrame,
                   candCol: String, candMd5: Column, w: Int): DataFrame =
     candidates
       .select(col(candCol), posexplode(bloomBits(candMd5, w)).as(Seq("row", "bucket")))
-      .join(broadcast(cms), Seq("row", "bucket"))
-      .groupBy(candCol).agg(min("cnt").as("cms_estimate"))
+      .join(broadcast(cms), Seq("row", "bucket"), "left")
+      .groupBy(candCol).agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
 
   /** Merge two KMV sketches (sorted distinct k-minima): union, dedup, keep
     * the k smallest — KMV is a mergeable summary like the CMS grid, so

@@ -43,6 +43,12 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     java.nio.file.Files.writeString(f2, "t h\nmalformedline\n e r\n")
     val e = intercept[IllegalArgumentException](Bpe.load(f2.toString))
     assert(e.getMessage.contains("malformed line"))
+    // a THREE-field line is just as corrupt: with a limit-2 split it would
+    // silently parse as (a, "b c") — a right token that can never match
+    val f3 = java.nio.file.Files.createTempFile("graft-bpe-bad3", ".txt")
+    java.nio.file.Files.writeString(f3, "t h\na b c\n")
+    val e3 = intercept[IllegalArgumentException](Bpe.load(f3.toString))
+    assert(e3.getMessage.contains("malformed line") && e3.getMessage.contains("a b c"))
   }
 
   test("tokenCountCol counts per row in a DataFrame pass (no shuffle)") {

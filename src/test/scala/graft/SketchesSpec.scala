@@ -93,6 +93,22 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(est("alpha") === 50L && est("beta") === 30L)
   }
 
+  test("cmsEstimate reports 0 for candidates absent from the stream") {
+    // the grid is sparse (no zero cells), so the probe must LEFT-join and
+    // treat an empty cell as a zero counter — an unseen candidate gets
+    // estimate 0 (or a tiny collision overcount), never a dropped row, and a
+    // rare item's min must include its empty cells
+    val elems = (1 to 100).map(i => s"seen $i").toDF("e")
+    val cms = Sketches.cmsBuild(elems, md5(col("e")), w = 4096)
+    val cand = Seq("seen 1", "never-in-stream", "also-unseen").toDF("e")
+    val est = Sketches.cmsEstimate(cms, cand, "e", md5(col("e")), w = 4096)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("cms_estimate")).toMap
+    assert(est.size === 3, "every candidate must appear in the output")
+    assert(est("seen 1") >= 1L)
+    // 100 items / 4096 buckets: an all-four-rows collision is ~impossible
+    assert(est("never-in-stream") === 0L && est("also-unseen") === 0L)
+  }
+
   test("cmsMerge of shard-local grids equals the grid of the whole stream") {
     val part1 = (1 to 300).map(i => s"e ${i % 40}").toDF("e")
     val part2 = (301 to 500).map(i => s"e ${i % 55}").toDF("e")
@@ -119,6 +135,13 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
         binWidth = 10L, nBins = 5, qs = Seq(0.99))
       .head().getAs[Double]("quantile_est")
     assert(clamped >= 40 && clamped <= 50) // everything ≥ bin 4 lands in bin 4
+    // negative values clamp into bin 0 symmetric with the top clamp — without
+    // the lower clamp they'd produce negative bucket ids and garbage quantiles
+    val withNeg = ((-100 to -1) ++ (1 to 100)).map(v => ("g", v.toLong)).toDF("grp", "v")
+    val lo = Sketches.histQuantiles(withNeg, "grp", "v",
+        binWidth = 10L, nBins = 20, qs = Seq(0.25))
+      .head().getAs[Double]("quantile_est")
+    assert(lo >= 0 && lo <= 10, s"negatives must clamp to bin 0, got $lo")
   }
 
   // --------------------------------------------------------------------- kmv
