@@ -134,7 +134,7 @@ object Dedup {
     * grows). Each output row measures how much of id_a lives inside id_b.
     *
     * Shape: fingerprints explode to skinny (id, fp) rows; fingerprints whose
-    * document frequency exceeds `maxFingerprintDf` are dropped from BOTH the
+    * document frequency exceeds the df cap are dropped from BOTH the
     * intersection and the denominator — a fingerprint half the corpus shares
     * is boilerplate, not evidence, and it is also exactly the degenerate
     * bucket that makes the self-join quadratic (benched 97 s → 1.5 s at
@@ -143,16 +143,47 @@ object Dedup {
     * cap); shared counts aggregate per ordered pair and divide by id_a's
     * kept-fingerprint count. Winnowed fingerprint sets are already distinct
     * per doc, so the join count IS the intersection size.
+    *
+    * The cap: `maxFingerprintDf > 0` is an absolute override;
+    * `maxFingerprintDf = 0` (default) derives the cap as
+    * `max(2, ceil(maxFingerprintDfFraction × corpus doc count))` — a
+    * corpus-RELATIVE threshold, because "shared by 1000 docs" means
+    * boilerplate at 100k docs but is a meaningful near-dup cluster at 1B.
+    * The dropped-fingerprint count is counted eagerly and logged, so cap
+    * coverage loss is visible instead of silent; the df table this forces is
+    * fingerprint-vocabulary-sized (not corpus-sized) and is cached so the
+    * pair join reuses it rather than recomputing the explode.
     */
   def containmentPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 7, w: Int = 5, minContainment: Double = 0.5,
-      maxFingerprintDf: Int = 1000): DataFrame = {
+      maxFingerprintDf: Int = 0,
+      maxFingerprintDfFraction: Double = 0.01): DataFrame = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val ex = TextAnalysis.fingerprintDf(
         docs.select(col(idCol), col(textCol)), textCol, k, w)
       .select(col(idCol), explode(col("fingerprints")).as("fp"))
-    val informative = ex.groupBy("fp").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxFingerprintDf).select("fp")
+    val cap: Long =
+      if (maxFingerprintDf > 0) maxFingerprintDf.toLong
+      else {
+        require(maxFingerprintDfFraction > 0 && maxFingerprintDfFraction <= 1,
+          "maxFingerprintDfFraction must be in (0, 1]")
+        val nDocs = docs.select(col(idCol)).count()
+        math.max(2L, math.ceil(maxFingerprintDfFraction * nDocs).toLong)
+      }
+    val dfCounts = ex.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = dfCounts.agg(
+      count(lit(1)).as("n_fp"),
+      sum(when(col("_df") > cap, 1L).otherwise(0L)).as("n_dropped")).head()
+    val (nFp, nDropped) = (stats.getLong(0), stats.getLong(1))
+    if (nDropped > 0)
+      log.warn(s"containmentPairs: df cap $cap drops $nDropped of $nFp " +
+        s"fingerprints (${"%.2f".format(100.0 * nDropped / math.max(nFp, 1))}%) " +
+        "as boilerplate — raise maxFingerprintDf(Fraction) if coverage matters more than cost")
+    else
+      log.info(s"containmentPairs: df cap $cap, all $nFp fingerprints kept")
+    val informative = dfCounts.filter(col("_df") <= cap).select("fp")
     // same join key as the pair join below — co-partitioned, no extra exchange
     val kept = ex.join(informative, Seq("fp"))
     val sizes = kept.groupBy(col(idCol).as("id_a"))
@@ -308,31 +339,46 @@ object Dedup {
     * driver — union-find there costs one collect instead of O(diameter) rounds
     * of Spark jobs. Beyond `driverMaxEdges`, fall back to the distributed
     * label-propagation loop.
+    *
+    * The size probe is `limit(driverMaxEdges + 1).collect()` — ONE job that
+    * both decides the path and (in the common small-graph case) IS the edge
+    * set the union-find consumes. A separate `count()` would materialize the
+    * whole upstream LSH pipeline once just to decide, then again to collect
+    * (the r4 bench regression on dedup_clusters); the limit also lets Spark
+    * stop scanning partitions early when the graph is tiny. Which path ran is
+    * logged — at 100 TB you want to KNOW a dup graph overflowed to the
+    * iterative fallback rather than discover it in the job timeline.
     */
   def connectedComponentsAuto(
       nodes: DataFrame, edges: DataFrame,
       driverMaxEdges: Long = 5000000L): DataFrame = {
-    val spark = nodes.sparkSession
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).persist()
-    val result =
-      if (e.count() <= driverMaxEdges) {
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        e.collect().foreach { row =>
-          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
-          if (a != b) parent(math.max(a, b)) = math.min(a, b)
-        }
-        val compUdf = udf((id: Long) => find(id))
-        nodes.select(col("id"), compUdf(col("id")).as("component"))
-      } else connectedComponents(nodes, e)
-    e.unpersist()
-    result
+    require(driverMaxEdges > 0 && driverMaxEdges < Int.MaxValue,
+      "driverMaxEdges must fit an Int limit")
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val head = e.limit(driverMaxEdges.toInt + 1).collect()
+    if (head.length <= driverMaxEdges) {
+      log.info(s"connectedComponentsAuto: driver union-find over ${head.length} edges")
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      head.foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      val compUdf = udf((id: Long) => find(id))
+      nodes.select(col("id"), compUdf(col("id")).as("component"))
+    } else {
+      log.info(s"connectedComponentsAuto: edge count exceeds $driverMaxEdges — " +
+        "distributed label propagation")
+      val ep = e.persist()
+      try connectedComponents(nodes, ep) finally ep.unpersist(blocking = false)
+    }
   }
 
   /** Sign-LSH bucket key for an embedding: the sign pattern of the first `bits`

@@ -170,6 +170,30 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("containmentPairs: corpus-relative df cap drops shared boilerplate by default") {
+    import spark.implicits._
+    val footer = "this document is provided under the standard corporate license " +
+      "agreement all rights reserved contact legal department for redistribution terms"
+    val quote = "the quarterly revenue figures exceeded projections across every " +
+      "regional segment according to the audited consolidated statements"
+    val docs = (Seq((1L, s"$quote $footer"), (2L, s"$quote $footer")) ++
+      (3L to 10L).map(i => (i, s"unique subject matter number $i discussing topic " +
+        s"${"xyz" * i.toInt} in detail $footer"))).toDF("doc_id", "text")
+    // default cap = max(2, ceil(0.01 × 10)) = 2: the footer (df = 10) is
+    // boilerplate and drops; the quote (df = 2) is evidence and stays
+    val rel = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(rel.contains((1L, 2L)) && rel.contains((2L, 1L)))
+    assert(!rel.exists { case (a, b) => a >= 3L && b >= 3L },
+      s"footer-only pairs must not survive the corpus-relative cap: $rel")
+    // absolute override restores the old fixed-cap behavior: footer counts as
+    // overlap and the footer-only docs pair up
+    val abs = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
+        maxFingerprintDf = 1000)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(abs.exists { case (a, b) => a >= 3L && b >= 3L })
+  }
+
   test("incrementalNearDups: new batch gates against persisted signatures only") {
     import spark.implicits._
     val phrase = "the quick brown fox jumps over the lazy dog again and again"
