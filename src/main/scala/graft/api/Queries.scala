@@ -255,6 +255,142 @@ object Queries {
            |SELECT cc, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
            |FROM noord GROUP BY cc ORDER BY cc""".stripMargin))
 
+  /** TPC-H Q4 shape: priority counting gated by a correlated EXISTS — the
+    * canonical EXISTS → LEFT SEMI decorrelation. The semi-join carries a
+    * NON-equi conjunct (shipped > 60 days after the order date, standing in
+    * for the commit/receipt lateness columns this schema omits): Spark keys
+    * the exchange on the equi part (orderkey) and evaluates the date
+    * comparison as a join residual, so the shape stays a hash semi-join, not
+    * a broadcast-nested-loop. Orders' date range pushes into the scan before
+    * anything joins.
+    */
+  private val q4OrderPriority = Q(
+    (s, d) => {
+      val o = D.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01") &&
+          col("o_orderdate") < lit("1996-10-01"))
+      val li = D.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+           |  AND EXISTS (SELECT 1 FROM lineitem
+           |              WHERE l_orderkey = o_orderkey
+           |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** TPC-H Q17 shape: small-quantity revenue under a CORRELATED SCALAR
+    * subquery (per-part average quantity). Decorrelation: the per-part
+    * average is one hash aggregate on the fact's own join key, joined back on
+    * l_partkey — co-partitioned with the fact's natural key, no second fact
+    * scan shape beyond the aggregate. Quantities are integer-valued, so the
+    * avg (exact integer sum / count) compares bit-identically across engines.
+    * Output fans out per brand (the single-row TPC-H output makes a weak
+    * gate); count is carried alongside so selectivity is hash-locked too.
+    */
+  private val q17SmallQty = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d)
+      val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      val p = D.part(s, d).select("p_partkey", "p_brand")
+      li.join(avgQ, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+    },
+    Some("""WITH a AS (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+           |          FROM lineitem GROUP BY 1)
+           |SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           |  count(*) AS cnt
+           |FROM lineitem JOIN a ON l_partkey = ap_partkey
+           |  JOIN part ON l_partkey = p_partkey
+           |WHERE l_quantity < 0.2 * avg_qty
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
+  /** TPC-H Q20 shape: the nested-IN chain (supplier IN (... part IN (...)
+    * HAVING sum > threshold)) — two stacked semi-joins with an aggregate
+    * HAVING between them. The part filter broadcasts into the fact as a semi
+    * join (never materializing the join), the (suppkey, partkey) aggregate
+    * applies the HAVING threshold, and the surviving supplier keys semi-join
+    * the supplier table. Quantity sums are integer-exact, so the HAVING edge
+    * cannot flip between engines.
+    */
+  private val q20PartSuppliers = Q(
+    (s, d) => {
+      val p = D.part(s, d).filter(col("p_name").startsWith("small"))
+        .select("p_partkey")
+      val qualifying = D.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 80)
+        .select("l_suppkey").distinct()
+      D.supplier(s, d)
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name FROM supplier
+           |WHERE s_suppkey IN (
+           |  SELECT l_suppkey FROM lineitem
+           |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+           |  GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 80)
+           |ORDER BY s_suppkey""".stripMargin))
+
+  /** TPC-H Q21 shape: "suppliers who kept waiting" — the hardest TPC-H
+    * decorrelation: one fact alias under BOTH a correlated EXISTS (another
+    * supplier contributed to the order) and a correlated NOT EXISTS (no OTHER
+    * supplier was late), over finished orders. Late = returnflag 'R' (the
+    * schema omits commit/receipt dates). All three self-references become
+    * orderkey-keyed semi/anti joins with a suppkey-inequality residual — every
+    * exchange keys on l_orderkey, so the three fact sides co-partition and
+    * AQE can collapse the pipeline into one stage chain; nation broadcasts.
+    */
+  private val q21Waiting = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_returnflag")
+      val fOrders = D.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val l1 = li.filter(col("l_returnflag") === "R")
+      val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val l3 = l1.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      val waiting = l1
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(l2, col("l_orderkey") === col("ok2") &&
+          col("l_suppkey") =!= col("sk2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("ok3") &&
+          col("l_suppkey") =!= col("sk3"), "left_anti")
+      waiting
+        .join(D.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(D.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(25)
+    },
+    Some("""SELECT s_name, n_name, count(*) AS numwait
+           |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |WHERE l1.l_returnflag = 'R'
+           |  AND l1.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+           |  AND EXISTS (SELECT 1 FROM lineitem l2
+           |              WHERE l2.l_orderkey = l1.l_orderkey
+           |                AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+           |                  WHERE l3.l_orderkey = l1.l_orderkey
+           |                    AND l3.l_suppkey <> l1.l_suppkey
+           |                    AND l3.l_returnflag = 'R')
+           |GROUP BY s_name, n_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin))
+
   /** TPC-H Q14 shape: promo revenue share — fact scan with a pushed date range,
     * broadcast part dimension, one conditional aggregate pass.
     */
@@ -2544,6 +2680,10 @@ object Queries {
     "q10_returns" -> q10Returns,
     "q16_supplier_cnt" -> q16SupplierCnt,
     "q22_no_orders" -> q22NoOrders,
+    "q4_order_priority" -> q4OrderPriority,
+    "q17_small_qty" -> q17SmallQty,
+    "q20_part_suppliers" -> q20PartSuppliers,
+    "q21_waiting" -> q21Waiting,
     "w1_rank_window" -> w1RankWindow,
     "a4_watermark_max" -> a4WatermarkMax,
     "p3_filter_dsl" -> p3FilterDsl,
