@@ -48,7 +48,8 @@ final class VectorIndexer(
       embedder.embed(query), k, "l2", metadataFilter)
       .select(col("chunkId"), col("score"))
   }
-  def size: Long = spark.read.parquet(chunksPath).count()
+  /** Footer-metadata count — no scan job per size call (see [[graft.core.ParquetMeta]]). */
+  def size: Long = graft.core.ParquetMeta.rowCount(spark, chunksPath)
 }
 
 /** BM25 index with prebuilt inverted postings — the scale-correct layout (what
@@ -222,7 +223,8 @@ final class IvfVectorIndexer(
       .select(col("chunkId"), col("score"))
   }
 
-  def size: Long = spark.read.parquet(assignedPath).count()
+  /** Footer-metadata count over the listId partition dirs — no scan job. */
+  def size: Long = graft.core.ParquetMeta.rowCount(spark, assignedPath)
 }
 
 object Indexers {

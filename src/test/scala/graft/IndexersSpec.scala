@@ -101,6 +101,42 @@ class IndexersSpec extends AnyFunSuite with SparkSuite {
     assert(ivf.size === cm.chunks("ix").count())
   }
 
+  test("Indexer.size is a footer-metadata read — zero Spark jobs scheduled") {
+    val (cm, _, dir) = setup()
+    val ivf = cm.buildIvfIndex("ix", nLists = 4, nProbe = 4)
+    val flat = new VectorIndexer(spark, s"$dir/chunks", new HashingEmbedder(dim = 16))
+    val expected = cm.chunks("ix").count() // job happens BEFORE the listener attaches
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def barrier(atLeast: Int): Unit = {
+      // an RDD count is exactly ONE job (no AQE sub-jobs, unlike a SQL count)
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get() < atLeast && System.nanoTime() < deadline) Thread.sleep(20)
+      // then wait for the bus to go quiet: no new deliveries for 500 ms
+      var last = -1
+      while (last != jobs.get()) { last = jobs.get(); Thread.sleep(500) }
+    }
+    try {
+      // The async bus may still deliver queued events from setup jobs to a
+      // freshly attached listener — flush them behind a first barrier job,
+      // then zero the counter so only what follows is measured.
+      barrier(1); jobs.set(0)
+      assert(flat.size === expected)
+      assert(ivf.size === expected)
+      // The bus is FIFO: once this second barrier's start event is observed,
+      // any job a size() call had scheduled would already be counted.
+      barrier(1)
+      assert(jobs.get() === 1,
+        s"size() must not schedule Spark jobs; saw ${jobs.get() - 1} extra")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("IVF append: new vectors join the frozen-centroid index incrementally") {
     import org.apache.spark.sql.functions._
     val (cm, _, dir) = setup()
