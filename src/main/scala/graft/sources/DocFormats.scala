@@ -286,6 +286,281 @@ object DocFormats {
     }.map(_.trim).filter(_.nonEmpty).mkString("\n").trim
   }
 
+  // ------------------------------------------------------------------- ODT
+
+  /** OpenDocument text: the same zip+XML shape as DOCX with `content.xml` as
+    * the main part. Text lives in `<text:p>` paragraphs and `<text:h>`
+    * headings (document order); `<text:s/>` is a run of spaces (`text:c`
+    * count), `<text:tab/>` a tab, `<text:line-break/>` a newline; spans and
+    * other inline markup strip to their content. Paragraphs join with a blank
+    * line, matching [[docxText]]. Returns "" for unparseable input.
+    */
+  def odtText(bytes: Array[Byte]): String =
+    try zipEntry(bytes, "content.xml")
+      .map(xml => odtParagraphs(xml).mkString("\n\n").trim)
+      .getOrElse("")
+    catch { case NonFatal(_) => "" }
+
+  private[graft] def odtParagraphs(xml: String): Seq[String] = {
+    val para = """(?s)<text:(p|h)(\s[^>]*)?>(.*?)</text:\1>""".r
+    para.findAllMatchIn(xml).map { m =>
+      val inner = """<text:s\s+text:c="(\d+)"\s*/>""".r
+        .replaceAllIn(m.group(3), mm => " " * mm.group(1).toInt)
+        .replaceAll("""<text:s\s*/>""", " ")
+        .replaceAll("""<text:tab[^>]*/>""", "\t")
+        .replaceAll("""<text:line-break[^>]*/>""", "\n")
+        .replaceAll("<[^>]*>", "")
+      unescapeXml(inner).trim
+    }.filter(_.nonEmpty).toSeq
+  }
+
+  // ------------------------------------------------------------------ XLSX
+
+  /** XLSX → one element per sheet, sheet number as the page number (the
+    * paginated shape, like [[pptxSlides]]). Cells resolve through the shared
+    * string table (`t="s"`), inline strings (`t="inlineStr"`), or their raw
+    * `<v>` value; a row joins its cells with tabs, a sheet its rows with
+    * newlines — the TSV-ish rendering a text extractor emits for
+    * spreadsheets. Returns Nil for unparseable input.
+    */
+  def xlsxSheets(bytes: Array[Byte]): Seq[(Int, String)] =
+    try {
+      val shared: Vector[String] =
+        zipEntry(bytes, "xl/sharedStrings.xml").map { xml =>
+          """(?s)<si>(.*?)</si>""".r.findAllMatchIn(xml).map { si =>
+            // an <si> is either one <t> or rich-text runs of <r><t> pieces
+            """(?s)<t(?:\s[^>]*)?>(.*?)</t>""".r.findAllMatchIn(si.group(1))
+              .map(t => unescapeXml(t.group(1))).mkString
+          }.toVector
+        }.getOrElse(Vector.empty)
+      val sheetPat = """xl/worksheets/sheet(\d+)\.xml""".r
+      zipEntries(bytes) { name => sheetPat.findFirstMatchIn(name).map(_.group(1).toInt) }
+        .map { case (n, xml) => (n, xlsxSheetText(xml, shared)) }
+        .filter(_._2.nonEmpty)
+        .sortBy(_._1)
+    } catch { case NonFatal(_) => Nil }
+
+  private[graft] def xlsxSheetText(xml: String, shared: Vector[String]): String = {
+    val rowPat = """(?s)<row(?:\s[^>]*)?>(.*?)</row>""".r
+    val cellPat = """(?s)<c(\s[^>]*)?(?:/>|>(.*?)</c>)""".r
+    rowPat.findAllMatchIn(xml).map { r =>
+      cellPat.findAllMatchIn(r.group(1)).map { c =>
+        val attrs = Option(c.group(1)).getOrElse("")
+        val body = Option(c.group(2)).getOrElse("")
+        val t = """\bt="([^"]+)"""".r.findFirstMatchIn(attrs).map(_.group(1))
+        t match {
+          case Some("s") =>
+            """(?s)<v>(.*?)</v>""".r.findFirstMatchIn(body)
+              .flatMap(v => shared.lift(v.group(1).trim.toInt)).getOrElse("")
+          case Some("inlineStr") =>
+            """(?s)<t(?:\s[^>]*)?>(.*?)</t>""".r.findAllMatchIn(body)
+              .map(tm => unescapeXml(tm.group(1))).mkString
+          case _ =>
+            """(?s)<v>(.*?)</v>""".r.findFirstMatchIn(body)
+              .map(v => unescapeXml(v.group(1)).trim).getOrElse("")
+        }
+      }.mkString("\t").replaceAll("\t+$", "")
+    }.filter(_.trim.nonEmpty).mkString("\n").trim
+  }
+
+  // ------------------------------------------------------------------- EML
+
+  /** RFC 822 email → "Subject/From/To/Date header block + decoded body".
+    * Handles folded headers, RFC 2047 encoded-words (B and Q), multipart
+    * bodies (text/plain parts preferred, text/html tag-stripped otherwise,
+    * nested multiparts recursed), quoted-printable and base64 transfer
+    * encodings, and the declared charset. Returns "" for unparseable input.
+    */
+  def emlText(bytes: Array[Byte]): String =
+    try {
+      val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+      val (headers, body) = splitMessage(raw)
+      val headerLines = Seq("Subject", "From", "To", "Date").flatMap { h =>
+        headers.get(h.toLowerCase).map(v => s"$h: ${decodeEncodedWords(v).trim}")
+      }
+      val bodyText = partText(headers, body, depth = 0)
+      (headerLines.mkString("\n") + "\n\n" + bodyText).trim
+    } catch { case NonFatal(_) => "" }
+
+  /** Header block (unfolded, lower-cased names) + body, split at the first
+    * blank line.
+    */
+  private def splitMessage(raw: String): (Map[String, String], String) = {
+    val norm = raw.replace("\r\n", "\n")
+    val sep = norm.indexOf("\n\n")
+    val (head, body) = if (sep < 0) (norm, "") else (norm.take(sep), norm.drop(sep + 2))
+    val unfolded = head.replaceAll("\n[ \t]+", " ")
+    val headers = unfolded.linesIterator.flatMap { l =>
+      val i = l.indexOf(':')
+      if (i <= 0) None else Some(l.take(i).trim.toLowerCase -> l.drop(i + 1).trim)
+    }.toMap
+    (headers, body)
+  }
+
+  private def partText(headers: Map[String, String], body: String, depth: Int): String = {
+    if (depth > 8) return "" // nested-multipart bomb guard
+    val ctype = headers.getOrElse("content-type", "text/plain")
+    val ctypeLc = ctype.toLowerCase
+    if (ctypeLc.startsWith("multipart/")) {
+      val boundary = """boundary="?([^";\n]+)"?""".r
+        .findFirstMatchIn(ctype).map(_.group(1)).getOrElse(return "")
+      val marker = "--" + boundary
+      val segments = body.split(java.util.regex.Pattern.quote(marker))
+        .drop(1) // preamble
+        .filterNot(_.startsWith("--")) // terminator
+      val parts = segments.toSeq.map(s => splitMessage(s.stripPrefix("\n")))
+        .map { case (h, b) => (h.getOrElse("content-type", "text/plain").toLowerCase, h, b) }
+      val chosen = {
+        val plains = parts.filter(_._1.startsWith("text/plain"))
+        if (plains.nonEmpty) plains
+        else parts.filter(p => p._1.startsWith("text/") || p._1.startsWith("multipart/"))
+      }
+      chosen.map { case (_, h, b) => partText(h, b, depth + 1) }
+        .filter(_.nonEmpty).mkString("\n\n")
+    } else if (ctypeLc.startsWith("text/")) {
+      val decoded = headers.getOrElse("content-transfer-encoding", "").trim.toLowerCase match {
+        case "base64" =>
+          java.util.Base64.getMimeDecoder.decode(body.replaceAll("\\s", ""))
+        case "quoted-printable" => decodeQuotedPrintable(body)
+        case _ => body.getBytes(StandardCharsets.ISO_8859_1)
+      }
+      val cs = """charset="?([\w\-]+)"?""".r.findFirstMatchIn(ctypeLc)
+        .map(_.group(1)).getOrElse("utf-8")
+      val charset =
+        try java.nio.charset.Charset.forName(cs)
+        catch { case NonFatal(_) => StandardCharsets.UTF_8 }
+      val text = new String(decoded, charset)
+      if (ctypeLc.startsWith("text/html")) Converters.htmlToText(text) else text.trim
+    } else "" // attachments and other media: not text
+  }
+
+  private[graft] def decodeQuotedPrintable(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    val t = s.replace("\r\n", "\n").replace("=\n", "") // soft line breaks
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '=' && i + 2 < t.length + 1 && i + 3 <= t.length &&
+          Character.digit(t.charAt(i + 1), 16) >= 0 && Character.digit(t.charAt(i + 2), 16) >= 0) {
+        out.write(Integer.parseInt(t.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { out.write(c.toInt); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** RFC 2047 `=?charset?B|Q?data?=` words in headers. */
+  private[graft] def decodeEncodedWords(s: String): String = {
+    val word = """=\?([\w\-]+)\?([BbQq])\?([^?]*)\?=""".r
+    word.replaceAllIn(s, m => {
+      val charset =
+        try java.nio.charset.Charset.forName(m.group(1))
+        catch { case NonFatal(_) => StandardCharsets.UTF_8 }
+      val decoded = m.group(2).toUpperCase match {
+        case "B" =>
+          try new String(java.util.Base64.getDecoder.decode(m.group(3)), charset)
+          catch { case NonFatal(_) => m.matched }
+        case _ =>
+          new String(decodeQuotedPrintable(m.group(3).replace('_', ' ')), charset)
+      }
+      java.util.regex.Matcher.quoteReplacement(decoded)
+    })
+  }
+
+  // ------------------------------------------------------------------- RTF
+
+  /** RTF → text: a control-word state machine. `\par`/`\line` break lines,
+    * `\tab` tabs, `\'hh` decodes a cp1252-ish byte, `\uN` a unicode scalar
+    * (honouring the `\ucN` replacement-skip count); destination groups that
+    * carry no body text (font/color/style tables, info, pict, `{\*` …) are
+    * skipped with full brace matching. Returns "" for unparseable input.
+    */
+  def rtfText(bytes: Array[Byte]): String =
+    try {
+      val s = new String(bytes, StandardCharsets.ISO_8859_1)
+      if (!s.startsWith("{\\rtf")) return ""
+      val skipDests = Set("fonttbl", "colortbl", "stylesheet", "info", "pict",
+        "themedata", "colorschememapping", "datastore", "generator", "header",
+        "footer", "xmlnstbl", "listtable", "listoverridetable", "latentstyles",
+        "rsidtbl", "filetbl", "revtbl", "objdata", "fchars", "lchars")
+      val out = new StringBuilder
+      var i = 0
+      var skipDepth = 0 // >0 while inside a skipped destination group
+      var depth = 0
+      var ucSkip = 1 // chars to skip after \uN (per RTF spec default)
+      var pendingUcSkip = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        c match {
+          case '{' => depth += 1; if (skipDepth > 0) skipDepth += 1; i += 1
+          case '}' =>
+            depth -= 1
+            if (skipDepth > 0) skipDepth -= 1
+            i += 1
+          case '\\' if i + 1 < s.length =>
+            val n = s.charAt(i + 1)
+            if (n == '*') {
+              // {\*\dest ...}: an "ignore if unknown" destination — skip group
+              if (skipDepth == 0) skipDepth = 1
+              i += 2
+            } else if (n == '\'' && i + 3 < s.length + 1 && i + 4 <= s.length) {
+              if (skipDepth == 0) {
+                if (pendingUcSkip > 0) pendingUcSkip -= 1
+                else try out.append(Integer.parseInt(s.substring(i + 2, i + 4), 16).toChar)
+                  catch { case _: NumberFormatException => }
+              }
+              i += 4
+            } else if (!n.isLetter) { // escaped literal: \{ \} \\ \~ …
+              if (skipDepth == 0) out.append(n match {
+                case '~' => ' '
+                case '-' | '_' => '-'
+                case other => other
+              })
+              i += 2
+            } else {
+              var j = i + 1
+              while (j < s.length && s.charAt(j).isLetter) j += 1
+              val wordEnd = j
+              var numEnd = j
+              if (numEnd < s.length && (s.charAt(numEnd) == '-' || s.charAt(numEnd).isDigit)) {
+                numEnd += 1
+                while (numEnd < s.length && s.charAt(numEnd).isDigit) numEnd += 1
+              }
+              val word = s.substring(i + 1, wordEnd)
+              val num = if (numEnd > wordEnd) s.substring(wordEnd, numEnd) else ""
+              // a single space after a control word is part of the word
+              var next = numEnd
+              if (next < s.length && s.charAt(next) == ' ') next += 1
+              if (skipDepth == 0) word match {
+                case _ if skipDests.contains(word) => skipDepth = 1
+                case "par" | "line" | "sect" | "page" => out.append('\n')
+                case "tab" | "cell" => out.append('\t')
+                case "row" => out.append('\n')
+                case "emdash" | "endash" => out.append('-')
+                case "lquote" | "rquote" => out.append('\'')
+                case "ldblquote" | "rdblquote" => out.append('"')
+                case "uc" => ucSkip = try num.toInt catch { case _: NumberFormatException => 1 }
+                case "u" =>
+                  try {
+                    val cp = num.toInt
+                    out.append((if (cp < 0) cp + 65536 else cp).toChar)
+                    pendingUcSkip = ucSkip
+                  } catch { case _: NumberFormatException => }
+                case _ => ()
+              }
+              i = next
+            }
+          case '\n' | '\r' => i += 1 // raw newlines are not text in RTF
+          case ch =>
+            if (skipDepth == 0) {
+              if (pendingUcSkip > 0) pendingUcSkip -= 1 else out.append(ch)
+            }
+            i += 1
+        }
+      }
+      out.toString.replaceAll("\n{3,}", "\n\n").trim
+    } catch { case NonFatal(_) => "" }
+
   /** All zip entries whose name maps to Some(key), decoded as UTF-8. */
   private def zipEntries[K](bytes: Array[Byte])(select: String => Option[K]): Seq[(K, String)] = {
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))

@@ -75,6 +75,28 @@ object FilesSource {
     }
   }
 
+  /** ODT → a single unpaginated element (zip+XML, same shape as DOCX). */
+  private val odtContentUdf = udf { (bytes: Array[Byte]) =>
+    Seq(DocFormats.ContentPart(null, DocFormats.odtText(bytes)))
+  }
+
+  /** XLSX → one element per sheet, sheet number as pageNumber. */
+  private val xlsxContentUdf = udf { (bytes: Array[Byte]) =>
+    DocFormats.xlsxSheets(bytes).map { case (n, text) =>
+      DocFormats.ContentPart(DocFormats.PageMeta(n.toString), text)
+    }
+  }
+
+  /** EML → a single element: decoded headers + preferred text part. */
+  private val emlContentUdf = udf { (bytes: Array[Byte]) =>
+    Seq(DocFormats.ContentPart(null, DocFormats.emlText(bytes)))
+  }
+
+  /** RTF → a single element through the control-word machine. */
+  private val rtfContentUdf = udf { (bytes: Array[Byte]) =>
+    Seq(DocFormats.ContentPart(null, DocFormats.rtfText(bytes)))
+  }
+
   /** Read files under `basePath` as rows
     * (fileRelativePath, fileFullPath, createdTime, modifiedTime, content) ready for
     * [[Converters.files]]. Regex semantics mirror the reference: include = fullmatch
@@ -126,6 +148,10 @@ object FilesSource {
     val contentCol = when(extCol === "pdf", pdfContentUdf(col("content")))
       .when(extCol === "docx", docxContentUdf(col("content")))
       .when(extCol === "pptx", pptxContentUdf(col("content")))
+      .when(extCol === "odt", odtContentUdf(col("content")))
+      .when(extCol === "xlsx", xlsxContentUdf(col("content")))
+      .when(extCol === "eml", emlContentUdf(col("content")))
+      .when(extCol === "rtf", rtfContentUdf(col("content")))
       .otherwise(array(struct(
         lit(null).cast("struct<pageNumber:string>").as("metadata"),
         parsedText.as("text"))))
