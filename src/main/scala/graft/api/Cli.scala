@@ -141,6 +141,30 @@ object Cli {
             modifiedAfter = after2), splitter)
         val m = cm.update(req("collection"), changed2)
         println(s"""{"updated": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
+      case "watch" =>
+        // Continuous file ingestion: a Structured Streaming binaryFile source
+        // over --path drives the same merge as `update` per micro-batch
+        // (source offsets replace the stored-mtime watermark). --once drains
+        // available files and exits (the cron/catch-up shape, and what the
+        // e2e spec drives); otherwise a ProcessingTime trigger keeps watching.
+        // --ivf appends each batch's vectors into an existing IVF index.
+        val name = req("collection")
+        val stream = Converters.files(
+          FilesSource.readStream(spark, req("path"),
+            includePatterns = opts.getOrElse("include", Seq(".*")),
+            excludePatterns = opts.getOrElse("exclude", Nil)), splitter)
+        val trigger =
+          if (flags.contains("once")) org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          else org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+            opt("interval").getOrElse("10 seconds"))
+        val q = graft.streaming.StreamingUpdate.collectionUpdateWriter(
+          stream, cm, name,
+          checkpointDir = opt("checkpoint").getOrElse(s"$dataDir/$name/_checkpoint"),
+          appendIvf = flags.contains("ivf"),
+          trigger = trigger).start()
+        q.awaitTermination()
+        val man = cm.readManifest(name)
+        println(s"""{"watched": "$name", "documents": ${man.numberOfDocuments}, "chunks": ${man.numberOfChunks}}""")
       case "search" =>
         val maxDocs = opt("max-docs").map(_.toInt).getOrElse(5)
         val result = cm.search(req("collection"), req("query"),
@@ -224,6 +248,8 @@ object Cli {
             |  create-jira / create-confluence  --name N --url U --email E --token T [--jql/--cql Q]
             |  update --name N            re-drive the manifest's stored reader
             |  update-files/-jira/-confluence   source-specific incremental update
+            |  watch --collection N --path DIR [--once | --interval "10 seconds"]
+            |        [--ivf] [--checkpoint DIR]   streaming file ingestion (foreachBatch merge)
             |  search --name N --query Q [--filter DSL] [--indexes a,b] [--rrfK K]
             |         [--max-chunks K] [--max-docs K] [--include-text] [--format json|indent|toon]
             |  fetch --name N --id ID [--from L --to L]

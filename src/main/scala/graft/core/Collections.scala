@@ -57,6 +57,16 @@ final class CollectionManager(
     ivf
   }
 
+  /** The collection's IVF index, when one has been built — the handle
+    * streaming per-batch appends use ([[graft.streaming.StreamingUpdate]]).
+    */
+  def ivfIndex(name: String): Option[graft.operators.IvfVectorIndexer] = {
+    val ivfDir = s"${dir(name)}/indexes/ivf"
+    if (fs.exists(new Path(s"$ivfDir/centroids")))
+      Some(new graft.operators.IvfVectorIndexer(spark, ivfDir, embedder))
+    else None
+  }
+
   // ------------------------------------------------------------------ manifest IO
 
   private def fs: FileSystem =

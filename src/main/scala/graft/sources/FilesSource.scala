@@ -117,11 +117,51 @@ object FilesSource {
       basePath: String,
       includePatterns: Seq[String] = Seq(".*"),
       excludePatterns: Seq[String] = Nil,
-      modifiedAfter: Option[java.sql.Timestamp] = None): DataFrame = {
+      modifiedAfter: Option[java.sql.Timestamp] = None): DataFrame =
+    parse(
+      spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(basePath),
+      basePath, includePatterns, excludePatterns, modifiedAfter)
 
-    val raw = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(basePath)
+  /** STREAMING twin of [[read]]: a Structured Streaming file source over the
+    * same binaryFile schema and the same per-format parse — new files under
+    * `basePath` become micro-batches (source offsets track what's been read,
+    * replacing the mtime watermark the batch path uses). Drive it into a
+    * collection with
+    * [[graft.streaming.StreamingUpdate.collectionUpdateWriter]].
+    */
+  def readStream(
+      spark: SparkSession,
+      basePath: String,
+      includePatterns: Seq[String] = Seq(".*"),
+      excludePatterns: Seq[String] = Nil): DataFrame =
+    parse(
+      spark.readStream.format("binaryFile")
+        // streaming sources don't infer; this is binaryFile's fixed schema
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("modificationTime",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("length",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType))))
+        .option("recursiveFileLookup", "true")
+        .load(basePath),
+      basePath, includePatterns, excludePatterns, None)
+
+  /** The shared transform: path predicates + per-format content parse. Narrow
+    * (filters, projections, scalar udfs only), so it composes with both batch
+    * and streaming raw scans.
+    */
+  private def parse(
+      raw: DataFrame,
+      basePath: String,
+      includePatterns: Seq[String],
+      excludePatterns: Seq[String],
+      modifiedAfter: Option[java.sql.Timestamp]): DataFrame = {
 
     val base = if (basePath.endsWith("/")) basePath else basePath + "/"
     val withRel = raw

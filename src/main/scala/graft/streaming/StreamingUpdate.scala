@@ -24,20 +24,38 @@ object StreamingUpdate {
     * (id, url, metadata, text) merges into the collection via the same anti-join +
     * append + high-water-mark path as batch update — exactly-once per batch since
     * the merge is idempotent on document ids.
+    *
+    * `appendIvf`: when an IVF index exists for the collection, each batch's
+    * new chunk vectors ALSO append into the frozen-centroid partition dirs
+    * ([[graft.operators.IvfVectorIndexer.append]]) — probes see fresh
+    * documents on their next scan without a rebuild. Replaced documents leave
+    * stale entries behind (append-only); run `refresh`/rebuild when churn
+    * warrants, same trade as any write-optimized ANN segment.
+    *
+    * `trigger`: AvailableNow by default (drain what's there, then stop — the
+    * catch-up / cron shape); pass ProcessingTime for a long-running watcher.
     */
   def collectionUpdateWriter(
       changedDocs: DataFrame,
       cm: CollectionManager,
       collectionName: String,
-      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpointDir: String,
+      appendIvf: Boolean = false,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
     changedDocs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          if (cm.exists(collectionName)) cm.update(collectionName, batch)
+          val existed = cm.exists(collectionName)
+          if (existed) cm.update(collectionName, batch)
           else cm.create(collectionName, batch)
+          if (appendIvf) cm.ivfIndex(collectionName).foreach { ivf =>
+            val batchIds = batch.select(col("id")).distinct()
+            ivf.append(cm.chunks(collectionName)
+              .join(batchIds, col("documentId") === col("id"), "left_semi"))
+          }
         }
         ()
       }

@@ -41,6 +41,47 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(cm.chunks("live").filter(col("indexedData").contains("about spark")).count() === 0)
   }
 
+  test("watch CLI e2e: files dropped into a dir appear in search; IVF appends per batch") {
+    val tmp = Files.createTempDirectory("graft-watch")
+    val dataDir = s"$tmp/collections"
+    val inbox = Files.createDirectory(tmp.resolve("inbox"))
+    def watch(extra: String*): Unit =
+      graft.api.Cli.run(Array("watch", "--collection", "wc", "--path",
+        inbox.toString, "--data-dir", dataDir, "--once",
+        "--chunk-size", "60", "--chunk-overlap", "10") ++ extra, spark)
+
+    // batch 1: two docs arrive, collection is created on first tick
+    Files.writeString(inbox.resolve("a.md"), "# Spark guide\n\nbroadcast joins and shuffles")
+    Files.writeString(inbox.resolve("b.txt"), "deployment runbook for the search service")
+    watch()
+    val cm = new CollectionManager(spark, dataDir,
+      HashingEmbedder.default, new TextSplitter(60, 10))
+    assert(cm.readManifest("wc").numberOfDocuments === 2)
+    val hit1 = cm.search("wc", "broadcast joins", maxChunks = 6, maxDocs = 3)
+    assert(hit1.collect().map(_.getAs[String]("documentId")).contains("a.md"))
+
+    // build an IVF index over the current collection, then stream more files
+    // with --ivf: the new vectors must APPEND into the partition dirs
+    val ivf = cm.buildIvfIndex("wc", nLists = 2, nProbe = 2)
+    val sizeBefore = ivf.size
+    Files.writeString(inbox.resolve("c.txt"),
+      "entirely new arrival about zeppelin notebooks and quarterly metrics")
+    watch("--ivf")
+    assert(cm.readManifest("wc").numberOfDocuments === 3)
+    val ivfAfter = cm.ivfIndex("wc").get
+    assert(ivfAfter.size > sizeBefore, "IVF index must grow by the appended batch")
+    // the appended doc is findable through the IVF index itself
+    val hits = ivfAfter.search("zeppelin notebooks quarterly", 5, None)
+      .join(cm.chunks("wc").select(col("chunkId"), col("documentId")), "chunkId")
+      .collect().map(_.getAs[String]("documentId"))
+    assert(hits.contains("c.txt"), s"expected c.txt via IVF probe, got ${hits.mkString(",")}")
+
+    // checkpoint advances: re-ticking with no new files is a no-op
+    val chunksNow = cm.readManifest("wc").numberOfChunks
+    watch()
+    assert(cm.readManifest("wc").numberOfChunks === chunksNow)
+  }
+
   test("streaming update keeps the chunk-id sequence continuous across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
