@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 stress harness: generates scale-matched synthetic inputs at 1× and 10×
+  * the bench scale (same deterministic generating process at both scales, so
+  * the RATIO isolates scaling behavior from data-shape luck) and times the
+  * five most expensive bench queries at each. A query whose cost grows ~10×
+  * for 10× data is linear — the shape that survives a 100 TB cluster; growth
+  * beyond that is a red flag the bench at one scale cannot see.
+  *
+  * Generation is hash-driven (xxhash64 mixes, no RNG state), mirrors the
+  * driver data's shape (31-word vocabulary, ~15–60 word docs, quadratically
+  * skewed word frequencies; uniform orderkeys with integer quantities), and
+  * writes under stress/ in the repo — /root/testdata stays untouched.
+  */
+object Stress {
+
+  private val vocabSource = "/root/testdata/sf0.1/documents.parquet"
+
+  private def mix(c: org.apache.spark.sql.Column, salt: Int) =
+    abs(xxhash64(c, lit(salt)))
+
+  def generate(spark: SparkSession, dir: String, mult: Int): Unit = {
+    import spark.implicits._
+    val vocab = spark.read.parquet(vocabSource)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().orderBy("w")
+      .as[String].collect()
+    val v = vocab.length
+
+    val nDocs = 5000L * mult
+    // words per doc 15..60; word index quadratically skewed toward the low
+    // end (u² over the vocab) so term frequencies are zipf-ish like real text
+    val docs = spark.range(0, nDocs).toDF("doc_id")
+      .withColumn("n_words", (lit(15) + mix(col("doc_id"), 1) % 46).cast("int"))
+      .withColumn("text", array_join(transform(
+        sequence(lit(0), col("n_words") - 1),
+        i => {
+          val h = abs(xxhash64(col("doc_id"), i, lit(7)))
+          val u = (h % 100000L).cast("double") / lit(100000.0)
+          element_at(typedLit(vocab), (u * u * v).cast("int") % v + 1)
+        }), " "))
+      .withColumn("lang",
+        when(mix(col("doc_id"), 2) % 100 < 85, "en")
+          .when(mix(col("doc_id"), 2) % 100 < 90, "de")
+          .when(mix(col("doc_id"), 2) % 100 < 95, "es").otherwise("fr"))
+      .withColumn("source", concat(lit("src"), mix(col("doc_id"), 3) % 20))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val nOrders = 150000L * mult
+    spark.range(1, nOrders + 1).toDF("o_orderkey")
+      .withColumn("o_orderpriority", element_at(
+        typedLit(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+        (mix(col("o_orderkey"), 4) % 5).cast("int") + 1))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val nLines = 600000L * mult
+    spark.range(0, nLines).toDF("id")
+      .withColumn("l_orderkey", mix(col("id"), 5) % nOrders + 1)
+      .withColumn("l_quantity", (mix(col("id"), 6) % 50 + 1).cast("double"))
+      .select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  private val stressQueries = Seq(
+    "dedup_containment", "pipeline_full", "text_lm_perplexity",
+    "t2b_bm25_postings", "skew_salted_join")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.nonEmpty) args(0) else "stress"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.configure(spark)
+
+    val scales = Seq(1, 10)
+    scales.foreach { m =>
+      val dir = s"$baseDir/x$m"
+      if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+        println(s"[stress] generating x$m under $dir")
+        generate(spark, dir, m)
+      }
+    }
+
+    def consume(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // Per (scale, query): one UNTIMED run to absorb JIT + whole-stage-codegen
+    // compilation, then the timed run — without this the first scale measured
+    // pays all warmup and the ratio reads sub-linear.
+    val results = scales.map { m =>
+      val dir = s"$baseDir/x$m"
+      consume(spark.read.parquet(s"$dir/documents.parquet"))
+      consume(spark.read.parquet(s"$dir/lineitem.parquet"))
+      m -> stressQueries.map { q =>
+        consume(SparkEntry.queries(q)(spark, dir)) // warm
+        val sec = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          consume(SparkEntry.queries(q)(spark, dir))
+          (System.nanoTime() - t0) / 1e9
+        }.min // min-of-3: the stable estimator under GC/scheduler noise
+        println(f"[stress] x$m $q: $sec%.2f s")
+        q -> sec
+      }.toMap
+    }.toMap
+
+    println("query,t_x1_s,t_x10_s,ratio,exponent")
+    stressQueries.foreach { q =>
+      val t1 = results(1)(q); val t10 = results(10)(q)
+      val ratio = t10 / t1
+      println(f"$q,$t1%.2f,$t10%.2f,$ratio%.2f,${math.log10(ratio)}%.2f")
+    }
+    spark.stop()
+  }
+}
