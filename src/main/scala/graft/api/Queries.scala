@@ -411,6 +411,304 @@ object Queries {
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin))
 
+  /** TPC-H Q2 shape: minimum-cost supplier — the correlated scalar MIN
+    * subquery, decorrelated as a per-part min aggregate joined back on
+    * (partkey, cost). The schema omits partsupp, so supply cost is derived as
+    * `min(l_extendedprice / l_quantity)` per (part, supplier) — one hash
+    * aggregate on the fact. Hash-parity note: the min/equality chain never
+    * does arithmetic on the compared values beyond one IEEE division both
+    * engines evaluate identically, so `supply_cost = min_cost` cannot flip;
+    * the displayed cost is `floor(cost × 10⁴)` — floor of an identical
+    * double is engine-exact, where `round` would diverge on half-way
+    * boundaries (Spark rounds the shortest decimal repr, DuckDB the binary
+    * value; observed 1-ulp flips at sf0.1).
+    */
+  private val q2MinCost = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d)
+      val ps = li.groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
+      val sup = D.supplier(s, d)
+        .join(broadcast(D.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(D.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      val eu = ps.join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      val minCost = eu.groupBy(col("ps_partkey").as("mc_partkey"))
+        .agg(min("supply_cost").as("min_cost"))
+      val p = D.part(s, d).filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      eu.join(minCost, col("ps_partkey") === col("mc_partkey") &&
+          col("supply_cost") === col("min_cost"))
+        .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+          col("n_name"), floor(col("supply_cost") * 10000).cast("long").as("cost_e4"))
+        .orderBy("p_partkey", "s_suppkey")
+    },
+    Some("""WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           |    min(l_extendedprice / l_quantity) AS supply_cost
+           |  FROM lineitem GROUP BY 1, 2),
+           |eu AS (SELECT ps.*, s_suppkey, s_name, n_name
+           |  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+           |    JOIN nation ON s_nationkey = n_nationkey
+           |    JOIN region ON n_regionkey = r_regionkey
+           |  WHERE r_name = 'EUROPE'),
+           |mc AS (SELECT ps_partkey AS mc_partkey, min(supply_cost) AS min_cost
+           |  FROM eu GROUP BY 1)
+           |SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+           |  CAST(floor(supply_cost * 10000) AS BIGINT) AS cost_e4
+           |FROM eu JOIN mc ON ps_partkey = mc_partkey AND supply_cost = min_cost
+           |  JOIN part ON ps_partkey = p_partkey
+           |WHERE p_size <= 10 AND p_type = 'LARGE'
+           |ORDER BY p_partkey, s_suppkey""".stripMargin))
+
+  /** TPC-H Q6 shape: the forecasting-revenue-change aggregate — zero joins,
+    * every predicate (date range, discount band, quantity cap) pushes into
+    * the Parquet scan, one map-side-combinable aggregate. At 100 TB this is
+    * the query where pushdown IS the runtime: the scan should show all three
+    * PushedFilters and read two columns.
+    */
+  private val q6Forecast = Q(
+    (s, d) => D.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("cnt")),
+    Some("""SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS cnt
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin))
+
+  /** TPC-H Q8 shape: national market share — nation joins twice under
+    * different roles (customer-side pinned to a region, supplier-side free),
+    * and the share is a conditional-sum / total-sum ratio per year. Both
+    * nation roles broadcast; the ratio rounds at 6 digits (ulp-safe: the
+    * relative error of a double sum is ~1e-16, ten orders below the rounding
+    * granularity).
+    */
+  private val q8MarketShare = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d); val o = D.orders(s, d)
+      val c = D.customer(s, d); val sup = D.supplier(s, d)
+      val n1 = D.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val n2 = D.nation(s, d).select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val r = D.region(s, d).filter(col("r_name") === "AMERICA")
+      val p = D.part(s, d).filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(when(col("supp_nation") === "NATION_5", rev).otherwise(0.0)) /
+          sum(rev), 6).as("mkt_share"), count(lit(1)).as("cnt"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           |  round(sum(CASE WHEN n2.n_name = 'NATION_5' THEN l_extendedprice*(1-l_discount) ELSE 0 END)
+           |    / sum(l_extendedprice*(1-l_discount)), 6) AS mkt_share, count(*) AS cnt
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           |  JOIN region ON n1.n_regionkey = r_regionkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           |WHERE r_name = 'AMERICA'
+           |  AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+           |GROUP BY 1 ORDER BY o_year""".stripMargin))
+
+  /** TPC-H Q9 shape: product-type profit by nation and year — the widest
+    * fact-side join tree in the suite (lineitem × orders × supplier × part)
+    * with a substring part filter and a computed profit measure. The schema
+    * omits partsupp's ps_supplycost; `0.5 * p_retailprice` stands in, keeping
+    * the (price − cost·qty) measure shape. Part/nation broadcast; orders and
+    * supplier shuffle on their keys. Hash-parity: the measure is computed in
+    * integer 10⁻⁴-currency units — prices/discounts carry 2 decimals, so
+    * `round(x·100)` recovers exact integers and
+    * `ep_c·(100−d_c) − 50·rp_c·qty` sums exactly in any order; a
+    * `round(sum(double),2)` here was observed to straddle a cent boundary
+    * between engines at sf0.1.
+    */
+  private val q9Profit = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d); val o = D.orders(s, d)
+      val sup = D.supplier(s, d); val n = D.nation(s, d)
+      val p = D.part(s, d).filter(col("p_name").contains("bolt"))
+        .select("p_partkey", "p_retailprice")
+      val epC = round(col("l_extendedprice") * 100).cast("long")
+      val dC = round(col("l_discount") * 100).cast("long")
+      val rpC = round(col("p_retailprice") * 100).cast("long")
+      val amountE4 = epC * (lit(100L) - dC) -
+        lit(50L) * rpC * col("l_quantity").cast("long")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(amountE4).as("profit_e4"), count(lit(1)).as("cnt"))
+        .orderBy(col("n_name").asc, col("o_year").desc)
+    },
+    Some("""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+           |      - 50 * CAST(round(p_retailprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS profit_e4,
+           |  count(*) AS cnt
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |  JOIN part ON l_partkey = p_partkey
+           |WHERE p_name LIKE '%bolt%'
+           |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin))
+
+  /** TPC-H Q11 shape: important stock — a grouped aggregate gated by a
+    * scalar-subquery fraction of the GLOBAL total (HAVING sum > total ×
+    * 0.001). The one-row total broadcasts as a cross join. Hash-parity:
+    * the measure is sum(l_quantity) — integer-valued doubles whose sums are
+    * exact in any order — so the threshold edge is deterministic across
+    * engines (no round-before-compare needed).
+    */
+  private val q11ImportantStock = Q(
+    (s, d) => {
+      val natSup = D.supplier(s, d)
+        .join(broadcast(D.nation(s, d).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+      val byPart = D.lineitem(s, d)
+        .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum("l_quantity").as("value"))
+      val tot = byPart.agg((sum("value") * 0.001).as("threshold"))
+      byPart.crossJoin(broadcast(tot))
+        .filter(col("value") > col("threshold"))
+        .select(col("l_partkey"), col("value").cast("long").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("l_partkey").asc)
+    },
+    Some("""WITH byp AS (SELECT l_partkey, sum(l_quantity) AS value
+           |  FROM lineitem
+           |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+           |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3')
+           |  GROUP BY 1),
+           |tot AS (SELECT sum(value) * 0.001 AS threshold FROM byp)
+           |SELECT l_partkey, CAST(value AS BIGINT) AS total_qty
+           |FROM byp, tot WHERE value > threshold
+           |ORDER BY total_qty DESC, l_partkey""".stripMargin))
+
+  /** TPC-H Q12 shape: shipping-mode priority counts — a fact/dimension join
+    * with a NON-equi lateness residual (shipped > 60 days after order; the
+    * schema omits commit/receipt dates) and two conditional counts per group.
+    * Ship mode is derived from l_linenumber (the schema omits l_shipmode) —
+    * the derivation is identical SQL in both engines, so the gate still locks
+    * the join + conditional-aggregation shape.
+    */
+  private val q12Shipmode = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d); val o = D.orders(s, d)
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS") &&
+          col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+        .groupBy(when(col("l_linenumber") % 3 === 0, "AIR")
+          .when(col("l_linenumber") % 3 === 1, "SHIP")
+          .otherwise("TRUCK").as("shipmode"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("shipmode")
+    },
+    Some("""SELECT CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'AIR' WHEN 1 THEN 'SHIP'
+           |    ELSE 'TRUCK' END AS shipmode,
+           |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+           |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           |GROUP BY 1 ORDER BY shipmode""".stripMargin))
+
+  /** TPC-H Q13 shape: customer order-count distribution — the LEFT OUTER
+    * join with a predicate in the ON clause (not WHERE: customers with zero
+    * qualifying orders must survive with count 0) feeding a second
+    * aggregation over the first's result. The double-aggregation is the
+    * canonical "distribution of group sizes" pattern.
+    */
+  private val q13CustDist = Q(
+    (s, d) => {
+      val c = D.customer(s, d).select("c_custkey")
+      val o = D.orders(s, d).select("o_custkey", "o_orderkey", "o_orderpriority")
+      c.join(o, col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "4-NOT SPECIFIED", "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+           |  SELECT c_custkey, count(o_orderkey) AS c_count
+           |  FROM customer LEFT JOIN orders
+           |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+           |  GROUP BY c_custkey)
+           |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
+  /** TPC-H Q15 shape: top supplier — a revenue "view" (grouped aggregate), a
+    * scalar MAX over it, and an equality-threshold join back. The measure is
+    * sum(l_quantity) (integer-exact; see q11) and the bar is 0.8 × max so the
+    * gate covers several suppliers rather than the single argmax row; the
+    * threshold product is one deterministic IEEE multiply of identical
+    * operands in both engines.
+    */
+  private val q15TopSupplier = Q(
+    (s, d) => {
+      val rev = D.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(sum("l_quantity").as("total_qty"))
+      val mx = rev.agg(max("total_qty").as("max_qty"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_qty") >= col("max_qty") * 0.8)
+        .join(D.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_qty").cast("long").as("total_qty"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH rev AS (SELECT l_suppkey, sum(l_quantity) AS total_qty FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+           |  GROUP BY 1),
+           |mx AS (SELECT max(total_qty) AS max_qty FROM rev)
+           |SELECT s_suppkey, s_name, CAST(total_qty AS BIGINT) AS total_qty
+           |FROM rev, mx JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE total_qty >= max_qty * 0.8 ORDER BY s_suppkey""".stripMargin))
+
+  /** TPC-H Q19 shape: disjunctive bracket predicates — three OR'd
+    * (brand × size-range × quantity-range) conjunctions spanning BOTH join
+    * sides, the classic test that an optimizer keeps the equi-join hashed and
+    * evaluates the disjunction as a residual (not a nested-loop), while
+    * pushing the per-side portions (brand/size → part scan) down.
+    */
+  private val q19Disjunctive = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d)
+      val p = D.part(s, d).select("p_partkey", "p_brand", "p_size")
+      val cond =
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#5" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#7" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+    },
+    Some("""SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS cnt
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+
   private val w1RankWindow = Q(
     (s, d) => {
       val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)
@@ -2684,6 +2982,15 @@ object Queries {
     "q17_small_qty" -> q17SmallQty,
     "q20_part_suppliers" -> q20PartSuppliers,
     "q21_waiting" -> q21Waiting,
+    "q2_min_cost" -> q2MinCost,
+    "q6_forecast" -> q6Forecast,
+    "q8_market_share" -> q8MarketShare,
+    "q9_profit" -> q9Profit,
+    "q11_important_stock" -> q11ImportantStock,
+    "q12_shipmode" -> q12Shipmode,
+    "q13_custdist" -> q13CustDist,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q19_disjunctive" -> q19Disjunctive,
     "w1_rank_window" -> w1RankWindow,
     "a4_watermark_max" -> a4WatermarkMax,
     "p3_filter_dsl" -> p3FilterDsl,

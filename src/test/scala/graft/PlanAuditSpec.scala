@@ -207,6 +207,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"expected Exchange > partial_kmv > explode order, plan:\n$p")
   }
 
+  test("q6: every predicate pushes into the lineitem scan; no join") {
+    val p = plan("q6_forecast")
+    // PushedFilters is string-truncated in plan text; the scan prefix plus the
+    // full Filter expression together witness all three predicate families.
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains(">= 0.05)") && p.contains("<= 0.07)") && p.contains("< 24.0)"))
+    // scan reads only the 4 referenced columns, not the 11-column table
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp_ntz>"))
+    assert(!p.contains("Join"), s"q6 is a pure scan+agg, plan:\n$p")
+  }
+
+  test("q19: disjunctive brackets stay a hash join residual, not a nested loop") {
+    val p = plan("q19_disjunctive")
+    assert(p.contains("BroadcastHashJoin"), s"equi part must hash, plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the OR-of-ANDs must not degrade the join, plan:\n$p")
+  }
+
   test("semantic dedup: cluster-keyed pair join, never a cartesian product") {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
