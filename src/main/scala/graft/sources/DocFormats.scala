@@ -561,6 +561,71 @@ object DocFormats {
       out.toString.replaceAll("\n{3,}", "\n\n").trim
     } catch { case NonFatal(_) => "" }
 
+  // ------------------------------------------------------------------ EPUB
+
+  /** EPUB → one element per spine chapter, chapter ordinal (1-based) as the
+    * page number — the paginated shape, like [[pptxSlides]]. Resolution chain
+    * per OCF/OPF: `META-INF/container.xml` names the package (.opf) file; the
+    * OPF `<manifest>` maps item ids to hrefs (relative to the OPF's own
+    * directory, possibly URL-encoded); `<spine>` lists itemrefs in reading
+    * order. Each chapter's XHTML strips to text with the shared HTML
+    * semantics ([[Converters.htmlToText]]). When the container/OPF chain is
+    * missing or unresolvable (malformed but still chapter-structured books),
+    * falls back to every `.x?html`/`.htm` entry in archive order. Returns Nil
+    * for unparseable input.
+    */
+  def epubChapters(bytes: Array[Byte]): Seq[(Int, String)] =
+    try {
+      val spineHrefs: Seq[String] = (for {
+        container <- zipEntry(bytes, "META-INF/container.xml")
+        opfPath <- """full-path="([^"]+)"""".r.findFirstMatchIn(container)
+          .map(m => unescapeXml(m.group(1)))
+        opf <- zipEntry(bytes, opfPath)
+      } yield {
+        val opfDir = opfPath.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => opfPath.take(i + 1)
+        }
+        val items: Map[String, String] =
+          """<item\s[^>]*>|<item\s[^>]*/>""".r.findAllIn(opf).flatMap { tag =>
+            for {
+              id <- """\bid="([^"]+)"""".r.findFirstMatchIn(tag).map(_.group(1))
+              href <- """\bhref="([^"]+)"""".r.findFirstMatchIn(tag).map(_.group(1))
+            } yield id -> normalizePath(opfDir + urlDecode(unescapeXml(href)))
+          }.toMap
+        """<itemref\s[^>]*\bidref="([^"]+)"""".r.findAllMatchIn(opf)
+          .map(_.group(1)).flatMap(items.get).toSeq
+      }).getOrElse(Nil)
+
+      val chapters: Seq[String] =
+        if (spineHrefs.nonEmpty) {
+          val wanted = spineHrefs.toSet
+          val found = zipEntries(bytes) { n => if (wanted(n)) Some(n) else None }.toMap
+          spineHrefs.flatMap(found.get)
+        } else
+          zipEntries(bytes) { n =>
+            val lc = n.toLowerCase
+            if (lc.endsWith(".xhtml") || lc.endsWith(".html") || lc.endsWith(".htm"))
+              Some(()) else None
+          }.map(_._2)
+
+      chapters.map(Converters.htmlToText).zipWithIndex
+        .collect { case (t, i) if t.nonEmpty => (i + 1, t) }
+    } catch { case NonFatal(_) => Nil }
+
+  /** Resolve `.` and `..` segments (hrefs like `../text/ch1.xhtml`). */
+  private def normalizePath(p: String): String =
+    p.split('/').foldLeft(List.empty[String]) {
+      case (acc, "" | ".") => acc
+      case (_ :: tl, "..") => tl
+      case (Nil, "..")     => Nil
+      case (acc, seg)      => seg :: acc
+    }.reverse.mkString("/")
+
+  private def urlDecode(s: String): String =
+    try java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+    catch { case NonFatal(_) => s }
+
   /** All zip entries whose name maps to Some(key), decoded as UTF-8. */
   private def zipEntries[K](bytes: Array[Byte])(select: String => Option[K]): Seq[(K, String)] = {
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))

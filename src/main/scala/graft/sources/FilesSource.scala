@@ -97,6 +97,13 @@ object FilesSource {
     Seq(DocFormats.ContentPart(null, DocFormats.rtfText(bytes)))
   }
 
+  /** EPUB → one element per spine chapter, ordinal as pageNumber. */
+  private val epubContentUdf = udf { (bytes: Array[Byte]) =>
+    DocFormats.epubChapters(bytes).map { case (n, text) =>
+      DocFormats.ContentPart(DocFormats.PageMeta(n.toString), text)
+    }
+  }
+
   /** Read files under `basePath` as rows
     * (fileRelativePath, fileFullPath, createdTime, modifiedTime, content) ready for
     * [[Converters.files]]. Regex semantics mirror the reference: include = fullmatch
@@ -192,6 +199,7 @@ object FilesSource {
       .when(extCol === "xlsx", xlsxContentUdf(col("content")))
       .when(extCol === "eml", emlContentUdf(col("content")))
       .when(extCol === "rtf", rtfContentUdf(col("content")))
+      .when(extCol === "epub", epubContentUdf(col("content")))
       .otherwise(array(struct(
         lit(null).cast("struct<pageNumber:string>").as("metadata"),
         parsedText.as("text"))))

@@ -138,6 +138,45 @@ class DocFormatsSpec extends AnyFunSuite with SparkSuite {
     out.toByteArray
   }
 
+  /** EPUB whose spine order (ch2 before ch1) disagrees with manifest order,
+    * with an OPF-relative `../text/…` href, a URL-encoded href, and a
+    * non-spine item (cover) that must not surface.
+    */
+  private def epub(): Array[Byte] = {
+    val container =
+      """<?xml version="1.0"?><container version="1.0">
+        |<rootfiles><rootfile full-path="OEBPS/ops/content.opf"
+        |  media-type="application/oebps-package+xml"/></rootfiles>
+        |</container>""".stripMargin
+    val opf =
+      """<?xml version="1.0"?><package version="3.0">
+        |<manifest>
+        |<item id="ch1" href="../text/chapter%201.xhtml" media-type="application/xhtml+xml"/>
+        |<item id="ch2" href="../text/ch2.xhtml" media-type="application/xhtml+xml"/>
+        |<item id="cover" href="../text/cover.xhtml" media-type="application/xhtml+xml"/>
+        |</manifest>
+        |<spine><itemref idref="ch2"/><itemref idref="ch1"/></spine>
+        |</package>""".stripMargin
+    def chap(title: String, body: String) =
+      s"""<?xml version="1.0"?><html xmlns="http://www.w3.org/1999/xhtml">
+         |<head><title>$title</title><style>p {color: red}</style></head>
+         |<body><h1>$title</h1><p>$body</p></body></html>""".stripMargin
+    val out = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(out)
+    def entry(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes(StandardCharsets.UTF_8)); z.closeEntry()
+    }
+    entry("mimetype", "application/epub+zip")
+    entry("META-INF/container.xml", container)
+    entry("OEBPS/ops/content.opf", opf)
+    entry("OEBPS/text/chapter 1.xhtml", chap("Chapter One", "It begins quietly."))
+    entry("OEBPS/text/ch2.xhtml", chap("Chapter Two", "It continues loudly."))
+    entry("OEBPS/text/cover.xhtml", chap("Cover", "Cover art alt text"))
+    z.close()
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------- unit level
 
   test("pdfPages: page order, Flate + raw streams, Tj/TJ/hex/quote operators") {
@@ -287,6 +326,29 @@ class DocFormatsSpec extends AnyFunSuite with SparkSuite {
     assert(DocFormats.rtfText("not rtf at all".getBytes(StandardCharsets.UTF_8)) === "")
   }
 
+  test("epubChapters: spine order wins, ../ and %20 hrefs resolve, cover excluded") {
+    val chapters = DocFormats.epubChapters(epub())
+    assert(chapters.map(_._1) === Seq(1, 2))
+    // spine says ch2 first even though the manifest lists ch1 first
+    assert(chapters(0)._2.contains("It continues loudly."))
+    assert(chapters(1)._2.contains("It begins quietly."))
+    assert(chapters(1)._2.contains("Chapter One")) // heading text survives
+    assert(!chapters(0)._2.contains("color: red"), "style must strip")
+    assert(!chapters.exists(_._2.contains("Cover art")), "non-spine item excluded")
+  }
+
+  test("epubChapters: falls back to xhtml entries when container.xml is absent") {
+    val out = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(out)
+    z.putNextEntry(new ZipEntry("c1.xhtml"))
+    z.write("<html><body><p>Orphan chapter</p></body></html>"
+      .getBytes(StandardCharsets.UTF_8)); z.closeEntry()
+    z.close()
+    val chapters = DocFormats.epubChapters(out.toByteArray)
+    assert(chapters === Seq((1, "Orphan chapter")))
+    assert(DocFormats.epubChapters("not a zip".getBytes(StandardCharsets.UTF_8)) === Nil)
+  }
+
   test("parsers never throw on arbitrary bytes (fuzz: junk in, empty out)") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check, Parameters}
@@ -302,7 +364,9 @@ class DocFormatsSpec extends AnyFunSuite with SparkSuite {
         "{\\rtf1\\u99999999999 \\'zz {unclosed group",
         "Subject: =?bogus?B?###?=\nContent-Type: multipart/mixed; boundary=\n\n--",
         "<text:p>unclosed odt",
-        "<row><c t=\"s\"><v>999</v></c></row>"
+        "<row><c t=\"s\"><v>999</v></c></row>",
+        "<rootfiles><rootfile full-path=\"missing.opf\"/></rootfiles>",
+        "<spine><itemref idref=\"nowhere\"/></spine><item id=\"x\" href=\"../../..\"/>"
       ).map(_.getBytes(StandardCharsets.ISO_8859_1)))
     val prop = Prop.forAll(junkGen) { bytes =>
       // must return cleanly — Nil/"" — never throw
@@ -313,6 +377,7 @@ class DocFormatsSpec extends AnyFunSuite with SparkSuite {
       DocFormats.xlsxSheets(bytes)
       DocFormats.emlText(bytes)
       DocFormats.rtfText(bytes)
+      DocFormats.epubChapters(bytes)
       true
     }
     val res = check(Parameters.default.withMinSuccessfulTests(300), prop)
@@ -396,5 +461,25 @@ class DocFormatsSpec extends AnyFunSuite with SparkSuite {
 
     assert(docs("legacy.rtf").getAs[String]("text").contains("Legacy memo body"))
     assert(docs("legacy.rtf").getAs[String]("text").contains("second line"))
+  }
+
+  test("files source e2e: EPUB chapters arrive as pages in spine order") {
+    val tmp = Files.createTempDirectory("graft-docfmt3")
+    Files.write(tmp.resolve("novel.epub"), epub())
+
+    val df = FilesSource.read(spark, tmp.toString)
+    val docs = Converters.files(df, new TextSplitter(80, 0))
+      .collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(docs.keySet === Set("novel.epub"))
+
+    val chunks = docs("novel.epub")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("chunks")
+    val pages = chunks.tail.map(
+      _.getAs[Map[String, String]]("metadata").getOrElse("pageNumber", "?")).toSet
+    assert(pages === Set("1", "2"))
+    val text = docs("novel.epub").getAs[String]("text")
+    // spine order: ch2's text precedes ch1's
+    assert(text.indexOf("It continues loudly.") < text.indexOf("It begins quietly."))
+    assert(!text.contains("Cover art"))
   }
 }
