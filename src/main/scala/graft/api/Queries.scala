@@ -425,7 +425,15 @@ object Queries {
     */
   private val q2MinCost = Q(
     (s, d) => {
+      val p = D.part(s, d).filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      // Part predicate semi-joins BELOW the (partkey, suppkey) aggregate: the
+      // per-part min is unaffected by dropping non-qualifying parts, and at
+      // fact scale the aggregate input shrinks by the part selectivity (~36×
+      // here) instead of aggregating the whole fact and filtering last.
       val li = D.lineitem(s, d)
+        .join(broadcast(p.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
       val ps = li.groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
       val sup = D.supplier(s, d)
@@ -436,8 +444,6 @@ object Queries {
       val eu = ps.join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
       val minCost = eu.groupBy(col("ps_partkey").as("mc_partkey"))
         .agg(min("supply_cost").as("min_cost"))
-      val p = D.part(s, d).filter(col("p_size") <= 10 && col("p_type") === "LARGE")
-        .select("p_partkey", "p_name")
       eu.join(minCost, col("ps_partkey") === col("mc_partkey") &&
           col("supply_cost") === col("min_cost"))
         .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
