@@ -240,6 +240,19 @@ object Cli {
         curated.write.mode("overwrite").parquet(out)
         val (nIn, nOut) = (docs.count(), spark.read.parquet(out).count())
         println(s"""{"in":$nIn,"out":$nOut,"dropped":${nIn - nOut},"path":"$out"}""")
+      case "export" =>
+        // Sharded gzip-JSONL handoff to a tokenizer/training pipeline:
+        // parquet in → Export.jsonlShards → shard=K dirs + _manifest.
+        val in = req("in"); val out = req("out")
+        val n = opt("shards").map(_.toInt).getOrElse(64)
+        val idCol = opt("id-col").getOrElse("doc_id")
+        val cols = opt("cols").map(_.split(",").toSeq).getOrElse(Nil)
+        val manifest = graft.operators.Export.jsonlShards(
+          spark.read.parquet(in), idCol, out, n, cols)
+        val rows = manifest.collect()
+        val docs = rows.map(_.getAs[Long]("n_docs")).sum
+        val bytes = rows.map(_.getAs[Long]("n_bytes")).sum
+        println(s"""{"shards":${rows.length},"docs":$docs,"jsonl_bytes":$bytes,"path":"$out"}""")
       case "help" =>
         println(
           """graft CLI — collection lifecycle, search, curation, maintenance
@@ -262,6 +275,7 @@ object Cli {
             |         [--sample-rates k=v,..] [--stratum-col C]
             |  compact --path P [--target-mb 256] [--min-avg-mb 32]
             |  stats --in P [--text-col text] [--lang-col lang]
+            |  export --in P --out P [--shards 64] [--id-col doc_id] [--cols a,b,c]
             |""".stripMargin)
       case "delete" =>
         // delete --name <collection> --ids a,b,c (reference: remove_ids path)
