@@ -58,17 +58,56 @@ object Stress {
         (mix(col("o_orderkey"), 4) % 5).cast("int") + 1))
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
 
+    // Dimension tables sized like sf0.1 at x1 (part 20k, supplier 1k) so the
+    // q2 join tree sees the bench's fact:dimension ratio at both scales.
+    val nParts = 20000L * mult
+    val nSupp = 1000L * mult
+    spark.range(0, nParts).toDF("p_partkey")
+      .withColumn("p_name", concat(
+        element_at(typedLit(Seq("small", "red", "blue", "hot", "old")),
+          (mix(col("p_partkey"), 10) % 5).cast("int") + 1),
+        lit(" "),
+        element_at(typedLit(Seq("ring", "widget", "bolt", "gear", "gizmo")),
+          (mix(col("p_partkey"), 11) % 5).cast("int") + 1)))
+      .withColumn("p_type", element_at(
+        typedLit(Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")),
+        (mix(col("p_partkey"), 12) % 6).cast("int") + 1))
+      .withColumn("p_size", (mix(col("p_partkey"), 13) % 50 + 1).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    spark.range(1, nSupp + 1).toDF("s_suppkey")
+      .withColumn("s_name", concat(lit("Supplier#"), col("s_suppkey")))
+      .withColumn("s_nationkey", (mix(col("s_suppkey"), 14) % 25).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    spark.range(0, 25).toDF("id")
+      .select(col("id").cast("int").as("n_nationkey"),
+        concat(lit("NATION_"), col("id")).as("n_name"),
+        (col("id") % 5).cast("int").as("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    spark.createDataFrame(Seq(
+        (0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST")))
+      .toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+
     val nLines = 600000L * mult
     spark.range(0, nLines).toDF("id")
       .withColumn("l_orderkey", mix(col("id"), 5) % nOrders + 1)
       .withColumn("l_quantity", (mix(col("id"), 6) % 50 + 1).cast("double"))
-      .select("l_orderkey", "l_quantity")
+      .withColumn("l_partkey", mix(col("id"), 7) % nParts)
+      .withColumn("l_suppkey", mix(col("id"), 8) % nSupp + 1)
+      // 2-decimal double price, 10.00 .. 1010.00
+      .withColumn("l_extendedprice",
+        ((mix(col("id"), 9) % 100000L + 1000L).cast("double")) / lit(100.0))
+      .select("l_orderkey", "l_quantity", "l_partkey", "l_suppkey", "l_extendedprice")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
   }
 
   private val stressQueries = Seq(
     "dedup_containment", "pipeline_full", "text_lm_perplexity",
-    "t2b_bm25_postings", "skew_salted_join")
+    "t2b_bm25_postings", "skew_salted_join",
+    // round-5 additions: the next bench tier — repeated-span dedup and the
+    // bloom decontamination probe (documents-driven), and the q2 correlated
+    // MIN join tree (fact + 4 generated dimensions)
+    "dedup_spans", "bloom_decontaminate", "q2_min_cost")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "stress"
@@ -84,7 +123,8 @@ object Stress {
     val scales = Seq(1, 10)
     scales.foreach { m =>
       val dir = s"$baseDir/x$m"
-      if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+      // probe the newest generated table so older stress dirs regenerate
+      if (!new java.io.File(s"$dir/part.parquet/_SUCCESS").exists()) {
         println(s"[stress] generating x$m under $dir")
         generate(spark, dir, m)
       }
@@ -100,6 +140,8 @@ object Stress {
       val dir = s"$baseDir/x$m"
       consume(spark.read.parquet(s"$dir/documents.parquet"))
       consume(spark.read.parquet(s"$dir/lineitem.parquet"))
+      consume(spark.read.parquet(s"$dir/part.parquet"))
+      consume(spark.read.parquet(s"$dir/supplier.parquet"))
       m -> stressQueries.map { q =>
         consume(SparkEntry.queries(q)(spark, dir)) // warm
         val sec = (1 to 3).map { _ =>

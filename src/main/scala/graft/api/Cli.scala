@@ -161,6 +161,7 @@ object Cli {
           stream, cm, name,
           checkpointDir = opt("checkpoint").getOrElse(s"$dataDir/$name/_checkpoint"),
           appendIvf = flags.contains("ivf"),
+          dedupOnArrival = flags.contains("dedup"),
           trigger = trigger).start()
         q.awaitTermination()
         val man = cm.readManifest(name)
@@ -262,7 +263,8 @@ object Cli {
             |  update --name N            re-drive the manifest's stored reader
             |  update-files/-jira/-confluence   source-specific incremental update
             |  watch --collection N --path DIR [--once | --interval "10 seconds"]
-            |        [--ivf] [--checkpoint DIR]   streaming file ingestion (foreachBatch merge)
+            |        [--ivf] [--dedup] [--checkpoint DIR]   streaming file ingestion
+            |        (foreachBatch merge; --dedup drops arriving near-dups via minhash sigs)
             |  search --name N --query Q [--filter DSL] [--indexes a,b] [--rrfK K]
             |         [--max-chunks K] [--max-docs K] [--include-text] [--format json|indent|toon]
             |  fetch --name N --id ID [--from L --to L]

@@ -67,6 +67,27 @@ final class CollectionManager(
     else None
   }
 
+  private def sigsPath(name: String) = s"${dir(name)}/indexes/minhash_sigs"
+
+  /** Persisted minhash signature table (`ex_id`, sig0..sig3) backing
+    * dedup-on-arrival ([[graft.operators.Dedup.incrementalNearDups]]'s
+    * `existingSigs` side), or None if never built. Narrow (5 columns, one row
+    * per document) — the incremental-dedup posture where the corpus text is
+    * never re-read.
+    */
+  def minhashSigs(name: String): Option[DataFrame] =
+    if (fs.exists(new Path(sigsPath(name))))
+      Some(spark.read.parquet(sigsPath(name)))
+    else None
+
+  /** Append the minhash signatures of `docs` (id, text) to the signature
+    * table, creating it on first call.
+    */
+  def appendMinhashSigs(name: String, docs: DataFrame): Unit =
+    graft.operators.Dedup.minhashSignatures(docs.select("id", "text"), "id", "text")
+      .withColumnRenamed("id", "ex_id")
+      .write.mode("append").parquet(sigsPath(name))
+
   // ------------------------------------------------------------------ manifest IO
 
   private def fs: FileSystem =

@@ -107,6 +107,11 @@ object Dedup {
     * existing id or null, is_dup). Band collision is the LSH candidate
     * criterion (same as [[minhashLsh]]); chain [[ngramJaccardPairs]]-style
     * exact verification downstream if the use case needs it.
+    *
+    * A new doc whose id already exists in the corpus never matches ITSELF —
+    * a changed version re-arriving must replace its old revision, not be
+    * blocked by its own stale signature (the streaming update path,
+    * [[graft.streaming.StreamingUpdate.collectionUpdateWriter]]).
     */
   def incrementalNearDups(
       newDocs: DataFrame, existingSigs: DataFrame,
@@ -121,6 +126,7 @@ object Dedup {
     val exBands = banded(existingSigs, col(existingIdCol))
     val hits = exBands.withColumnRenamed("_id", "_ex")
       .join(broadcast(newBands), "band")
+      .filter(col("_ex") =!= col("_id")) // self-match never blocks a replacement
       .groupBy(col("_id").as(idCol)).agg(min("_ex").as("dup_of"))
     newDocs.select(col(idCol))
       .join(hits, Seq(idCol), "left")

@@ -32,6 +32,17 @@ object StreamingUpdate {
     * stale entries behind (append-only); run `refresh`/rebuild when churn
     * warrants, same trade as any write-optimized ANN segment.
     *
+    * `dedupOnArrival`: gate each batch against the collection's persisted
+    * minhash signature table ([[graft.operators.Dedup.incrementalNearDups]])
+    * — an arriving document that is a near-dup of anything already indexed is
+    * dropped before the merge, and survivors append their own signatures.
+    * The signature table is 5 narrow columns per document; the corpus text is
+    * never re-read, and the batch side broadcasts — the shape that stays
+    * cheap when the collection is large and batches are small. Duplicates
+    * WITHIN one batch are not cross-checked (they land and are caught when
+    * the next batch arrives against their signatures); run a batch
+    * `Dedup.minhashLsh` pass when intra-batch duplication matters.
+    *
     * `trigger`: AvailableNow by default (drain what's there, then stop — the
     * catch-up / cron shape); pass ProcessingTime for a long-running watcher.
     */
@@ -41,6 +52,7 @@ object StreamingUpdate {
       collectionName: String,
       checkpointDir: String,
       appendIvf: Boolean = false,
+      dedupOnArrival: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
     changedDocs.writeStream
       .outputMode(OutputMode.Append)
@@ -48,13 +60,26 @@ object StreamingUpdate {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val existed = cm.exists(collectionName)
-          if (existed) cm.update(collectionName, batch)
-          else cm.create(collectionName, batch)
-          if (appendIvf) cm.ivfIndex(collectionName).foreach { ivf =>
-            val batchIds = batch.select(col("id")).distinct()
-            ivf.append(cm.chunks(collectionName)
-              .join(batchIds, col("documentId") === col("id"), "left_semi"))
+          val incoming =
+            if (!dedupOnArrival) batch
+            else cm.minhashSigs(collectionName) match {
+              case Some(sigs) =>
+                val keep = graft.operators.Dedup
+                  .incrementalNearDups(batch, sigs, "id", "text")
+                  .filter(!col("is_dup")).select("id")
+                batch.join(keep, Seq("id"), "left_semi")
+              case None => batch // first batch: nothing indexed to collide with
+            }
+          if (!incoming.isEmpty) {
+            val existed = cm.exists(collectionName)
+            if (existed) cm.update(collectionName, incoming)
+            else cm.create(collectionName, incoming)
+            if (dedupOnArrival) cm.appendMinhashSigs(collectionName, incoming)
+            if (appendIvf) cm.ivfIndex(collectionName).foreach { ivf =>
+              val batchIds = incoming.select(col("id")).distinct()
+              ivf.append(cm.chunks(collectionName)
+                .join(batchIds, col("documentId") === col("id"), "left_semi"))
+            }
           }
         }
         ()

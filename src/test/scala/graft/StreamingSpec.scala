@@ -82,6 +82,53 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(cm.readManifest("wc").numberOfChunks === chunksNow)
   }
 
+  test("watch --dedup drops arriving near-dups against the persisted signatures") {
+    val tmp = Files.createTempDirectory("graft-watch-dedup")
+    val dataDir = s"$tmp/collections"
+    val inbox = Files.createDirectory(tmp.resolve("inbox"))
+    def watch(): Unit =
+      graft.api.Cli.run(Array("watch", "--collection", "dd", "--path",
+        inbox.toString, "--data-dir", dataDir, "--once", "--dedup",
+        "--chunk-size", "60", "--chunk-overlap", "10"), spark)
+
+    val body = "the quick brown fox jumps over the lazy dog near the river bank today"
+    Files.writeString(inbox.resolve("orig.txt"), body)
+    watch()
+    val cm = new CollectionManager(spark, dataDir,
+      HashingEmbedder.default, new TextSplitter(60, 10))
+    assert(cm.readManifest("dd").numberOfDocuments === 1)
+    assert(cm.minhashSigs("dd").get.count() === 1)
+
+    // batch 2: a near-identical copy (one word changed) plus a distinct doc —
+    // the copy must be dropped, the distinct doc indexed
+    Files.writeString(inbox.resolve("copy.txt"),
+      body.replace("today", "yesterday"))
+    Files.writeString(inbox.resolve("fresh.txt"),
+      "completely unrelated quarterly revenue figures for the planning meeting")
+    watch()
+    val ids = cm.documents("dd").select("id").collect().map(_.getString(0)).toSet
+    assert(ids === Set("orig.txt", "fresh.txt"), s"got $ids")
+    // only survivors extend the signature table
+    assert(cm.minhashSigs("dd").get.count() === 2)
+
+    // re-ticking with nothing new changes nothing
+    watch()
+    assert(cm.readManifest("dd").numberOfDocuments === 2)
+
+    // self-match exclusion, operator level (the file stream source never
+    // re-emits an overwritten path, so a replacement arrives via the batch
+    // update path): a changed revision colliding ONLY with its own stale
+    // signature must not be flagged — it must replace, not be blocked
+    import spark.implicits._
+    val changed = Seq(("orig.txt", body + " with a fresh closing sentence"))
+      .toDF("id", "text")
+    val flag = graft.operators.Dedup
+      .incrementalNearDups(changed, cm.minhashSigs("dd").get, "id", "text")
+      .collect().head
+    assert(!flag.getAs[Boolean]("is_dup"),
+      "a doc's own stale signature must not block its replacement")
+  }
+
   test("streaming update keeps the chunk-id sequence continuous across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
