@@ -226,6 +226,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"the OR-of-ANDs must not degrade the join, plan:\n$p")
   }
 
+  test("q21: all three fact self-joins key their exchanges on the orderkey") {
+    val p = plan("q21_waiting")
+    // the EXISTS/NOT-EXISTS decorrelation must stay semi/anti hash joins with
+    // the suppkey inequality as a residual — never a nested loop
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // every fact-side hash exchange keys on an orderkey alias, so the three
+    // self-referencing sides co-partition and AQE can chain the stages
+    val factEx = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(l_orderkey") ||
+      l.contains("Exchange hashpartitioning(ok")).toSeq
+    val otherEx = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+      !l.contains("l_orderkey") && !l.contains("(ok") &&
+      !l.contains("s_suppkey") && !l.contains("l_suppkey") &&
+      !l.contains("s_name")).toSeq // the final (s_name, n_name) aggregation
+    assert(otherEx.isEmpty,
+      s"unexpected non-orderkey/supplier exchange:\n${otherEx.mkString("\n")}")
+  }
+
   test("semantic dedup: cluster-keyed pair join, never a cartesian product") {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
