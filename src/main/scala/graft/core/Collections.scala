@@ -81,7 +81,10 @@ final class CollectionManager(
     else None
 
   /** Append the minhash signatures of `docs` (id, text) to the signature
-    * table, creating it on first call.
+    * table, creating it on first call. Append-only: a replaced document
+    * leaves its previous revision's row behind (same trade as IVF appends) —
+    * harmless for gating because self-matches are excluded and an extra row
+    * only adds a candidate; [[delete]] prunes all of an id's rows.
     */
   def appendMinhashSigs(name: String, docs: DataFrame): Unit =
     graft.operators.Dedup.minhashSignatures(docs.select("id", "text"), "id", "text")
@@ -287,6 +290,16 @@ final class CollectionManager(
     if (fs.exists(new Path(s"$ivfDir/centroids")))
       new graft.operators.IvfVectorIndexer(spark, ivfDir, embedder)
         .refresh(spark.read.parquet(chunksPath(name)))
+
+    // dedup-on-arrival signatures follow the documents: a deleted doc's stale
+    // signature must not block re-ingesting similar content later
+    if (fs.exists(new Path(sigsPath(name)))) {
+      val keptSigs = spark.read.parquet(sigsPath(name))
+        .join(idDf.select(col("id").as("ex_id")), Seq("ex_id"), "left_anti")
+      val sigsStaging = s"${sigsPath(name)}__staging"
+      keptSigs.write.mode(SaveMode.Overwrite).parquet(sigsStaging)
+      swap(sigsStaging, sigsPath(name))
+    }
 
     val stats = spark.read.parquet(chunksPath(name))
       .agg(count("*").as("n"), coalesce(max("chunkId"), lit(-1L)).as("maxId"),

@@ -127,6 +127,11 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .collect().head
     assert(!flag.getAs[Boolean]("is_dup"),
       "a doc's own stale signature must not block its replacement")
+
+    // delete prunes the deleted doc's signatures: similar content may return
+    cm.delete("dd", Seq("fresh.txt"))
+    assert(cm.minhashSigs("dd").get.collect().map(_.getAs[String]("ex_id")).toSeq
+      === Seq("orig.txt"))
   }
 
   test("streaming update keeps the chunk-id sequence continuous across batches") {
