@@ -241,6 +241,21 @@ object Cli {
         curated.write.mode("overwrite").parquet(out)
         val (nIn, nOut) = (docs.count(), spark.read.parquet(out).count())
         println(s"""{"in":$nIn,"out":$nOut,"dropped":${nIn - nOut},"path":"$out"}""")
+      case "fsck" =>
+        // Consistency audit: manifest drift, orphan/duplicate chunks, index
+        // divergence — counts-only, safe to run against a live collection.
+        val report = cm.fsck(req("collection")).collect()
+        val rows = report.map { r =>
+          s"""{"check":"${r.getString(0)}","expected":${r.getLong(1)},""" +
+            s""""actual":${r.getLong(2)},"ok":${r.getBoolean(3)}}"""
+        }
+        println(rows.mkString("[", ",", "]"))
+        if (report.exists(!_.getBoolean(3))) System.err.println(
+          s"[fsck] ${report.count(!_.getBoolean(3))} check(s) failed")
+      case "reindex" =>
+        val name = req("collection")
+        cm.reindex(name)
+        println(s"""{"reindexed": "$name"}""")
       case "export" =>
         // Sharded gzip-JSONL handoff to a tokenizer/training pipeline:
         // parquet in → Export.jsonlShards → shard=K dirs + _manifest.
@@ -278,6 +293,8 @@ object Cli {
             |  compact --path P [--target-mb 256] [--min-avg-mb 32]
             |  stats --in P [--text-col text] [--lang-col lang]
             |  export --in P --out P [--shards 64] [--id-col doc_id] [--cols a,b,c]
+            |  fsck --collection N           consistency audit (counts-only, live-safe)
+            |  reindex --collection N        rebuild BM25 + IVF from the chunks table
             |""".stripMargin)
       case "delete" =>
         // delete --name <collection> --ids a,b,c (reference: remove_ids path)

@@ -314,6 +314,68 @@ final class CollectionManager(
     m
   }
 
+  /** Consistency audit over the collection's tables and derived indexes —
+    * the fsck a long-lived index needs after crashes, partial writes, or
+    * operator error. Every check is a count or an id anti-join on narrow
+    * projections; no text or vector column is read. Returns one row per
+    * check: (check, expected, actual, ok).
+    */
+  def fsck(name: String): DataFrame = {
+    import spark.implicits._
+    val m = readManifest(name)
+    val docs = spark.read.parquet(docsPath(name)).select("id")
+    val ch = spark.read.parquet(chunksPath(name)).select("chunkId", "documentId")
+    val nDocs = docs.count()
+    val nChunks = ch.count()
+    val maxChunkId = ch.agg(coalesce(max("chunkId"), lit(-1L))).head().getLong(0)
+    val dupChunkIds = nChunks - ch.select("chunkId").distinct().count()
+    val orphanChunks = ch.join(docs.withColumnRenamed("id", "documentId"),
+      Seq("documentId"), "left_anti").count()
+    val chunklessDocs = docs.join(ch.select(col("documentId").as("id")),
+      Seq("id"), "left_anti").count()
+    val base = Seq(
+      ("manifest_documents", nDocs, m.numberOfDocuments.toLong),
+      ("manifest_chunks", nChunks, m.numberOfChunks.toLong),
+      ("chunk_id_within_hwm", maxChunkId, math.min(maxChunkId, m.lastIndexItemId)),
+      ("duplicate_chunk_ids", 0L, dupChunkIds),
+      ("orphan_chunks", 0L, orphanChunks),
+      ("chunkless_documents", 0L, chunklessDocs))
+    val bm25 =
+      if (fs.exists(new Path(s"${bm25Dir(name)}/postings")))
+        Seq(("bm25_stray_postings", 0L,
+          spark.read.parquet(s"${bm25Dir(name)}/postings")
+            .select(col("docId").as("chunkId")).distinct()
+            .join(ch.select("chunkId"), Seq("chunkId"), "left_anti").count()))
+      else Nil
+    val ivf = ivfIndex(name).map(ix =>
+      ("ivf_size_matches_chunks", nChunks, ix.size)).toSeq
+    val sigs =
+      if (fs.exists(new Path(sigsPath(name))))
+        Seq(("dedup_sigs_without_doc", 0L,
+          spark.read.parquet(sigsPath(name))
+            .select(col("ex_id").as("id")).distinct()
+            .join(docs, Seq("id"), "left_anti").count()))
+      else Nil
+    (base ++ bm25 ++ ivf ++ sigs)
+      .map { case (c, e, a) => (c, e, a, e == a) }
+      .toDF("check", "expected", "actual", "ok")
+  }
+
+  /** Rebuild every derived index from the chunks table: BM25 postings
+    * always; the IVF index when one exists, with FRESH centroid training at
+    * the same list count — the churn repair for long-running streamed
+    * collections whose append-only IVF assignment has drifted from the
+    * frozen centroids.
+    */
+  def reindex(name: String): Unit = {
+    bm25Indexer(name).index(spark.read.parquet(chunksPath(name)))
+    if (ivfIndex(name).isDefined) {
+      val lists = spark.read.parquet(s"${dir(name)}/indexes/ivf/centroids")
+        .count().toInt // preserve the existing list count
+      buildIvfIndex(name, nLists = lists)
+    }
+  }
+
   /** Swap staging into place via rename-to-backup first: a crash between steps
     * leaves either the old table (backup not yet renamed away is recoverable) or
     * the new one — never a missing directory, unlike delete-then-rename.

@@ -205,4 +205,39 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
     val hits = cm.search("c3", "stream processing").collect()
     assert(hits.map(_.getString(0)).contains("d4"))
   }
+
+  test("fsck: green on a healthy collection, pinpoints planted corruption") {
+    val tmp = Files.createTempDirectory("graft-fsck").toString
+    val cm = mkManager(tmp)
+    cm.create("fc", rawDocs(docsV1))
+    cm.buildIvfIndex("fc", nLists = 2, nProbe = 2)
+
+    val healthy = cm.fsck("fc").collect()
+    assert(healthy.nonEmpty && healthy.forall(_.getAs[Boolean]("ok")),
+      s"healthy collection must pass every check:\n${healthy.mkString("\n")}")
+    val checks = healthy.map(_.getAs[String]("check")).toSet
+    assert(checks.contains("bm25_stray_postings") &&
+      checks.contains("ivf_size_matches_chunks"))
+
+    // plant corruption: an orphan chunk row (documentId with no document)
+    // with a duplicated chunkId, appended straight into the chunks table
+    val chunksDir = s"$tmp/fc/chunks"
+    val ghost = spark.read.parquet(chunksDir).limit(1)
+      .withColumn("documentId", lit("ghost"))
+    ghost.write.mode("append").parquet(chunksDir)
+
+    val report = cm.fsck("fc").collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Boolean]("ok")).toMap
+    assert(!report("orphan_chunks"))
+    assert(!report("duplicate_chunk_ids"))
+    assert(!report("manifest_chunks"))
+    assert(report("chunkless_documents")) // untouched dimension stays green
+
+    // reindex rebuilds the derived indexes from the (corrupted) chunks table
+    // and fsck's index-consistency checks go green again against it
+    cm.reindex("fc")
+    val after = cm.fsck("fc").collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Boolean]("ok")).toMap
+    assert(after("bm25_stray_postings") && after("ivf_size_matches_chunks"))
+  }
 }
