@@ -164,8 +164,13 @@ object Cli {
           dedupOnArrival = flags.contains("dedup"),
           trigger = trigger).start()
         q.awaitTermination()
-        val man = cm.readManifest(name)
-        println(s"""{"watched": "$name", "documents": ${man.numberOfDocuments}, "chunks": ${man.numberOfChunks}}""")
+        // zero files may have arrived before the first tick — the collection
+        // then doesn't exist yet, which is a no-op, not a crash
+        if (cm.exists(name)) {
+          val man = cm.readManifest(name)
+          println(s"""{"watched": "$name", "documents": ${man.numberOfDocuments}, "chunks": ${man.numberOfChunks}}""")
+        } else
+          println(s"""{"watched": "$name", "documents": 0, "chunks": 0}""")
       case "search" =>
         val maxDocs = opt("max-docs").map(_.toInt).getOrElse(5)
         val result = cm.search(req("collection"), req("query"),

@@ -80,16 +80,28 @@ final class CollectionManager(
       Some(spark.read.parquet(sigsPath(name)))
     else None
 
-  /** Append the minhash signatures of `docs` (id, text) to the signature
-    * table, creating it on first call. Append-only: a replaced document
-    * leaves its previous revision's row behind (same trade as IVF appends) —
-    * harmless for gating because self-matches are excluded and an extra row
-    * only adds a candidate; [[delete]] prunes all of an id's rows.
+  /** Upsert the minhash signatures of `docs` (id, text) into the signature
+    * table, creating it on first call. Replace semantics per id: an id being
+    * re-appended prunes its previous revision first — a stale signature for
+    * text no longer in the corpus would silently block genuinely new content
+    * that resembles the OLD revision (the same hazard [[delete]] prunes
+    * for). The prune is an anti-join rewrite of a 5-column table — narrow,
+    * but O(table) per call; fine at watch-tick frequency, batch your calls
+    * if ticking sub-second.
     */
-  def appendMinhashSigs(name: String, docs: DataFrame): Unit =
-    graft.operators.Dedup.minhashSignatures(docs.select("id", "text"), "id", "text")
+  def appendMinhashSigs(name: String, docs: DataFrame): Unit = {
+    val fresh = graft.operators.Dedup
+      .minhashSignatures(docs.select("id", "text"), "id", "text")
       .withColumnRenamed("id", "ex_id")
-      .write.mode("append").parquet(sigsPath(name))
+    if (fs.exists(new Path(sigsPath(name)))) {
+      val kept = spark.read.parquet(sigsPath(name))
+        .join(fresh.select("ex_id"), Seq("ex_id"), "left_anti")
+      val staging = s"${sigsPath(name)}__staging"
+      kept.unionByName(fresh).write.mode(SaveMode.Overwrite).parquet(staging)
+      swap(staging, sigsPath(name))
+    } else
+      fresh.write.mode("append").parquet(sigsPath(name))
+  }
 
   // ------------------------------------------------------------------ manifest IO
 
@@ -211,7 +223,8 @@ final class CollectionManager(
         s"uses '${embedder.name}' — construct the CollectionManager with the matching embedder")
   }
 
-  def update(name: String, changedRawDocs: DataFrame): Model.Manifest = {
+  def update(name: String, changedRawDocs: DataFrame,
+             refreshIvf: Boolean = true): Model.Manifest = {
     val old = readManifest(name)
     // updating with a mismatched embedder would interleave incompatible
     // vectors with the kept chunks — same guard as search, before any write
@@ -244,8 +257,12 @@ final class CollectionManager(
     // If an IVF index was built, refresh its assignment against the frozen
     // centroids — otherwise vector_ivf would keep serving deleted chunks and
     // miss the replacements (BM25 gets its rebuild above; IVF must follow).
+    // Streaming callers pass refreshIvf = false and APPEND only the batch's
+    // chunks instead (StreamingUpdate) — a full per-batch reassignment is the
+    // wrong cost shape for a ticking watcher, and doing both would
+    // double-index every batch.
     val ivfDir = s"${dir(name)}/indexes/ivf"
-    if (fs.exists(new Path(s"$ivfDir/centroids")))
+    if (refreshIvf && fs.exists(new Path(s"$ivfDir/centroids")))
       new graft.operators.IvfVectorIndexer(spark, ivfDir, embedder)
         .refresh(spark.read.parquet(chunksPath(name)))
 

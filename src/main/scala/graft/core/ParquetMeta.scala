@@ -27,16 +27,31 @@ object ParquetMeta {
     * (recursive — partitioned layouts like `listId=N/` subdirs included).
     * Returns 0 for an empty or not-yet-written directory rather than
     * throwing: an index with no artifact has size 0.
+    *
+    * Files under `_`- or `.`-prefixed path segments (e.g. an in-flight
+    * write's `_temporary/`) are skipped, matching what `spark.read.parquet`
+    * would load — otherwise a crashed write would over-count forever.
     */
   def rowCount(conf: Configuration, dir: String): Long = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return 0L
+    val qualifiedRoot = fs.getFileStatus(root).getPath
+    def hidden(p: Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != qualifiedRoot) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") && !hidden(f.getPath))
+        files += f
     }
     // footer reads are independent metadata fetches — parallelize across files
     files.toVector.par.map { f =>

@@ -177,8 +177,13 @@ object Dedup {
         val nDocs = docs.select(col(idCol)).count()
         math.max(2L, math.ceil(maxFingerprintDfFraction * nDocs).toLong)
       }
+    // NOT persisted: the returned DataFrame outlives this call, so a cache
+    // here could never be unpersisted and would pin storage for the app's
+    // lifetime. The df aggregate instead runs twice — once (map-side
+    // combined, narrow) for the visibility stats action below, once inside
+    // the consumed plan — a deliberate one-extra-pass trade for zero
+    // retained state.
     val dfCounts = ex.groupBy("fp").agg(count(lit(1)).as("_df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = dfCounts.agg(
       count(lit(1)).as("n_fp"),
       sum(when(col("_df") > cap, 1L).otherwise(0L)).as("n_dropped")).head()

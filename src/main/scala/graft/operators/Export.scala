@@ -50,7 +50,8 @@ object Export {
     val manifest = lines
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("line")).cast("long") + 1L).as("n_bytes"))
+        // octet_length, not length: multi-byte UTF-8 must count as bytes
+        sum(octet_length(col("line")).cast("long") + 1L).as("n_bytes"))
       .orderBy("shard_id")
     manifest.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/_manifest")

@@ -35,13 +35,17 @@ object StreamingUpdate {
     * `dedupOnArrival`: gate each batch against the collection's persisted
     * minhash signature table ([[graft.operators.Dedup.incrementalNearDups]])
     * — an arriving document that is a near-dup of anything already indexed is
-    * dropped before the merge, and survivors append their own signatures.
-    * The signature table is 5 narrow columns per document; the corpus text is
-    * never re-read, and the batch side broadcasts — the shape that stays
-    * cheap when the collection is large and batches are small. Duplicates
-    * WITHIN one batch are not cross-checked (they land and are caught when
-    * the next batch arrives against their signatures); run a batch
-    * `Dedup.minhashLsh` pass when intra-batch duplication matters.
+    * dropped before the merge, and survivors upsert their own signatures.
+    * Enabling it on a collection that predates the signature table BACKFILLS
+    * signatures from the existing documents once (one pass over the corpus
+    * text, on the first gated batch) — otherwise the pre-existing corpus
+    * would never gate anything. After that the signature table is 5 narrow
+    * columns per document; the corpus text is never re-read, and the batch
+    * side broadcasts — the shape that stays cheap when the collection is
+    * large and batches are small. Duplicates WITHIN one batch are not
+    * cross-checked (they land and are caught when the next batch arrives
+    * against their signatures); run a batch `Dedup.minhashLsh` pass when
+    * intra-batch duplication matters.
     *
     * `trigger`: AvailableNow by default (drain what's there, then stop — the
     * catch-up / cron shape); pass ProcessingTime for a long-running watcher.
@@ -59,29 +63,41 @@ object StreamingUpdate {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val incoming =
-            if (!dedupOnArrival) batch
-            else cm.minhashSigs(collectionName) match {
-              case Some(sigs) =>
-                val keep = graft.operators.Dedup
-                  .incrementalNearDups(batch, sigs, "id", "text")
-                  .filter(!col("is_dup")).select("id")
-                batch.join(keep, Seq("id"), "left_semi")
-              case None => batch // first batch: nothing indexed to collide with
-            }
-          if (!incoming.isEmpty) {
+        // the batch plan re-parses every document's binary content on each
+        // reference (isEmpty probes, the merge's three reads, sig upsert, IVF
+        // ids) — pin it for the closure's lifetime
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
             val existed = cm.exists(collectionName)
-            if (existed) cm.update(collectionName, incoming)
-            else cm.create(collectionName, incoming)
-            if (dedupOnArrival) cm.appendMinhashSigs(collectionName, incoming)
-            if (appendIvf) cm.ivfIndex(collectionName).foreach { ivf =>
-              val batchIds = incoming.select(col("id")).distinct()
-              ivf.append(cm.chunks(collectionName)
-                .join(batchIds, col("documentId") === col("id"), "left_semi"))
+            if (dedupOnArrival && existed && cm.minhashSigs(collectionName).isEmpty)
+              cm.appendMinhashSigs(collectionName, cm.documents(collectionName))
+            val incoming =
+              if (!dedupOnArrival) batch
+              else cm.minhashSigs(collectionName) match {
+                case Some(sigs) =>
+                  val keep = graft.operators.Dedup
+                    .incrementalNearDups(batch, sigs, "id", "text")
+                    .filter(!col("is_dup")).select("id")
+                  batch.join(keep, Seq("id"), "left_semi").persist()
+                case None => batch // brand-new collection: nothing to collide with
+              }
+            if (!incoming.isEmpty) {
+              // appendIvf suppresses the merge's full IVF reassignment — the
+              // batch's chunks APPEND instead (doing both double-indexes)
+              if (existed) cm.update(collectionName, incoming,
+                refreshIvf = !appendIvf)
+              else cm.create(collectionName, incoming)
+              if (dedupOnArrival) cm.appendMinhashSigs(collectionName, incoming)
+              if (appendIvf) cm.ivfIndex(collectionName).foreach { ivf =>
+                val batchIds = incoming.select(col("id")).distinct()
+                ivf.append(cm.chunks(collectionName)
+                  .join(batchIds, col("documentId") === col("id"), "left_semi"))
+              }
             }
+            if (incoming ne batch) incoming.unpersist()
           }
-        }
+        } finally batch.unpersist()
         ()
       }
 

@@ -62,6 +62,16 @@ class ExportSpec extends AnyFunSuite with SparkSuite {
     assert(back.columns.toSet === Set("doc_id", "text", "shard_id")) // no lang
   }
 
+  test("manifest n_bytes counts UTF-8 octets, not characters") {
+    val out = Files.createTempDirectory("graft-export-utf8").toString
+    val df = Seq((1L, "héllo wörld — ünïcode ✓")).toDF("doc_id", "text")
+    val manifest = Export.jsonlShards(df, "doc_id", out, nShards = 1).collect()
+    val line = spark.read.text(out).collect().head.getString(0)
+    assert(line.getBytes("UTF-8").length > line.length, "fixture must be multi-byte")
+    assert(manifest.head.getAs[Long]("n_bytes")
+      === line.getBytes("UTF-8").length + 1L)
+  }
+
   test("CLI export: parquet in → shards + one-line JSON summary") {
     val in = Files.createTempDirectory("graft-export-in").toString
     val out = Paths.get(Files.createTempDirectory("graft-export-cli").toString, "sh").toString

@@ -137,6 +137,20 @@ class IndexersSpec extends AnyFunSuite with SparkSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("Indexer.size ignores _temporary debris a crashed write leaves behind") {
+    val (cm, _, dir) = setup()
+    val flat = new VectorIndexer(spark, s"$dir/chunks", new HashingEmbedder(dim = 16))
+    val before = flat.size
+    val chunksDir = new java.io.File(s"$dir/chunks")
+    val part = chunksDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val tmp = new java.io.File(chunksDir, "_temporary/0")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(tmp, part.getName).toPath)
+    assert(flat.size === before,
+      "in-flight/_temporary files must not count — spark.read would skip them")
+  }
+
   test("IVF append: new vectors join the frozen-centroid index incrementally") {
     import org.apache.spark.sql.functions._
     val (cm, _, dir) = setup()

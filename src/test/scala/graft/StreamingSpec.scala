@@ -70,6 +70,13 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(cm.readManifest("wc").numberOfDocuments === 3)
     val ivfAfter = cm.ivfIndex("wc").get
     assert(ivfAfter.size > sizeBefore, "IVF index must grow by the appended batch")
+    // the merge skipped its full reassignment (refreshIvf=false) and the
+    // append indexed the batch exactly once — fsck's size check proves no
+    // chunk was double-indexed
+    val fsckIvf = cm.fsck("wc").collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Boolean]("ok")).toMap
+    assert(fsckIvf("ivf_size_matches_chunks"),
+      "per-batch append must not double-index on top of the merge's refresh")
     // the appended doc is findable through the IVF index itself
     val hits = ivfAfter.search("zeppelin notebooks quarterly", 5, None)
       .join(cm.chunks("wc").select(col("chunkId"), col("documentId")), "chunkId")
@@ -132,6 +139,34 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     cm.delete("dd", Seq("fresh.txt"))
     assert(cm.minhashSigs("dd").get.collect().map(_.getAs[String]("ex_id")).toSeq
       === Seq("orig.txt"))
+  }
+
+  test("watch --dedup backfills signatures for a collection that predates them") {
+    val tmp = Files.createTempDirectory("graft-watch-backfill")
+    val dataDir = s"$tmp/collections"
+    val seed = Files.createDirectory(tmp.resolve("seed"))
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Files.writeString(seed.resolve("seed.txt"), body)
+    graft.api.Cli.run(Array("create-files", "--collection", "bf",
+      "--path", seed.toString, "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10"), spark)
+    val cm = new CollectionManager(spark, dataDir,
+      HashingEmbedder.default, new TextSplitter(60, 10))
+    assert(cm.minhashSigs("bf").isEmpty, "batch create predates the sig table")
+
+    // first --dedup tick: the existing corpus backfills, so a near-dup of
+    // the PRE-EXISTING doc is caught even though no sig table existed
+    val inbox = Files.createDirectory(tmp.resolve("inbox"))
+    Files.writeString(inbox.resolve("dup.txt"), body.replace("mu", "nu"))
+    Files.writeString(inbox.resolve("new.txt"),
+      "totally different content about streaming backfill checks")
+    graft.api.Cli.run(Array("watch", "--collection", "bf",
+      "--path", inbox.toString, "--data-dir", dataDir, "--once", "--dedup",
+      "--chunk-size", "60", "--chunk-overlap", "10"), spark)
+
+    val ids = cm.documents("bf").select("id").collect().map(_.getString(0)).toSet
+    assert(ids === Set("seed.txt", "new.txt"), s"got $ids")
+    assert(cm.minhashSigs("bf").get.count() === 2) // backfilled seed + survivor
   }
 
   test("streaming update keeps the chunk-id sequence continuous across batches") {
