@@ -1940,6 +1940,32 @@ object Queries {
     * Spark cut over-fetches raw then cuts on the ROUNDED distance with an id
     * tie-break, mirroring the oracle exactly.
     */
+  /** Shared DuckDB CTE block replaying PQ fit (vec_id 1..16 sub-vectors as
+    * centroids) + encode + ADC against the vec_id=0 query — ends with the
+    * `adc` table (vec_id, adc); [[annPqAdc]] and [[annPqRerank]] build on it.
+    */
+  private def pqAdcCtes: String =
+    s"""WITH grid AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       |cent AS (SELECT g.sub, e.vec_id - 1 AS cid,
+       |    e.embedding[g.sub*8+1 : g.sub*8+8] AS cvec
+       |  FROM grid g CROSS JOIN
+       |    (SELECT vec_id, embedding FROM embeddings WHERE vec_id BETWEEN 1 AND 16) e),
+       |subs AS (SELECT v.vec_id, g.sub, v.embedding[g.sub*8+1 : g.sub*8+8] AS svec
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0) v
+       |  CROSS JOIN grid g),
+       |enc AS (SELECT vec_id, sub, cid FROM (
+       |    SELECT v.vec_id, v.sub, c.cid, ${l2Sql("v.svec", "c.cvec")} AS dc,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+       |                         ORDER BY dc ASC, c.cid ASC) AS rn
+       |    FROM subs v JOIN cent c ON v.sub = c.sub) WHERE rn = 1),
+       |q0 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+       |lut AS (SELECT c.sub, c.cid,
+       |    ${l2Sql("c.cvec", "q.e[c.sub*8+1 : c.sub*8+8]")} AS qd
+       |  FROM cent c CROSS JOIN q0 q),
+       |adc AS (SELECT e.vec_id, sum(l.qd) AS adc
+       |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.cid = l.cid
+       |  GROUP BY e.vec_id)""".stripMargin
+
   private val annPqAdc = Q(
     (s, d) => {
       val emb = D.embeddings(s, d)
@@ -1952,28 +1978,67 @@ object Queries {
         .select(col("vec_id"), round(col("adc"), 6).as("adc"))
         .orderBy(col("adc"), col("vec_id")).limit(10)
     },
-    Some(s"""WITH grid AS (SELECT unnest(generate_series(0, 7)) AS sub),
-            |cent AS (SELECT g.sub, e.vec_id - 1 AS cid,
-            |    e.embedding[g.sub*8+1 : g.sub*8+8] AS cvec
-            |  FROM grid g CROSS JOIN
-            |    (SELECT vec_id, embedding FROM embeddings WHERE vec_id BETWEEN 1 AND 16) e),
-            |subs AS (SELECT v.vec_id, g.sub, v.embedding[g.sub*8+1 : g.sub*8+8] AS svec
-            |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0) v
-            |  CROSS JOIN grid g),
-            |enc AS (SELECT vec_id, sub, cid FROM (
-            |    SELECT v.vec_id, v.sub, c.cid, ${l2Sql("v.svec", "c.cvec")} AS dc,
-            |      row_number() OVER (PARTITION BY v.vec_id, v.sub
-            |                         ORDER BY dc ASC, c.cid ASC) AS rn
-            |    FROM subs v JOIN cent c ON v.sub = c.sub) WHERE rn = 1),
-            |q0 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
-            |lut AS (SELECT c.sub, c.cid,
-            |    ${l2Sql("c.cvec", "q.e[c.sub*8+1 : c.sub*8+8]")} AS qd
-            |  FROM cent c CROSS JOIN q0 q),
-            |adc AS (SELECT e.vec_id, sum(l.qd) AS adc
-            |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.cid = l.cid
-            |  GROUP BY e.vec_id)
+    Some(s"""$pqAdcCtes
             |SELECT vec_id, round(adc, 6) AS adc FROM adc
             |ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin))
+
+  /** ADC shortlist → exact re-rank ([[graft.operators.Pq.adcRerankTopK]] —
+    * FAISS `IndexRefineFlat`): the quantized scan over-fetches 50 candidates,
+    * their full-precision vectors re-score with exact L2 via a PUSHED-DOWN
+    * IN-list point lookup, and the true top-10 wins. The oracle replays both
+    * stages, so the gate proves the refined order — not just the shortlist —
+    * matches.
+    */
+  private val annPqRerank = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d)
+      val model = graft.operators.Pq.fitFromIds(
+        emb.filter(col("vec_id").between(1, 16)), "vec_id", "embedding",
+        numSub = 8, k = 16)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val codes = graft.operators.Pq.encode(corpus, "vec_id", "embedding", model)
+      graft.operators.Pq.adcRerankTopK(codes, corpus, "vec_id", "code", "embedding",
+          model, queryVec(s, d), k = 10, shortlist = 50)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    },
+    Some(s"""$pqAdcCtes,
+            |short AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id LIMIT 50),
+            |rer AS (SELECT e.vec_id, ${l2Sql("e.embedding", "q.e")} AS dist
+            |  FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q0 q)
+            |SELECT vec_id, round(dist, 6) AS dist FROM rer
+            |ORDER BY round(dist, 6) ASC, vec_id LIMIT 10""".stripMargin))
+
+  /** Late-interaction maxsim ([[Search.maxSimTopK]], ColBERT-style): docs are
+    * 50 vector-bags (vec_id mod 50 over the corpus vectors), the query is
+    * vec_ids 0–2; score = Σ_q max_doc-vec cosine. One doc-keyed hash
+    * aggregate with per-query codegen'd max columns — no join, no explode.
+    * Per-query maxima round to 6dp before a FIXED-ORDER sum on both engines,
+    * so the gate hashes the exact scores.
+    */
+  private val t1cMaxsim = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d)
+      val qvs = emb.filter(col("vec_id").between(0, 2)).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      val corpus = emb.filter(col("vec_id") >= 5)
+        .select((col("vec_id") % 50).as("doc"), col("embedding"))
+      Search.maxSimTopK(corpus, "doc", "embedding", qvs, 10)
+    },
+    Some(s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qv
+            |  FROM embeddings WHERE vec_id BETWEEN 0 AND 2),
+            |corpus AS (SELECT vec_id % 50 AS doc, embedding
+            |  FROM embeddings WHERE vec_id >= 5),
+            |sims AS (SELECT doc, qid, ${cosSql("embedding", "qv")} AS s
+            |  FROM corpus CROSS JOIN qs),
+            |mx AS (SELECT doc,
+            |    round(max(CASE WHEN qid = 0 THEN s END), 6) AS m0,
+            |    round(max(CASE WHEN qid = 1 THEN s END), 6) AS m1,
+            |    round(max(CASE WHEN qid = 2 THEN s END), 6) AS m2
+            |  FROM sims GROUP BY doc)
+            |SELECT doc, round(m0 + m1 + m2, 6) AS maxsim FROM mx
+            |ORDER BY round(m0 + m1 + m2, 6) DESC, doc LIMIT 10""".stripMargin))
 
   /** Full IVF-PQ composition ([[graft.operators.Ann]] coarse lists ×
     * [[graft.operators.Pq]] codes): probe the 4 lists nearest the query,
@@ -2155,6 +2220,57 @@ object Queries {
            |  FROM documents)
            |SELECT w.doc_id, w.source, CAST(floor((o + before) / 5000) AS BIGINT) AS shard_id
            |FROM w JOIN off USING (source) ORDER BY doc_id""".stripMargin))
+
+  /** Deterministic per-epoch training-order shuffle
+    * ([[graft.operators.Curation.epochShuffle]]): shard and within-shard
+    * position are pure functions of (doc_id, epoch) — the oracle re-deals the
+    * identical order from the same md5 draw, proving reruns and re-partitions
+    * cannot change what the loader streams. Per-row hash + per-shard windows;
+    * no global sort.
+    */
+  private val sampleEpochShuffle = Q(
+    (s, d) => graft.operators.Curation.epochShuffle(
+        D.documents(s, d).select("doc_id"), "doc_id", epoch = 3, nShards = 8)
+      .select(col("doc_id"), col("shard_id"), col("shard_pos"))
+      .orderBy("doc_id"),
+    Some(s"""WITH h AS (SELECT doc_id,
+            |    substring(md5('epoch3:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+            |  FROM documents),
+            |v AS (SELECT doc_id,
+            |    CAST(${graft.operators.Curation.hash32DigitSumSql("hx")} AS BIGINT) AS hv
+            |  FROM h)
+            |SELECT doc_id, hv % 8 AS shard_id,
+            |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+            |    AS BIGINT) AS shard_pos
+            |FROM v ORDER BY doc_id""".stripMargin))
+
+  /** PMI collocation mining ([[graft.operators.TextAnalysis.collocations]]):
+    * top-25 word pairs by pointwise mutual information with a min-count floor
+    * of 5 — corpus-level phrase discovery (the word2vec phrase pass). One
+    * pair-keyed aggregate + broadcast vocab joins; the oracle replays counts
+    * and the ln exactly (6dp round absorbs libm's last ulp, the BM25-idf
+    * trade).
+    */
+  private val textCollocations = Q(
+    (s, d) => graft.operators.TextAnalysis.collocations(
+      D.documents(s, d), "text", minCount = 5L, topK = 25),
+    Some("""WITH d AS (
+           |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           |                     x -> x <> '') AS ts
+           |  FROM documents),
+           |pairs AS (
+           |  SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS p
+           |  FROM d WHERE len(ts) >= 2),
+           |bg AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c_ab
+           |  FROM pairs GROUP BY 1, 2),
+           |ug AS (SELECT w, count(*) AS c_w FROM
+           |  (SELECT unnest(ts) AS w FROM d) GROUP BY w),
+           |n AS (SELECT sum(c_ab) AS n_total FROM bg)
+           |SELECT w1, w2, c_ab,
+           |  round(ln(CAST(c_ab * n_total AS DOUBLE) / (a.c_w * b.c_w)), 6) AS pmi
+           |FROM bg JOIN ug a ON bg.w1 = a.w JOIN ug b ON bg.w2 = b.w CROSS JOIN n
+           |WHERE c_ab >= 5
+           |ORDER BY pmi DESC, w1, w2 LIMIT 25""".stripMargin))
 
   /** Embedding-space cluster assignment + per-cluster stats
     * ([[graft.operators.Ann.assignListsWithDist]] with fixed centroids —
@@ -3064,6 +3180,10 @@ object Queries {
     "curate_domain_cap" -> curateDomainCap,
     "dedup_spans" -> dedupSpans,
     "ann_pq_adc" -> annPqAdc,
+    "ann_pq_rerank" -> annPqRerank,
+    "t1c_maxsim" -> t1cMaxsim,
+    "sample_epoch_shuffle" -> sampleEpochShuffle,
+    "text_collocations" -> textCollocations,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "sample_stratified" -> sampleStratified,
     "sample_pack_shards" -> samplePackShards,

@@ -201,6 +201,33 @@ object Curation {
       .drop("_before")
   }
 
+  /** Deterministic per-epoch training-order shuffle: every epoch re-deals the
+    * corpus into `nShards` shards and a fresh within-shard order, both pure
+    * functions of (id, epoch) — so a restarted run, a re-run on different
+    * parallelism, or a different executor count deals the IDENTICAL order
+    * (the property RNG-based shuffles lose the moment partitioning changes).
+    * Loaders stream shards in shard_id order, rows in shard_pos order; across
+    * epochs each doc lands in a different shard at a different position — the
+    * standard "global shuffle per epoch" pretraining contract without
+    * materializing a permuted copy of the corpus.
+    *
+    * Scale shape: the shard assignment is a per-row hash (no exchange); the
+    * within-shard position is a window partitioned BY SHARD — corpus/nShards
+    * rows per window task, never one global sort. Pick nShards ≳ executor
+    * count; at 100 TB a few thousand shards keeps each window task in memory.
+    *
+    * Output: input columns + (shard_id, shard_pos).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard_id").orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", hash32(col(idCol), s"epoch$epoch:"))
+      .withColumn("shard_id", col("_h") % nShards)
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_h")
+  }
+
   /** First 8 md5 hex chars of (salt ++ id), parsed as an exact BIGINT in
     * [0, 2^32) — the per-row uniform draw behind [[weightedSample]]. Integer
     * math end to end, so Spark (`conv`) and the oracle ([[hash32DigitSumSql]],

@@ -89,6 +89,40 @@ object Search {
       .filter(col("rank") <= k)
   }
 
+  /** Late-interaction (ColBERT-style, Khattab & Zaharia, SIGIR 2020) maxsim
+    * scoring: a document is a BAG of vectors (its chunks' embeddings); the
+    * query is a small set of vectors (its token/phrase embeddings); score =
+    * Σ over query vectors of (max over the doc's vectors of cosine). Captures
+    * fine-grained term-level matching that single-vector pooling averages
+    * away — the quality step between single-vector ANN and a cross-encoder.
+    *
+    * Scale shape: the query vectors are DRIVER-SIDE literals, so each per-query
+    * max is a codegen'd map-side aggregate column — ONE hash aggregate keyed
+    * on the doc id (partial max per partition, then one narrow exchange of
+    * |docs| × |queryVecs| doubles), no join, no explode, vectors never
+    * shuffle. The final top-k is a TakeOrderedAndProject. For query batches
+    * too large to inline, route through [[vectorTopKBatch]] + a grouped max
+    * instead.
+    *
+    * Per-query maxima are rounded to 6dp BEFORE the fixed-order sum so the
+    * oracle (which sums the same rounded maxima in the same literal order)
+    * reproduces the score bit for bit.
+    */
+  def maxSimTopK(vectors: DataFrame, docCol: String, vecCol: String,
+                 queryVecs: Seq[Array[Float]], k: Int): DataFrame = {
+    require(queryVecs.nonEmpty, "need at least one query vector")
+    val maxima = queryVecs.zipWithIndex.map { case (qv, i) =>
+      round(max(cosineF(col(vecCol), typedLit(qv))), 6).as(s"_q$i")
+    }
+    vectors.groupBy(col(docCol))
+      .agg(maxima.head, maxima.tail: _*)
+      .withColumn("maxsim",
+        round(queryVecs.indices.map(i => col(s"_q$i")).reduce(_ + _), 6))
+      .select(col(docCol), col("maxsim"))
+      .orderBy(col("maxsim").desc, col(docCol).asc)
+      .limit(k)
+  }
+
   /** BM25 top-k with the reference's conjunctive semantics (every query term must
     * appear: sqllite_indexer.py:145-150). Robertson k1=1.2 b=0.75; idf =
     * ln(1 + (N - df + 0.5)/(df + 0.5)) — standard Lucene/FTS5-style formulation.

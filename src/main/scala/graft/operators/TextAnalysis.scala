@@ -191,6 +191,51 @@ object TextAnalysis {
     docs.withColumn("fingerprints",
       graft.plans.TextHashFunctions.winnowFingerprint(col(textCol), k, w))
 
+  /** Corpus-level collocation mining by pointwise mutual information —
+    * phrase discovery over a pretraining corpus (the word2vec phrase pass,
+    * Mikolov et al. 2013 §4): PMI = ln(c_ab · N / (c_a · c_b)) over corpus
+    * bigram/unigram counts, keeping bigrams seen at least `minCount` times.
+    * High-PMI pairs are multiword units ("los angeles"); the same table with
+    * the inequality flipped surfaces boilerplate n-grams for dedup seeding.
+    *
+    * Scale shape: tokens explode once into (w1, w2) pairs → ONE corpus-wide
+    * hash aggregate keyed on the pair (map-side combined, so the exchange
+    * carries vocab²-bounded partial counts, not corpus positions); the
+    * unigram table is vocab-sized and BROADCASTS to both sides of the PMI
+    * join; N comes from a 1-row aggregate reused via its own broadcast. No
+    * corpus-sized state survives the aggregates.
+    *
+    * The PMI double math is one integer-exact product/quotient then one ln —
+    * the oracle replays it bit-for-bit modulo libm's last ulp, absorbed by
+    * the 6dp round (same trade as the BM25 idf gate).
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long, topK: Int): DataFrame = {
+    val pairs = docs
+      .select(expr(toksExpr(textCol)).as("_t"))
+      .filter(size(col("_t")) >= 2) // sequence(1, 0) would run DESCENDING
+      .select(explode(expr(
+        """transform(sequence(1, size(_t) - 1),
+          |  i -> struct(element_at(_t, CAST(i AS INT)) AS w1,
+          |              element_at(_t, CAST(i + 1 AS INT)) AS w2))""".stripMargin)).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val unigramCounts = docs
+      .select(explode(expr(toksExpr(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val total = bigramCounts.agg(sum("c_ab").as("n_total"))
+    bigramCounts
+      .filter(col("c_ab") >= minCount)
+      .join(broadcast(unigramCounts.select(col("w").as("w1"), col("c_w").as("c_a"))), "w1")
+      .join(broadcast(unigramCounts.select(col("w").as("w2"), col("c_w").as("c_b"))), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(log(
+        (col("c_ab") * col("n_total")).cast("double") / (col("c_a") * col("c_b"))), 6))
+      .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   /** Character-level Shannon entropy (bits/char) — the compression-proxy
     * quality signal (low entropy ⇒ repetitive/boilerplate text; binary junk
     * decoded as text scores anomalously high). A native codegen'd expression

@@ -278,6 +278,51 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(kept === Set(2L, 3L, 5L)) // x: two 90s (id tie-break), y: all
   }
 
+  test("epochShuffle: dense positions, partition-invariant, epoch re-deals") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("doc_id")
+    val e3 = Curation.epochShuffle(df, "doc_id", epoch = 3, nShards = 8)
+      .select("doc_id", "shard_id", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // every shard's positions are exactly 0..n-1 (a loader can stream by pos)
+    e3.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $shard positions must be dense from 0")
+    }
+    // identical deal at different parallelism — the property RNG shuffles lose
+    val e3rep = Curation.epochShuffle(df.repartition(7), "doc_id", 3, 8)
+      .select("doc_id", "shard_id", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(e3rep.toSeq === e3.toSeq)
+    // a different epoch re-deals: some document must change shard or position
+    val e4 = Curation.epochShuffle(df, "doc_id", epoch = 4, nShards = 8)
+      .select("doc_id", "shard_id", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(e4.toSeq !== e3.toSeq, "epoch must change the deal")
+  }
+
+  test("collocations: PMI ranks the glued pair above frequent-but-independent") {
+    import spark.implicits._
+    // "los angeles" always co-occur; "the" pairs with everything (high count,
+    // low PMI); pairs under minCount drop
+    val docs = (1 to 30).map { i =>
+      (i.toLong, s"the city of los angeles item$i the end")
+    }.toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.collocations(docs, "text",
+        minCount = 5L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val byPair = got.map(t => (t._1, t._2) -> t._4).toMap
+    assert(byPair.contains(("los", "angeles")))
+    // "los angeles" is a deterministic phrase; "of los" shares c_ab but "of"
+    // also precedes nothing else here — the discriminating comparison is
+    // against the promiscuous "the":
+    assert(byPair(("los", "angeles")) > byPair(("the", "city")),
+      s"glued pair must out-PMI the function-word pair: $byPair")
+    // every returned pair cleared the floor
+    assert(got.forall(_._3 >= 5L))
+  }
+
   test("repeatedSpans flags cross-doc spans, ignores within-doc repeats") {
     import spark.implicits._
     val boiler = "one two three four five six seven eight"

@@ -70,6 +70,45 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.2, s"recall@10 $recall")
   }
 
+  test("adcRerankTopK with shortlist = N reproduces exact search exactly") {
+    val df = corpus(300)
+    val model = Pq.fitFromIds(df, "vec_id", "embedding", numSub = 8, k = 16)
+    val q = queryV
+    val exact = graft.operators.Search.vectorTopK(df, "embedding", q, 10,
+        metric = "l2", idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val rer = Pq.adcRerankTopK(
+        Pq.encode(df, "vec_id", "embedding", model), df,
+        "vec_id", "code", "embedding", model, q, k = 10, shortlist = 300)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(rer === exact,
+      "a full-corpus shortlist re-ranked by exact L2 IS exact search")
+  }
+
+  test("adcRerankTopK recall >= plain ADC recall (the refinement property)") {
+    val df = corpus(500)
+    val model = Pq.fitFromIds(df, "vec_id", "embedding", numSub = 8, k = 16)
+    val q = queryV
+    val exact = graft.operators.Search.vectorTopK(df, "embedding", q, 10,
+        metric = "l2", idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val codes = Pq.encode(df, "vec_id", "embedding", model)
+    val adc = Pq.adcTopK(codes, "vec_id", "code", model, q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val rer = Pq.adcRerankTopK(codes, df, "vec_id", "code", "embedding",
+        model, q, k = 10, shortlist = 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recallAdc = exact.count(adc.contains)
+    val recallRer = exact.count(rer.contains)
+    assert(recallRer >= recallAdc,
+      s"re-ranking a 10x shortlist must not lose recall: adc=$recallAdc rer=$recallRer")
+    // every re-ranked hit that appears in the shortlist is ordered exactly, so
+    // any exact-top-10 member the 100-deep shortlist caught must be returned
+    val shortIds = Pq.adcTopK(codes, "vec_id", "code", model, q, 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact.filter(shortIds.contains).subsetOf(rer))
+  }
+
   test("deterministic: two encode+search runs return identical rows") {
     val df = corpus(150)
     val model = Pq.fitFromIds(df, "vec_id", "embedding", numSub = 8, k = 16)

@@ -48,6 +48,30 @@ class SearchSpec extends AnyFunSuite with SparkSuite {
     assert(dis.toSet == Set(1L, 2L, 3L))
   }
 
+  test("maxSimTopK: sum of per-query-vector maxima, rank + tie-break") {
+    // doc 1 holds exact matches for both query vectors -> maxsim 2.0;
+    // doc 2 matches only q0 exactly (its other vector is orthogonal to q1);
+    // doc 3 is orthogonal to everything -> 0.0
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 0f, 1f, 0f)),
+      (3L, Array(0f, 0f, 0f, 1f))).toDF("doc", "v")
+    val qvs = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val got = Search.maxSimTopK(vecs, "doc", "v", qvs, 10)
+      .select($"doc", $"maxsim").as[(Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2.0), (2L, 1.0), (3L, 0.0)))
+  }
+
+  test("maxSimTopK: one aggregate, no join, no explode in the plan") {
+    val vecs = (1 to 40).map(i => (i.toLong % 5, Array(i.toFloat, 1f))).toDF("doc", "v")
+    val plan = Search.maxSimTopK(vecs, "doc", "v",
+        Seq(Array(1f, 0f), Array(0f, 1f)), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "maxsim must not join")
+    assert(!plan.contains("Generate"), "maxsim must not explode")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
   test("rrfFuse: reference formula 1/(k+rank), rank from 1") {
     val l1 = Seq((10L, 1.0), (20L, 2.0)).toDF("id", "s") // asc: 10 rank1, 20 rank2
     val l2 = Seq((20L, 9.0), (30L, 8.0)).toDF("id", "s") // desc: 20 rank1, 30 rank2
