@@ -52,10 +52,12 @@ object Stress {
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     val nOrders = 150000L * mult
+    val nCust = 15000L * mult
     spark.range(1, nOrders + 1).toDF("o_orderkey")
       .withColumn("o_orderpriority", element_at(
         typedLit(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
         (mix(col("o_orderkey"), 4) % 5).cast("int") + 1))
+      .withColumn("o_custkey", mix(col("o_orderkey"), 15) % nCust + 1)
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
 
     // Dimension tables sized like sf0.1 at x1 (part 20k, supplier 1k) so the
@@ -99,6 +101,10 @@ object Stress {
         ((mix(col("id"), 9) % 100000L + 1000L).cast("double")) / lit(100.0))
       .select("l_orderkey", "l_quantity", "l_partkey", "l_suppkey", "l_extendedprice")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    // generation-version marker: bump the suffix when a table's schema grows
+    // so stale stress dirs regenerate instead of failing on a missing column
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_GEN_V2"), "")
   }
 
   private val stressQueries = Seq(
@@ -107,7 +113,11 @@ object Stress {
     // round-5 additions: the next bench tier — repeated-span dedup and the
     // bloom decontamination probe (documents-driven), and the q2 correlated
     // MIN join tree (fact + 4 generated dimensions)
-    "dedup_spans", "bloom_decontaminate", "q2_min_cost")
+    "dedup_spans", "bloom_decontaminate", "q2_min_cost",
+    // round-5b: the two new exchange shapes — corpus-wide bigram aggregate
+    // (collocations) and the 5-iteration Pregel loop over the fact-derived
+    // trade graph (pagerank: per-iteration src-join + dst-aggregate)
+    "text_collocations", "graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "stress"
@@ -123,8 +133,8 @@ object Stress {
     val scales = Seq(1, 10)
     scales.foreach { m =>
       val dir = s"$baseDir/x$m"
-      // probe the newest generated table so older stress dirs regenerate
-      if (!new java.io.File(s"$dir/part.parquet/_SUCCESS").exists()) {
+      // version marker probe: older stress dirs (pre-o_custkey) regenerate
+      if (!new java.io.File(s"$dir/_GEN_V2").exists()) {
         println(s"[stress] generating x$m under $dir")
         generate(spark, dir, m)
       }

@@ -2272,6 +2272,70 @@ object Queries {
            |WHERE c_ab >= 5
            |ORDER BY pmi DESC, w1, w2 LIMIT 25""".stripMargin))
 
+  /** PageRank over the customer→supplier trade graph
+    * ([[graft.operators.Graphs.pageRank]], 5 iterations): a fact-table join
+    * derives the edge list, then the Pregel-shaped iteration ranks supplier
+    * authority. The oracle unrolls the same 5 iterations with the same
+    * per-iteration 9dp round, so the whole fixed point hash-gates — the
+    * deterministic-iteration recipe that also proves partition-invariance.
+    */
+  private val graphPagerank = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d); val o = D.orders(s, d)
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.operators.Graphs.pageRank(edges, iters = 5)
+        .select(col("node"), round(col("rank"), 6).as("pagerank"))
+        .orderBy(round(col("rank"), 6).desc, col("node"))
+        .limit(100)
+    },
+    Some {
+      val iterCtes = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, sum(r${i - 1}.rank / o.outdeg) AS in_sum
+           |  FROM eo e JOIN r${i - 1} ON e.src = r${i - 1}.node
+           |  JOIN outdeg o ON e.src = o.src
+           |  GROUP BY e.dst),
+           |r$i AS (SELECT n.node, round(0.15 + 0.85 * coalesce(c.in_sum, 0.0), 9) AS rank
+           |  FROM nodes n LEFT JOIN c$i c USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH eo AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM eo GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM eo UNION ALL SELECT dst FROM eo)),
+         |r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes),
+         |$iterCtes
+         |SELECT node, round(rank, 6) AS pagerank FROM r5
+         |ORDER BY round(rank, 6) DESC, node LIMIT 100""".stripMargin
+    })
+
+  /** Per-doc tf-idf keywords ([[graft.operators.TextAnalysis.keywords]]):
+    * top-3 terms per document — the dataset-card drill-down signal. Postings
+    * exchange + vocab-keyed df join (AQE decides broadcast) + per-doc top-k
+    * window; ranking cut on the 6dp-rounded score.
+    */
+  private val textKeywords = Q(
+    (s, d) => graft.operators.TextAnalysis.keywords(
+        D.documents(s, d), "doc_id", "text", topK = 3)
+      .orderBy("doc_id", "rk"),
+    Some("""WITH toks AS (SELECT doc_id,
+           |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           |                       x -> x <> '')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |s AS (SELECT doc_id, term, tf,
+           |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+           |  FROM tf JOIN dfv USING (term) CROSS JOIN n),
+           |r AS (SELECT doc_id, term, tf, tfidf,
+           |    CAST(row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+           |  FROM s)
+           |SELECT doc_id, term, tf, tfidf, rk FROM r WHERE rk <= 3
+           |ORDER BY doc_id, rk""".stripMargin))
+
   /** Embedding-space cluster assignment + per-cluster stats
     * ([[graft.operators.Ann.assignListsWithDist]] with fixed centroids —
     * corpus vectors 1..8 — so assignment replays in SQL): the topic-bucket
@@ -3184,6 +3248,8 @@ object Queries {
     "t1c_maxsim" -> t1cMaxsim,
     "sample_epoch_shuffle" -> sampleEpochShuffle,
     "text_collocations" -> textCollocations,
+    "graph_pagerank" -> graphPagerank,
+    "text_keywords" -> textKeywords,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "sample_stratified" -> sampleStratified,
     "sample_pack_shards" -> samplePackShards,

@@ -236,6 +236,35 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document keyword extraction by tf-idf: the top-`topK` terms per doc
+    * by tf·ln(N/df) — the corpus-exploration signal behind dataset cards and
+    * topic drill-downs (and a cheap sparse retrieval feature). A term in
+    * every document scores exactly 0 (idf = ln 1).
+    *
+    * Scale shape: explode → per-(doc, term) count (the same exchange BM25's
+    * postings build pays) → per-term df aggregate (vocab-sized) joined back
+    * keyed on term — no broadcast hint: vocab is corpus-dependent (31 words
+    * in the test tables, millions in a web corpus), so AQE picks broadcast
+    * vs shuffle from real sizes. The per-doc top-k window partitions by doc.
+    * Score rounds to 6dp before ranking so the cut is engine-stable (ln ulp,
+    * the BM25 trade).
+    */
+  def keywords(docs: DataFrame, idCol: String, textCol: String,
+               topK: Int): DataFrame = {
+    val tf = docs.select(col(idCol), explode(expr(toksExpr(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfv = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfv, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"), col("rk"))
+  }
+
   /** Character-level Shannon entropy (bits/char) — the compression-proxy
     * quality signal (low entropy ⇒ repetitive/boilerplate text; binary junk
     * decoded as text scores anomalously high). A native codegen'd expression

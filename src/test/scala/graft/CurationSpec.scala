@@ -323,6 +323,26 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall(_._3 >= 5L))
   }
 
+  test("keywords: tf-idf surfaces the distinctive term, ubiquitous terms score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common zebra"),
+      (2L, "common giraffe giraffe giraffe"),
+      (3L, "common plain")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.keywords(docs, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    val top = got.filter(_._5 == 1L).map(t => t._1 -> t._2).toMap
+    assert(top === Map(1L -> "zebra", 2L -> "giraffe", 3L -> "plain"),
+      s"rank-1 keyword must be the distinctive term: ${got.mkString(", ")}")
+    // "common" appears in every doc: idf = ln(3/3) = 0 -> tfidf exactly 0
+    assert(got.filter(_._2 == "common").forall(_._4 === 0.0))
+    // giraffe: tf 3, df 1 -> 3 * ln(3) rounded to 6dp
+    val g = got.find(t => t._1 == 2L && t._2 == "giraffe").get
+    assert(g._4 === BigDecimal(3.0 * math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("repeatedSpans flags cross-doc spans, ignores within-doc repeats") {
     import spark.implicits._
     val boiler = "one two three four five six seven eight"
