@@ -2108,6 +2108,102 @@ object Queries {
             |SELECT vec_id, round(adc, 6) AS adc FROM adc
             |ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin))
 
+  /** RESIDUAL-encoded IVF-PQ — the faithful FAISS IVF-PQ recipe the plain
+    * composition above documents as omitted: one global PQ codebook is
+    * trained on residuals (v − coarse centroid of v's own list; training
+    * set = vec 17..32, since 1..16 ARE the centroids and self-residuals are
+    * zero), candidates in the 4 probed lists encode their residuals, and
+    * each probed list scores against a LUT built from the QUERY's residual
+    * vs that list's centroid. Residual float math goes through
+    * [[graft.operators.Pq.residualCol]] (double-subtract, float-round) so
+    * both engines compute bit-identical residuals — the whole train → encode
+    * → per-list ADC path hash-gates. Per-list top-50 then global top-10
+    * equals the oracle's global cut (a list's global-top members are in its
+    * own top-50 by construction).
+    */
+  private val annIvfPqResidual = Q(
+    (s, d) => {
+      val embAll = D.embeddings(s, d)
+      val emb = embAll.filter(col("vec_id") =!= 0)
+      val centroids = embAll.filter(col("vec_id").between(1, 16)).orderBy("vec_id")
+        .collect().map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      val qv = queryVec(s, d)
+      val probes: Seq[Int] = centroids.zipWithIndex.map { case (c, i) =>
+        var dd = 0.0; var j = 0
+        while (j < c.length) { val t = qv(j).toDouble - c(j); dd += t * t; j += 1 }
+        (dd, i + 1)
+      }.sortBy(identity).take(4).map(_._2).toSeq
+      val assigned = graft.operators.Ann.assignListsWithDist(emb, "embedding", centroids)
+        .select(col("vec_id"), (col("listId") + 1).as("cid"), col("embedding"))
+      val residual = (2 to 16).foldLeft(
+        when(col("cid") === 1,
+          graft.operators.Pq.residualCol(col("embedding"), centroids(0)))) {
+        (acc, c) => acc.when(col("cid") === c,
+          graft.operators.Pq.residualCol(col("embedding"), centroids(c - 1)))
+      }
+      val withRes = assigned.withColumn("res", residual)
+      val model = graft.operators.Pq.fitFromIds(
+        withRes.filter(col("vec_id").between(17, 32))
+          .select(col("vec_id"), col("res").as("embedding")),
+        "vec_id", "embedding", numSub = 8, k = 16)
+      probes.map { l =>
+        val qr = graft.operators.Pq.residualVec(qv, centroids(l - 1))
+        val codes = graft.operators.Pq.encode(
+          withRes.filter(col("cid") === l)
+            .select(col("vec_id"), col("res").as("embedding")),
+          "vec_id", "embedding", model)
+        graft.operators.Pq.adcTopK(codes, "vec_id", "code", model, qr, 50)
+      }.reduce(_ unionByName _)
+        .select(col("vec_id"), round(col("adc"), 6).as("adc"))
+        .orderBy(col("adc"), col("vec_id")).limit(10)
+    },
+    Some {
+      val resExpr = (v: String, c: String) =>
+        s"list_transform(list_zip($v, $c), x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS REAL))"
+      s"""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+         |cent AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+         |         WHERE vec_id BETWEEN 1 AND 16),
+         |probe AS (SELECT cid FROM
+         |  (SELECT cid, ${l2Sql("c", "(SELECT e FROM q)")} AS pd FROM cent)
+         |  ORDER BY pd ASC, cid LIMIT 4),
+         |dists AS (SELECT v.vec_id, v.embedding, c.cid,
+         |    ${l2Sql("v.embedding", "c.c")} AS dc
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0) v
+         |  CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id, embedding, cid FROM
+         |  (SELECT vec_id, embedding, cid,
+         |     row_number() OVER (PARTITION BY vec_id ORDER BY dc ASC, cid ASC) AS rn
+         |   FROM dists)
+         |  WHERE rn = 1),
+         |res AS (SELECT a.vec_id, a.cid, ${resExpr("a.embedding", "c.c")} AS r
+         |  FROM assigned a JOIN cent c ON a.cid = c.cid),
+         |grid AS (SELECT unnest(generate_series(0, 7)) AS sub),
+         |pcent AS (SELECT g.sub, t.vec_id - 17 AS pcid,
+         |    t.r[g.sub*8+1 : g.sub*8+8] AS cvec
+         |  FROM grid g CROSS JOIN
+         |    (SELECT vec_id, r FROM res WHERE vec_id BETWEEN 17 AND 32) t),
+         |cand AS (SELECT vec_id, cid, r FROM res
+         |         WHERE cid IN (SELECT cid FROM probe)),
+         |subs AS (SELECT v.vec_id, v.cid, g.sub, v.r[g.sub*8+1 : g.sub*8+8] AS svec
+         |  FROM cand v CROSS JOIN grid g),
+         |enc AS (SELECT vec_id, cid, sub, pcid FROM (
+         |    SELECT v.vec_id, v.cid, v.sub, c.pcid, ${l2Sql("v.svec", "c.cvec")} AS dc,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |                         ORDER BY dc ASC, c.pcid ASC) AS rn
+         |    FROM subs v JOIN pcent c ON v.sub = c.sub) WHERE rn = 1),
+         |qres AS (SELECT p.cid, ${resExpr("(SELECT e FROM q)", "c.c")} AS qr
+         |  FROM probe p JOIN cent c ON p.cid = c.cid),
+         |lut AS (SELECT s.cid, pc.sub, pc.pcid,
+         |    ${l2Sql("pc.cvec", "s.qr[pc.sub*8+1 : pc.sub*8+8]")} AS qd
+         |  FROM pcent pc CROSS JOIN qres s),
+         |adcl AS (SELECT e.vec_id, sum(l.qd) AS adc
+         |  FROM enc e JOIN lut l
+         |    ON e.cid = l.cid AND e.sub = l.sub AND e.pcid = l.pcid
+         |  GROUP BY e.vec_id)
+         |SELECT vec_id, round(adc, 6) AS adc FROM adcl
+         |ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin
+    })
+
   /** Target corpus shares for the mixture planner (shared between the Spark
     * call and the generated oracle CASE).
     */
@@ -3251,6 +3347,7 @@ object Queries {
     "graph_pagerank" -> graphPagerank,
     "text_keywords" -> textKeywords,
     "ann_ivfpq_topk" -> annIvfPqTopk,
+    "ann_ivfpq_residual" -> annIvfPqResidual,
     "sample_stratified" -> sampleStratified,
     "sample_pack_shards" -> samplePackShards,
     "sample_pack_sequences" -> samplePackSequences,

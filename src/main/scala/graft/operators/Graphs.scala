@@ -40,7 +40,12 @@ object Graphs {
     */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "need at least one iteration")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // localCheckpoint truncates the edge lineage (the GraphX recipe): without
+    // it every iteration re-derives the caller's whole edge plan — a join
+    // tree upstream re-ran ~3× per round in the stress sweep (5.6 s → the
+    // checkpoint pays it once). Eager by design; blocks are executor-local
+    // and freed by the ContextCleaner once the result is dropped.
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()

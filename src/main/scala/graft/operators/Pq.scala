@@ -105,6 +105,21 @@ object Pq {
       .limit(k)
   }
 
+  /** Residual of a float vector against a constant centroid, with ENGINE-
+    * PARITY float math: subtract in double (both engines' double ops are
+    * IEEE-identical), then round back to float (one IEEE round-to-nearest in
+    * both). A plain float subtraction would round differently from an
+    * oracle that must cast through DOUBLE — this column is what lets
+    * residual IVF-PQ hash-gate end to end.
+    */
+  def residualCol(vec: Column, centroid: Array[Float]): Column =
+    zip_with(vec, typedlit(centroid),
+      (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+
+  /** Driver-side twin of [[residualCol]] for the query vector. */
+  def residualVec(v: Array[Float], centroid: Array[Float]): Array[Float] =
+    v.zip(centroid).map { case (a, b) => (a.toDouble - b.toDouble).toFloat }
+
   /** ADC shortlist → exact re-rank: the production PQ search recipe (FAISS's
     * `IndexRefineFlat` composition). The quantized scan over-fetches
     * `shortlist` candidates (cheap — codes only), then ONLY those rows'

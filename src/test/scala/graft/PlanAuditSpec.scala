@@ -251,4 +251,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair generation must stay cluster-local, plan:\n$p")
   }
+
+  test("PQ rerank: the full-precision pass is a pushed-down point lookup") {
+    val p = plan("ann_pq_rerank")
+    // the shortlist comes back as an IN-list predicate on the vector scan —
+    // the re-rank touches only the shortlist's row groups, not the corpus
+    assert(p.contains("PushedFilters:") && p.contains("In(vec_id"),
+      s"shortlist ids must push into the scan, plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("pagerank: every exchange keys on graph columns, never wide rows") {
+    val p = plan("graph_pagerank")
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty)
+    assert(hashEx.forall(l => l.contains("src") || l.contains("dst") || l.contains("node")),
+      s"iteration exchanges must key on src/dst/node, plan:\n${hashEx.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("epoch shuffle: one hash exchange (the per-shard window), then the sort") {
+    val p = plan("sample_epoch_shuffle")
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("shard_id")),
+      s"only the per-shard position window may hash-exchange, plan:\n$p")
+  }
+
+  test("collocations: vocab joins broadcast — pair counts never sort-merge") {
+    val p = plan("text_collocations")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"unigram tables must broadcast into the PMI join, plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-sized merge join, plan:\n$p")
+  }
+
+  test("keywords: per-doc ranking window keys on the doc id") {
+    val p = plan("text_keywords")
+    // (the 1-row n_docs table legitimately cross-joins as a broadcast
+    // nested loop — it multiplies nothing)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      s"top-k window must partition by doc, plan:\n$p")
+  }
 }

@@ -109,6 +109,24 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(exact.filter(shortIds.contains).subsetOf(rer))
   }
 
+  test("residualCol (DF column) and residualVec (driver) agree bit for bit") {
+    import spark.implicits._
+    val centroid = {
+      val rnd = new scala.util.Random(31L)
+      Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    }
+    val df = corpus(50)
+    val got = df.select(col("vec_id"),
+        Pq.residualCol(col("embedding"), centroid).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    corpus(50).collect().foreach { row =>
+      val id = row.getLong(0)
+      val v = row.getSeq[Float](1).toArray
+      assert(got(id).sameElements(Pq.residualVec(v, centroid)),
+        s"vec $id: engine and driver residuals must be identical floats")
+    }
+  }
+
   test("deterministic: two encode+search runs return identical rows") {
     val df = corpus(150)
     val model = Pq.fitFromIds(df, "vec_id", "embedding", numSub = 8, k = 16)
