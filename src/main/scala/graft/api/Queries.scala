@@ -2204,6 +2204,223 @@ object Queries {
          |ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin
     })
 
+  /** Per-node triangle counts over the co-supply graph (suppliers that ship
+    * within the same order, one month of orders) —
+    * [[graft.operators.Graphs.triangleCounts]]. The month predicate pushes
+    * into the orders scan before the edge-building self-join; the triangle
+    * join itself reuses one canonical edge exchange across both hash joins.
+    */
+  private val graphTriangles = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d); val o = D.orders(s, d)
+      val os = o.filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-02-01"))
+      val sl = li.join(os, li("l_orderkey") === os("o_orderkey"))
+        .select(col("l_orderkey").as("k"), col("l_suppkey").as("sk"))
+      val edges = sl.join(sl.toDF("k", "sk2"), "k")
+        .filter(col("sk") =!= col("sk2"))
+        .select(col("sk").as("src"), col("sk2").as("dst"))
+      graft.operators.Graphs.triangleCounts(edges)
+        .orderBy(col("n_triangles").desc, col("node"))
+        .limit(20)
+    },
+    Some("""WITH sl AS (SELECT l_orderkey AS k, l_suppkey AS sk
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-02-01'),
+           |e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+           |  FROM sl x JOIN sl y ON x.k = y.k AND x.sk < y.sk),
+           |tri AS (SELECT e1.a, e1.b, e2.b AS c
+           |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+           |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |pn AS (SELECT node, count(*) AS n_triangles FROM (
+           |    SELECT a AS node FROM tri
+           |    UNION ALL SELECT b FROM tri
+           |    UNION ALL SELECT c FROM tri)
+           |  GROUP BY node)
+           |SELECT node, n_triangles FROM pn
+           |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin))
+
+  /** Bounded BFS over the undirected trade graph from the lexically smallest
+    * customer node ([[graft.operators.Graphs.hopDistances]]): hop histogram
+    * with per-level min/max node. The oracle unrolls the three frontier
+    * rounds as min-aggregate CTEs — hop counts are exact integers, so the
+    * gate is exact, no rounding anywhere.
+    */
+  private val graphBfs = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d); val o = D.orders(s, d)
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val src = edges.agg(min("src").as("node"))
+      graft.operators.Graphs.hopDistances(edges, src, maxHops = 3)
+        .groupBy("hops")
+        .agg(count(lit(1)).as("n_nodes"),
+          min("node").as("first_node"), max("node").as("last_node"))
+        .orderBy("hops")
+    },
+    Some {
+      val iterCtes = (1 to 3).map { i =>
+        s"""d$i AS (SELECT node, min(hops) AS hops FROM (
+           |    SELECT * FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, d${i - 1}.hops + 1 AS hops
+           |    FROM e JOIN d${i - 1} ON e.src = d${i - 1}.node)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH eo AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM eo UNION SELECT dst, src FROM eo),
+         |d0 AS (SELECT min(src) AS node, 0 AS hops FROM eo),
+         |$iterCtes
+         |SELECT hops, count(*) AS n_nodes, min(node) AS first_node, max(node) AS last_node
+         |FROM d3 GROUP BY hops ORDER BY hops""".stripMargin
+    })
+
+  /** Per-node community assignment after three synchronous
+    * label-propagation rounds over the month co-supply graph
+    * ([[graft.operators.Graphs.labelPropagation]]). The deterministic
+    * variant — ties to the smallest label — lets the oracle replay every
+    * round with a row_number window; the gate is every node's label (any
+    * divergence in any round moves some node's label), exact with no
+    * rounding anywhere. Dense graphs collapse to few communities under LPA
+    * (the known behavior), which is why the gate is assignments, not
+    * community sizes.
+    */
+  private val graphCommunities = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d); val o = D.orders(s, d)
+      val os = o.filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-02-01"))
+      val sl = li.join(os, li("l_orderkey") === os("o_orderkey"))
+        .select(col("l_orderkey").as("k"), col("l_suppkey").as("sk"))
+      val edges = sl.join(sl.toDF("k", "sk2"), "k")
+        .filter(col("sk") =!= col("sk2"))
+        .select(col("sk").as("src"), col("sk2").as("dst"))
+      graft.operators.Graphs.labelPropagation(edges, iters = 3)
+        .orderBy("node")
+    },
+    Some {
+      val iterCtes = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, l${i - 1}.label AS label, count(*) AS c
+           |  FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node
+           |  GROUP BY e.dst, l${i - 1}.label),
+           |t$i AS (SELECT node, label FROM (
+           |    SELECT node, label,
+           |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+           |    FROM c$i) WHERE rn = 1),
+           |l$i AS (SELECT n.node AS node, coalesce(t.label, n.node) AS label
+           |  FROM nodes n LEFT JOIN t$i t USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sl AS (SELECT l_orderkey AS k, l_suppkey AS sk
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-02-01'),
+         |eo AS (SELECT DISTINCT x.sk AS src, y.sk AS dst
+         |  FROM sl x JOIN sl y ON x.k = y.k AND x.sk < y.sk),
+         |e AS (SELECT src, dst FROM eo UNION SELECT dst, src FROM eo),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$iterCtes
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+    })
+
+  /** In-engine quality-classifier training
+    * ([[graft.operators.Training.logRegGD]]): logistic regression predicting
+    * lang = 'en' from three SQL-replicable features (scaled char count,
+    * English-stopword ratio, distinct-token ratio), three rounds of
+    * full-batch gradient descent with per-round 9dp weight rounding — the
+    * [[graft.operators.Graphs.pageRank]] bit-reproducibility contract
+    * applied to model training. The oracle replays every round as
+    * gradient-CTE + weight-CTE pairs; output is the final model plus its
+    * training accuracy.
+    */
+  private val qualityLrTrain = Q(
+    (s, d) => {
+      import s.implicits._
+      val enStops = Seq("the", "a", "of", "and", "is", "to", "in")
+        .map(w => s"'$w'").mkString(", ")
+      val feat = D.documents(s, d)
+        .withColumn("_t", expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+        .select(
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+          (col("n_chars") / lit(300.0)).as("x_chars"),
+          (expr(s"size(filter(_t, t -> t IN ($enStops)))") /
+            greatest(size(col("_t")), lit(1)).cast("double")).as("x_stop"),
+          (expr("size(array_distinct(_t))") /
+            greatest(size(col("_t")), lit(1)).cast("double")).as("x_dist"))
+      val m = graft.operators.Training.logRegGD(
+        feat, "y", Seq("x_chars", "x_stop", "x_dist"), iters = 3, lr = 0.5)
+      val acc = graft.operators.Training.accuracy(feat, "y", m)
+      Seq(
+        ("bias", m.bias), ("n", m.n.toDouble), ("train_acc", acc),
+        ("w_chars", m.weights(0)), ("w_dist", m.weights(2)), ("w_stop", m.weights(1)))
+        .toDF("param", "value")
+        .select(col("param"), round(col("value"), 6).as("value"))
+        .orderBy("param")
+    },
+    Some {
+      val grad = (i: Int) =>
+        s"""ga$i AS (SELECT sum(e) AS g0, sum(e * x1) AS g1, sum(e * x2) AS g2, sum(e * x3) AS g3
+           |  FROM (SELECT 1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2 + w3 * x3))) - y AS e,
+           |          x1, x2, x3
+           |        FROM feat CROSS JOIN wa${i - 1})),
+           |wa$i AS (SELECT round(b - 0.5 * g0 / n, 9) AS b,
+           |    round(w1 - 0.5 * g1 / n, 9) AS w1,
+           |    round(w2 - 0.5 * g2 / n, 9) AS w2,
+           |    round(w3 - 0.5 * g3 / n, 9) AS w3
+           |  FROM wa${i - 1} CROSS JOIN ga$i CROSS JOIN cnt)""".stripMargin
+      val iterCtes = (1 to 3).map(grad).mkString(",\n")
+      s"""WITH tok AS (SELECT lang, n_chars, $toksSql AS t FROM documents),
+         |feat AS (SELECT
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    n_chars / 300.0 AS x1,
+         |    len(list_filter(t, w -> w IN ('the', 'a', 'of', 'and', 'is', 'to', 'in')))
+         |      / CAST(greatest(len(t), 1) AS DOUBLE) AS x2,
+         |    len(list_distinct(t)) / CAST(greatest(len(t), 1) AS DOUBLE) AS x3
+         |  FROM tok),
+         |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feat),
+         |wa0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+         |$iterCtes,
+         |sel AS (
+         |  SELECT 'bias' AS param, b AS value FROM wa3
+         |  UNION ALL SELECT 'n', n FROM cnt
+         |  UNION ALL SELECT 'train_acc',
+         |    (SELECT round(avg(CASE WHEN (b + w1 * x1 + w2 * x2 + w3 * x3 >= 0) = (y = 1.0)
+         |                           THEN 1.0 ELSE 0.0 END), 6)
+         |     FROM feat CROSS JOIN wa3)
+         |  UNION ALL SELECT 'w_chars', w1 FROM wa3
+         |  UNION ALL SELECT 'w_dist', w3 FROM wa3
+         |  UNION ALL SELECT 'w_stop', w2 FROM wa3)
+         |SELECT param, round(value, 6) AS value FROM sel ORDER BY param""".stripMargin
+    })
+
+  /** Flesch readability per document
+    * ([[graft.operators.TextAnalysis.readability]]): vowel-group syllable
+    * heuristic + sentence segmentation, surfaced as flesch_ease / fk_grade.
+    * Counts are exact integers; the two scores involve only IEEE-exact
+    * arithmetic (no transcendentals), so 4dp rounding is belt-and-braces.
+    */
+  private val textReadability = Q(
+    (s, d) => graft.operators.TextAnalysis.readability(
+        D.documents(s, d).select("doc_id", "text"), "text")
+      .select("doc_id", "n_words", "n_syllables", "n_sentences_r",
+        "flesch_ease", "fk_grade")
+      .orderBy("doc_id"),
+    Some(s"""WITH x AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+            |sig AS (SELECT doc_id,
+            |    len(t) AS n_words,
+            |    CAST(coalesce(list_sum(list_transform(t,
+            |      w -> len(regexp_extract_all(w, '[aeiouy]+')))), 0) AS BIGINT) AS n_syllables,
+            |    CAST(greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+\\s+'),
+            |      x -> x <> '')), 1) AS BIGINT) AS n_sentences_r
+            |  FROM x)
+            |SELECT doc_id, n_words, n_syllables, n_sentences_r,
+            |  round(206.835 - 1.015 * (n_words / CAST(n_sentences_r AS DOUBLE))
+            |    - 84.6 * (n_syllables / CAST(greatest(n_words, 1) AS DOUBLE)), 4) AS flesch_ease,
+            |  round(0.39 * (n_words / CAST(n_sentences_r AS DOUBLE))
+            |    + 11.8 * (n_syllables / CAST(greatest(n_words, 1) AS DOUBLE)) - 15.59, 4) AS fk_grade
+            |FROM sig ORDER BY doc_id""".stripMargin))
+
   /** Target corpus shares for the mixture planner (shared between the Spark
     * call and the generated oracle CASE).
     */
@@ -3357,7 +3574,12 @@ object Queries {
     "sketch_cms_topk" -> sketchCmsTopk,
     "sketch_quantile_hist" -> sketchQuantileHist,
     "dedup_semantic" -> dedupSemantic,
-    "corpus_histogram" -> corpusHistogram)
+    "corpus_histogram" -> corpusHistogram,
+    "graph_triangles" -> graphTriangles,
+    "graph_bfs" -> graphBfs,
+    "graph_communities" -> graphCommunities,
+    "quality_lr_train" -> qualityLrTrain,
+    "text_readability" -> textReadability)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {

@@ -63,4 +63,120 @@ object Graphs {
     }
     ranks
   }
+
+  /** Canonical undirected edge set: (a, b) with a < b, self-loops dropped,
+    * duplicates (including reversed duplicates) collapsed. The shared front
+    * door of the undirected algorithms below.
+    */
+  def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** Per-node triangle participation counts — the local clustering signal a
+    * link-graph curation pass uses to separate organic neighborhoods from
+    * link farms (spam rings are triangle-dense; long-tail content is
+    * triangle-sparse).
+    *
+    * Algorithm: canonical edges a<b; wedges (a<b<c) from the b=src self-join;
+    * a triangle is a wedge whose closing edge (a,c) exists. Each triangle is
+    * enumerated exactly once (the a<b<c total order), then credited to all
+    * three corners. Scale shape: two hash-joins of the edge table against
+    * itself — first keyed on the middle node, then on the (a,c) pair; both
+    * exchanges carry only node-id pairs/triples, and the same canonical edge
+    * exchange is reused across the joins (ReusedExchange — locked by
+    * PlanAuditSpec). No cartesian anything. At 100 TB add the standard
+    * degree-ordering refinement (orient wedges at the lowest-degree corner)
+    * if hub skew bites; AQE's skew-join split covers the moderate case.
+    *
+    * Output: (node, n_triangles), one row per node that closes ≥ 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = canonicalUndirected(edges)
+    val tri = e
+      .join(e.toDF("b", "c"), "b")                 // wedge a–b–c with a<b<c
+      .join(e.toDF("a", "c"), Seq("a", "c"))       // closing edge
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Minimum hop distance from a set of source nodes, bounded at `maxHops` —
+    * provenance reachability ("everything within k links of a known-bad
+    * domain") as synchronous frontier BFS.
+    *
+    * Treats edges as UNDIRECTED (both directions are traversed). Each round
+    * is one join of the edge table against the current distance state keyed
+    * on the endpoint plus a min-aggregate — the same narrow (node, int)
+    * exchange shape as [[pageRank]]. The state is localCheckpoint-ed per
+    * round: BFS state lineage otherwise doubles every round (state_i
+    * references edges ⋈ state_{i-1} AND state_{i-1}), which is exponential
+    * plan growth by round 10; checkpointing is what every Pregel loop does.
+    *
+    * Output: (node, hops), only nodes reachable within `maxHops`.
+    */
+  def hopDistances(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val und = canonicalUndirected(edges)
+    val e = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val next = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
+      dist = dist.union(next)
+        .groupBy("node").agg(min("hops").as("hops"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Synchronous label propagation (Raghavan et al., "Near linear time
+    * algorithm to detect community structures in large-scale networks",
+    * Phys. Rev. E 2007) — the community-detection complement to the
+    * min-label connected components in [[Dedup]]: a node adopts its
+    * neighbors' MOST FREQUENT label each round, so dense clusters converge
+    * to one label while bridges stay thin.
+    *
+    * Determinism (the published algorithm is randomized; this is the
+    * oracle-replicable variant): labels start as the node's own id,
+    * updates are synchronous, and ties break to the SMALLEST label — both
+    * engines order by (count desc, label asc) and take row 1. Isolated
+    * nodes keep their own label.
+    *
+    * Scale shape per round: one join of the (symmetrized) edge table
+    * against the label state keyed on src, a (node, label) count aggregate
+    * (map-side combined), and a per-node top-1 window keyed on node — three
+    * narrow exchanges, no driver funnel. Label state is localCheckpoint-ed
+    * per round for the same lineage reason as [[hopDistances]].
+    *
+    * Output: (node, label) after `iters` rounds.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val und = canonicalUndirected(edges)
+    val e = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to iters) {
+      val top = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "label")
+      labels = nodes.join(top, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -112,6 +112,40 @@ object TextAnalysis {
       .drop("_toks")
   }
 
+  /** Flesch readability signals (Flesch, "A new readability yardstick",
+    * J. Applied Psych. 1948; Kincaid et al. 1975 for the grade form) — the
+    * classic complexity axis of a curation quality stack, next to the
+    * Gopher-style repetition rules. Syllables use the standard vowel-group
+    * heuristic (runs of `[aeiouy]+` per word — exact syllabification needs a
+    * dictionary; the heuristic is the published proxy and is what both
+    * engines can compute identically). Sentences reuse the `[.!?]+\s+`
+    * segmentation of [[sentenceStats]], clamped to ≥ 1 so punctuation-free
+    * documents read as one sentence.
+    *
+    * Adds: n_words, n_syllables, n_sentences_r, flesch_ease (higher = easier,
+    * ~0–100 on prose), fk_grade (US grade level). Pure per-row map — scan
+    * cost only, no shuffle; everything stays in whole-stage codegen.
+    */
+  def readability(docs: DataFrame, textCol: String): DataFrame = docs
+    .withColumn("_toks", expr(toksExpr(textCol)))
+    .withColumn("n_words", expr("size(_toks)").cast("long"))
+    .withColumn("n_syllables",
+      expr("aggregate(_toks, 0L, (s, t) -> s + size(regexp_extract_all(t, '[aeiouy]+', 0)))"))
+    .withColumn("n_sentences_r",
+      greatest(size(filter(split(col(textCol), "[.!?]+\\s+"), x => x =!= "")), lit(1))
+        .cast("long"))
+    .withColumn("flesch_ease", round(
+      lit(206.835)
+        - lit(1.015) * (col("n_words") / col("n_sentences_r").cast("double"))
+        - lit(84.6) * (col("n_syllables") / greatest(col("n_words"), lit(1L)).cast("double")),
+      4))
+    .withColumn("fk_grade", round(
+      lit(0.39) * (col("n_words") / col("n_sentences_r").cast("double"))
+        + lit(11.8) * (col("n_syllables") / greatest(col("n_words"), lit(1L)).cast("double"))
+        - lit(15.59),
+      4))
+    .drop("_toks")
+
   /** Token counting: whitespace tokens, BPE-ish subword-regex tokens (letter runs,
     * single digits, single punctuation marks), and the chars/4 heuristic.
     */

@@ -50,4 +50,59 @@ class GraphsSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rep === base, "rank must not depend on partitioning")
   }
+
+  // K4 minus the C–D edge: triangles ABC and ABD only
+  private def diamond = Seq(
+    ("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D")).toDF("src", "dst")
+
+  test("triangle counts: each corner credited once per triangle") {
+    val got = Graphs.triangleCounts(diamond)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("A" -> 2L, "B" -> 2L, "C" -> 1L, "D" -> 1L))
+  }
+
+  test("triangle counts ignore edge direction and duplicates") {
+    val messy = diamond
+      .union(diamond.select(col("dst").as("src"), col("src").as("dst")))
+      .union(Seq(("C", "A"), ("A", "A")).toDF("src", "dst")) // reversed dup + self-loop
+    val got = Graphs.triangleCounts(messy)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("A" -> 2L, "B" -> 2L, "C" -> 1L, "D" -> 1L))
+  }
+
+  test("hop distances: undirected path graph, bounded frontier") {
+    // A–B–C–D–E as mixed-direction edges; BFS from A, 3 hops
+    val path = Seq(("B", "A"), ("B", "C"), ("D", "C"), ("D", "E")).toDF("src", "dst")
+    val src = Seq("A").toDF("node")
+    val got = Graphs.hopDistances(path, src, maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map("A" -> 0, "B" -> 1, "C" -> 2, "D" -> 3),
+      "E is 4 hops out and must not appear")
+  }
+
+  test("label propagation separates two triangles across a bridge") {
+    // {A,B,C} and {D,E,F} triangles bridged by C–D; 3 synchronous rounds with
+    // min-label tie-break (hand-simulated fixed point)
+    val e = Seq(("A", "B"), ("A", "C"), ("B", "C"),
+      ("D", "E"), ("D", "F"), ("E", "F"), ("C", "D")).toDF("src", "dst")
+    val got = Graphs.labelPropagation(e, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("A" -> "A", "B" -> "A", "C" -> "A",
+      "D" -> "C", "E" -> "C", "F" -> "C"))
+    // community PARTITION is the signal: {A,B,C} share a label, {D,E,F} share
+    // a different one
+    assert(Set(got("A"), got("B"), got("C")).size === 1)
+    assert(Set(got("D"), got("E"), got("F")).size === 1)
+    assert(got("A") !== got("D"))
+  }
+
+  test("label propagation is partition-invariant") {
+    val e = Seq(("A", "B"), ("A", "C"), ("B", "C"),
+      ("D", "E"), ("D", "F"), ("E", "F"), ("C", "D")).toDF("src", "dst")
+    val base = Graphs.labelPropagation(e, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val rep = Graphs.labelPropagation(e.repartition(7), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rep === base)
+  }
 }

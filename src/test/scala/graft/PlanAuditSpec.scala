@@ -284,6 +284,49 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"no corpus-sized merge join, plan:\n$p")
   }
 
+  test("triangles: month predicate pushes to the orders scan; no cartesian") {
+    val p = plan("graph_triangles")
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"),
+      s"the one-month window must reach the orders scan, plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration must stay a hash-join chain, plan:\n$p")
+  }
+
+  test("bfs and label prop: visible exchanges carry only graph columns") {
+    // per-round plans are checkpoint-truncated (that's the point of the
+    // lineage cut), so the visible plan shows only the post-loop stage:
+    // bfs's hop histogram may hash-exchange on hops; communities is a
+    // checkpoint scan + output sort and must show NO hash exchange at all
+    val pBfs = plan("graph_bfs")
+    val bfsEx = pBfs.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(bfsEx.forall(_.contains("hops")),
+      s"post-BFS exchanges may key only on hops, plan:\n${bfsEx.mkString("\n")}")
+    assert(!pBfs.contains("CartesianProduct"))
+    val pComm = plan("graph_communities")
+    assert(!pComm.linesIterator.exists(_.contains("Exchange hashpartitioning")),
+      s"label state is checkpointed — only the output sort may exchange, plan:\n$pComm")
+    assert(!pComm.contains("CartesianProduct"))
+  }
+
+  test("lr training: each iteration is one map-side-combined scalar aggregate") {
+    val p = plan("quality_lr_train")
+    // the FINAL collected output is the tiny param table; the training
+    // aggregates themselves ran during query construction. What must hold in
+    // the visible plan: no shuffle of the documents table beyond the scalar
+    // aggregate's single-row exchange, and the scan reads only what the
+    // features need.
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("readability: pure per-row map — no exchange except the output sort") {
+    val p = plan("text_readability")
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.isEmpty,
+      s"readability must not hash-exchange anything, plan:\n${hashEx.mkString("\n")}")
+    assert(p.contains("ReadSchema") && p.contains("doc_id") && p.contains("text"),
+      "scan must prune to (doc_id, text)")
+  }
+
   test("keywords: per-doc ranking window keys on the doc id") {
     val p = plan("text_keywords")
     // (the 1-row n_docs table legitimately cross-joins as a broadcast
