@@ -2249,9 +2249,13 @@ object Queries {
   private val graphBfs = Q(
     (s, d) => {
       val li = D.lineitem(s, d); val o = D.orders(s, d)
+      // distinct + checkpoint ONCE: both the source-node aggregate and the
+      // BFS rounds read the materialized edge set instead of re-deriving the
+      // lineitem ⋈ orders plan (the derivation ran twice before this)
       val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct().localCheckpoint()
       val src = edges.agg(min("src").as("node"))
       graft.operators.Graphs.hopDistances(edges, src, maxHops = 3)
         .groupBy("hops")
@@ -2275,6 +2279,102 @@ object Queries {
          |$iterCtes
          |SELECT hops, count(*) AS n_nodes, min(node) AS first_node, max(node) AS last_node
          |FROM d3 GROUP BY hops ORDER BY hops""".stripMargin
+    })
+
+  /** Three-step conversion funnel (view → click within the hour → purchase
+    * before the hour closes) over the events stream: per-step user counts
+    * and conversion rates. Each step is a type-filtered scan (predicate
+    * pushed) joined against the previous step's per-user watermark, keyed
+    * on user_id throughout — the standard product-analytics min-chain
+    * shape. Second-resolution timestamps via the established
+    * unix_timestamp ↔ floor(epoch()) parity.
+    */
+  private val eventsFunnel = Q(
+    (s, d) => {
+      val ev = D.events(s, d).select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("tsec"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tsec").as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("tsec") > col("t1") && col("tsec") <= col("t1") + 3600)
+        .groupBy("user_id").agg(min("tsec").as("t2"), min("t1").as("t1"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("tsec") > col("t2") && col("tsec") <= col("t1") + 3600)
+        .groupBy("user_id").agg(min("tsec").as("t3"))
+      val base = v.agg(count(lit(1)).as("n_base"))
+      v.agg(count(lit(1)).as("n_users")).withColumn("step", lit("1_view"))
+        .unionByName(c.agg(count(lit(1)).as("n_users")).withColumn("step", lit("2_click")))
+        .unionByName(p.agg(count(lit(1)).as("n_users")).withColumn("step", lit("3_purchase")))
+        .crossJoin(broadcast(base))
+        .select(col("step"), col("n_users"),
+          round(col("n_users") / col("n_base").cast("double"), 4).as("conv_rate"))
+        .orderBy("step")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type,
+           |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+           |v AS (SELECT user_id, min(tsec) AS t1 FROM ev
+           |  WHERE event_type = 'view' GROUP BY user_id),
+           |c AS (SELECT e.user_id, min(e.tsec) AS t2, min(v.t1) AS t1
+           |  FROM ev e JOIN v ON e.user_id = v.user_id
+           |  WHERE e.event_type = 'click' AND e.tsec > v.t1 AND e.tsec <= v.t1 + 3600
+           |  GROUP BY e.user_id),
+           |p AS (SELECT e.user_id, min(e.tsec) AS t3
+           |  FROM ev e JOIN c ON e.user_id = c.user_id
+           |  WHERE e.event_type = 'purchase' AND e.tsec > c.t2 AND e.tsec <= c.t1 + 3600
+           |  GROUP BY e.user_id),
+           |base AS (SELECT count(*) AS n_base FROM v),
+           |counts AS (
+           |  SELECT '1_view' AS step, count(*) AS n_users FROM v
+           |  UNION ALL SELECT '2_click', count(*) FROM c
+           |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+           |SELECT step, n_users, round(n_users / CAST(n_base AS DOUBLE), 4) AS conv_rate
+           |FROM counts CROSS JOIN base ORDER BY step""".stripMargin))
+
+  /** Dominant principal component of the embedding corpus
+    * ([[graft.operators.Pca]]): one fixed-buffer covariance aggregation,
+    * three power-iteration rounds, Rayleigh-quotient eigenvalue (emitted as
+    * the i = −1 row). The oracle rebuilds the centered covariance from an
+    * element-exploded self-join and replays the iterations — covariance
+    * entries and each round's normalized iterate meet at 9dp rounds, the
+    * engine's standard sum-order-drift absorber.
+    */
+  private val pcaTopComponent = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val cov = graft.operators.Pca.covariance(emb, "embedding", 64)
+      val v = graft.operators.Pca.topComponent(cov, 64, iters = 3)
+      val lam = graft.operators.Pca.rayleigh(cov, v)
+      v.select(col("i"), round(col("loading"), 6).as("loading"))
+        .unionByName(lam.select(lit(-1).as("i"), col("eigenvalue").as("loading")))
+        .orderBy("i")
+    },
+    Some {
+      val iterCtes = (1 to 3).map { i =>
+        s"""w$i AS (SELECT c.i AS i, sum(c.c * v${i - 1}.v) AS w
+           |  FROM cov c JOIN v${i - 1} ON c.j = v${i - 1}.i GROUP BY c.i),
+           |n$i AS (SELECT sqrt(sum(w * w)) AS nrm FROM w$i),
+           |v$i AS (SELECT i, round(w / nrm, 9) AS v FROM w$i CROSS JOIN n$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH grid AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+         |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM emb),
+         |ex AS (SELECT vec_id, g.i AS i, CAST(embedding[g.i + 1] AS DOUBLE) AS x
+         |  FROM emb CROSS JOIN grid g),
+         |mean AS (SELECT i, sum(x) / n AS m FROM ex CROSS JOIN cnt GROUP BY i, n),
+         |cov AS (SELECT a.i AS i, b.i AS j,
+         |    round(sum(a.x * b.x) / cnt.n - ma.m * mb.m, 9) AS c
+         |  FROM ex a JOIN ex b USING (vec_id)
+         |  CROSS JOIN cnt
+         |  JOIN mean ma ON ma.i = a.i
+         |  JOIN mean mb ON mb.i = b.i
+         |  GROUP BY a.i, b.i, cnt.n, ma.m, mb.m),
+         |v0 AS (SELECT i, 0.125 AS v FROM grid),
+         |$iterCtes,
+         |ray AS (SELECT round(sum(a.v * c.c * b.v), 6) AS loading
+         |  FROM cov c JOIN v3 a ON a.i = c.i JOIN v3 b ON b.i = c.j)
+         |SELECT i, round(v, 6) AS loading FROM v3
+         |UNION ALL SELECT -1 AS i, loading FROM ray
+         |ORDER BY i""".stripMargin
     })
 
   /** Per-node community assignment after three synchronous
@@ -3579,7 +3679,9 @@ object Queries {
     "graph_bfs" -> graphBfs,
     "graph_communities" -> graphCommunities,
     "quality_lr_train" -> qualityLrTrain,
-    "text_readability" -> textReadability)
+    "text_readability" -> textReadability,
+    "events_funnel" -> eventsFunnel,
+    "pca_top_component" -> pcaTopComponent)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {

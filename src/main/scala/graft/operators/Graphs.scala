@@ -64,6 +64,21 @@ object Graphs {
     ranks
   }
 
+  /** Both-direction undirected edge set: each undirected edge appears
+    * exactly once per direction, self-loops dropped — ONE distinct shuffle
+    * (symmetrize first, then dedup) instead of the canonicalize-then-mirror
+    * two-shuffle version, checkpointed because every iteration of the
+    * consumers re-reads it. (a,b)+(b,a) duplicates collapse because both
+    * produce the same symmetric pair set.
+    */
+  private def symmetrized(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .union(edges.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
   /** Canonical undirected edge set: (a, b) with a < b, self-loops dropped,
     * duplicates (including reversed duplicates) collapsed. The shared front
     * door of the undirected algorithms below.
@@ -119,10 +134,7 @@ object Graphs {
     */
   def hopDistances(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, "need at least one hop")
-    val und = canonicalUndirected(edges)
-    val e = und.select(col("a").as("src"), col("b").as("dst"))
-      .union(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    val e = symmetrized(edges)
     var dist = sources.select(col("node")).distinct()
       .withColumn("hops", lit(0)).localCheckpoint()
     for (_ <- 1 to maxHops) {
@@ -158,10 +170,7 @@ object Graphs {
     */
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, "need at least one iteration")
-    val und = canonicalUndirected(edges)
-    val e = und.select(col("a").as("src"), col("b").as("dst"))
-      .union(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    val e = symmetrized(edges)
     val nodes = e.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node")).localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window

@@ -327,6 +327,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       "scan must prune to (doc_id, text)")
   }
 
+  test("funnel: step scans push their type filter; joins key on user_id") {
+    val p = plan("events_funnel")
+    assert(p.contains("PushedFilters:") && p.contains("event_type"),
+      s"step filters must reach the events scan, plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(_.contains("user_id")),
+      s"funnel exchanges must key on user_id, plan:\n${hashEx.mkString("\n")}")
+  }
+
   test("keywords: per-doc ranking window keys on the doc id") {
     val p = plan("text_keywords")
     // (the 1-row n_docs table legitimately cross-joins as a broadcast
