@@ -2330,6 +2330,81 @@ object Queries {
            |SELECT step, n_users, round(n_users / CAST(n_base AS DOUBLE), 4) AS conv_rate
            |FROM counts CROSS JOIN base ORDER BY step""".stripMargin))
 
+  /** Weekly retention cohorts over the events stream: users cohorted by the
+    * week of their first signup, counted in each later week they produced
+    * any event — the product-analytics triangle matrix. Weeks are
+    * epoch-day ÷ 7 (no calendar/timezone dependency to drift between
+    * engines); everything is exact integer arithmetic, so the gate needs no
+    * rounding except the retention-rate ratio.
+    */
+  private val eventsRetention = Q(
+    (s, d) => {
+      val ev = D.events(s, d).select(col("user_id"), col("event_type"),
+        floor(unix_timestamp(col("ts")) / lit(86400L * 7)).cast("long").as("week"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("week").as("cohort_week"))
+      val active = ev.select(col("user_id"), col("week")).distinct()
+      val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+      cohort.join(active, "user_id")
+        .filter(col("week") >= col("cohort_week"))
+        .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_active"))
+        .join(sizes, "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("n_active"),
+          round(col("n_active") / col("cohort_size").cast("double"), 4).as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type,
+           |    CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week FROM events),
+           |cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev
+           |  WHERE event_type = 'signup' GROUP BY user_id),
+           |active AS (SELECT DISTINCT user_id, week FROM ev),
+           |sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM cohort
+           |  GROUP BY cohort_week),
+           |cells AS (SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+           |    count(DISTINCT a.user_id) AS n_active
+           |  FROM cohort c JOIN active a ON c.user_id = a.user_id
+           |  WHERE a.week >= c.cohort_week
+           |  GROUP BY c.cohort_week, a.week - c.cohort_week)
+           |SELECT x.cohort_week, x.week_offset, x.n_active,
+           |  round(x.n_active / CAST(s.cohort_size AS DOUBLE), 4) AS retention
+           |FROM cells x JOIN sizes s ON x.cohort_week = s.cohort_week
+           |ORDER BY x.cohort_week, x.week_offset""".stripMargin))
+
+  /** Per-type z-score outlier flagging over the events stream — the
+    * statistical anomaly gate of a metrics pipeline: events whose value sits
+    * more than 3 population standard deviations from their type's mean. The
+    * per-type moment table is metadata-sized and broadcasts back into the
+    * scan; z-scores round to 4dp before the cut so an ulp cannot flip a
+    * flag between engines (the threshold compares the ROUNDED value both
+    * sides — same trick as the weighted-sample sort key).
+    */
+  private val eventsAnomaly = Q(
+    (s, d) => {
+      val ev = D.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      val stats = ev.groupBy("event_type").agg(
+        (sum("value") / count(lit(1))).as("mu"),
+        sqrt(sum(col("value") * col("value")) / count(lit(1)) -
+          (sum("value") / count(lit(1))) * (sum("value") / count(lit(1)))).as("sigma"))
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+        .filter(abs(col("z")) > 3.0)
+        .orderBy("event_id")
+    },
+    Some("""WITH stats AS (SELECT event_type,
+           |    sum(value) / count(*) AS mu,
+           |    sqrt(sum(value * value) / count(*)
+           |      - (sum(value) / count(*)) * (sum(value) / count(*))) AS sigma
+           |  FROM events GROUP BY event_type)
+           |SELECT event_id, e.event_type,
+           |  round((e.value - s.mu) / s.sigma, 4) AS z
+           |FROM events e JOIN stats s ON e.event_type = s.event_type
+           |WHERE abs(round((e.value - s.mu) / s.sigma, 4)) > 3.0
+           |ORDER BY event_id""".stripMargin))
+
   /** Dominant principal component of the embedding corpus
     * ([[graft.operators.Pca]]): one fixed-buffer covariance aggregation,
     * three power-iteration rounds, Rayleigh-quotient eigenvalue (emitted as
@@ -3681,7 +3756,9 @@ object Queries {
     "quality_lr_train" -> qualityLrTrain,
     "text_readability" -> textReadability,
     "events_funnel" -> eventsFunnel,
-    "pca_top_component" -> pcaTopComponent)
+    "pca_top_component" -> pcaTopComponent,
+    "events_retention" -> eventsRetention,
+    "events_anomaly" -> eventsAnomaly)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {
