@@ -58,6 +58,10 @@ object Stress {
         typedLit(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
         (mix(col("o_orderkey"), 4) % 5).cast("int") + 1))
       .withColumn("o_custkey", mix(col("o_orderkey"), 15) % nCust + 1)
+      // uniform dates over 1995–1997 (timestamp like the driver data) so the
+      // month-sliced graph queries see the bench's ~3% selectivity
+      .withColumn("o_orderdate", to_timestamp(date_add(
+        lit("1995-01-01").cast("date"), (mix(col("o_orderkey"), 16) % 1096).cast("int"))))
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
 
     // Dimension tables sized like sf0.1 at x1 (part 20k, supplier 1k) so the
@@ -104,7 +108,7 @@ object Stress {
 
     // generation-version marker: bump the suffix when a table's schema grows
     // so stale stress dirs regenerate instead of failing on a missing column
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_GEN_V2"), "")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_GEN_V3"), "")
   }
 
   private val stressQueries = Seq(
@@ -117,7 +121,11 @@ object Stress {
     // round-5b: the two new exchange shapes — corpus-wide bigram aggregate
     // (collocations) and the 5-iteration Pregel loop over the fact-derived
     // trade graph (pagerank: per-iteration src-join + dst-aggregate)
-    "text_collocations", "graph_pagerank")
+    "text_collocations", "graph_pagerank",
+    // round-5c: the remaining new iteration shapes — wedge-close triangle
+    // join, checkpointed BFS frontier, LPA count+window rounds, and the
+    // gradient-aggregate training loop over generated documents
+    "graph_triangles", "graph_bfs", "graph_communities", "quality_lr_train")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "stress"
@@ -134,7 +142,7 @@ object Stress {
     scales.foreach { m =>
       val dir = s"$baseDir/x$m"
       // version marker probe: older stress dirs (pre-o_custkey) regenerate
-      if (!new java.io.File(s"$dir/_GEN_V2").exists()) {
+      if (!new java.io.File(s"$dir/_GEN_V3").exists()) {
         println(s"[stress] generating x$m under $dir")
         generate(spark, dir, m)
       }

@@ -2330,6 +2330,40 @@ object Queries {
            |SELECT step, n_users, round(n_users / CAST(n_base AS DOUBLE), 4) AS conv_rate
            |FROM counts CROSS JOIN base ORDER BY step""".stripMargin))
 
+  /** Segment-local customer ranking: spend quartiles and percentile ranks
+    * within each nation — ntile + percent_rank over a nation-partitioned
+    * window (the §2.5 ranking functions not yet exercised elsewhere).
+    * Windows partition by nation, so the sort is segment-local — the
+    * scale-safe way to use rank windows (a GLOBAL ntile would funnel the
+    * corpus through one partition; for global cuts use
+    * [[graft.operators.Sketches.histQuantiles]] thresholds instead).
+    */
+  private val w6NtileQuartile = Q(
+    (s, d) => {
+      val o = D.orders(s, d); val c = D.customer(s, d); val n = D.nation(s, d)
+      val spend = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("spend"))
+      val w = Window.partitionBy("n_name")
+        .orderBy(col("spend").desc, col("c_custkey"))
+      spend
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 4))
+        .orderBy("n_name", "c_custkey")
+    },
+    Some("""WITH spend AS (SELECT n_name, c_custkey,
+           |    round(sum(o_totalprice), 2) AS spend
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |  GROUP BY n_name, c_custkey)
+           |SELECT n_name, c_custkey, spend,
+           |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           |  round(percent_rank() OVER w, 4) AS pct_rank
+           |FROM spend
+           |WINDOW w AS (PARTITION BY n_name ORDER BY spend DESC, c_custkey)
+           |ORDER BY n_name, c_custkey""".stripMargin))
+
   /** Weekly retention cohorts over the events stream: users cohorted by the
     * week of their first signup, counted in each later week they produced
     * any event — the product-analytics triangle matrix. Weeks are
@@ -3758,7 +3792,8 @@ object Queries {
     "events_funnel" -> eventsFunnel,
     "pca_top_component" -> pcaTopComponent,
     "events_retention" -> eventsRetention,
-    "events_anomaly" -> eventsAnomaly)
+    "events_anomaly" -> eventsAnomaly,
+    "w6_ntile_quartile" -> w6NtileQuartile)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {

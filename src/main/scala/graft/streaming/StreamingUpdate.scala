@@ -116,6 +116,32 @@ object StreamingUpdate {
       .select(col("event_type"), col("w.start").as("window_start"),
         col("cnt"), col("sum_value"))
 
+  /** Watermarked stream-stream interval join — the streaming form of the
+    * batch conversion funnel's first transition: each view pairs with the
+    * clicks of the SAME user landing inside `joinWindow` after it. Both
+    * sides carry a watermark and the join condition bounds click-time
+    * relative to view-time on both ends, so Spark can evict matched/expired
+    * state on either side instead of buffering the streams forever — the
+    * requirement for an unbounded-input join to hold at 100 TB/day. The
+    * output is append-mode-safe (rows emit once both watermarks pass the
+    * interval's end).
+    */
+  def viewClickJoin(
+      views: DataFrame, // streaming DF: user_id long, ts timestamp
+      clicks: DataFrame, // streaming DF: user_id long, ts timestamp
+      joinWindow: String = "1 hour",
+      lateness: String = "1 hour"): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    val c = clicks.select(col("user_id").as("_cu"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    v.join(c,
+        col("user_id") === col("_cu") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("user_id"), col("view_ts"), col("click_ts"))
+  }
+
   /** Streaming NEAR-dup suppression: drop documents whose 16-bit SimHash
     * fingerprint was already seen inside the watermark horizon. SimHash is a
     * narrow per-row expression (no aggregation), so it composes with streaming

@@ -245,6 +245,38 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(rows === Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
   }
 
+  test("stream-stream interval join pairs views with in-window clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = graft.streaming.StreamingUpdate.viewClickJoin(
+      views.toDF().toDF("user_id", "ts"),
+      clicks.toDF().toDF("user_id", "ts"),
+      joinWindow = "30 minutes", lateness = "10 minutes")
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    views.addData((1L, t(10, 0)), (2L, t(10, 0)))
+    clicks.addData(
+      (1L, t(10, 10)), // in window → joins
+      (1L, t(11, 30)), // 90 min after the view → outside the interval
+      (2L, t(9, 50)),  // BEFORE the view → outside
+      (3L, t(10, 5)))  // no matching view
+    val tmp = Files.createTempDirectory("graft-ssj").toString
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val rows = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(rows === Set((1L, t(10, 0), t(10, 10))),
+      "only the same-user in-window pair may join")
+  }
+
   test("streaming exact dedup with watermark drops replayed docs") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
