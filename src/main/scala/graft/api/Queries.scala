@@ -2330,6 +2330,54 @@ object Queries {
            |SELECT step, n_users, round(n_users / CAST(n_base AS DOUBLE), 4) AS conv_rate
            |FROM counts CROSS JOIN base ORDER BY step""".stripMargin))
 
+  /** MMR diversity re-rank over the cosine top-10
+    * ([[graft.operators.Mmr.rerank]]): five greedy picks at λ = 0.7. The
+    * oracle replays the selection as unrolled pick-CTEs — every input the
+    * greedy loop sees is a 6dp-rounded engine value (query sims from the
+    * proven top-k pattern, pairwise sims from the same cosine), and the
+    * diversity subtraction writes `(1 − 0.7)` on BOTH sides (the binary64
+    * subtraction ≠ literal 0.3 — spelling it identically is what makes the
+    * argmax sequence bit-identical).
+    */
+  private val searchMmrRerank = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val short = Search.vectorTopK(emb, "embedding", queryVec(s, d), 10, "cosine",
+          idCol = "vec_id")
+        .select(col("vec_id"), round(-col("score"), 6).as("qs"), col("embedding"))
+      graft.operators.Mmr.rerank(short, "vec_id", "qs", "embedding", k = 5, lam = 0.7)
+        .orderBy("pick_rank")
+    },
+    Some {
+      val picks = (2 to 5).map { i =>
+        s"""r$i AS (SELECT c.vec_id, 0.7 * c.qs - (1 - 0.7) * (
+           |    SELECT max(p.ps) FROM pairs p
+           |    WHERE p.ai = c.vec_id AND p.bi IN (SELECT vec_id FROM s${i - 1})) AS sc
+           |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s${i - 1})),
+           |p$i AS (SELECT vec_id, sc FROM r$i ORDER BY sc DESC, vec_id LIMIT 1),
+           |s$i AS (SELECT vec_id FROM s${i - 1} UNION ALL SELECT vec_id FROM p$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+         |cand AS (SELECT vec_id, round(s, 6) AS qs, embedding FROM (
+         |    SELECT vec_id, embedding, ${cosSql("embedding", "(SELECT e FROM q)")} AS s
+         |    FROM embeddings WHERE vec_id <> 0
+         |    ORDER BY s DESC, vec_id LIMIT 10)),
+         |pairs AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS ps
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |p1 AS (SELECT vec_id, 0.7 * qs AS sc FROM cand
+         |  ORDER BY 0.7 * qs DESC, vec_id LIMIT 1),
+         |s1 AS (SELECT vec_id FROM p1),
+         |$picks
+         |SELECT pick_rank, vec_id, round(sc, 6) AS mmr_score FROM (
+         |  SELECT 1 AS pick_rank, vec_id, sc FROM p1
+         |  UNION ALL SELECT 2, vec_id, sc FROM p2
+         |  UNION ALL SELECT 3, vec_id, sc FROM p3
+         |  UNION ALL SELECT 4, vec_id, sc FROM p4
+         |  UNION ALL SELECT 5, vec_id, sc FROM p5)
+         |ORDER BY pick_rank""".stripMargin
+    })
+
   /** Segment-local customer ranking: spend quartiles and percentile ranks
     * within each nation — ntile + percent_rank over a nation-partitioned
     * window (the §2.5 ranking functions not yet exercised elsewhere).
@@ -3793,7 +3841,8 @@ object Queries {
     "pca_top_component" -> pcaTopComponent,
     "events_retention" -> eventsRetention,
     "events_anomaly" -> eventsAnomaly,
-    "w6_ntile_quartile" -> w6NtileQuartile)
+    "w6_ntile_quartile" -> w6NtileQuartile,
+    "search_mmr_rerank" -> searchMmrRerank)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {
