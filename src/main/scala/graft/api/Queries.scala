@@ -2330,6 +2330,29 @@ object Queries {
            |SELECT step, n_users, round(n_users / CAST(n_base AS DOUBLE), 4) AS conv_rate
            |FROM counts CROSS JOIN base ORDER BY step""".stripMargin))
 
+  /** Prefix-filtered exact Jaccard join over the FULL corpus
+    * ([[graft.operators.Dedup.jaccardJoinPrefix]]) — the scale path for the
+    * brute-force `dedup_ngram_jaccard` (which the oracle runs literally):
+    * every pair at shingle-Jaccard ≥ 0.6, candidates from prefix-shingle
+    * equality under the df-asc global order, verified exactly. The oracle IS
+    * the all-pairs join, so the gate proves the pruned algorithm loses
+    * nothing.
+    */
+  private val dedupJaccardJoin = Q(
+    (s, d) => graft.operators.Dedup.jaccardJoinPrefix(
+        D.documents(s, d), "doc_id", "text", threshold = 0.6)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+            |sh AS (SELECT doc_id, list_distinct(${shinglesSqlFrom("t")}) AS sh FROM toks),
+            |pairs AS (
+            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            |    len(list_intersect(a.sh, b.sh)) AS inter,
+            |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            |SELECT id_a, id_b, round(inter / CAST(uni AS DOUBLE), 6) AS jaccard
+            |FROM pairs WHERE round(inter / CAST(uni AS DOUBLE), 6) >= 0.6
+            |ORDER BY id_a, id_b""".stripMargin))
+
   /** MMR diversity re-rank over the cosine top-10
     * ([[graft.operators.Mmr.rerank]]): five greedy picks at λ = 0.7. The
     * oracle replays the selection as unrolled pick-CTEs — every input the
@@ -3842,7 +3865,8 @@ object Queries {
     "events_retention" -> eventsRetention,
     "events_anomaly" -> eventsAnomaly,
     "w6_ntile_quartile" -> w6NtileQuartile,
-    "search_mmr_rerank" -> searchMmrRerank)
+    "search_mmr_rerank" -> searchMmrRerank,
+    "dedup_jaccard_join" -> dedupJaccardJoin)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {

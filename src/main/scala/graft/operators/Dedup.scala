@@ -257,6 +257,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact-threshold Jaccard similarity join via PREFIX FILTERING (Chaudhuri
+    * et al., "A primitive operator for similarity joins", ICDE 2006; Xiao et
+    * al., "Efficient similarity joins for near duplicate detection", WWW
+    * 2008) — the scale path for what [[ngramJaccardPairs]] computes by brute
+    * force: every pair of documents whose distinct-shingle Jaccard meets
+    * `threshold`, WITHOUT the all-pairs cross join.
+    *
+    * Under a global (document-frequency asc, shingle) order, two sets with
+    * J ≥ t must share an element inside their first |x| − ⌈t·|x|⌉ + 1
+    * elements (the prefix property), so candidate pairs come from a
+    * self-join on PREFIX shingles only — rare shingles first, which is what
+    * makes the prefix selective. Candidates then verify exactly: intersect
+    * counts via two did-keyed joins restricted to candidate pairs, Jaccard
+    * compared on its 6dp-ROUNDED value so an ulp cannot flip a pair in or
+    * out between engines. Result is PROVABLY equal to the brute-force join
+    * — the oracle enforces that literally, and JaccardJoinSpec asserts it
+    * against [[ngramJaccardPairs]] on a mutated corpus.
+    *
+    * Scale shape: everything keys on shingle or did — the df aggregate, the
+    * per-doc rank window, the prefix self-join, and the verify joins; no
+    * cross join anywhere. Skewed hot shingles are exactly what the df-asc
+    * prefix order evicts from prefixes first.
+    */
+  def jaccardJoinPrefix(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val tok = withShingles(docs, idCol, textCol, shingleN)
+      .select(col(idCol).as("did"), explode(array_distinct(col("sh"))).as("tk"))
+      .localCheckpoint() // read 4×: sizes, df, prefix, verification
+    val sz = tok.groupBy("did").agg(count(lit(1)).as("n"))
+    val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("did").orderBy(col("df"), col("tk"))
+    val prefix = tok.join(dfreq, "tk")
+      .withColumn("rk", row_number().over(w))
+      .join(sz, "did")
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
+      .select("did", "tk", "n")
+    // length filter (SSJoin): J(A,B) ≥ t forces t·|B| ≤ |A| — a pair whose
+    // sizes differ beyond 1/t can't qualify, so it never reaches verification
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tk") === col("b.tk") && col("a.did") < col("b.did") &&
+          col("a.n") >= ceil(lit(threshold) * col("b.n")) &&
+          col("b.n") >= ceil(lit(threshold) * col("a.n")))
+      .select(col("a.did").as("ia"), col("b.did").as("ib")).distinct()
+    val inter = cand
+      .join(tok.as("x"), col("ia") === col("x.did"))
+      .join(tok.as("y"), col("ib") === col("y.did") && col("x.tk") === col("y.tk"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.select(col("did").as("ia"), col("n").as("na")), "ia")
+      .join(sz.select(col("did").as("ib"), col("n").as("nb")), "ib")
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        round(col("c") / (col("na") + col("nb") - col("c")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Line-level boilerplate removal (the C4/RefinedWeb-style cleanup): a line
     * occurring more than `maxOccurrences` times ACROSS THE CORPUS is boilerplate
     * (nav bars, license footers, cookie banners) and drops from every document.

@@ -45,15 +45,18 @@ object Graphs {
     // tree upstream re-ran ~3× per round in the stress sweep (5.6 s → the
     // checkpoint pays it once). Eager by design; blocks are executor-local
     // and freed by the ContextCleaner once the result is dropped.
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // The out-degree folds INTO the checkpointed edge table so each
+    // iteration is ONE join + one aggregate instead of two joins.
+    val dedup = edges.select(col("src"), col("dst")).distinct()
+    val e = dedup
+      .join(dedup.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks, e("src") === ranks("node"))
-        .join(outdeg, "src")
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum("c").as("in_sum"))
       ranks = nodes.join(contribs, Seq("node"), "left")
