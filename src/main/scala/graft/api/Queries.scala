@@ -2435,6 +2435,47 @@ object Queries {
            |WINDOW w AS (PARTITION BY n_name ORDER BY spend DESC, c_custkey)
            |ORDER BY n_name, c_custkey""".stripMargin))
 
+  /** EWMA-smoothed daily metric per event type: events pre-aggregate to a
+    * (type, day) mean table — metadata-sized, ONE exchange over the raw
+    * stream — then the exponential smoothing runs as a decay-weighted join
+    * over a bounded 30-day horizon ((1−α)³⁰ ≈ 1e-3 at α = 0.2; truncated
+    * EWMA is the production form — an unbounded recursive window neither
+    * scales nor replays). Adjusted-EWMA normalization (Σw·x / Σw), 4dp
+    * round absorbing pow/sum ulp drift.
+    */
+  private val eventsEwma = Q(
+    (s, d) => {
+      val daily = D.events(s, d)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day"),
+          col("value"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), (sum("value") / count(lit(1))).as("day_mean"))
+      val a = daily.select(col("event_type"), col("day").as("t"),
+        col("n").as("n_t"), col("day_mean").as("x_t"))
+      val b = daily.select(col("event_type"), col("day").as("j"), col("day_mean").as("x_j"))
+      a.join(b, Seq("event_type"))
+        .filter(col("j") <= col("t") && col("j") > col("t") - 30)
+        .withColumn("w", pow(lit(0.8), (col("t") - col("j")).cast("double")))
+        .groupBy(col("event_type"), col("t").as("day"))
+        .agg(first(col("n_t")).as("n"),
+          round(first(col("x_t")), 4).as("day_mean"),
+          round(sum(col("w") * col("x_j")) / sum(col("w")), 4).as("ewma"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type,
+           |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+           |    count(*) AS n, sum(value) / count(*) AS day_mean
+           |  FROM events GROUP BY event_type, day)
+           |SELECT a.event_type, a.day AS day, a.n AS n,
+           |  round(a.day_mean, 4) AS day_mean,
+           |  round(sum(pow(0.8, CAST(a.day - b.day AS DOUBLE)) * b.day_mean)
+           |    / sum(pow(0.8, CAST(a.day - b.day AS DOUBLE))), 4) AS ewma
+           |FROM daily a JOIN daily b ON a.event_type = b.event_type
+           |  AND b.day <= a.day AND b.day > a.day - 30
+           |GROUP BY a.event_type, a.day, a.n, a.day_mean
+           |ORDER BY a.event_type, a.day""".stripMargin))
+
   /** Weekly retention cohorts over the events stream: users cohorted by the
     * week of their first signup, counted in each later week they produced
     * any event — the product-analytics triangle matrix. Weeks are
@@ -3866,7 +3907,8 @@ object Queries {
     "events_anomaly" -> eventsAnomaly,
     "w6_ntile_quartile" -> w6NtileQuartile,
     "search_mmr_rerank" -> searchMmrRerank,
-    "dedup_jaccard_join" -> dedupJaccardJoin)
+    "dedup_jaccard_join" -> dedupJaccardJoin,
+    "events_ewma" -> eventsEwma)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {
