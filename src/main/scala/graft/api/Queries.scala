@@ -2353,6 +2353,47 @@ object Queries {
             |FROM pairs WHERE round(inter / CAST(uni AS DOUBLE), 6) >= 0.6
             |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Edit-distance-1 join over the corpus vocabulary
+    * ([[graft.operators.Dedup.editDistanceJoin]]) — typo/variant mining via
+    * FastSS deletion neighborhoods: candidates come from EQUALITY on a
+    * deleted-character variant (a pure equi-join — the O(|V|²) levenshtein
+    * cross join appears nowhere), then verify through the codegen'd built-in
+    * levenshtein. The string set is the 4–12-char vocabulary plus a
+    * deterministic mid-character-deletion "typo" of each token (both engines
+    * derive it with identical substring math), so the join provably recovers
+    * every typo→source edge. The oracle IS the brute-force levenshtein
+    * all-pairs join, so hash parity proves the neighborhood pruning lossless.
+    */
+  private val dedupEditJoin = Q(
+    (s, d) => {
+      val base = D.documents(s, d)
+        .select(explode(expr(
+          "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")).as("t"))
+        .filter(length(col("t")).between(4, 12)).distinct()
+      val mid = "cast(floor(length(t)/2) as int)"
+      val strs = base.select(col("t").as("s"))
+        .unionByName(base.select(
+          expr(s"concat(substring(t, 1, $mid), substring(t, $mid + 2))").as("s")))
+        .distinct()
+      graft.operators.Dedup.editDistanceJoin(strs, "s")
+        .orderBy("s_a", "s_b")
+    },
+    Some("""WITH toks AS (SELECT DISTINCT unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+           |  FROM documents),
+           |base AS (SELECT t FROM toks WHERE length(t) BETWEEN 4 AND 12),
+           |strs AS (SELECT DISTINCT s FROM (
+           |  SELECT t AS s FROM base
+           |  UNION ALL
+           |  SELECT concat(substring(t, 1, CAST(floor(length(t)/2) AS INT)),
+           |                substring(t, CAST(floor(length(t)/2) AS INT) + 2)) AS s
+           |  FROM base))
+           |SELECT a.s AS s_a, b.s AS s_b,
+           |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+           |FROM strs a JOIN strs b ON a.s < b.s
+           |WHERE levenshtein(a.s, b.s) <= 1
+           |ORDER BY s_a, s_b""".stripMargin))
+
   /** MMR diversity re-rank over the cosine top-10
     * ([[graft.operators.Mmr.rerank]]): five greedy picks at λ = 0.7. The
     * oracle replays the selection as unrolled pick-CTEs — every input the
@@ -2475,6 +2516,84 @@ object Queries {
            |  AND b.day <= a.day AND b.day > a.day - 30
            |GROUP BY a.event_type, a.day, a.n, a.day_mean
            |ORDER BY a.event_type, a.day""".stripMargin))
+
+  /** Overlapping activity intervals merged per user: each event opens a
+    * 30-minute interval [epoch-second, +1800], and [[graft.operators.Intervals
+    * .mergeIntervals]] scan-lines them into maximal islands — one exchange on
+    * user_id whose clustering the window sort AND the island group-by both
+    * reuse (no second shuffle). The oracle replays the identical running-max
+    * island detection in DuckDB window SQL, so island boundaries — not just
+    * counts — are hash-gated. All arithmetic is exact integer epoch seconds.
+    */
+  private val eventsIntervalsMerge = Q(
+    (s, d) => {
+      val iv = D.events(s, d).select(col("user_id"),
+        floor(unix_timestamp(col("ts"))).cast("long").as("s"))
+        .withColumn("e", col("s") + 1800L)
+      graft.operators.Intervals.mergeIntervals(iv, Seq("user_id"), "s", "e")
+        .select(col("user_id"), col("island_start"), col("island_end"),
+          col("n_intervals"))
+        .orderBy("user_id", "island_start")
+    },
+    Some("""WITH iv AS (SELECT user_id,
+           |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+           |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+           |  FROM events),
+           |flagged AS (SELECT user_id, s, e,
+           |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+           |      OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |    THEN 1 ELSE 0 END AS new_island
+           |  FROM iv),
+           |islands AS (SELECT user_id, s, e,
+           |    sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           |  FROM flagged)
+           |SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+           |  count(*) AS n_intervals
+           |FROM islands GROUP BY user_id, island
+           |ORDER BY user_id, island_start""".stripMargin))
+
+  /** Per-(user, type) daily series densified with LOCF gap-fill
+    * ([[graft.operators.Intervals.gapFillDaily]]): the day grid explodes from
+    * each key's [min, max] span (rows-out bounded by keys × span-days), and
+    * the carry-forward is one `last(_, ignoreNulls)` window riding the same
+    * exchange as the span aggregate. The oracle builds the identical grid via
+    * generate_series and fills with `last_value(v IGNORE NULLS)` — engines
+    * agree on every filled cell, gated at 4dp on the summed daily value.
+    */
+  private val eventsGapfill = Q(
+    (s, d) => {
+      val daily = D.events(s, d).select(col("user_id"), col("event_type"),
+          floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day"),
+          col("value"))
+        .groupBy("user_id", "event_type", "day")
+        .agg(sum("value").as("v"))
+      graft.operators.Intervals.gapFillDaily(daily,
+          Seq("user_id", "event_type"), "day", "v")
+        .select(col("user_id"), col("event_type"), col("day"),
+          round(col("v"), 4).as("value"), col("is_filled"))
+        .orderBy("user_id", "event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT user_id, event_type,
+           |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+           |    sum(value) AS v
+           |  FROM events GROUP BY user_id, event_type, day),
+           |span AS (SELECT user_id, event_type, min(day) AS d0, max(day) AS d1
+           |  FROM daily GROUP BY user_id, event_type),
+           |grid AS (SELECT user_id, event_type,
+           |    unnest(generate_series(d0, d1)) AS day
+           |  FROM span)
+           |SELECT g.user_id, g.event_type, g.day,
+           |  round(last_value(daily.v IGNORE NULLS) OVER (
+           |    PARTITION BY g.user_id, g.event_type ORDER BY g.day
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value,
+           |  CAST(daily.v IS NULL AS BIGINT) AS is_filled
+           |FROM grid g LEFT JOIN daily
+           |  ON g.user_id = daily.user_id AND g.event_type = daily.event_type
+           |  AND g.day = daily.day
+           |ORDER BY g.user_id, g.event_type, g.day""".stripMargin))
 
   /** Weekly retention cohorts over the events stream: users cohorted by the
     * week of their first signup, counted in each later week they produced
@@ -3736,6 +3855,86 @@ object Queries {
            |WHERE below < q * total AND q * total <= below + n
            |ORDER BY lang, q""".stripMargin))
 
+  /** HyperLogLog distinct users per event type
+    * ([[graft.operators.Sketches.hllDistinct]]): 64 registers over the
+    * engine-shared md5 hash32 — register/rank split, max-per-register, and
+    * the α-corrected harmonic estimate (small-range branch engaged at this
+    * cardinality) all replay in DuckDB, so the ESTIMATE hash-gates, not just
+    * the registers. Exact distinct rides along to show the sketch error;
+    * at 100 TB you keep only the 64-byte register state per group
+    * (production swap-in: `approx_count_distinct`, Spark's own HLL++).
+    * Every oracle-side constant is CAST to DOUBLE — DuckDB parses bare
+    * decimal literals as DECIMAL, whose division rounds differently than
+    * binary64.
+    */
+  private val sketchHll = Q(
+    (s, d) => {
+      val ev = D.events(s, d).select(col("event_type"),
+        graft.operators.Curation.hash32(col("user_id"), "hll").as("h"))
+      val exact = D.events(s, d).groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      graft.operators.Sketches.hllDistinct(ev, "event_type", "h")
+        .join(exact, "event_type")
+        .select("event_type", "n_registers", "zeros", "hll_estimate", "n_exact")
+        .orderBy("event_type")
+    },
+    Some(s"""WITH hx AS (SELECT event_type, user_id,
+            |    substring(md5('hll' || CAST(user_id AS VARCHAR)), 1, 8) AS hx8
+            |  FROM events),
+            |hv AS (SELECT event_type, ${graft.operators.Curation.hash32DigitSumSql("hx8")} AS h FROM hx),
+            |reg AS (SELECT event_type, h % 64 AS reg,
+            |    CASE WHEN h // 64 = 0 THEN 27
+            |      ELSE instr(lpad(bin(h // 64), 26, '0'), '1') END AS rnk
+            |  FROM hv),
+            |mj AS (SELECT event_type, reg, max(rnk) AS mj FROM reg GROUP BY event_type, reg),
+            |agg AS (SELECT event_type, count(*) AS present,
+            |    sum(pow(CAST(2.0 AS DOUBLE), -CAST(mj AS DOUBLE))) AS inv
+            |  FROM mj GROUP BY event_type),
+            |est AS (SELECT event_type, present, 64 - present AS zeros,
+            |    (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))
+            |      * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+            |      / (inv + CAST(64 - present AS DOUBLE)) AS raw
+            |  FROM agg),
+            |exact AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
+            |SELECT est.event_type, CAST(present AS BIGINT) AS n_registers,
+            |  CAST(zeros AS BIGINT) AS zeros,
+            |  round(CASE WHEN raw <= CAST(160.0 AS DOUBLE) AND zeros > 0
+            |    THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(zeros AS DOUBLE))
+            |    ELSE raw END, 4) AS hll_estimate,
+            |  CAST(n_exact AS BIGINT) AS n_exact
+            |FROM est JOIN exact ON est.event_type = exact.event_type
+            |ORDER BY est.event_type""".stripMargin))
+
+  /** Jensen–Shannon token drift between the English slice and the rest of the
+    * corpus ([[graft.operators.TextAnalysis.tokenDrift]]): per-token
+    * contributions to JS divergence over the union vocabulary — the
+    * distribution-shift monitor for a training mix, where the top
+    * |contribution| tokens name the drift. One token-keyed exchange; the
+    * grand totals broadcast back as a 1-row aggregate. Zero-probability
+    * terms contribute exactly 0 in both engines; everything else is gated
+    * at 6dp.
+    */
+  private val textJsDivergence = Q(
+    (s, d) => graft.operators.TextAnalysis.tokenDrift(
+        D.documents(s, d), "text", col("lang") === "en")
+      .orderBy("token"),
+    Some("""WITH tok AS (SELECT lang = 'en' AS a, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+           |  FROM documents),
+           |cnt AS (SELECT token,
+           |    sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+           |    sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+           |  FROM tok GROUP BY token),
+           |tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM cnt),
+           |pq AS (SELECT token,
+           |    CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+           |    CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE) AS q
+           |  FROM cnt CROSS JOIN tot)
+           |SELECT token, round(p, 6) AS p, round(q, 6) AS q,
+           |  round(CAST(0.5 AS DOUBLE) * (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / CAST(2.0 AS DOUBLE))) ELSE CAST(0 AS DOUBLE) END)
+           |      + CAST(0.5 AS DOUBLE) * (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / CAST(2.0 AS DOUBLE))) ELSE CAST(0 AS DOUBLE) END), 6) AS js_contrib
+           |FROM pq ORDER BY token""".stripMargin))
+
   /** SemDeDup ([[graft.operators.Dedup.semanticDedup]]): embedding-space
     * semantic dedup — cluster (pinned centroids = embeddings 1..8, like
     * `cluster_assign`), then drop any vector with a smaller-id neighbor at
@@ -3908,7 +4107,12 @@ object Queries {
     "w6_ntile_quartile" -> w6NtileQuartile,
     "search_mmr_rerank" -> searchMmrRerank,
     "dedup_jaccard_join" -> dedupJaccardJoin,
-    "events_ewma" -> eventsEwma)
+    "events_ewma" -> eventsEwma,
+    "events_intervals_merge" -> eventsIntervalsMerge,
+    "events_gapfill" -> eventsGapfill,
+    "dedup_edit_join" -> dedupEditJoin,
+    "sketch_hll" -> sketchHll,
+    "text_js_divergence" -> textJsDivergence)
 
   /** Flagship: end-to-end collection build + hybrid search on the documents table. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {

@@ -315,6 +315,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance-1 similarity join over a string set via deletion
+    * neighborhoods (the FastSS / SymSpell family — Bocek et al., "Fast
+    * Similarity Search in Large Dictionaries", 2007): every string emits
+    * itself plus each single-character deletion, and two strings at
+    * Levenshtein distance ≤ 1 MUST share a variant — substitution: deleting
+    * the differing position from both gives the same string; insert/delete:
+    * the longer side's deletion IS the shorter string, whose identity variant
+    * matches. Variant equality is therefore a COMPLETE candidate generator,
+    * and it's an EQUI-join — no cross join, no length-bucketed theta-join;
+    * every exchange keys on a variant string or a candidate pair. False
+    * positives (e.g. transpositions "ab"/"ba" share variant "a") verify at
+    * distance 2 through the codegen'd built-in `levenshtein` and drop.
+    *
+    * At 100 TB-vocabulary scale the variant table is ~(avgLen+1)× the input
+    * and hot variants (short strings' deletions) skew like any token join —
+    * the same AQE skew-split lever as the shingle joins applies. Returns
+    * (s_a, s_b, dist) with s_a < s_b, exactly the pairs at distance ≤ 1.
+    */
+  def editDistanceJoin(strs: DataFrame, strCol: String): DataFrame = {
+    val vars = strs.select(col(strCol).as("s"))
+      .withColumn("v", explode(expr(
+        "transform(sequence(0, length(s)), i -> " +
+          "concat(substring(s, 1, i), substring(s, i+2)))")))
+      .distinct() // duplicate-char deletions collapse ("aab" → "ab" twice)
+    vars.as("a").join(vars.as("b"),
+        col("a.v") === col("b.v") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("s_a"), col("b.s").as("s_b")).distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
+
   /** Line-level boilerplate removal (the C4/RefinedWeb-style cleanup): a line
     * occurring more than `maxOccurrences` times ACROSS THE CORPUS is boilerplate
     * (nav bars, license footers, cookie banners) and drops from every document.

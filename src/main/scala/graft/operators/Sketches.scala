@@ -241,6 +241,48 @@ object Sketches {
       .join(broadcast(cms), Seq("row", "bucket"), "left")
       .groupBy(candCol).agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
 
+  /** HyperLogLog distinct-count estimate per group (Flajolet et al., "HyperLogLog:
+    * the analysis of a near-optimal cardinality estimation algorithm", AofA 2007)
+    * with m = 2^6 = 64 registers over the engine-shared 32-bit
+    * [[Curation.hash32]]: register = hash mod 64, rank = leading-zero count + 1
+    * of the remaining 26 bits (computed as the position of the first '1' in the
+    * zero-padded binary string — `instr(lpad(bin(v), 26, '0'), '1')` — which
+    * both engines evaluate identically, no float log2 edge cases). Estimate =
+    * α·m²/Σ2^(−M_j) with absent registers contributing 2^0, and the standard
+    * small-range correction m·ln(m/V) when E ≤ 2.5m and V empty registers
+    * remain. Every Σ term is an exact power of two within a 26-bit exponent
+    * span, so the double sum is EXACT in both engines — the estimate, not just
+    * the registers, hash-gates.
+    *
+    * State per group is 64 bytes-worth of registers no matter the stream size;
+    * partial max-aggregation collapses each partition map-side. Production
+    * swap-in at lower oracle fidelity: `approx_count_distinct` (Spark's own
+    * HLL++). Registers are mergeable by cell-wise max like [[cmsMerge]].
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, hashCol: String): DataFrame = {
+    val m = 64
+    val v = expr(s"$hashCol div $m")
+    val rank = when(v === 0L, lit(27)) // all 26 suffix bits zero → rank 26 + 1
+      .otherwise(instr(lpad(bin(v), 26, "0"), "1"))
+    val regs = df
+      .select(col(groupCol), pmod(col(hashCol), lit(m)).as("_reg"), rank.as("_rank"))
+      .groupBy(groupCol, "_reg").agg(max("_rank").as("_mj"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    regs.groupBy(groupCol)
+      .agg(count(lit(1)).as("_present"),
+           sum(pow(lit(2.0), -col("_mj").cast("double"))).as("_inv"))
+      .withColumn("zeros", (lit(m.toLong) - col("_present")))
+      .withColumn("_raw",
+        alpha * lit(m.toDouble) * lit(m.toDouble) /
+          (col("_inv") + col("zeros").cast("double")))
+      .withColumn("hll_estimate", round(
+        when(col("_raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("_raw")), 4))
+      .select(col(groupCol), col("_present").as("n_registers"),
+        col("zeros"), col("hll_estimate"))
+  }
+
   /** Merge two KMV sketches (sorted distinct k-minima): union, dedup, keep
     * the k smallest — KMV is a mergeable summary like the CMS grid, so
     * shard-local or micro-batch sketches combine without revisiting data.

@@ -308,6 +308,39 @@ object TextAnalysis {
     * ~3.5 s, sequence+substring ~8 s — that one re-seeks UTF-8 offsets per
     * index, O(n²)); the kernel is a map at scan cost.
     */
+  /** Per-token Jensen–Shannon drift between two corpus slices: unigram
+    * distributions P (rows where `sliceA` holds) and Q (the rest) over the
+    * union vocabulary, with each token's JS contribution
+    * ½·p·ln(p/m) + ½·q·ln(q/m), m = (p+q)/2 (zero-probability terms
+    * contribute 0; total JS divergence = Σ contributions, bounded by ln 2).
+    * The distribution-shift monitor for a training-data mix: run it between
+    * yesterday's corpus and today's, or between two sources, and the top
+    * |contribution| tokens NAME the drift.
+    *
+    * Shape: one token hash-aggregation carrying both slice counts as
+    * conditional sums (the slices never scan separately), then the grand
+    * totals — a 1-row aggregate — broadcast back over the count table. At
+    * 100 TB the only corpus-sized exchange keys on the token.
+    */
+  def tokenDrift(docs: DataFrame, textCol: String, sliceA: Column): DataFrame = {
+    val cnt = docs
+      .select(sliceA.as("_a"), explode(expr(toksExpr(textCol))).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
+           sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"))
+    val totals = cnt.agg(sum("_ca").as("_ta"), sum("_cb").as("_tb"))
+    def term(p: Column, m: Column): Column =
+      when(p > 0, p * log(p / m)).otherwise(lit(0.0))
+    cnt.crossJoin(broadcast(totals))
+      .withColumn("p", col("_ca").cast("double") / col("_ta").cast("double"))
+      .withColumn("q", col("_cb").cast("double") / col("_tb").cast("double"))
+      .withColumn("_m", (col("p") + col("q")) / lit(2.0))
+      .select(col("token"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        round(lit(0.5) * term(col("p"), col("_m")) +
+              lit(0.5) * term(col("q"), col("_m")), 6).as("js_contrib"))
+  }
+
   def withCharEntropy(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("entropy",
       round(graft.plans.TextHashFunctions.charEntropy(col(textCol)), 4))

@@ -49,4 +49,33 @@ class JaccardJoinSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall { case (a, b) => b - a == 100L },
       s"at 0.8 only the single-word mutations may match, got $got")
   }
+
+  // ------------------------------------------------- edit-distance-1 join
+
+  test("editDistanceJoin equals the brute-force levenshtein join (lossless)") {
+    val strs = Seq("kitten", "mitten", "kitte", "kittens", "sitting",
+      "abc", "acb", "zzzz", "spark", "spork", "spak").toDF("s")
+    val brute = strs.as("a").crossJoin(strs.as("b"))
+      .filter(col("a.s") < col("b.s") &&
+        levenshtein(col("a.s"), col("b.s")) <= 1)
+      .select(col("a.s"), col("b.s"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val fast = Dedup.editDistanceJoin(strs, "s")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast === brute)
+    // the families this data plants: substitution, deletion, insertion
+    assert(brute.contains(("kitten", "mitten")))
+    assert(brute.contains(("kitte", "kitten")))
+    assert(brute.contains(("kitten", "kittens")))
+    // transposition shares a deletion variant but is distance 2 → filtered
+    assert(!fast.contains(("abc", "acb")))
+  }
+
+  test("editDistanceJoin: duplicate-character strings produce no duplicate pairs") {
+    val strs = Seq("aab", "ab", "aa").toDF("s")
+    val rows = Dedup.editDistanceJoin(strs, "s")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length === rows.distinct.length)
+    assert(rows.toSet === Set(("aa", "aab"), ("aab", "ab"), ("aa", "ab")))
+  }
 }

@@ -228,4 +228,34 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
       Array(v(1, 0), v(0, 1)), minCosine = 0.999)
     assert(out.filter(!col("kept")).count() === 0)
   }
+
+  // --------------------------------------------------------------------- hll
+
+  test("hllDistinct estimates within HLL's expected error band at m=64") {
+    // m=64 → relative standard error ≈ 1.04/√64 = 13%; assert 3σ.
+    val ids = (1 to 500).map(i => ("g", i.toLong)).toDF("g", "id")
+      .select(col("g"), Curation.hash32(col("id"), "t").as("h"))
+    val est = Sketches.hllDistinct(ids, "g", "h")
+      .collect().head.getAs[Double]("hll_estimate")
+    assert(math.abs(est - 500.0) / 500.0 < 0.4, s"estimate $est too far from 500")
+  }
+
+  test("hllDistinct is insensitive to duplication (distinct semantics)") {
+    val once = (1 to 100).map(i => ("g", i.toLong)).toDF("g", "id")
+      .select(col("g"), Curation.hash32(col("id"), "t").as("h"))
+    val thrice = once.unionAll(once).unionAll(once)
+    val a = Sketches.hllDistinct(once, "g", "h").collect().head
+    val b = Sketches.hllDistinct(thrice, "g", "h").collect().head
+    assert(a.getAs[Double]("hll_estimate") === b.getAs[Double]("hll_estimate"))
+    assert(a.getAs[Long]("n_registers") === b.getAs[Long]("n_registers"))
+  }
+
+  test("hllDistinct small-range correction handles tiny groups") {
+    val ids = Seq(("g", 1L), ("g", 2L), ("g", 3L)).toDF("g", "id")
+      .select(col("g"), Curation.hash32(col("id"), "t").as("h"))
+    val row = Sketches.hllDistinct(ids, "g", "h").collect().head
+    val est = row.getAs[Double]("hll_estimate")
+    assert(est > 0.5 && est < 10.0, s"3 distinct should estimate near 3, got $est")
+    assert(row.getAs[Long]("zeros") === 61L)
+  }
 }

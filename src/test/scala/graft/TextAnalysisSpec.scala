@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TextAnalysis
@@ -37,5 +38,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(rows(2L).getAs[Long]("n_words") === 0)
     assert(!rows(2L).isNullAt(rows(2L).fieldIndex("flesch_ease")),
       "empty text must not divide by zero")
+  }
+
+  // ------------------------------------------------------------- token drift
+
+  test("tokenDrift: identical slices diverge by zero on every token") {
+    val docs = Seq((1L, "alpha beta gamma", true), (2L, "alpha beta gamma", false))
+      .toDF("doc_id", "text", "a")
+    val out = TextAnalysis.tokenDrift(docs, "text", col("a")).collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getAs[Double]("js_contrib") === 0.0))
+  }
+
+  test("tokenDrift: a slice-exclusive token carries positive contribution") {
+    val docs = Seq(
+      (1L, "shared shared onlyleft", true),
+      (2L, "shared shared onlyright", false)).toDF("doc_id", "text", "a")
+    val rows = TextAnalysis.tokenDrift(docs, "text", col("a"))
+      .collect().map(r => r.getAs[String]("token") -> r).toMap
+    assert(rows("onlyleft").getAs[Double]("js_contrib") > 0.0)
+    assert(rows("onlyleft").getAs[Double]("q") === 0.0)
+    assert(rows("onlyright").getAs[Double]("p") === 0.0)
+    // balanced slices: the exclusive tokens contribute symmetrically
+    assert(rows("onlyleft").getAs[Double]("js_contrib") ===
+      rows("onlyright").getAs[Double]("js_contrib"))
+    assert(rows("shared").getAs[Double]("js_contrib") === 0.0)
   }
 }
