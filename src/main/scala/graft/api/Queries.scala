@@ -3601,6 +3601,60 @@ object Queries {
             |SELECT q.qid, round(coalesce(nh, 0) / 10.0, 6) AS recall
             |FROM q LEFT JOIN hits ON q.qid = hits.qid ORDER BY q.qid""".stripMargin))
 
+  /** Labeled retrieval-quality gate ([[graft.operators.RelevanceEval]]): MRR
+    * and recall@10 of exact-cosine retrieval where ground truth is the
+    * embeddings table's own `label` column (relevant = same label, self
+    * excluded). The oracle replays ranking AND both metrics in SQL — rr and
+    * recall are ratios of small exact integers, so the gate is hash-tight
+    * even though the ranking came from float distances (rank order is pinned
+    * by the same (distance, id) sort both engines evaluate).
+    */
+  private val evalMrr = Q(
+    (s, d) => {
+      import s.implicits._
+      val emb = D.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val qRows = emb.filter(col("vec_id").between(100, 119)).orderBy("vec_id")
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+          r.getAs[Int]("label")))
+      val qDf = qRows.toSeq.map(t => (t._1, t._2)).toDF("qid", "qvec")
+      // self always ranks 1 at distance 0 — drop it and shift, identical to
+      // the oracle's rank-after-exclusion
+      val results = graft.operators.Search.vectorTopKBatch(
+          corpus, "embedding", "vec_id", qDf, "qid", "qvec", 11)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rank", col("rank") - 1L)
+      val labels = corpus.select(col("vec_id"), col("label"))
+        .join(broadcast(qRows.toSeq.map(t => (t._1, t._3)).toDF("qid", "qlabel")),
+          col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"))
+      graft.operators.RelevanceEval.perQuery(
+          results, labels, "qid", "vec_id", "rank", 10)
+        .select(col("qid"), round(col("rr"), 6).as("rr"), col("n_hits"),
+          round(col("recall"), 6).as("recall"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+            |      FROM embeddings WHERE vec_id BETWEEN 100 AND 119),
+            |corpus AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id <> 0),
+            |scored AS (SELECT q.qid, v.vec_id, ${l2Sql("v.embedding", "q.qv")} AS dd
+            |  FROM corpus v CROSS JOIN q WHERE v.vec_id <> q.qid),
+            |top AS (SELECT qid, vec_id, rnk FROM
+            |  (SELECT qid, vec_id, row_number() OVER
+            |     (PARTITION BY qid ORDER BY dd ASC, vec_id ASC) AS rnk FROM scored)
+            |  WHERE rnk <= 10),
+            |labels AS (SELECT q.qid, v.vec_id FROM q
+            |  JOIN corpus v ON v.label = q.ql AND v.vec_id <> q.qid),
+            |nrel AS (SELECT qid, count(*) AS n_relevant FROM labels GROUP BY qid),
+            |hits AS (SELECT t.qid, min(t.rnk) AS first_rank, count(*) AS n_hits
+            |  FROM top t JOIN labels l ON l.qid = t.qid AND l.vec_id = t.vec_id
+            |  GROUP BY t.qid)
+            |SELECT n.qid, round(coalesce(1.0 / first_rank, 0), 6) AS rr,
+            |  coalesce(n_hits, 0) AS n_hits,
+            |  round(coalesce(n_hits, 0) / least(n_relevant, 10), 6) AS recall
+            |FROM nrel n LEFT JOIN hits h ON h.qid = n.qid ORDER BY n.qid""".stripMargin))
+
   /** Sign-LSH multi-probe ANN ([[graft.operators.Ann.searchSignLsh]]): scan only
     * the query's sign bucket plus its Hamming-1 neighbors, brute-force cosine
     * inside. The oracle replicates bucket assignment + probe-set expansion in
@@ -4052,6 +4106,7 @@ object Queries {
     "f_scalar_json" -> fScalarJson,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_recall_eval" -> annRecallEval,
+    "eval_mrr" -> evalMrr,
     "ann_lsh_topk" -> annLshTopk,
     "ann_graph_topk" -> annGraphTopk,
     "mm_binary_meta" -> mmBinaryMeta,
