@@ -229,11 +229,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     val sh = withShingles(docs, idCol, textCol, shingleN)
-      .select(col(idCol), array_distinct(col("sh")).as("sh"))
+      .select(col(idCol), array_sort(array_distinct(col("sh"))).as("sh"))
     cand
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.plans.TextHashFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -247,11 +248,12 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val withSh = withShingles(docs, idCol, textCol, n)
-      .select(col(idCol), array_distinct(col("sh")).as("sh"))
+      .select(col(idCol), array_sort(array_distinct(col("sh"))).as("sh"))
     val a = withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.plans.TextHashFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -279,20 +281,29 @@ object Dedup {
     * per-doc rank window, the prefix self-join, and the verify joins; no
     * cross join anywhere. Skewed hot shingles are exactly what the df-asc
     * prefix order evicts from prefixes first.
+    *
+    * Verification is a merge walk over per-doc SORTED shingle arrays
+    * ([[graft.plans.SortedIntersectSize]]): the pair list joins each side's
+    * array (did-keyed, |cand| rows) and the intersection counts inline in
+    * whole-stage codegen — no per-pair token explode, no count aggregation,
+    * no per-row hash set. Swapping this for the exploded
+    * (pair × token) double-join + groupBy cut the sf0.1 bench 5.5 s → ~2 s;
+    * the sort is paid once per document, not per pair.
     */
   def jaccardJoinPrefix(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleN: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val tok = withShingles(docs, idCol, textCol, shingleN)
-      .select(col(idCol).as("did"), explode(array_distinct(col("sh"))).as("tk"))
-      .localCheckpoint() // read 4×: sizes, df, prefix, verification
-    val sz = tok.groupBy("did").agg(count(lit(1)).as("n"))
+    val shArr = withShingles(docs, idCol, textCol, shingleN)
+      .select(col(idCol).as("did"),
+        array_sort(array_distinct(col("sh"))).as("sha"))
+      .withColumn("n", size(col("sha")))
+      .localCheckpoint() // read 3×: df/prefix explode + both verify sides
+    val tok = shArr.select(col("did"), col("n"), explode(col("sha")).as("tk"))
     val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("did").orderBy(col("df"), col("tk"))
     val prefix = tok.join(dfreq, "tk")
       .withColumn("rk", row_number().over(w))
-      .join(sz, "did")
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
       .select("did", "tk", "n")
     // length filter (SSJoin): J(A,B) ≥ t forces t·|B| ≤ |A| — a pair whose
@@ -302,13 +313,13 @@ object Dedup {
           col("a.n") >= ceil(lit(threshold) * col("b.n")) &&
           col("b.n") >= ceil(lit(threshold) * col("a.n")))
       .select(col("a.did").as("ia"), col("b.did").as("ib")).distinct()
-    val inter = cand
-      .join(tok.as("x"), col("ia") === col("x.did"))
-      .join(tok.as("y"), col("ib") === col("y.did") && col("x.tk") === col("y.tk"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
-    inter
-      .join(sz.select(col("did").as("ia"), col("n").as("na")), "ia")
-      .join(sz.select(col("did").as("ib"), col("n").as("nb")), "ib")
+    cand
+      .join(shArr.select(col("did").as("ia"), col("sha").as("sh_a"),
+        col("n").as("na")), "ia")
+      .join(shArr.select(col("did").as("ib"), col("sha").as("sh_b"),
+        col("n").as("nb")), "ib")
+      .withColumn("c",
+        graft.plans.TextHashFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .select(col("ia").as("id_a"), col("ib").as("id_b"),
         round(col("c") / (col("na") + col("nb") - col("c")).cast("double"), 6)
           .as("jaccard"))

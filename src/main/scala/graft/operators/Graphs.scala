@@ -47,12 +47,23 @@ object Graphs {
     // and freed by the ContextCleaner once the result is dropped.
     // The out-degree folds INTO the checkpointed edge table so each
     // iteration is ONE join + one aggregate instead of two joins.
+    // Partitioned by dst BEFORE the checkpoint: each iteration's contribution
+    // aggregate groups on dst (as `node`), the rank side of the per-iteration
+    // join is node-count-sized (AQE broadcasts it, preserving the probe
+    // side's layout through the alias-aware projection), so the aggregate
+    // reuses this one layout every round — the per-iteration wide exchange of
+    // the edge table disappears from the plan.
     val dedup = edges.select(col("src"), col("dst")).distinct()
     val e = dedup
       .join(dedup.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("dst"))
       .localCheckpoint()
+    // checkpointed: every iteration's rank rebase left-joins `nodes`, and
+    // without materialization the union+distinct over the edge endpoints
+    // re-runs once PER ITERATION inside the final plan
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
       val contribs = e

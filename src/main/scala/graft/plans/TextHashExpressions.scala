@@ -3,7 +3,7 @@ package graft.plans
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -351,9 +351,63 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** JVM body for [[SortedIntersectSize]] — a merge walk over two SORTED string
+  * arrays. The built-in `array_intersect` builds a hash set per ROW (boxing
+  * every element, allocating per call); at 193k candidate pairs × ~50-element
+  * shingle sets that was 3.8 s of the 5 s jaccard-join bench — ~20 µs/row of
+  * pure overhead. The merge walk is O(|a|+|b|) UTF8String compares with zero
+  * allocation, and the sort it requires happens once per DOCUMENT (in the
+  * projection that builds the arrays), not once per pair.
+  */
+object SortedArrayOps extends Serializable {
+  /** Distinct-intersection size; both inputs must be sorted ascending with
+    * distinct elements (array_sort ∘ array_distinct). Null elements sort
+    * first in Spark's array_sort and are skipped here.
+    */
+  def intersectSize(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && a.isNullAt(i)) i += 1
+    while (j < nb && b.isNullAt(j)) j += 1
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** Intersection size of two sorted distinct string arrays
+  * (array<string>, array<string>) → bigint.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "sorted_intersect_size"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedArrayOps.intersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = ctx.addReferenceObj("sortedArrayOps", SortedArrayOps,
+      "graft.plans.SortedArrayOps$")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ops.intersectSize($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object TextHashFunctions {
   import ColumnBridge.{toCol, toExpr}
 
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    toCol(SortedIntersectSize(toExpr(a), toExpr(b)))
   def simhash16(tokens: Column): Column = toCol(SimHash16(toExpr(tokens)))
   def charEntropy(text: Column): Column = toCol(CharEntropy(toExpr(text)))
   def minhashSig(tokens: Column, n: Int): Column = toCol(MinHashSig(toExpr(tokens), n))
