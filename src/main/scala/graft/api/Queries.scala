@@ -561,8 +561,8 @@ object Queries {
         .orderBy(col("n_name").asc, col("o_year").desc)
     },
     Some("""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
-           |      - 50 * CAST(round(p_retailprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS profit_e4,
+           |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+           |      - 50 * CAST(round(p_retailprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_e4,
            |  count(*) AS cnt
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |  JOIN supplier ON l_suppkey = s_suppkey
@@ -627,8 +627,8 @@ object Queries {
     },
     Some("""SELECT CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'AIR' WHEN 1 THEN 'SHIP'
            |    ELSE 'TRUCK' END AS shipmode,
-           |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+           |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
            |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -3619,12 +3619,16 @@ object Queries {
           r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
           r.getAs[Int]("label")))
       val qDf = qRows.toSeq.map(t => (t._1, t._2)).toDF("qid", "qvec")
-      // self always ranks 1 at distance 0 — drop it and shift, identical to
-      // the oracle's rank-after-exclusion
+      // rank-after-exclusion: drop the self row from the k=11 shortlist, then
+      // RE-rank the survivors. (A plain rank-1 shift would break if an exact-
+      // duplicate corpus vector with a smaller vec_id out-ranked self: self
+      // would sit at rank 2 and the duplicate would shift to rank 0.)
       val results = graft.operators.Search.vectorTopKBatch(
           corpus, "embedding", "vec_id", qDf, "qid", "qvec", 11)
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("rank", col("rank") - 1L)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("rank").asc)).cast("long"))
       val labels = corpus.select(col("vec_id"), col("label"))
         .join(broadcast(qRows.toSeq.map(t => (t._1, t._3)).toDF("qid", "qlabel")),
           col("label") === col("qlabel") && col("vec_id") =!= col("qid"))

@@ -367,12 +367,19 @@ final class CollectionManager(
     val ivf = ivfIndex(name).map(ix =>
       ("ivf_size_matches_chunks", nChunks, ix.size)).toSeq
     val sigs =
-      if (fs.exists(new Path(sigsPath(name))))
-        Seq(("dedup_sigs_without_doc", 0L,
-          spark.read.parquet(sigsPath(name))
-            .select(col("ex_id").as("id")).distinct()
-            .join(docs, Seq("id"), "left_anti").count()))
-      else Nil
+      if (fs.exists(new Path(sigsPath(name)))) {
+        val sigIds = spark.read.parquet(sigsPath(name))
+          .select(col("ex_id").as("id")).distinct()
+        Seq(
+          ("dedup_sigs_without_doc", 0L,
+            sigIds.join(docs, Seq("id"), "left_anti").count()),
+          // the inverse: an indexed document with NO signature permanently
+          // stops gating future near-dup arrivals (a crash between cm.update
+          // and the sig upsert leaves this state) — streaming heals it on the
+          // next gated batch, fsck surfaces it
+          ("doc_without_dedup_sig", 0L,
+            docs.join(sigIds, Seq("id"), "left_anti").count()))
+      } else Nil
     (base ++ bm25 ++ ivf ++ sigs)
       .map { case (c, e, a) => (c, e, a, e == a) }
       .toDF("check", "expected", "actual", "ok")

@@ -156,7 +156,8 @@ object Dedup {
     * corpus-RELATIVE threshold, because "shared by 1000 docs" means
     * boilerplate at 100k docs but is a meaningful near-dup cluster at 1B.
     * The dropped-fingerprint count is counted eagerly and logged, so cap
-    * coverage loss is visible instead of silent; the df table this forces is
+    * coverage loss is visible instead of silent (skip that extra job with
+    * `logDropStats = false` in hot plan-construction paths); the df table this forces is
     * fingerprint-vocabulary-sized (not corpus-sized) and is cached so the
     * pair join reuses it rather than recomputing the explode.
     */
@@ -164,7 +165,8 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 7, w: Int = 5, minContainment: Double = 0.5,
       maxFingerprintDf: Int = 0,
-      maxFingerprintDfFraction: Double = 0.01): DataFrame = {
+      maxFingerprintDfFraction: Double = 0.01,
+      logDropStats: Boolean = true): DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val ex = TextAnalysis.fingerprintDf(
         docs.select(col(idCol), col(textCol)), textCol, k, w)
@@ -184,16 +186,21 @@ object Dedup {
     // the consumed plan — a deliberate one-extra-pass trade for zero
     // retained state.
     val dfCounts = ex.groupBy("fp").agg(count(lit(1)).as("_df"))
-    val stats = dfCounts.agg(
-      count(lit(1)).as("n_fp"),
-      sum(when(col("_df") > cap, 1L).otherwise(0L)).as("n_dropped")).head()
-    val (nFp, nDropped) = (stats.getLong(0), stats.getLong(1))
-    if (nDropped > 0)
-      log.warn(s"containmentPairs: df cap $cap drops $nDropped of $nFp " +
-        s"fingerprints (${"%.2f".format(100.0 * nDropped / math.max(nFp, 1))}%) " +
-        "as boilerplate — raise maxFingerprintDf(Fraction) if coverage matters more than cost")
-    else
-      log.info(s"containmentPairs: df cap $cap, all $nFp fingerprints kept")
+    // the stats pass is pure visibility — hot callers that construct this plan
+    // repeatedly (or that set an absolute cap they already trust) can skip
+    // the extra job with logDropStats = false; the cap itself still applies
+    if (logDropStats) {
+      val stats = dfCounts.agg(
+        count(lit(1)).as("n_fp"),
+        sum(when(col("_df") > cap, 1L).otherwise(0L)).as("n_dropped")).head()
+      val (nFp, nDropped) = (stats.getLong(0), stats.getLong(1))
+      if (nDropped > 0)
+        log.warn(s"containmentPairs: df cap $cap drops $nDropped of $nFp " +
+          s"fingerprints (${"%.2f".format(100.0 * nDropped / math.max(nFp, 1))}%) " +
+          "as boilerplate — raise maxFingerprintDf(Fraction) if coverage matters more than cost")
+      else
+        log.info(s"containmentPairs: df cap $cap, all $nFp fingerprints kept")
+    }
     val informative = dfCounts.filter(col("_df") <= cap).select("fp")
     // same join key as the pair join below — co-partitioned, no extra exchange
     val kept = ex.join(informative, Seq("fp"))

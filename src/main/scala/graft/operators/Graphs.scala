@@ -24,10 +24,15 @@ object Graphs {
 
   /** PageRank (Page et al., "The PageRank citation ranking", 1999) in the
     * classic unnormalized form: rank₀ = 1, rank' = (1−d) + d·Σ_in rank/outdeg
-    * — nodes with no in-links settle at 1−d; dangling nodes contribute
-    * nothing (their mass is not redistributed, the original Spark-example
-    * semantics; document-level callers rarely care, normalize downstream if
-    * they do).
+    * — nodes with no in-links settle at 1−d. Dangling-node mass is governed
+    * by `redistributeDangling`: false (default) drops it — the original
+    * Spark-example semantics, fine for relative document ranking; true
+    * spreads each round's dangling rank uniformly over all N nodes
+    * (rank' = (1−d) + d·(Σ_in rank/outdeg + danglingSum/N)), the
+    * stochastic-matrix form whose total mass stays exactly N — use it when
+    * ranks feed a sampling weight and absolute mass matters. The dangling
+    * sum is ONE extra scalar aggregate per round, broadcast back as a
+    * one-row cross join (no driver collect).
     *
     * Each iteration's rank is rounded to 9 decimals: contribution sums are
     * order-dependent in their last ulp, so without the round two engines (or
@@ -38,7 +43,8 @@ object Graphs {
     * Input: edge table with `src`, `dst` columns (any type; duplicate edges
     * are deduped). Output: (node, rank), one row per distinct endpoint.
     */
-  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     // localCheckpoint truncates the edge lineage (the GraphX recipe): without
     // it every iteration re-derives the caller's whole edge plan — a join
@@ -64,16 +70,40 @@ object Graphs {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
+    // dangling nodes = endpoints that never appear as src; their per-round
+    // rank sum is the mass to redistribute. Resolved once, checkpointed like
+    // `nodes` (it is re-read every round).
+    val srcNodes = e.select(col("src").as("node")).distinct()
+    val dangling =
+      if (redistributeDangling)
+        nodes.join(srcNodes, Seq("node"), "left_anti").localCheckpoint()
+      else null
+    val nNodes = if (redistributeDangling) nodes.count().toDouble else 0.0
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks, e("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum("c").as("in_sum"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          round(lit(1.0 - damping) +
-            lit(damping) * coalesce(col("in_sum"), lit(0.0)), 9).as("rank"))
+      val base = nodes.join(contribs, Seq("node"), "left")
+      ranks =
+        if (!redistributeDangling)
+          base.select(col("node"),
+            round(lit(1.0 - damping) +
+              lit(damping) * coalesce(col("in_sum"), lit(0.0)), 9).as("rank"))
+        else {
+          // one-row scalar aggregate, broadcast back — rank state must be
+          // checkpointed per round here or the dangling-sum subplan would
+          // re-derive the whole rank history each iteration
+          val dSum = ranks.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0.0)).as("d_sum"))
+          base.crossJoin(broadcast(dSum))
+            .select(col("node"),
+              round(lit(1.0 - damping) +
+                lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
+                  col("d_sum") / lit(nNodes)), 9).as("rank"))
+            .localCheckpoint()
+        }
     }
     ranks
   }
@@ -109,25 +139,50 @@ object Graphs {
     * link farms (spam rings are triangle-dense; long-tail content is
     * triangle-sparse).
     *
-    * Algorithm: canonical edges a<b; wedges (a<b<c) from the b=src self-join;
-    * a triangle is a wedge whose closing edge (a,c) exists. Each triangle is
-    * enumerated exactly once (the a<b<c total order), then credited to all
-    * three corners. Scale shape: two hash-joins of the edge table against
-    * itself — first keyed on the middle node, then on the (a,c) pair; both
-    * exchanges carry only node-id pairs/triples, and the same canonical edge
-    * exchange is reused across the joins (ReusedExchange — locked by
-    * PlanAuditSpec). No cartesian anything. At 100 TB add the standard
-    * degree-ordering refinement (orient wedges at the lowest-degree corner)
-    * if hub skew bites; AQE's skew-join split covers the moderate case.
+    * Algorithm: DEGREE-ORDERED orientation (the node-iterator refinement of
+    * Chiba–Nishizeki; "compact-forward" in Latapy, Theor. Comput. Sci. 2008):
+    * each undirected edge orients from its lower-(degree, id) endpoint to the
+    * higher; wedges form at the LOWEST-ordered corner over its out-neighbor
+    * pairs; a triangle is a wedge whose closing edge exists in the same
+    * orientation. Every out-degree is O(√m), so a hub of degree 10⁶ that
+    * would put 10¹²/2 wedges in one id-ordered partition contributes almost
+    * none here — its edges orient INTO it. Each triangle is still enumerated
+    * exactly once (at its minimum-ordered corner), then credited to all
+    * three corners — the same count set as the plain a<b<c enumeration, so
+    * the oracle is unchanged.
+    *
+    * Scale shape: one degree aggregate plus equi-joins of the narrow (node,
+    * degree) table into the edge set (broadcast while the node table fits,
+    * shuffled-hash beyond), then two hash-joins of the oriented
+    * edge table against itself — first keyed on the wedge corner, then on
+    * the closing (x, y) pair; all exchanges carry only node-id/degree
+    * columns. No cartesian anything.
     *
     * Output: (node, n_triangles), one row per node that closes ≥ 1 triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // NOT checkpointed: the repeated reads below collapse via ReusedExchange
+    // (the wedge sides are byte-identical subplans), and keeping the lineage
+    // declarative lets the caller's filters stay visible as pushed scans —
+    // PlanAuditSpec locks that property on the gated query.
     val e = canonicalUndirected(edges)
-    val tri = e
-      .join(e.toDF("b", "c"), "b")                 // wedge a–b–c with a<b<c
-      .join(e.toDF("a", "c"), Seq("a", "c"))       // closing edge
-      .select(col("a"), col("b"), col("c"))
+    // undirected degree over the deduped edge set; (deg, id) is the total order
+    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.toDF("a", "dega"), "a")
+      .join(deg.toDF("b", "degb"), "b")
+    val aLower = struct(col("dega"), col("a")) < struct(col("degb"), col("b"))
+    // (u, v, degv): order(u) < order(v) — out-degree bounded by O(√m)
+    val o = withDeg.select(
+        when(aLower, col("a")).otherwise(col("b")).as("u"),
+        when(aLower, col("b")).otherwise(col("a")).as("v"),
+        when(aLower, col("degb")).otherwise(col("dega")).as("degv"))
+    val tri = o.toDF("u", "x", "degx")
+      .join(o.toDF("u", "y", "degy"), "u")         // wedge at the lowest corner
+      .filter(struct(col("degx"), col("x")) < struct(col("degy"), col("y")))
+      .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y")) // closing edge x→y
+      .select(col("u").as("a"), col("x").as("b"), col("y").as("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
@@ -171,8 +226,12 @@ object Graphs {
     * Determinism (the published algorithm is randomized; this is the
     * oracle-replicable variant): labels start as the node's own id,
     * updates are synchronous, and ties break to the SMALLEST label — both
-    * engines order by (count desc, label asc) and take row 1. Isolated
-    * nodes keep their own label.
+    * engines order by (count desc, label asc) and take row 1.
+    *
+    * Node universe: by default the distinct endpoints of `edges`, so an
+    * edge-less node never appears in the output. Pass `nodes` (a `node`
+    * column; unioned with the endpoints, so it can't lose anyone) to include
+    * isolated nodes — they keep their own id as label.
     *
     * Scale shape per round: one join of the (symmetrized) edge table
     * against the label state keyed on src, a (node, label) count aggregate
@@ -182,11 +241,16 @@ object Graphs {
     *
     * Output: (node, label) after `iters` rounds.
     */
-  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+                       nodes: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     val e = symmetrized(edges)
-    val nodes = e.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    val endpoints = e.select(col("src").as("node"))
+    val nodeSet = nodes match {
+      case Some(n) => n.select(col("node")).union(endpoints).distinct()
+      case None    => endpoints.distinct()
+    }
+    var labels = nodeSet.withColumn("label", col("node")).localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("node").orderBy(col("c").desc, col("label"))
     for (_ <- 1 to iters) {
@@ -196,7 +260,7 @@ object Graphs {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("node", "label")
-      labels = nodes.join(top, Seq("node"), "left")
+      labels = nodeSet.join(top, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
         .localCheckpoint()
     }

@@ -361,8 +361,10 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   */
 object SortedArrayOps extends Serializable {
   /** Distinct-intersection size; both inputs must be sorted ascending with
-    * distinct elements (array_sort ∘ array_distinct). Null elements sort
-    * first in Spark's array_sort and are skipped here.
+    * distinct elements (array_sort ∘ array_distinct). `array_sort` places
+    * null elements at the END of an ascending sort (unlike `sort_array`,
+    * which puts them first), so the merge walk stops at the first null on
+    * either side — everything after it is null too.
     */
   def intersectSize(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
@@ -370,9 +372,7 @@ object SortedArrayOps extends Serializable {
     var i = 0
     var j = 0
     var c = 0L
-    while (i < na && a.isNullAt(i)) i += 1
-    while (j < nb && b.isNullAt(j)) j += 1
-    while (i < na && j < nb) {
+    while (i < na && j < nb && !a.isNullAt(i) && !b.isNullAt(j)) {
       val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1

@@ -57,7 +57,11 @@ object StreamingUpdate {
       checkpointDir: String,
       appendIvf: Boolean = false,
       dedupOnArrival: Boolean = false,
-      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // once per stream start: heal documents that have no signature (a crash
+    // between cm.update and the sig upsert leaves them un-gated forever —
+    // fsck's doc_without_dedup_sig check is the audit twin of this repair)
+    var sigsHealed = false
     changedDocs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -70,8 +74,22 @@ object StreamingUpdate {
         try {
           if (!batch.isEmpty) {
             val existed = cm.exists(collectionName)
-            if (dedupOnArrival && existed && cm.minhashSigs(collectionName).isEmpty)
-              cm.appendMinhashSigs(collectionName, cm.documents(collectionName))
+            if (dedupOnArrival && existed) {
+              cm.minhashSigs(collectionName) match {
+                case None =>
+                  // collection predates the signature table: backfill once
+                  cm.appendMinhashSigs(collectionName, cm.documents(collectionName))
+                case Some(sigs) if !sigsHealed =>
+                  // partial-write repair: re-derive signatures for any doc
+                  // missing one (narrow id anti-join; text read only for the
+                  // survivors)
+                  val missing = cm.documents(collectionName)
+                    .join(sigs.select(col("ex_id").as("id")), Seq("id"), "left_anti")
+                  if (!missing.isEmpty) cm.appendMinhashSigs(collectionName, missing)
+                case _ => ()
+              }
+              sigsHealed = true
+            }
             val incoming =
               if (!dedupOnArrival) batch
               else cm.minhashSigs(collectionName) match {
@@ -100,6 +118,7 @@ object StreamingUpdate {
         } finally batch.unpersist()
         ()
       }
+  }
 
   /** Tumbling-window event aggregation with a late-data watermark: the canonical
     * streaming agg (counts + sums per event_type per window). `withWatermark`

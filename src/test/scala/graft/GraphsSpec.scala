@@ -39,6 +39,25 @@ class GraphsSpec extends AnyFunSuite with SparkSuite {
     assert(got("Y") === 0.2775)
   }
 
+  test("dangling redistribution matches hand math and conserves total mass") {
+    // X→Y: Y is dangling. N=2, d=0.85.
+    // iter1: dSum=1.  X = 0.15+0.85·(0+0.5)        = 0.575
+    //                 Y = 0.15+0.85·(1+0.5)        = 1.425
+    // iter2: dSum=1.425, dm=0.7125.
+    //                 X = 0.15+0.85·0.7125         = 0.755625
+    //                 Y = 0.15+0.85·(0.575+0.7125) = 1.244375
+    val e = Seq(("X", "Y")).toDF("src", "dst")
+    val got = Graphs.pageRank(e, iters = 2, redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("X" -> 0.755625, "Y" -> 1.244375))
+    assert(math.abs(got.values.sum - 2.0) < 1e-9,
+      "stochastic form must conserve total mass = N")
+    // and the default drops that mass: Y's dangling rank just vanishes
+    val dropped = Graphs.pageRank(e, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dropped === Map("X" -> 0.15, "Y" -> 0.2775))
+  }
+
   test("duplicate edges dedup; result is partition-invariant") {
     val dup = triangle.union(triangle) // every edge twice
     val base = Graphs.pageRank(triangle, iters = 3)
@@ -94,6 +113,19 @@ class GraphsSpec extends AnyFunSuite with SparkSuite {
     assert(Set(got("A"), got("B"), got("C")).size === 1)
     assert(Set(got("D"), got("E"), got("F")).size === 1)
     assert(got("A") !== got("D"))
+  }
+
+  test("label propagation includes isolated nodes only via the nodes frame") {
+    val e = Seq(("A", "B"), ("A", "C"), ("B", "C")).toDF("src", "dst")
+    val bare = Graphs.labelPropagation(e, iters = 2)
+      .collect().map(r => r.getString(0)).toSet
+    assert(bare === Set("A", "B", "C"), "edge-less nodes absent by default")
+    val withIso = Graphs.labelPropagation(e, iters = 2,
+        nodes = Some(Seq("Z", "A").toDF("node")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(withIso("Z") === "Z", "isolated node keeps its own label")
+    assert(withIso.keySet === Set("A", "B", "C", "Z"),
+      "nodes frame unions with endpoints — nobody is lost")
   }
 
   test("label propagation is partition-invariant") {

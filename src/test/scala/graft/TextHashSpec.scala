@@ -51,6 +51,21 @@ class TextHashSpec extends AnyFunSuite with SparkSuite {
     samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
   }
 
+  test("sorted intersect size stops at the null tail (array_sort puts nulls LAST)") {
+    import spark.implicits._
+    import graft.plans.TextHashFunctions.sortedIntersectSize
+    // inputs are array_sort-shaped: ascending, distinct, nulls at the END —
+    // a null reached mid-walk must terminate the merge, not NPE
+    val rows = Seq(
+      (Seq[String]("a", "b", null), Seq[String]("b", "c", null)),
+      (Seq[String]("a", null, null), Seq[String]("a", "b", null)),
+      (Seq[String](null), Seq[String]("a")),
+      (Seq[String]("x", "y"), Seq[String]("x", "y"))).toDF("a", "b")
+    val got = rows.select(sortedIntersectSize(col("a"), col("b")).as("n"))
+      .as[Long].collect().toSeq
+    assert(got === Seq(1L, 1L, 0L, 2L))
+  }
+
   test("native minhash signatures match the explode+groupBy formulation") {
     import graft.operators.Dedup
     val shinglesOf = {

@@ -2,15 +2,30 @@
 """Local stand-in for the driver's correctness gate: run Verify's parquet dumps
 against the DuckDB oracle SQL and compare values (columns sorted by name).
 
+The driver's hash is dtype/representation-sensitive (it hashes the serialized
+frame), so DuckDB returning HUGEINT→float64 for an integer sum while Spark
+emits int64 is a FAIL there even when every value is equal. This checker
+mirrors that: value equality alone is not enough — the serialized form
+(repr of each cell, which distinguishes 5 from 5.0) must match too.
+
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
-import json, sys, glob, os
+import json, sys, glob, os, hashlib
 import duckdb
 
 def canon(df):
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+def frame_hash(df):
+    """Hash the dtype-sensitive serialized form, like the driver's gate."""
+    h = hashlib.sha256()
+    for c in df.columns:
+        h.update(c.encode())
+        for v in df[c]:
+            h.update(repr(v).encode())
+    return h.hexdigest()
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -51,6 +66,11 @@ def main(sf_dir, out_dir):
                 mask = ~((g[c] == w[c]) | (g[c].isna() & w[c].isna()))
                 print("  spark:", g[mask][c].head(3).tolist(),
                       " oracle:", w[mask][c].head(3).tolist())
+        elif frame_hash(g) != frame_hash(w):
+            dt = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+                  if str(g[c].dtype) != str(w[c].dtype)]
+            print(f"FAIL {name}: values equal but serialized form differs "
+                  f"(dtype mismatches: {dt})")
         else:
             print(f"OK   {name} ({len(g)} rows)"); n_ok += 1
     print(f"== {n_ok}/{len(oracle)} OK")
