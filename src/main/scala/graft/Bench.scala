@@ -41,10 +41,14 @@ object Bench {
     val results = queries.map { case (name, _) =>
       name -> math.min(p1(name), p2(name))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the JSON line short enough to survive the
+    // driver's fixed-size stdout-tail capture (BENCH_r06's full-precision
+    // doubles pushed the line past the window and left `parsed` null).
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also write the JSON to a file: scraping it from the sbt log tail is
     // fragile (log interleaving left BENCH_r02's parsed field null).
