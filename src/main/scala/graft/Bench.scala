@@ -24,7 +24,11 @@ object Bench {
     // The noop writer materializes every output row in full, then discards it.
     def consume(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // Optional name-filter regex (SPARK_GRAFT_BENCH_FILTER) for targeted
+    // re-measurement of a few queries; the driver sets no filter → full run.
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.forall(_.matches(n)) }
     queries.foreach { case (_, fn) =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => }
     }

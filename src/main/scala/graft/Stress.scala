@@ -129,6 +129,10 @@ object Stress {
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "stress"
+    // Optional second arg: regex over query names — rerun one row of the
+    // sweep (e.g. after reshaping one operator) without paying for all 14.
+    val nameFilter = if (args.length > 1) args(1).r else ".*".r
+    val active = stressQueries.filter(q => nameFilter.matches(q))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -160,7 +164,7 @@ object Stress {
       consume(spark.read.parquet(s"$dir/lineitem.parquet"))
       consume(spark.read.parquet(s"$dir/part.parquet"))
       consume(spark.read.parquet(s"$dir/supplier.parquet"))
-      m -> stressQueries.map { q =>
+      m -> active.map { q =>
         consume(SparkEntry.queries(q)(spark, dir)) // warm
         val sec = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
@@ -173,7 +177,7 @@ object Stress {
     }.toMap
 
     println("query,t_x1_s,t_x10_s,ratio,exponent")
-    stressQueries.foreach { q =>
+    active.foreach { q =>
       val t1 = results(1)(q); val t10 = results(10)(q)
       val ratio = t10 / t1
       println(f"$q,$t1%.2f,$t10%.2f,$ratio%.2f,${math.log10(ratio)}%.2f")

@@ -3063,6 +3063,53 @@ object Queries {
          |ORDER BY round(rank, 6) DESC, node LIMIT 100""".stripMargin
     })
 
+  /** PageRank with dangling-mass redistribution over the same trade graph
+    * ([[graft.operators.Graphs.pageRank]] `redistributeDangling = true`, the
+    * stochastic-matrix form): suppliers only ever appear as edge DESTINATIONS
+    * here, so every supplier is a dangling node and the redistribution term is
+    * live in every round — rank' = (1−d) + d·(Σ_in rank/outdeg + danglingSum/N).
+    * The oracle unrolls the 5 iterations with the same per-round dangling-sum
+    * scalar and the same 9dp round, hash-gating the mass-conserving fixed
+    * point exactly as the base query gates the drop-mass one.
+    */
+  private val graphPagerankDangling = Q(
+    (s, d) => {
+      val li = D.lineitem(s, d); val o = D.orders(s, d)
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.operators.Graphs.pageRank(edges, iters = 5,
+          redistributeDangling = true)
+        .select(col("node"), round(col("rank"), 6).as("pagerank"))
+        .orderBy(round(col("rank"), 6).desc, col("node"))
+        .limit(100)
+    },
+    Some {
+      val iterCtes = (1 to 5).map { i =>
+        s"""ds$i AS (SELECT coalesce(sum(rank), 0.0) AS d_sum
+           |  FROM r${i - 1} JOIN dang USING (node)),
+           |c$i AS (SELECT e.dst AS node, sum(r${i - 1}.rank / o.outdeg) AS in_sum
+           |  FROM eo e JOIN r${i - 1} ON e.src = r${i - 1}.node
+           |  JOIN outdeg o ON e.src = o.src
+           |  GROUP BY e.dst),
+           |r$i AS (SELECT n.node,
+           |    round(0.15 + 0.85 * (coalesce(c.in_sum, 0.0) + d.d_sum / nn.n), 9) AS rank
+           |  FROM nodes n LEFT JOIN c$i c USING (node) CROSS JOIN ds$i d CROSS JOIN nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH eo AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM eo GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM eo UNION ALL SELECT dst FROM eo)),
+         |dang AS (SELECT n.node FROM nodes n
+         |  WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = n.node)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes),
+         |$iterCtes
+         |SELECT node, round(rank, 6) AS pagerank FROM r5
+         |ORDER BY round(rank, 6) DESC, node LIMIT 100""".stripMargin
+    })
+
   /** Per-doc tf-idf keywords ([[graft.operators.TextAnalysis.keywords]]):
     * top-3 terms per document — the dataset-card drill-down signal. Postings
     * exchange + vocab-keyed df join (AQE decides broadcast) + per-doc top-k
@@ -4141,6 +4188,7 @@ object Queries {
     "sample_epoch_shuffle" -> sampleEpochShuffle,
     "text_collocations" -> textCollocations,
     "graph_pagerank" -> graphPagerank,
+    "graph_pagerank_dangling" -> graphPagerankDangling,
     "text_keywords" -> textKeywords,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "ann_ivfpq_residual" -> annIvfPqResidual,

@@ -198,6 +198,9 @@ object Graphs {
     * round: BFS state lineage otherwise doubles every round (state_i
     * references edges ⋈ state_{i-1} AND state_{i-1}), which is exponential
     * plan growth by round 10; checkpointing is what every Pregel loop does.
+    * (A checkpoint-every-2-rounds cadence was measured at sf0.1 — min 4.58 s
+    * vs 4.50 s per-round over multiple full-bench runs, a wash at 3 hops —
+    * so the simpler per-round policy stays; see PLANS.md round-7 notes.)
     *
     * Output: (node, hops), only nodes reachable within `maxHops`.
     */

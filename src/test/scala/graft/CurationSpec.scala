@@ -194,6 +194,53 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(abs.exists { case (a, b) => a >= 3L && b >= 3L })
   }
 
+  test("containmentPairs: logDropStats=false schedules zero construction jobs, same output") {
+    import spark.implicits._
+    val footer = "this document is provided under the standard corporate license " +
+      "agreement all rights reserved contact legal department for redistribution terms"
+    val quote = "the quarterly revenue figures exceeded projections across every " +
+      "regional segment according to the audited consolidated statements"
+    val docs = (Seq((1L, s"$quote $footer"), (2L, s"$quote $footer")) ++
+      (3L to 10L).map(i => (i, s"unique subject matter number $i discussing topic " +
+        s"${"xyz" * i.toInt} in detail $footer"))).toDF("doc_id", "text")
+    // absolute cap in BOTH calls so neither needs the nDocs count: the only
+    // possible construction-time job is the drop-stats action itself
+    def pairs(stats: Boolean) = graft.operators.Dedup.containmentPairs(
+      docs, "doc_id", "text", maxFingerprintDf = 2, logDropStats = stats)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def quiesce(): Unit = {
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      var last = -1
+      while (last != jobs.get()) { last = jobs.get(); Thread.sleep(500) }
+    }
+    val (loud, quiet) =
+      try {
+        quiesce(); jobs.set(0)
+        val q = pairs(stats = false) // construction only — no action yet
+        quiesce()
+        // the barrier count itself is the 1; anything beyond it ran eagerly
+        assert(jobs.get() === 1,
+          s"logDropStats=false must not schedule jobs at plan construction; saw ${jobs.get() - 1}")
+        val l = pairs(stats = true)
+        (l, q)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("shared")))
+      .toSet
+    val (lk, qk) = (key(loud), key(quiet))
+    assert(lk === qk, "drop-stats logging must not change the pair set")
+    // and the cap genuinely applied in the quiet run: the footer (df = 10)
+    // never pairs the footer-only docs
+    assert(!qk.exists { case (a, b, _) => a >= 3L && b >= 3L })
+    assert(qk.exists { case (a, b, _) => Set(a, b) == Set(1L, 2L) })
+  }
+
   test("incrementalNearDups: new batch gates against persisted signatures only") {
     import spark.implicits._
     val phrase = "the quick brown fox jumps over the lazy dog again and again"
