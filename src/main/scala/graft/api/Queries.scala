@@ -3110,6 +3110,42 @@ object Queries {
          |ORDER BY round(rank, 6) DESC, node LIMIT 100""".stripMargin
     })
 
+  /** Legacy index-artifact migration roundtrip (SURVEY §2.9 M7,
+    * [[graft.sources.LegacyChroma]] over the from-scratch
+    * [[graft.sources.Pickle]] codec): the embeddings table is exported to the
+    * reference's legacy pickle wire form (`{"ids", "embeddings", "metadatas"}`
+    * protocol-2 stream, chroma_indexer.py:181) and re-imported, and the query
+    * emits per-entry dim / double-precision L2 norm / metadata echo from the
+    * REIMPORTED rows. The oracle computes the same projection straight from
+    * parquet — hash parity proves the codec roundtrip is lossless (float →
+    * pickle double → float is exact; any parse drift breaks id order, dim,
+    * norm, or the echoed metadata). Parse is driver-side by construction
+    * (a legacy artifact is one in-memory blob — the reference's own
+    * `pickle.loads` path); everything downstream is a distributed frame.
+    */
+  private val m7LegacyImport = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id").cast("string").as("id"), col("embedding"),
+          map(lit("source"), lit("legacy"),
+            lit("label"), col("label").cast("string")).as("metadata"))
+      val bytes = graft.sources.LegacyChroma.exportPickled(emb)
+      val imported = graft.sources.LegacyChroma.importPickled(s, bytes)
+      imported.select(
+          col("id"),
+          size(col("embedding")).as("dim"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("l2_norm"),
+          col("metadata")("source").as("source"),
+          col("metadata")("label").as("label"))
+        .orderBy(col("id").cast("long"))
+    },
+    Some("""SELECT CAST(vec_id AS VARCHAR) AS id, CAST(len(embedding) AS INT) AS dim,
+           |  round(sqrt(list_sum(list_transform(embedding,
+           |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           |  'legacy' AS source, CAST(label AS VARCHAR) AS label
+           |FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id""".stripMargin))
+
   /** Per-doc tf-idf keywords ([[graft.operators.TextAnalysis.keywords]]):
     * top-3 terms per document — the dataset-card drill-down signal. Postings
     * exchange + vocab-keyed df join (AQE decides broadcast) + per-doc top-k
@@ -4189,6 +4225,7 @@ object Queries {
     "text_collocations" -> textCollocations,
     "graph_pagerank" -> graphPagerank,
     "graph_pagerank_dangling" -> graphPagerankDangling,
+    "m7_legacy_import" -> m7LegacyImport,
     "text_keywords" -> textKeywords,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "ann_ivfpq_residual" -> annIvfPqResidual,

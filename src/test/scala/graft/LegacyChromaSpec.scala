@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{LegacyChroma, Pickle}
+import scala.collection.mutable
+
+/** From-scratch pickle/tar codecs against REAL CPython artifacts: the golden
+  * fixtures under src/test/resources were produced by CPython's pickle and
+  * tarfile modules in the exact shapes the reference's migration path handles
+  * (FIXTURES.md §legacy). The gated query `m7_legacy_import` additionally
+  * hash-gates the full export→import roundtrip against DuckDB at sf scale.
+  */
+class LegacyChromaSpec extends AnyFunSuite with SparkSuite {
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/$name")
+    assert(in != null, s"missing fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("pickle roundtrip preserves a nested dict/list/scalar tree") {
+    val tree = mutable.LinkedHashMap[Any, Any](
+      "ids" -> mutable.ArrayBuffer[Any]("0", "1"),
+      "nested" -> mutable.ArrayBuffer[Any](
+        mutable.LinkedHashMap[Any, Any]("a" -> 1L, "b" -> null, "c" -> true),
+        mutable.ArrayBuffer[Any](1.5, -2.25, 3.0)),
+      "big" -> 1099511627776L, "neg" -> -123456L, "f" -> 0.1,
+      "s" -> "ünïcode ✓", "none" -> null, "no" -> false)
+    val loaded = Pickle.load(Pickle.dump(tree)).asInstanceOf[mutable.LinkedHashMap[Any, Any]]
+    assert(loaded("ids").asInstanceOf[mutable.ArrayBuffer[Any]].toSeq === Seq("0", "1"))
+    val nested = loaded("nested").asInstanceOf[mutable.ArrayBuffer[Any]]
+    assert(nested(0).asInstanceOf[mutable.LinkedHashMap[Any, Any]].toSeq ===
+      Seq("a" -> 1L, "b" -> null, "c" -> true))
+    assert(nested(1).asInstanceOf[mutable.ArrayBuffer[Any]].toSeq === Seq(1.5, -2.25, 3.0))
+    assert(loaded("big") === 1099511627776L && loaded("neg") === -123456L)
+    assert(loaded("f") === 0.1 && loaded("s") === "ünïcode ✓")
+    assert(loaded("none") == null && loaded("no") === false)
+  }
+
+  test("CPython golden pickles decode identically at protocols 2, 4 and 5") {
+    for (proto <- Seq(2, 4, 5)) {
+      val entries = LegacyChroma.decodePickled(fixture(s"legacy_proto$proto.pkl"))
+      assert(entries.map(_.id) === Seq("0", "1", "2"), s"proto $proto ids")
+      assert(entries(0).embedding.toSeq === Seq(0.25f, -1.5f, 3.0f))
+      assert(entries(1).embedding.toSeq === Seq(1.0f, 2.0f, -0.125f))
+      assert(entries(2).embedding.toSeq === Seq(-7.75f, 0.0f, 42.0f))
+      // metadata rendering: epoch ints, bools, None→"None", unicode, 2^40, negatives
+      assert(entries(0).metadata === Map(
+        "source" -> "old", "lastModifiedAt" -> "1735689600", "flag" -> "true"))
+      assert(entries(1).metadata === Map(
+        "source" -> "ünïcode ✓", "note" -> "None", "score" -> "0.75"))
+      assert(entries(2).metadata === Map(
+        "source" -> "big", "n" -> "1099511627776", "neg" -> "-123456"))
+    }
+  }
+
+  test("imported legacy frame is directly searchable") {
+    val df = LegacyChroma.importPickled(spark, fixture("legacy_proto4.pkl"))
+    assert(df.count() === 3)
+    val hit = graft.operators.Search.vectorTopK(
+        df, "embedding", Array(1.0f, 2.0f, -0.1f), k = 1, idCol = "id")
+      .select("id").head().getString(0)
+    assert(hit === "1")
+  }
+
+  test("export → CPython-shape pickle → import is identity on a DataFrame") {
+    import spark.implicits._
+    val df = Seq(
+      ("10", Array(0.5f, -0.5f), Map("source" -> "ours", "note" -> "None")),
+      ("11", Array(1.25f, 2.5f), Map("source" -> "ours")))
+      .toDF("id", "embedding", "metadata")
+    val back = LegacyChroma.decodePickled(LegacyChroma.exportPickled(df))
+    assert(back.map(_.id) === Seq("10", "11"))
+    assert(back(0).embedding.toSeq === Seq(0.5f, -0.5f))
+    assert(back(1).embedding.toSeq === Seq(1.25f, 2.5f))
+    assert(back(0).metadata === Map("source" -> "ours", "note" -> "None"))
+  }
+
+  test("archive form: magic detected, members listed, extraction lands under root") {
+    val bytes = fixture("legacy_archive.bin")
+    assert(LegacyChroma.isArchive(bytes))
+    assert(!LegacyChroma.isArchive(fixture("legacy_proto2.pkl")))
+    val entries = LegacyChroma.listArchive(bytes)
+    assert(entries.map(e => e.name -> e.size).toSet === Set(
+      "chroma.sqlite3" -> 17L, "idx/header.bin" -> 11L, "idx/data_level0.bin" -> 1024L))
+    val dir = java.nio.file.Files.createTempDirectory("legacy-extract").toString
+    LegacyChroma.extractArchive(bytes, dir)
+    val sqlite = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "chroma.sqlite3"))
+    assert(new String(sqlite) === "sqlite-bytes-here")
+    assert(new java.io.File(dir, "idx/data_level0.bin").length() === 1024L)
+    // pickle decode refuses the archive form with a pointer to the right path
+    val err = intercept[IllegalArgumentException] { LegacyChroma.decodePickled(bytes) }
+    assert(err.getMessage.contains("archive-form"))
+  }
+
+  test("archive member escaping the root is refused before anything is written") {
+    val dir = java.nio.file.Files.createTempDirectory("legacy-evil").toString
+    val err = intercept[IllegalArgumentException] {
+      LegacyChroma.extractArchive(fixture("legacy_archive_evil.bin"), dir)
+    }
+    assert(err.getMessage.contains("Invalid archive entry path"))
+    assert(!new java.io.File(new java.io.File(dir).getParentFile, "evil.txt").exists())
+  }
+}
