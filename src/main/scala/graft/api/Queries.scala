@@ -3146,6 +3146,52 @@ object Queries {
            |  'legacy' AS source, CAST(label AS VARCHAR) AS label
            |FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id""".stripMargin))
 
+  /** Deterministic Lloyd k-means training ([[graft.operators.Training.kMeansLloyd]],
+    * k=4 seeded from corpus vectors 1..4, 3 rounds): the trained-centroid
+    * complement to `cluster_assign`'s fixed-centroid assignment and the
+    * bit-reproducible alternative to the MLlib IVF quantizer. The oracle
+    * unrolls the same 3 rounds — ROUND(dist, 6) argmin with lowest-cid ties,
+    * ROUND(avg, 9) centroid update, empty clusters keep their centroid — so
+    * the whole training fixed point hash-gates, partition-invariantly.
+    */
+  private val clusterKmeansTrain = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val init = emb.filter(col("vec_id").between(1, 4))
+        .select((col("vec_id") - 1).as("cid"),
+          posexplode(col("embedding")).as(Seq("dim", "cval")))
+      graft.operators.Training.kMeansLloyd(emb, "vec_id", "embedding", init, iters = 3)
+        .select(col("cid").cast("long").as("cluster_id"), col("dim"),
+          round(col("cval"), 6).as("c"))
+        .orderBy("cluster_id", "dim")
+    },
+    Some {
+      val iterCtes = (1 to 3).map { i =>
+        s"""d$i AS (SELECT p.vid, c.cid,
+           |    round(sum((p.val - c.cval) * (p.val - c.cval)), 6) AS dist
+           |  FROM pts p JOIN c${i - 1} c USING (dim) GROUP BY p.vid, c.cid),
+           |a$i AS (SELECT vid, cid FROM (
+           |    SELECT vid, cid, row_number() OVER (PARTITION BY vid
+           |      ORDER BY dist ASC, cid ASC) AS rn FROM d$i) WHERE rn = 1),
+           |c$i AS (SELECT prev.cid, prev.dim,
+           |    round(coalesce(m.m, prev.cval), 9) AS cval
+           |  FROM c${i - 1} prev LEFT JOIN (
+           |    SELECT a.cid, p.dim, avg(p.val) AS m
+           |    FROM pts p JOIN a$i a USING (vid) GROUP BY a.cid, p.dim) m
+           |  ON prev.cid = m.cid AND prev.dim = m.dim)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pts AS (SELECT vec_id AS vid,
+         |    CAST(z[2] AS INT) - 1 AS dim, CAST(z[1] AS DOUBLE) AS val
+         |  FROM (SELECT vec_id,
+         |      unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
+         |    FROM embeddings WHERE vec_id <> 0)),
+         |c0 AS (SELECT vid - 1 AS cid, dim, val AS cval FROM pts
+         |  WHERE vid BETWEEN 1 AND 4),
+         |$iterCtes
+         |SELECT CAST(cid AS BIGINT) AS cluster_id, dim, round(cval, 6) AS c
+         |FROM c3 ORDER BY cluster_id, dim""".stripMargin
+    })
+
   /** Per-doc tf-idf keywords ([[graft.operators.TextAnalysis.keywords]]):
     * top-3 terms per document — the dataset-card drill-down signal. Postings
     * exchange + vocab-keyed df join (AQE decides broadcast) + per-doc top-k
@@ -4226,6 +4272,7 @@ object Queries {
     "graph_pagerank" -> graphPagerank,
     "graph_pagerank_dangling" -> graphPagerankDangling,
     "m7_legacy_import" -> m7LegacyImport,
+    "cluster_kmeans_train" -> clusterKmeansTrain,
     "text_keywords" -> textKeywords,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "ann_ivfpq_residual" -> annIvfPqResidual,

@@ -87,4 +87,57 @@ object Training {
         when((model.marginCol >= 0) === (col(labelCol).cast("double") === 1.0), 1.0)
           .otherwise(0.0)), 6).as("acc"))
       .head().getDouble(0)
+
+  /** Deterministic Lloyd k-means over an embedding column — the
+    * bit-reproducible alternative to [[Ann.buildIvf]]'s MLlib trainer for when
+    * two builds of the same collection must produce byte-identical quantizers
+    * (incremental-update parity), and the trained-centroid complement to the
+    * fixed-centroid assignment the `cluster_assign` query gates.
+    *
+    * Determinism contract (the [[Graphs.pageRank]] / [[logRegGD]] recipe):
+    * initial centroids are given explicitly (e.g. k corpus vectors); each
+    * round assigns points by ROUND(squared-L2, 6) with ties to the lowest
+    * cluster id — the 6dp round absorbs summation-order ulp so the argmin is
+    * engine- and partitioning-invariant — and recomputes each centroid
+    * component as ROUND(avg, 9); a cluster that captures no points keeps its
+    * previous centroid (the standard empty-cluster rule, made explicit so the
+    * oracle can replay it).
+    *
+    * Scale shape per round: the points explode to (id, dim, val) ONCE
+    * (checkpointed), the k·d centroid table broadcasts into the distance join,
+    * per-point distances aggregate on (id, cid) — n·k narrow rows — and means
+    * aggregate on (cid, dim) — k·d rows. Nothing corpus-sized funnels through
+    * the driver; train on a sample for a coarse quantizer, exactly as
+    * [[Ann.buildIvf]] does.
+    *
+    * Returns the centroid table (cid, dim, cval), k·d rows.
+    */
+  def kMeansLloyd(vectors: DataFrame, idCol: String, vecCol: String,
+                  initCentroids: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val pts = vectors.select(col(idCol).as("_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "val")))
+      .withColumn("val", col("val").cast("double")) // float→double is exact
+      .localCheckpoint()
+    var cent = initCentroids.select(col("cid"), col("dim"),
+        col("cval").cast("double").as("cval"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id").orderBy(col("dist"), col("cid"))
+    for (_ <- 1 to iters) {
+      val dists = pts.join(broadcast(cent), "dim")
+        .groupBy("_id", "cid")
+        .agg(round(sum((col("val") - col("cval")) * (col("val") - col("cval"))), 6)
+          .as("dist"))
+      val assigned = dists.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("_id", "cid")
+      val means = pts.join(assigned, "_id")
+        .groupBy("cid", "dim").agg(avg("val").as("m"))
+      cent = cent.join(means, Seq("cid", "dim"), "left")
+        .select(col("cid"), col("dim"),
+          round(coalesce(col("m"), col("cval")), 9).as("cval"))
+        .localCheckpoint() // k·d rows; also what makes each round's state final
+    }
+    cent
+  }
 }

@@ -60,4 +60,55 @@ class TrainingSpec extends AnyFunSuite with SparkSuite {
       Training.logRegGD(df, "y", Seq("x")))
     assert(e.getMessage.contains("empty"))
   }
+
+  private def kmeansInit(rows: Seq[(Long, Seq[Float])]) = {
+    val vecs = rows.toDF("id", "v")
+    val init = vecs.filter(org.apache.spark.sql.functions.col("id") <= 1)
+      .select(org.apache.spark.sql.functions.col("id").as("cid"),
+        org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.functions.col("v")).as(Seq("dim", "cval")))
+    (vecs, init)
+  }
+
+  test("kMeansLloyd: converges to the two cluster means, hand-checked") {
+    // seeds at (0,0) [cid 0] and (10,0) [cid 1]; true means (0,1) and (10,1)
+    val (vecs, init) = kmeansInit(Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 0f)),
+      (2L, Seq(0f, 2f)), (3L, Seq(10f, 2f))))
+    val cent = Training.kMeansLloyd(vecs, "id", "v", init, iters = 2)
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Int]("dim")) ->
+        r.getAs[Double]("cval")).toMap
+    assert(cent === Map((0L, 0) -> 0.0, (0L, 1) -> 1.0,
+      (1L, 0) -> 10.0, (1L, 1) -> 1.0))
+  }
+
+  test("kMeansLloyd: a cluster that captures nothing keeps its centroid") {
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(100f, 100f)),
+      (2L, Seq(1f, 0f)), (3L, Seq(0f, 1f))).toDF("id", "v")
+    // cid 0 seeded in the data mass, cid 1 seeded far away at (100,100) —
+    // but id 1 sits ON that seed, so move it: seed cid 1 at (500,500) instead
+    val init = Seq((0L, 0, 0.0), (0L, 1, 0.0), (1L, 0, 500.0), (1L, 1, 500.0))
+      .toDF("cid", "dim", "cval")
+    val cent = Training.kMeansLloyd(
+        vecs.filter(org.apache.spark.sql.functions.col("id") =!= 1L),
+        "id", "v", init, iters = 3)
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Int]("dim")) ->
+        r.getAs[Double]("cval")).toMap
+    // cid 1 captured nothing in any round: centroid unchanged
+    assert(cent((1L, 0)) === 500.0 && cent((1L, 1)) === 500.0)
+    // cid 0 is the mean of (0,0),(1,0),(0,1)
+    assert(math.abs(cent((0L, 0)) - 1.0 / 3) < 1e-9)
+    assert(math.abs(cent((0L, 1)) - 1.0 / 3) < 1e-9)
+  }
+
+  test("kMeansLloyd: partition-invariant (1 vs 8 partitions)") {
+    val rows = (0L to 40L).map(i => (i, Seq((i % 7).toFloat, (i % 5).toFloat)))
+    val (vecs, init) = kmeansInit(rows)
+    def run(parts: Int) = Training.kMeansLloyd(
+        vecs.repartition(parts), "id", "v", init, iters = 3)
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Int]("dim")) ->
+        r.getAs[Double]("cval")).toMap
+    assert(run(1) === run(8))
+  }
 }
