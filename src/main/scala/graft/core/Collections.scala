@@ -50,9 +50,11 @@ final class CollectionManager(
     * directories, so each probe is a file-skip. Call after create/update; search
     * via the returned indexer (or wire it into multiSearch).
     */
-  def buildIvfIndex(name: String, nLists: Int = 64, nProbe: Int = 8): graft.operators.IvfVectorIndexer = {
+  def buildIvfIndex(name: String, nLists: Int = 64, nProbe: Int = 8,
+                    deterministic: Boolean = false): graft.operators.IvfVectorIndexer = {
     val ivf = new graft.operators.IvfVectorIndexer(
-      spark, s"${dir(name)}/indexes/ivf", embedder, nLists, nProbe)
+      spark, s"${dir(name)}/indexes/ivf", embedder, nLists, nProbe,
+      deterministic = deterministic)
     ivf.index(chunks(name))
     ivf
   }

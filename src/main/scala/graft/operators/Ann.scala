@@ -61,6 +61,37 @@ object Ann {
     IvfIndex(assigned, centroids, vecCol)
   }
 
+  /** [[buildIvf]] with a bit-reproducible quantizer: seed centroids are the
+    * `nLists` lowest-id training vectors (an order- and partitioning-invariant
+    * choice) and Lloyd rounds run through
+    * [[Training.kMeansLloyd]]'s rounding contract (ROUND(dist, 6) argmin,
+    * ROUND(avg, 9) updates), so two builds over the same data produce
+    * byte-identical centroids AND assignments — the property incremental
+    * update parity needs (a re-build must not silently re-shuffle every
+    * vector's list), which MLlib's k-means does not guarantee across
+    * partitionings. Same probe/search path as [[buildIvf]].
+    */
+  def buildIvfDeterministic(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, iters: Int = 5, sampleFraction: Double = 1.0,
+      seed: Long = 42L): IvfIndex = {
+    val train = if (sampleFraction < 1.0)
+      vectors.sample(withReplacement = false, sampleFraction, seed) else vectors
+    // k rows through a global window — build-time only, k-sized by the limit
+    val init = train.orderBy(col(idCol)).limit(nLists)
+      .withColumn("cid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))).cast("long") - 1)
+      .select(col("cid"), posexplode(col(vecCol)).as(Seq("dim", "cval")))
+    val cent = Training.kMeansLloyd(train, idCol, vecCol, init, iters)
+      .collect() // k·d rows — the model, the legitimate driver-side residue
+    val k = cent.map(_.getAs[Long]("cid")).max.toInt + 1
+    val centroids = Array.tabulate(k) { cid =>
+      cent.filter(_.getAs[Long]("cid") == cid.toLong).sortBy(_.getAs[Int]("dim"))
+        .map(_.getAs[Double]("cval").toFloat)
+    }
+    IvfIndex(assignLists(vectors, vecCol, centroids), centroids, vecCol)
+  }
+
   /** listId = argmin over centroids of squared L2 — computed with the codegen'd
     * l2_sq_f expression against a literal centroid array (no UDF in the hot path).
     */

@@ -157,7 +157,8 @@ final class Bm25Indexer(
   */
 final class IvfVectorIndexer(
     spark: SparkSession, indexDir: String, embedder: Embedder,
-    nLists: Int = 64, nProbe: Int = 8, seed: Long = 42L) extends Indexer {
+    nLists: Int = 64, nProbe: Int = 8, seed: Long = 42L,
+    deterministic: Boolean = false) extends Indexer {
   val name = "vector_ivf"
   val supportsMetadataFiltering = true
   val ascendingScores = true
@@ -166,7 +167,13 @@ final class IvfVectorIndexer(
   private def centroidsPath = s"$indexDir/centroids"
 
   def index(chunks: DataFrame): Unit = {
-    val ivf = Ann.buildIvf(chunks, "embedding", nLists, seed)
+    // deterministic=true trades MLlib's k-means for the bit-reproducible
+    // Lloyd trainer: a re-build over unchanged chunks is byte-identical,
+    // so update flows can diff assignments instead of rewriting every list
+    val ivf =
+      if (deterministic)
+        Ann.buildIvfDeterministic(chunks, "chunkId", "embedding", nLists, seed = seed)
+      else Ann.buildIvf(chunks, "embedding", nLists, seed)
     ivf.assigned.write.mode(SaveMode.Overwrite)
       .partitionBy("listId").parquet(assignedPath)
     import spark.implicits._

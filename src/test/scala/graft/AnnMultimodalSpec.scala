@@ -20,6 +20,25 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(ivfAll === exact)
   }
 
+  test("deterministic IVF: byte-identical across partitionings, exact at full probe") {
+    val a = Ann.buildIvfDeterministic(emb.repartition(1), "vec_id", "embedding", nLists = 8)
+    val b = Ann.buildIvfDeterministic(emb.repartition(7), "vec_id", "embedding", nLists = 8)
+    // centroids byte-identical (MLlib's trainer does NOT guarantee this)
+    assert(a.centroids.map(_.toSeq).toSeq === b.centroids.map(_.toSeq).toSeq)
+    // and so are the assignments
+    val asgA = a.assigned.select("vec_id", "listId").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val asgB = b.assigned.select("vec_id", "listId").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asgA === asgB)
+    // same probe semantics as the MLlib-trained index: full probe = brute force
+    val exact = Search.vectorTopK(emb, "embedding", queryVec, 10, "l2", idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0))
+    val ivfAll = Ann.searchIvf(a, queryVec, 10, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(ivfAll === exact)
+  }
+
   test("IVF probe subset: cheaper scan, sane recall, results are a subset") {
     val index = Ann.buildIvf(emb, "embedding", nLists = 8, seed = 42L)
     val exact = Search.vectorTopK(emb, "embedding", queryVec, 10, "l2", idCol = "vec_id")
