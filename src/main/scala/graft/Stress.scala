@@ -106,9 +106,20 @@ object Stress {
       .select("l_orderkey", "l_quantity", "l_partkey", "l_suppkey", "l_extendedprice")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
 
+    // embeddings: deterministic unit-ish float vectors (dim 64 like the
+    // driver data; hash-driven components in [-0.5, 0.5)) for the
+    // k-means-training and ANN stress rows
+    val nVecs = 5000L * mult
+    spark.range(0, nVecs + 1).toDF("vec_id")
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)),
+        i => ((abs(xxhash64(col("vec_id"), i, lit(21))) % 100000L).cast("double")
+          / lit(100000.0) - lit(0.5)).cast("float")))
+      .withColumn("label", (mix(col("vec_id"), 22) % 10).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
     // generation-version marker: bump the suffix when a table's schema grows
     // so stale stress dirs regenerate instead of failing on a missing column
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_GEN_V3"), "")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_GEN_V4"), "")
   }
 
   private val stressQueries = Seq(
@@ -125,7 +136,10 @@ object Stress {
     // round-5c: the remaining new iteration shapes — wedge-close triangle
     // join, checkpointed BFS frontier, LPA count+window rounds, and the
     // gradient-aggregate training loop over generated documents
-    "graph_triangles", "graph_bfs", "graph_communities", "quality_lr_train")
+    "graph_triangles", "graph_bfs", "graph_communities", "quality_lr_train",
+    // round-7 additions: the exploded-points Lloyd training join and the
+    // dangling-mass Pregel variant (per-round scalar aggregate + broadcast)
+    "cluster_kmeans_train", "graph_pagerank_dangling")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "stress"
@@ -146,7 +160,7 @@ object Stress {
     scales.foreach { m =>
       val dir = s"$baseDir/x$m"
       // version marker probe: older stress dirs (pre-o_custkey) regenerate
-      if (!new java.io.File(s"$dir/_GEN_V3").exists()) {
+      if (!new java.io.File(s"$dir/_GEN_V4").exists()) {
         println(s"[stress] generating x$m under $dir")
         generate(spark, dir, m)
       }
