@@ -94,6 +94,57 @@ class LegacyChromaSpec extends AnyFunSuite with SparkSuite {
     assert(err.getMessage.contains("archive-form"))
   }
 
+  test("property: pickle roundtrip is identity over random value trees") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val scalar: Gen[Any] = Gen.oneOf(
+      Gen.const(null), Gen.oneOf(true, false),
+      Gen.choose(Long.MinValue, Long.MaxValue).map(l => l: Any),
+      Gen.choose(-1e6, 1e6).map(d => d: Any),
+      Gen.choose(0, 300).map(_.toLong: Any), // the BININT1/BININT2 paths
+      Gen.listOfN(8, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('ü', '✓', '«')))
+        .map(_.mkString: Any))
+    def tree(depth: Int): Gen[Any] =
+      if (depth == 0) scalar
+      else Gen.frequency(
+        3 -> scalar,
+        1 -> Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, tree(depth - 1)))
+          .map(l => mutable.ArrayBuffer[Any](l: _*): Any),
+        1 -> Gen.choose(0, 5).flatMap(n => Gen.listOfN(n,
+            Gen.zip(Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString), tree(depth - 1))))
+          .map(kvs => mutable.LinkedHashMap[Any, Any](kvs: _*): Any))
+    def canon(v: Any): Any = v match {
+      case b: mutable.ArrayBuffer[_] => b.map(canon).toList
+      case m: mutable.LinkedHashMap[_, _] => m.toList.map { case (k, x) => (k, canon(x)) }
+      case other => other
+    }
+    val prop = Prop.forAll(tree(3)) { v =>
+      canon(Pickle.load(Pickle.dump(v))) == canon(v)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("malformed pickles fail loudly, never hang or return garbage") {
+    // truncated mid-stream: every prefix of a valid pickle must throw or
+    // return only from a complete STOP — never loop
+    val good = Pickle.dump(mutable.LinkedHashMap[Any, Any](
+      "ids" -> mutable.ArrayBuffer[Any]("0", "1"), "x" -> 1.5))
+    for (n <- 0 until good.length - 1) {
+      intercept[Exception] { Pickle.load(java.util.Arrays.copyOfRange(good, 0, n)) }
+      ()
+    }
+    // an unsupported opcode (e.g. GLOBAL 'c' — class instantiation) is
+    // rejected by name, not executed: this codec never constructs objects
+    val evil = Array[Byte](0x80.toByte, 2, 'c'.toByte) ++
+      "os\nsystem\n".getBytes ++ Array[Byte]('.'.toByte)
+    val err = intercept[IllegalArgumentException] { Pickle.load(evil) }
+    assert(err.getMessage.contains("unsupported pickle opcode"))
+    // garbage bytes
+    intercept[Exception] { Pickle.load("not a pickle at all".getBytes) }
+    ()
+  }
+
   test("archive member escaping the root is refused before anything is written") {
     val dir = java.nio.file.Files.createTempDirectory("legacy-evil").toString
     val err = intercept[IllegalArgumentException] {
