@@ -3192,6 +3192,99 @@ object Queries {
          |FROM c3 ORDER BY cluster_id, dim""".stripMargin
     })
 
+  /** End-to-end TRAINED-quantizer IVF search: k-means training
+    * ([[graft.operators.Training.kMeansLloyd]], k=4, 3 rounds), assignment of
+    * every vector to its trained list, probe of the 2 query-nearest lists, and
+    * exact top-10 inside them — the whole ANN index lifecycle hash-gated in
+    * one query (`ann_ivf_topk` gates probing under FIXED centroids; this gates
+    * the pipeline that produces them too). Every distance comparison uses the
+    * trainer's parity contract — double math over the exploded points with
+    * ROUND(dist, 6) before any argmin/top-k cut — so assignment, probe choice
+    * and ranking are engine- and partitioning-invariant. The production path
+    * is [[graft.operators.Ann.buildIvfDeterministic]] (float centroids,
+    * codegen'd distances); this gated variant keeps the oracle-replayable
+    * double form end to end.
+    */
+  private val annIvfTrainedTopk = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val init = emb.filter(col("vec_id").between(1, 4))
+        .select((col("vec_id") - 1).as("cid"),
+          posexplode(col("embedding")).as(Seq("dim", "cval")))
+      val cent = graft.operators.Training.kMeansLloyd(
+        emb, "vec_id", "embedding", init, iters = 3)
+      val pts = emb.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "val")))
+        .withColumn("val", col("val").cast("double"))
+      val qpts = D.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(posexplode(col("embedding")).as(Seq("dim", "qval")))
+        .withColumn("qval", col("qval").cast("double"))
+      val probe = cent.join(broadcast(qpts), "dim")
+        .groupBy("cid")
+        .agg(round(sum((col("cval") - col("qval")) * (col("cval") - col("qval"))), 6)
+          .as("pd"))
+        .orderBy(col("pd"), col("cid")).limit(2).select("cid")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      val assigned = pts.join(broadcast(cent), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(round(sum((col("val") - col("cval")) * (col("val") - col("cval"))), 6)
+          .as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "cid")
+      val cand = assigned.join(broadcast(probe), Seq("cid"), "left_semi")
+      pts.join(cand.select("vec_id"), Seq("vec_id"), "left_semi")
+        .join(broadcast(qpts), "dim")
+        .groupBy("vec_id")
+        .agg(round(sum((col("val") - col("qval")) * (col("val") - col("qval"))), 6)
+          .as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+    },
+    Some {
+      val iterCtes = (1 to 3).map { i =>
+        s"""d$i AS (SELECT p.vid, c.cid,
+           |    round(sum((p.val - c.cval) * (p.val - c.cval)), 6) AS dist
+           |  FROM pts p JOIN c${i - 1} c USING (dim) GROUP BY p.vid, c.cid),
+           |a$i AS (SELECT vid, cid FROM (
+           |    SELECT vid, cid, row_number() OVER (PARTITION BY vid
+           |      ORDER BY dist ASC, cid ASC) AS rn FROM d$i) WHERE rn = 1),
+           |c$i AS (SELECT prev.cid, prev.dim,
+           |    round(coalesce(m.m, prev.cval), 9) AS cval
+           |  FROM c${i - 1} prev LEFT JOIN (
+           |    SELECT a.cid, p.dim, avg(p.val) AS m
+           |    FROM pts p JOIN a$i a USING (vid) GROUP BY a.cid, p.dim) m
+           |  ON prev.cid = m.cid AND prev.dim = m.dim)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pts AS (SELECT vec_id AS vid,
+         |    CAST(z[2] AS INT) - 1 AS dim, CAST(z[1] AS DOUBLE) AS val
+         |  FROM (SELECT vec_id,
+         |      unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
+         |    FROM embeddings WHERE vec_id <> 0)),
+         |qpts AS (SELECT CAST(z[2] AS INT) - 1 AS dim, CAST(z[1] AS DOUBLE) AS qval
+         |  FROM (SELECT unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
+         |    FROM embeddings WHERE vec_id = 0)),
+         |c0 AS (SELECT vid - 1 AS cid, dim, val AS cval FROM pts
+         |  WHERE vid BETWEEN 1 AND 4),
+         |$iterCtes,
+         |probe AS (SELECT cid FROM (
+         |    SELECT c.cid, round(sum((c.cval - q.qval) * (c.cval - q.qval)), 6) AS pd
+         |    FROM c3 c JOIN qpts q USING (dim) GROUP BY c.cid)
+         |  ORDER BY pd ASC, cid ASC LIMIT 2),
+         |df AS (SELECT p.vid, c.cid,
+         |    round(sum((p.val - c.cval) * (p.val - c.cval)), 6) AS dist
+         |  FROM pts p JOIN c3 c USING (dim) GROUP BY p.vid, c.cid),
+         |af AS (SELECT vid, cid FROM (
+         |    SELECT vid, cid, row_number() OVER (PARTITION BY vid
+         |      ORDER BY dist ASC, cid ASC) AS rn FROM df) WHERE rn = 1),
+         |cand AS (SELECT vid FROM af WHERE cid IN (SELECT cid FROM probe)),
+         |scored AS (SELECT p.vid,
+         |    round(sum((p.val - q.qval) * (p.val - q.qval)), 6) AS dist
+         |  FROM pts p JOIN qpts q USING (dim) JOIN cand USING (vid)
+         |  GROUP BY p.vid)
+         |SELECT vid AS vec_id, dist FROM scored
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+    })
+
   /** Per-doc tf-idf keywords ([[graft.operators.TextAnalysis.keywords]]):
     * top-3 terms per document — the dataset-card drill-down signal. Postings
     * exchange + vocab-keyed df join (AQE decides broadcast) + per-doc top-k
@@ -4273,6 +4366,7 @@ object Queries {
     "graph_pagerank_dangling" -> graphPagerankDangling,
     "m7_legacy_import" -> m7LegacyImport,
     "cluster_kmeans_train" -> clusterKmeansTrain,
+    "ann_ivf_trained_topk" -> annIvfTrainedTopk,
     "text_keywords" -> textKeywords,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "ann_ivfpq_residual" -> annIvfPqResidual,
