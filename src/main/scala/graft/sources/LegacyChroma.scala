@@ -164,7 +164,7 @@ object LegacyChroma {
         val full = if (prefix.nonEmpty) s"$prefix/$name" else name
         val size = octal(124, 12)
         val typeflag = header(156).toChar
-        val isFile = typeflag == '0' || typeflag == ' '
+        val isFile = typeflag == '0' || typeflag == 0.toChar // NUL = old-style regular file
         if (typeflag != 'x' && typeflag != 'g') // pax headers: metadata only
           entries += ArchiveEntry(full, size, isFile)
         var toSkip = ((size + 511) / 512) * 512
@@ -222,7 +222,7 @@ object LegacyChroma {
         val padded = ((size + 511) / 512) * 512
         val data = new Array[Byte](padded.toInt)
         readFully(data, padded.toInt)
-        if (typeflag == '0' || typeflag == ' ') {
+        if (typeflag == '0' || typeflag == 0.toChar) { // NUL = old-style regular file
           val target = new java.io.File(root, full)
           target.getParentFile.mkdirs()
           java.nio.file.Files.write(target.toPath,
