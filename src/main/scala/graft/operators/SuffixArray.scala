@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed suffix-array construction by prefix doubling, and the
+  * exact-substring deduplication built on it (Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better", arXiv:2107.06499 — their
+  * ExactSubstr: flag every span whose length-L window re-occurs in the
+  * corpus). `Dedup.repeatedSpans` is the fixed-width HASHED stand-in for this
+  * family; this operator is the exact, collision-free form, and additionally
+  * yields the full lexicographic suffix ordering (the index behind
+  * suffix-based counting, LCP statistics, and maximal-repeat mining).
+  *
+  * Algorithm (Manber–Myers prefix doubling, the sort-based distributed
+  * formulation): state is one row per suffix (doc, off, rank_w) where rank_w
+  * orders suffixes by their first w characters. Each round composes
+  * (rank_w(s), rank_w(s+k)) with k ≤ w — equality of the pair is equality of
+  * the first w+k chars, and pair-lexicographic order IS prefix-lexicographic
+  * order (the overlapped middle [k,w) is equal whenever the first component
+  * ties) — then re-ranks the pairs globally. Widths grow 1,2,4,… so any
+  * target width is reached in O(log L) rounds.
+  *
+  * Scale shape — the two per-round exchanges are both textbook-safe:
+  *   - the SHIFT is `lead(rank, k)` over a per-document window (positions are
+  *     dense 0..len-1, so the row k ahead is exactly offset s+k): one hash
+  *     exchange on doc id, no self-join. Per-partition state is one document's
+  *     positions — bounded by document length, not corpus size.
+  *   - the RE-RANK is a global dense rank WITHOUT a global window: range
+  *     partition by the pair, sort within partitions, then two narrow passes
+  *     (per-partition distinct-class counts → driver cumulative offsets,
+  *     #partitions-sized → broadcast back). Equal keys never straddle a range
+  *     boundary, so per-partition class numbering composes exactly.
+  * Nothing corpus-sized ever reaches the driver; the per-round collect is one
+  * small tuple per partition, and it doubles as the all-ranks-distinct
+  * early-exit test (no extra job).
+  *
+  * Character order note: ranks order by Java char code (UTF-16 code unit),
+  * which for ASCII corpora equals byte order — the cross-engine-stable case
+  * the oracles rely on. Equality classes (what dedup consumes) are exact for
+  * any text.
+  */
+object SuffixArray {
+
+  /** One row per character position: (id, off, r) with r = the char code at
+    * off — the width-1 rank (any order-preserving integer seeds the doubling;
+    * density is not required). Empty/null texts contribute no rows (the
+    * explicit CASE dodges `sequence(1, 0)`, which Spark reads as DESCENDING).
+    */
+  private def charPositions(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(expr(
+          s"""CASE WHEN length($textCol) >= 1
+             |  THEN transform(sequence(1, length($textCol)), i -> ascii(substring($textCol, i, 1)))
+             |  ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin)))
+      .select(col("id"), col("pos").as("off"), col("col").cast("long").as("r"))
+
+  /** Result of one global dense-rank pass: the (id, off, rankCol) frame, the
+    * persisted sorted RDD backing it (the CALLER unpersists once the next
+    * round or the final materialization has consumed it), and the total
+    * row/class counts — free by-products of the driver's offset pass.
+    */
+  private case class Ranked(df: DataFrame, handle: RDD[Row], rows: Long, classes: Long)
+
+  /** Global dense rank of `df` rows by `keyCols`, carrying (id, off) through.
+    * Two-pass over a range-partitioned sort: pass 1 counts distinct-key
+    * classes per partition (one small tuple per partition to the driver);
+    * pass 2 assigns rank = partition base + local class index from the
+    * broadcast offsets.
+    */
+  private def globalDenseRank(df: DataFrame, keyCols: Seq[String], rankCol: String): Ranked = {
+    val spark = df.sparkSession
+    val nKeys = keyCols.length
+    val sorted = df.select((Seq("id", "off") ++ keyCols).map(col): _*)
+      .repartitionByRange(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+    val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // Pass 1: (first key, last key, #rows, #classes) per partition. Keys are
+    // small Seq[Any] (longs / the id value); only boundary EQUALITY is checked
+    // on the driver — ordering already happened in the range exchange.
+    val stats: Array[(Int, Option[(Seq[Any], Seq[Any], Long, Long)])] =
+      rdd.mapPartitionsWithIndex { (pi, it) =>
+        var first: Seq[Any] = null
+        var last: Seq[Any] = null
+        var classes = 0L
+        var rows = 0L
+        it.foreach { row =>
+          val k = (2 until 2 + nKeys).map(row.get)
+          if (first == null) { first = k; classes = 1L }
+          else if (k != last) classes += 1L
+          last = k
+          rows += 1L
+        }
+        Iterator.single(pi -> Option(first).map(f => (f, last, rows, classes)))
+      }.collect()
+    val nParts = stats.length
+    val base = new Array[Long](nParts)
+    val cont = new Array[Boolean](nParts)
+    var cum = 0L
+    var nRows = 0L
+    var prevLast: Seq[Any] = null
+    stats.sortBy(_._1).foreach {
+      case (pi, Some((f, l, r, c))) =>
+        // Range partitioning keeps equal keys together, so `cont` should never
+        // fire; kept as a correctness belt for any partitioner change.
+        cont(pi) = prevLast != null && f == prevLast
+        base(pi) = cum
+        cum += c - (if (cont(pi)) 1L else 0L)
+        nRows += r
+        prevLast = l
+      case (pi, None) => base(pi) = cum
+    }
+    val bBase = spark.sparkContext.broadcast(base)
+    val bCont = spark.sparkContext.broadcast(cont)
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var last: Seq[Any] = null
+      var local = 0L
+      val b = bBase.value(pi)
+      val c = if (bCont.value(pi)) 1L else 0L
+      it.map { row =>
+        val k = (2 until 2 + nKeys).map(row.get)
+        if (last == null || k != last) local += 1L
+        last = k
+        Row(row.get(0), row.get(1), b + local - c)
+      }
+    }
+    val schema = StructType(Seq(sorted.schema("id"), sorted.schema("off"),
+      StructField(rankCol, LongType, nullable = false)))
+    Ranked(spark.createDataFrame(out, schema), rdd, nRows, cum)
+  }
+
+  /** Doubling loop to width ≥ targetLen (exactly targetLen when `exact`).
+    * Returns (id, off, r) with r = the 1-based dense rank of the
+    * first-`width` characters of each suffix, eagerly materialized
+    * (localCheckpoint) so every round's cache is released here.
+    */
+  private def ranksToWidth(docs: DataFrame, idCol: String, textCol: String,
+                           targetLen: Int, exact: Boolean): DataFrame = {
+    require(targetLen >= 1, "targetLen must be >= 1")
+    // Width-1 ranks must also be DENSE for the contract, so the first round
+    // ranks the raw char codes even when targetLen == 1.
+    var current = globalDenseRank(
+      charPositions(docs, idCol, textCol), Seq("r"), "r")
+    var width = 1
+    while (width < targetLen && current.classes < current.rows) {
+      val k = if (exact) math.min(width, targetLen - width) else width
+      val perDoc = Window.partitionBy("id").orderBy("off")
+      val paired = current.df
+        .withColumn("r2", coalesce(lead(col("r"), k).over(perDoc), lit(-1L)))
+      val next = globalDenseRank(paired, Seq("r", "r2"), "r")
+      // next's pass-1 collect consumed current's sorted RDD; release it.
+      current.handle.unpersist(blocking = false)
+      current = next
+      width += k
+    }
+    val out = current.df.localCheckpoint()
+    current.handle.unpersist(blocking = false)
+    out
+  }
+
+  /** Dense rank of each suffix's first `targetLen` characters: (id, off,
+    * rank), rank 1-based, equal iff the (possibly end-truncated) length-L
+    * prefixes are equal, ordered shorter-first lexicographically.
+    */
+  def prefixRanks(docs: DataFrame, idCol: String, textCol: String, targetLen: Int): DataFrame =
+    ranksToWidth(docs, idCol, textCol, targetLen, exact = true)
+      .withColumnRenamed("r", "rank").withColumnRenamed("id", idCol)
+
+  /** The full suffix array: every (id, off) suffix position with its 1-based
+    * lexicographic rank `sa_rank`; exactly-equal suffixes (across documents)
+    * tie-break by (id, off), so ranks are a permutation of 1..n.
+    */
+  def suffixArray(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val maxLen = docs.agg(coalesce(max(length(col(textCol))), lit(0)))
+      .head.getInt(0)
+    val ranked = ranksToWidth(docs, idCol, textCol, math.max(maxLen, 1), exact = false)
+    val tied = globalDenseRank(ranked, Seq("r", "id", "off"), "sa_rank")
+    val out = tied.df.localCheckpoint()
+    tied.handle.unpersist(blocking = false)
+    out.withColumnRenamed("id", idCol)
+  }
+
+  /** ExactSubstr duplicate spans: every maximal union of length-`minLen`
+    * windows that re-occur elsewhere in the corpus (arXiv:2107.06499 §4.1 —
+    * within-document re-occurrence counts too unless `crossDocOnly`).
+    * Collision-free: window equality comes from the suffix ranks, not hashes.
+    * Output: (id, span_start, span_end, n_grams) — [start, end) character
+    * spans per document, overlapping/touching windows merged by the
+    * single-exchange scan-line ([[Intervals.mergeIntervals]]).
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int, crossDocOnly: Boolean = false): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    val ranks = prefixRanks(docs, idCol, textCol, minLen)
+    val lens = docs.select(col(idCol), length(col(textCol)).as("_len"))
+    // Only positions with a FULL L-gram participate; end-truncated suffixes
+    // share ranks among themselves but never with a full window (their
+    // missing tail ranks as the -1 sentinel, a class of its own).
+    val full = ranks.join(lens, idCol).where(col("off") + minLen <= col("_len"))
+    val classes = full.groupBy("rank")
+      .agg(count(lit(1)).as("_n"), countDistinct(col(idCol)).as("_nd"))
+      .where(if (crossDocOnly) col("_nd") >= 2 else col("_n") >= 2)
+      .select("rank")
+    val dupPos = full.join(classes, "rank")
+      .select(col(idCol), col("off").cast("long").as("span_start"),
+        (col("off") + minLen).cast("long").as("span_end"))
+    Intervals.mergeIntervals(dupPos, Seq(idCol), "span_start", "span_end")
+      .select(col(idCol), col("island_start").as("span_start"),
+        col("island_end").as("span_end"), col("n_intervals").as("n_grams"))
+  }
+}

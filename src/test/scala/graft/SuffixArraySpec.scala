@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SuffixArray
+
+/** Prefix-doubling suffix array + ExactSubstr duplicate spans: hand-checked
+  * orders, brute-force parity (ranks AND classes), boundary/truncation
+  * cases, and partition invariance of the two-pass global dense rank.
+  */
+class SuffixArraySpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def df(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  /** Brute-force 1-based dense rank of each suffix's first `len` chars. */
+  private def bruteRanks(rows: Seq[(Long, String)], len: Int): Map[(Long, Int), Long] = {
+    val sufs = for ((id, t) <- rows; off <- 0 until t.length)
+      yield ((id, off), t.substring(off, math.min(t.length, off + len)))
+    val order = sufs.map(_._2).distinct.sorted.zipWithIndex.toMap
+    sufs.map { case (k, s) => k -> (order(s) + 1L) }.toMap
+  }
+
+  test("banana: the classic hand-checked suffix array") {
+    val sa = SuffixArray.suffixArray(df(1L -> "banana"), "doc_id", "text")
+      .orderBy("sa_rank").select("off").as[Int].collect().toSeq
+    // suffixes sorted: a(5) ana(3) anana(1) banana(0) na(4) nana(2)
+    assert(sa === Seq(5, 3, 1, 0, 4, 2))
+  }
+
+  test("suffix array ranks are a permutation of 1..n; equal suffixes tie-break by (id, off)") {
+    val d = df(1L -> "abcab", 2L -> "cab", 3L -> "")
+    val rows = SuffixArray.suffixArray(d, "doc_id", "text")
+      .orderBy("sa_rank")
+      .select(col("doc_id"), col("off"), col("sa_rank"))
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(rows.map(_._3) === (1L to 8L))
+    // ab(1,3)=ab(2,1) < abcab < b(1,4)=b(2,2) < bcab < cab(1,2)=cab(2,0);
+    // ties order by (id, off); "" (doc3) contributes nothing.
+    val expect = Seq((1L, 3), (2L, 1), (1L, 0), (1L, 4), (2L, 2), (1L, 1), (1L, 2), (2L, 0))
+    assert(rows.map(r => (r._1, r._2)) === expect)
+  }
+
+  test("prefixRanks equals brute-force truncated-suffix dense rank (incl. non-power-of-2 widths)") {
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 30).map { i =>
+      i.toLong -> Seq.fill(5 + rnd.nextInt(40))("abcd".charAt(rnd.nextInt(4))).mkString
+    }
+    for (len <- Seq(1, 2, 5, 7, 16)) {
+      val got = SuffixArray.prefixRanks(df(rows: _*), "doc_id", "text", len)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got === bruteRanks(rows, len), s"width $len")
+    }
+  }
+
+  test("duplicateSpans: planted cross-doc substring found, merged, exact bounds") {
+    val planted = "XQWERTYUIOPASDFGHJKLZXCVBNMQX" // 29 chars, unique letters region
+    val d = df(
+      1L -> s"aaaa${planted}bbbb",
+      2L -> s"cccccc${planted}dddd",
+      3L -> "nothing shared here at all....")
+    val spans = SuffixArray.duplicateSpans(d, "doc_id", "text", minLen = 20)
+      .orderBy("doc_id")
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // Every length-20 window inside the planted 29-char region is shared:
+    // starts 4..13 in doc1 (span [4, 33)), 6..15 in doc2 (span [6, 35)).
+    assert(spans === Seq((1L, 4L, 33L, 10L), (2L, 6L, 35L, 10L)))
+  }
+
+  test("duplicateSpans: within-doc repeat counts by default, excluded by crossDocOnly") {
+    val rep = "ABCDEFGHIJKLMNOPQRST" // 20 chars
+    val d = df(1L -> s"$rep-junkjunk-$rep", 2L -> "totally unrelated text 123456")
+    val dflt = SuffixArray.duplicateSpans(d, "doc_id", "text", minLen = 20)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dflt === Set((1L, 0L, 20L), (1L, 30L, 50L)))
+    val cross = SuffixArray.duplicateSpans(d, "doc_id", "text", minLen = 20,
+      crossDocOnly = true)
+    assert(cross.isEmpty, "within-doc repeat must not fire crossDocOnly")
+  }
+
+  test("duplicateSpans: overlapping duplicated windows merge into one maximal span") {
+    // Runs of one character: every 10-gram repeats, so per-window spans
+    // overlap everywhere and must merge to one maximal span per doc.
+    val a = "MMMMMMMMMMMMMMMMMMMMMMMMM" // 25 of M
+    val d = df(1L -> a, 2L -> (a + a)) // doc2: 50 M's, all windows repeat
+    val spans = SuffixArray.duplicateSpans(d, "doc_id", "text", minLen = 10)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans === Set((1L, 0L, 25L), (2L, 0L, 50L)))
+  }
+
+  test("docs shorter than minLen never produce spans; empty corpus yields empty results") {
+    val d = df(1L -> "tiny", 2L -> "also small")
+    assert(SuffixArray.duplicateSpans(d, "doc_id", "text", minLen = 15).isEmpty)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SuffixArray.suffixArray(empty, "doc_id", "text").isEmpty)
+  }
+
+  test("partition invariance: ranks identical regardless of input partitioning") {
+    val rnd = new scala.util.Random(41L)
+    val rows = (0 until 25).map { i =>
+      i.toLong -> Seq.fill(10 + rnd.nextInt(30))("xyz".charAt(rnd.nextInt(3))).mkString
+    }
+    val one = SuffixArray.suffixArray(df(rows: _*).repartition(1), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val many = SuffixArray.suffixArray(df(rows: _*).repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(one === many)
+  }
+}
