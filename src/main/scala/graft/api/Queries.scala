@@ -1933,6 +1933,107 @@ object Queries {
            |FROM spans JOIN shared USING (span_hash)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Distributed prefix-doubling suffix ranks
+    * ([[graft.operators.SuffixArray.prefixRanks]]): the dense rank of every
+    * suffix's first 16 characters across the whole corpus. The oracle is the
+    * brute-force form — `dense_rank() OVER (ORDER BY substr(text, off+1, 16))`
+    * — so the gate proves the O(log L)-round doubling (per-doc `lead` shift +
+    * range-partitioned two-pass global dense rank, no global window) lands on
+    * the exact lexicographic ranking. ASCII corpus ⇒ Spark char-code order ==
+    * DuckDB binary collation.
+    */
+  private val textSuffixRanks = Q(
+    (s, d) => graft.operators.SuffixArray.prefixRanks(
+        D.documents(s, d).select("doc_id", "text"), "doc_id", "text", targetLen = 16)
+      .select(col("doc_id"), col("off").cast("long").as("off"), col("rank"))
+      .orderBy("doc_id", "off"),
+    Some("""WITH pos AS (SELECT doc_id, text,
+           |    unnest(generate_series(0, length(text) - 1)) AS off
+           |  FROM documents WHERE length(text) >= 1)
+           |SELECT doc_id, off,
+           |  CAST(dense_rank() OVER (ORDER BY substr(text, off + 1, 16)) AS BIGINT) AS rank
+           |FROM pos ORDER BY doc_id, off""".stripMargin))
+
+  /** Full suffix array ([[graft.operators.SuffixArray.suffixArray]]) over a
+    * deterministic 20% document slice: every (doc, offset) suffix with its
+    * 1-based global lexicographic rank, exact ties broken by (doc_id, off) so
+    * ranks are a permutation of 1..n. The oracle is
+    * `row_number() OVER (ORDER BY substr(text, off+1), doc_id, off)` — the
+    * doubling runs to the longest text (O(log maxLen) rounds) with the
+    * all-distinct early exit, and the gate proves the permutation matches
+    * byte-order suffix sorting exactly (duplicate documents exercise the
+    * cross-document tie-break for real).
+    */
+  private val textSuffixArray = Q(
+    (s, d) => graft.operators.SuffixArray.suffixArray(
+        D.documents(s, d).where(col("doc_id") % 5 === 0).select("doc_id", "text"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("off").cast("long").as("off"), col("sa_rank"))
+      .orderBy("doc_id", "off"),
+    Some("""WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+           |pos AS (SELECT doc_id, text,
+           |    unnest(generate_series(0, length(text) - 1)) AS off FROM t)
+           |SELECT doc_id, off,
+           |  CAST(row_number() OVER (ORDER BY substr(text, off + 1), doc_id, off) AS BIGINT)
+           |    AS sa_rank
+           |FROM pos ORDER BY doc_id, off""".stripMargin))
+
+  /** LCP array + longest-repeated-substring mining
+    * ([[graft.operators.SuffixArray.lcpArray]]): top 25 adjacent-suffix
+    * longest-common-prefix lengths over the same 20% slice as
+    * `text_suffix_array` — row 1 IS the corpus's longest repeated substring.
+    * The oracle recomputes each pair's LCP by the monotone prefix-equality
+    * count (`substr(a,1,k) = substr(b,1,k)` holds exactly for k ≤ LCP), with
+    * the same 64-char cap applied by truncating the compared suffixes.
+    */
+  private val textLcpTopk = Q(
+    (s, d) => graft.operators.SuffixArray.lcpArray(
+        D.documents(s, d).where(col("doc_id") % 5 === 0).select("doc_id", "text"),
+        "doc_id", "text", maxLcp = 64)
+      .select(col("doc_id"), col("off").cast("long").as("off"), col("sa_rank"), col("lcp"))
+      .orderBy(col("lcp").desc, col("sa_rank")).limit(25),
+    Some("""WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+           |pos AS (SELECT doc_id, text,
+           |    unnest(generate_series(0, length(text) - 1)) AS off FROM t),
+           |sa AS (SELECT doc_id, off, substr(text, off + 1, 64) AS suf,
+           |    row_number() OVER (ORDER BY substr(text, off + 1), doc_id, off) AS sa_rank
+           |  FROM pos),
+           |lc AS (SELECT a.doc_id, a.off, a.sa_rank,
+           |    CAST(len(list_filter(generate_series(1, least(len(a.suf), len(b.suf))),
+           |      k -> substr(a.suf, 1, k) = substr(b.suf, 1, k))) AS BIGINT) AS lcp
+           |  FROM sa a JOIN sa b ON a.sa_rank = b.sa_rank + 1)
+           |SELECT doc_id, off, sa_rank, lcp FROM lc
+           |ORDER BY lcp DESC, sa_rank LIMIT 25""".stripMargin))
+
+  /** ExactSubstr duplicate spans ([[graft.operators.SuffixArray.duplicateSpans]],
+    * arXiv:2107.06499 §4.1): maximal merged spans of 24-char windows that
+    * re-occur in ANOTHER document — the collision-free upgrade of the hashed
+    * `dedup_spans` stand-in. The oracle replays it literally: group the
+    * substr windows, keep classes spanning ≥2 docs, merge overlapping/touching
+    * windows per doc by the classic gaps-and-islands (`max(e) OVER (... 1
+    * PRECEDING)`), which is exactly [[graft.operators.Intervals.mergeIntervals]].
+    */
+  private val dedupExactSubstr = Q(
+    (s, d) => graft.operators.SuffixArray.duplicateSpans(
+        D.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        minLen = 24, crossDocOnly = true)
+      .orderBy("doc_id", "span_start"),
+    Some("""WITH pos AS (SELECT doc_id, text,
+           |    unnest(generate_series(0, length(text) - 24)) AS off
+           |  FROM documents WHERE length(text) >= 24),
+           |wins AS (SELECT doc_id, off, substr(text, off + 1, 24) AS g FROM pos),
+           |sh AS (SELECT g FROM (
+           |    SELECT g, count(DISTINCT doc_id) AS nd FROM wins GROUP BY g) WHERE nd >= 2),
+           |dup AS (SELECT doc_id, off AS s, off + 24 AS e FROM wins JOIN sh USING (g)),
+           |fl AS (SELECT doc_id, s, e,
+           |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
+           |  FROM dup),
+           |isl AS (SELECT doc_id, s, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl)
+           |SELECT doc_id, min(s) AS span_start, max(e) AS span_end, count(*) AS n_grams
+           |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin))
+
   /** Product-quantization ADC search ([[graft.operators.Pq]]): fixed
     * centroids (sub-vectors of corpus ids 1..16, the same replayable recipe
     * as `cluster_assign`/IVF) make encode AND the asymmetric-distance top-k
@@ -4357,6 +4458,10 @@ object Queries {
     "sample_mixture_plan" -> sampleMixturePlan,
     "curate_domain_cap" -> curateDomainCap,
     "dedup_spans" -> dedupSpans,
+    "text_suffix_ranks" -> textSuffixRanks,
+    "text_suffix_array" -> textSuffixArray,
+    "text_lcp_topk" -> textLcpTopk,
+    "dedup_exact_substr" -> dedupExactSubstr,
     "ann_pq_adc" -> annPqAdc,
     "ann_pq_rerank" -> annPqRerank,
     "t1c_maxsim" -> t1cMaxsim,

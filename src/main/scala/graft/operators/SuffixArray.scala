@@ -46,18 +46,47 @@ import org.apache.spark.storage.StorageLevel
   */
 object SuffixArray {
 
-  /** One row per character position: (id, off, r) with r = the char code at
-    * off — the width-1 rank (any order-preserving integer seeds the doubling;
-    * density is not required). Empty/null texts contribute no rows (the
-    * explicit CASE dodges `sequence(1, 0)`, which Spark reads as DESCENDING).
+  /** One row per character position: (id, off, r) with r an order-preserving
+    * integer over the first `seedWidth` characters of the suffix at off (any
+    * order-preserving integer seeds the doubling; density is not required).
+    * seedWidth == 1 is the plain char code; seedWidth w ≤ 9 packs w 7-bit
+    * ASCII codes big-endian into one non-negative long (max 128⁹−1 =
+    * Long.MaxValue), padding past-end with 0 so a shorter suffix sorts before
+    * every extension — exactly the −1-sentinel semantics of the doubling
+    * rounds. The caller guarantees codes ∈ [1,127] when seedWidth > 1.
+    * Empty/null texts contribute no rows (the explicit CASE dodges
+    * `sequence(1, 0)`, which Spark reads as DESCENDING).
     */
-  private def charPositions(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
+  private def charPositions(docs: DataFrame, idCol: String, textCol: String,
+                            seedWidth: Int): DataFrame = {
+    require(seedWidth >= 1 && seedWidth <= 9, "seedWidth must be in [1, 9]")
+    // The code array is built ONCE per document (each ascii(substring(i)) is
+    // an O(i) UTF-8 scan, so this pass is the O(len²) part); the pack then
+    // reads it with O(1) try_element_at — NULL past the end under BOTH ANSI
+    // modes (plain element_at throws under ANSI), coalesced to the 0 pad.
+    val withCodes = docs.select(
+      col(idCol).as("id"),
+      expr(s"transform(sequence(1, length($textCol)), i -> ascii(substring($textCol, i, 1)))")
+        .as("_codes"),
+      coalesce(length(col(textCol)), lit(0)).as("_len"))
+    val packed =
+      if (seedWidth == 1) "transform(_codes, c -> CAST(c AS BIGINT))"
+      else s"""transform(sequence(1, _len),
+              |  i -> aggregate(sequence(0, ${seedWidth - 1}), CAST(0 AS BIGINT),
+              |    (acc, j) -> acc * 128L + coalesce(try_element_at(_codes, i + j), 0)))""".stripMargin
+    withCodes.select(col("id"),
         posexplode(expr(
-          s"""CASE WHEN length($textCol) >= 1
-             |  THEN transform(sequence(1, length($textCol)), i -> ascii(substring($textCol, i, 1)))
-             |  ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin)))
-      .select(col("id"), col("pos").as("off"), col("col").cast("long").as("r"))
+          s"CASE WHEN _len >= 1 THEN $packed ELSE CAST(array() AS ARRAY<BIGINT>) END")))
+      .select(col("id"), col("pos").as("off"), col("col").as("r"))
+  }
+
+  /** True iff every character of every text has code in [1, 127] — the
+    * precondition for the packed multi-char doubling seed. One regex scan
+    * over the corpus; cheap next to the doubling rounds it saves.
+    */
+  private def asciiSeedSafe(docs: DataFrame, textCol: String): Boolean =
+    docs.where(col(textCol).isNotNull &&
+      col(textCol).rlike("[^\\x01-\\x7F]")).isEmpty
 
   /** Result of one global dense-rank pass: the (id, off, rankCol) frame, the
     * persisted sorted RDD backing it (the CALLER unpersists once the next
@@ -141,11 +170,17 @@ object SuffixArray {
   private def ranksToWidth(docs: DataFrame, idCol: String, textCol: String,
                            targetLen: Int, exact: Boolean): DataFrame = {
     require(targetLen >= 1, "targetLen must be >= 1")
-    // Width-1 ranks must also be DENSE for the contract, so the first round
-    // ranks the raw char codes even when targetLen == 1.
+    // Seed as wide as the packing allows: for an all-ASCII corpus the first
+    // round already ranks 9-char prefixes (and range-partitions on a
+    // high-cardinality key instead of ~60 raw char codes), cutting the
+    // O(log L) rounds to O(log(L/9)). Ranks must be DENSE for the contract,
+    // so the seed still passes through globalDenseRank even when it alone
+    // reaches targetLen.
+    val seedWidth =
+      if (targetLen > 1 && asciiSeedSafe(docs, textCol)) math.min(9, targetLen) else 1
     var current = globalDenseRank(
-      charPositions(docs, idCol, textCol), Seq("r"), "r")
-    var width = 1
+      charPositions(docs, idCol, textCol, seedWidth), Seq("r"), "r")
+    var width = seedWidth
     while (width < targetLen && current.classes < current.rows) {
       val k = if (exact) math.min(width, targetLen - width) else width
       val perDoc = Window.partitionBy("id").orderBy("off")
@@ -182,6 +217,33 @@ object SuffixArray {
     val out = tied.df.localCheckpoint()
     tied.handle.unpersist(blocking = false)
     out.withColumnRenamed("id", idCol)
+  }
+
+  /** LCP array over [[suffixArray]]: for every suffix of rank ≥ 2, the
+    * longest-common-prefix length in characters (capped at `maxLcp`) with the
+    * lexicographically preceding suffix — the structure behind
+    * longest-repeated-substring mining, repeat statistics, and
+    * distinct-substring counts. Output: (id, off, sa_rank, lcp), n−1 rows.
+    *
+    * Scale shape: SA-order adjacency is an EQUI-JOIN on the dense rank
+    * (sa_rank == prev + 1) — a hash join on a unique key, never a global
+    * window; each side carries at most `maxLcp` characters of suffix text,
+    * so the shuffled payload is bounded per row regardless of document
+    * length. The per-pair LCP is the codegen'd
+    * [[graft.plans.CommonPrefixLength]] (one byte-walk, no arrays).
+    */
+  def lcpArray(docs: DataFrame, idCol: String, textCol: String,
+               maxLcp: Int = 256): DataFrame = {
+    require(maxLcp >= 1, "maxLcp must be >= 1")
+    val sa = suffixArray(docs, idCol, textCol)
+    val withSuf = sa.join(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol), col("off"), col("sa_rank"),
+        expr(s"substring($textCol, off + 1, $maxLcp)").as("_suf"))
+    val prev = withSuf.select(col("sa_rank").as("_prev_rank"), col("_suf").as("_prev_suf"))
+    withSuf.join(prev, col("sa_rank") === col("_prev_rank") + 1)
+      .select(col(idCol), col("off"), col("sa_rank"),
+        graft.plans.TextHashFunctions.commonPrefixLength(col("_suf"), col("_prev_suf"))
+          .as("lcp"))
   }
 
   /** ExactSubstr duplicate spans: every maximal union of length-`minLen`

@@ -403,11 +403,58 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Character-level longest-common-prefix helpers shared by eval and codegen. */
+object CommonPrefixOps extends Serializable {
+  /** LCP of two strings in CODEPOINTS: byte-wise walk over the UTF-8
+    * encodings (equal bytes ⇒ identical char structure), then count complete
+    * codepoints inside the matched byte prefix — a char matched only
+    * partially (its tail bytes diverge) is excluded, which is exactly
+    * SQL `substr`-prefix-comparison semantics.
+    */
+  def lcp(a: UTF8String, b: UTF8String): Long = {
+    val ba = a.getBytes; val bb = b.getBytes
+    val n = math.min(ba.length, bb.length)
+    var p = 0
+    while (p < n && ba(p) == bb(p)) p += 1
+    var q = 0
+    var chars = 0L
+    while (q < p) {
+      val lead = ba(q) & 0xFF
+      val len =
+        if (lead < 0x80) 1 else if (lead < 0xE0) 2 else if (lead < 0xF0) 3 else 4
+      if (q + len > p) q = p // partial char at the mismatch point: not counted
+      else { q += len; chars += 1L }
+    }
+    chars
+  }
+}
+
+/** Longest-common-prefix length in codepoints (string, string) → bigint. */
+case class CommonPrefixLength(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "common_prefix_length"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CommonPrefixOps.lcp(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = ctx.addReferenceObj("commonPrefixOps", CommonPrefixOps,
+      "graft.plans.CommonPrefixOps$")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ops.lcp($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object TextHashFunctions {
   import ColumnBridge.{toCol, toExpr}
 
   def sortedIntersectSize(a: Column, b: Column): Column =
     toCol(SortedIntersectSize(toExpr(a), toExpr(b)))
+  def commonPrefixLength(a: Column, b: Column): Column =
+    toCol(CommonPrefixLength(toExpr(a), toExpr(b)))
   def simhash16(tokens: Column): Column = toCol(SimHash16(toExpr(tokens)))
   def charEntropy(text: Column): Column = toCol(CharEntropy(toExpr(text)))
   def minhashSig(tokens: Column, n: Int): Column = toCol(MinHashSig(toExpr(tokens), n))

@@ -99,6 +99,59 @@ class SuffixArraySpec extends AnyFunSuite with SparkSuite {
     assert(SuffixArray.suffixArray(empty, "doc_id", "text").isEmpty)
   }
 
+  test("non-ASCII / NUL corpora take the width-1 seed fallback and still rank exactly") {
+    // 'é'/'ö'/'π' (BMP, code > 127) and NUL each defeat the 7-bit packed
+    // seed; asciiSeedSafe must route these to the width-1 seed, where ranks
+    // come out identical to brute force anyway (codepoint order == Java char
+    // order for BMP text).
+    val rows = Seq(1L -> "héllo wörld", 2L -> "héllo wérld",
+      3L -> "πππ ascii πππ", 4L -> "plain ascii", 5L -> "a\u0000b\u0000a")
+    for (len <- Seq(1, 3, 9, 12)) {
+      val got = SuffixArray.prefixRanks(df(rows: _*), "doc_id", "text", len)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got === bruteRanks(rows, len), s"width $len")
+    }
+  }
+
+  test("lcpArray: banana hand-check, cap semantics") {
+    // SA order: a ana anana banana na nana → adjacent LCPs 1, 3, 0, 0, 2.
+    val got = SuffixArray.lcpArray(df(1L -> "banana"), "doc_id", "text")
+      .orderBy("sa_rank").select("sa_rank", "lcp")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 1L), (3L, 3L), (4L, 0L), (5L, 0L), (6L, 2L)))
+    val capped = SuffixArray.lcpArray(df(1L -> "banana"), "doc_id", "text", maxLcp = 2)
+      .orderBy("sa_rank").select("lcp").as[Long].collect().toSeq
+    assert(capped === Seq(1L, 2L, 0L, 0L, 2L))
+  }
+
+  test("lcpArray equals brute force over a random multi-doc corpus") {
+    val rnd = new scala.util.Random(13L)
+    val rows = (0 until 20).map { i =>
+      i.toLong -> Seq.fill(8 + rnd.nextInt(25))("abc".charAt(rnd.nextInt(3))).mkString
+    }
+    val sufs = (for ((id, t) <- rows; off <- 0 until t.length)
+      yield (t.substring(off), id, off)).sorted
+    val want = sufs.sliding(2).zipWithIndex.map { case (Seq(p, c), i) =>
+      (c._2, c._3, i + 2L) -> p._1.zip(c._1).takeWhile { case (x, y) => x == y }.size.toLong
+    }.toMap
+    val got = SuffixArray.lcpArray(df(rows: _*), "doc_id", "text", maxLcp = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got === want)
+  }
+
+  test("CommonPrefixLength counts codepoints and never splits one") {
+    val cases = Seq(
+      ("abc", "abd", 2L), ("abc", "abc", 3L), ("", "abc", 0L),
+      ("aé", "aè", 1L), // é=C3A9 vs è=C3A8 share a lead byte: partial char excluded
+      ("aéx", "aéy", 2L), ("banana", "bananas", 6L))
+    for ((a, b, want) <- cases) {
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft.plans.TextHashFunctions.commonPrefixLength(col("a"), col("b")))
+        .as[Long].head()
+      assert(got === want, s"lcp($a, $b)")
+    }
+  }
+
   test("partition invariance: ranks identical regardless of input partitioning") {
     val rnd = new scala.util.Random(41L)
     val rows = (0 until 25).map { i =>
