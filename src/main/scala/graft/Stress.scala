@@ -139,7 +139,11 @@ object Stress {
     "graph_triangles", "graph_bfs", "graph_communities", "quality_lr_train",
     // round-7 additions: the exploded-points Lloyd training join and the
     // dangling-mass Pregel variant (per-round scalar aggregate + broadcast)
-    "cluster_kmeans_train", "graph_pagerank_dangling")
+    "cluster_kmeans_train", "graph_pagerank_dangling",
+    // round-7b: the prefix-doubling suffix family — seeded doubling rounds
+    // (range-partitioned two-pass global dense rank + per-doc lead shift),
+    // ExactSubstr window classes, and the SA-adjacency LCP join
+    "text_suffix_ranks", "dedup_exact_substr", "text_lcp_topk")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "stress"

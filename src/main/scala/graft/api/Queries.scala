@@ -2034,6 +2034,41 @@ object Queries {
            |SELECT doc_id, min(s) AS span_start, max(e) AS span_end, count(*) AS n_grams
            |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin))
 
+  /** Cross-corpus exact-substring decontamination
+    * ([[graft.operators.SuffixArray.contaminatedSpans]]): maximal merged
+    * spans of TRAIN documents whose 16-char window re-occurs verbatim in the
+    * benchmark slice (every 41st doc — the same split as
+    * `bloom_decontaminate`, but collision-free spans instead of ngram-hash
+    * probes). The oracle joins train windows against the DISTINCT benchmark
+    * window set and replays the gaps-and-islands merge.
+    */
+  private val decontamSubstr = Q(
+    (s, d) => {
+      val docs = D.documents(s, d)
+      graft.operators.SuffixArray.contaminatedSpans(
+        docs.filter(col("doc_id") % 41 =!= 0).select("doc_id", "text"),
+        docs.filter(col("doc_id") % 41 === 0).select("doc_id", "text"),
+        "doc_id", "text", minLen = 16)
+        .orderBy("doc_id", "span_start")
+    },
+    Some("""WITH be AS (SELECT text FROM documents WHERE doc_id % 41 = 0),
+           |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0),
+           |bw AS (SELECT DISTINCT substr(text, off + 1, 16) AS g FROM
+           |  (SELECT text, unnest(generate_series(0, length(text) - 16)) AS off
+           |   FROM be WHERE length(text) >= 16)),
+           |tw AS (SELECT doc_id, off, substr(text, off + 1, 16) AS g FROM
+           |  (SELECT doc_id, text, unnest(generate_series(0, length(text) - 16)) AS off
+           |   FROM tr WHERE length(text) >= 16)),
+           |dup AS (SELECT doc_id, off AS s, off + 16 AS e FROM tw JOIN bw USING (g)),
+           |fl AS (SELECT doc_id, s, e,
+           |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
+           |  FROM dup),
+           |isl AS (SELECT doc_id, s, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl)
+           |SELECT doc_id, min(s) AS span_start, max(e) AS span_end, count(*) AS n_grams
+           |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin))
+
   /** Product-quantization ADC search ([[graft.operators.Pq]]): fixed
     * centroids (sub-vectors of corpus ids 1..16, the same replayable recipe
     * as `cluster_assign`/IVF) make encode AND the asymmetric-distance top-k
@@ -4462,6 +4497,7 @@ object Queries {
     "text_suffix_array" -> textSuffixArray,
     "text_lcp_topk" -> textLcpTopk,
     "dedup_exact_substr" -> dedupExactSubstr,
+    "decontam_substr" -> decontamSubstr,
     "ann_pq_adc" -> annPqAdc,
     "ann_pq_rerank" -> annPqRerank,
     "t1c_maxsim" -> t1cMaxsim,

@@ -274,4 +274,33 @@ object SuffixArray {
       .select(col(idCol), col("island_start").as("span_start"),
         col("island_end").as("span_end"), col("n_intervals").as("n_grams"))
   }
+
+  /** Cross-corpus exact-substring decontamination (arXiv:2107.06499 §6.2's
+    * eval-overlap check, made collision-free): every maximal merged span of
+    * `train` whose length-`minLen` window occurs verbatim ANYWHERE in
+    * `bench`. Both corpora union under a (corpus, key) struct id, one
+    * doubling run ranks the union, and a LEFT-SEMI join keeps exactly the
+    * train positions whose rank class has a bench member — semi, so a class
+    * with many bench occurrences can never duplicate a train row. Output:
+    * (idCol, span_start, span_end, n_grams) over train documents only.
+    */
+  def contaminatedSpans(train: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    val u = train
+      .select(struct(lit(0).as("corpus"), col(idCol).as("key")).as("_uid"), col(textCol))
+      .unionByName(bench
+        .select(struct(lit(1).as("corpus"), col(idCol).as("key")).as("_uid"), col(textCol)))
+    val ranks = prefixRanks(u, "_uid", textCol, minLen)
+    val lens = u.select(col("_uid"), length(col(textCol)).as("_len"))
+    val full = ranks.join(lens, "_uid").where(col("off") + minLen <= col("_len"))
+    val benchRanks = full.where(col("_uid.corpus") === 1).select("rank")
+    val dupPos = full.where(col("_uid.corpus") === 0)
+      .join(benchRanks, Seq("rank"), "left_semi")
+      .select(col("_uid.key").as(idCol), col("off").cast("long").as("span_start"),
+        (col("off") + minLen).cast("long").as("span_end"))
+    Intervals.mergeIntervals(dupPos, Seq(idCol), "span_start", "span_end")
+      .select(col(idCol), col("island_start").as("span_start"),
+        col("island_end").as("span_end"), col("n_intervals").as("n_grams"))
+  }
 }

@@ -113,6 +113,24 @@ class SuffixArraySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("contaminatedSpans: only train∩bench overlap fires; train-train repeats do not") {
+    val planted = "EVALBENCHMARKQUESTIONTEXT" // 25 chars
+    val trainRep = "TRAINONLYREPEATEDSTRINGS!" // repeats within train only
+    // Flanks differ on both sides so the shared substring is EXACTLY the
+    // 25-char planted region (shared flanking chars would widen the span).
+    val train = df(
+      1L -> s"alpha.$planted,omega",
+      2L -> s"$trainRep bridge $trainRep",
+      3L -> "clean document with nothing shared")
+    val bench = df(10L -> s"qq_$planted-zz")
+    val spans = SuffixArray.contaminatedSpans(train, bench, "doc_id", "text", minLen = 20)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    // Doc 1: the planted 25-char region starts at 6 → windows 6..11 merge to
+    // [6, 31). Doc 2's within-train repeat must NOT fire (no bench member).
+    assert(spans === Set((1L, 6L, 31L)))
+  }
+
   test("lcpArray: banana hand-check, cap semantics") {
     // SA order: a ana anana banana na nana → adjacent LCPs 1, 3, 0, 0, 2.
     val got = SuffixArray.lcpArray(df(1L -> "banana"), "doc_id", "text")
