@@ -60,14 +60,23 @@ object SuffixArray {
   private def charPositions(docs: DataFrame, idCol: String, textCol: String,
                             seedWidth: Int): DataFrame = {
     require(seedWidth >= 1 && seedWidth <= 9, "seedWidth must be in [1, 9]")
-    // The code array is built ONCE per document (each ascii(substring(i)) is
-    // an O(i) UTF-8 scan, so this pass is the O(len²) part); the pack then
-    // reads it with O(1) try_element_at — NULL past the end under BOTH ANSI
-    // modes (plain element_at throws under ANSI), coalesced to the 0 pad.
+    // The code array is built ONCE per document; the pack reads it with O(1)
+    // try_element_at — NULL past the end under BOTH ANSI modes (plain
+    // element_at throws under ANSI), coalesced to the 0 pad.
+    //   - packed path (ASCII-guarded): split(text, '') chars in ONE pass.
+    //     Java-regex empty-split appends one trailing '' element whose
+    //     ascii() is 0 — harmless, it equals the past-the-end pad exactly,
+    //     and the sequence(1, _len) pack never emits a row for it.
+    //   - width-1 path (any text): ascii(substring(i)) per position — each is
+    //     an O(i) UTF-8 scan (O(len²) total) but exact for non-ASCII, where
+    //     empty-split semantics are not guaranteed per codepoint.
+    val codesExpr =
+      if (seedWidth == 1)
+        s"transform(sequence(1, length($textCol)), i -> ascii(substring($textCol, i, 1)))"
+      else s"transform(split($textCol, ''), c -> ascii(c))"
     val withCodes = docs.select(
       col(idCol).as("id"),
-      expr(s"transform(sequence(1, length($textCol)), i -> ascii(substring($textCol, i, 1)))")
-        .as("_codes"),
+      expr(codesExpr).as("_codes"),
       coalesce(length(col(textCol)), lit(0)).as("_len"))
     val packed =
       if (seedWidth == 1) "transform(_codes, c -> CAST(c AS BIGINT))"
@@ -104,7 +113,14 @@ object SuffixArray {
   private def globalDenseRank(df: DataFrame, keyCols: Seq[String], rankCol: String): Ranked = {
     val spark = df.sparkSession
     val nKeys = keyCols.length
-    val sorted = df.select((Seq("id", "off") ++ keyCols).map(col): _*)
+    // The range exchange runs a SAMPLING job over its input before the
+    // shuffle computes it again; the inputs here (char-pack explode, lead
+    // window) are expensive enough that paying them twice dominates — cache
+    // across the two computations, released right after the stats pass below
+    // (by then the shuffle files exist and the sorted RDD is persisted).
+    val input = df.select((Seq("id", "off") ++ keyCols).map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sorted = input
       .repartitionByRange(keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col): _*)
     val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
@@ -126,6 +142,7 @@ object SuffixArray {
         }
         Iterator.single(pi -> Option(first).map(f => (f, last, rows, classes)))
       }.collect()
+    input.unpersist(blocking = false)
     val nParts = stats.length
     val base = new Array[Long](nParts)
     val cont = new Array[Boolean](nParts)
