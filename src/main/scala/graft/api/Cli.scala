@@ -221,7 +221,8 @@ object Cli {
             val Array(k, v) = kv.split("="); k -> v.toDouble
           }.toMap),
           sampleDefaultRate = opt("sample-default").map(_.toDouble).getOrElse(0.0),
-          decontaminateViaBloom = flags("decontaminate-bloom"))
+          decontaminateViaBloom = flags("decontaminate-bloom"),
+          decontaminateSubstrLen = opt("decontaminate-substr").map(_.toInt))
         val bench = opt("benchmark").map(p => (
           spark.read.parquet(p),
           opt("benchmark-id-col").getOrElse(idCol),
@@ -293,6 +294,7 @@ object Cli {
             |  curate --in P --out P [--min-tokens N] [--min-quality Q] [--redact-pii]
             |         [--line-dedup-max N] [--near-dedup] [--domain-cap N]
             |         [--min-entropy E --max-entropy E] [--benchmark P] [--decontaminate-bloom]
+            |         [--decontaminate-substr L]  drop docs sharing a verbatim L-char window
             |         [--lm-train P --lm-max-nll X] [--quality-model P --quality-model-min S]
             |         [--sample-rates k=v,..] [--stratum-col C]
             |  compact --path P [--target-mb 256] [--min-avg-mb 32]

@@ -44,7 +44,11 @@ object Pipeline {
       // the 100 TB path ([[Sketches.bloomDecontaminate]]); flags are a
       // superset (false positives drop a few extra docs, never miss one)
       decontaminateViaBloom: Boolean = false,
-      bloomM: Int = 1 << 20)
+      bloomM: Int = 1 << 20,
+      // collision-free ExactSubstr mode ([[SuffixArray.contaminatedSpans]]):
+      // drop any doc sharing a verbatim window of this length with the
+      // benchmark. Takes precedence over the ngram modes when set.
+      decontaminateSubstrLen: Option[Int] = None)
 
   /** Run the configured stages over `docs`. Output keeps every input column,
     * with `textCol` rewritten in place by cleanup/redaction stages, plus the
@@ -137,8 +141,18 @@ object Pipeline {
     }
 
     // 5. benchmark decontamination (drop contaminated): exact broadcast ngram
-    // set by default, O(1)-per-ngram bloom probe when configured
+    // set by default, O(1)-per-ngram bloom probe when configured, or the
+    // collision-free ExactSubstr span check (substrLen precedence)
     benchmark.foreach { case (bench, bid, btext) =>
+      cfg.decontaminateSubstrLen match {
+        case Some(minLen) =>
+          val hits = SuffixArray.contaminatedSpans(
+              cur.select(col(idCol), col(textCol)),
+              bench.select(col(bid).as(idCol), col(btext).as(textCol)),
+              idCol, textCol, minLen)
+            .select(col(idCol)).distinct()
+          cur = cur.join(hits, Seq(idCol), "left_anti")
+        case None =>
       val clean =
         if (cfg.decontaminateViaBloom)
           Sketches.bloomDecontaminate(cur, bench, idCol, textCol,
@@ -149,6 +163,7 @@ object Pipeline {
               bid, btext, n = cfg.decontaminateNgram)
             .filter(!col("contaminated"))
       cur = cur.join(clean.select(col(idCol)), Seq(idCol), "left_semi")
+      }
     }
 
     // 6. reproducible mixture sampling

@@ -172,6 +172,14 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       benchmark = Some((bench, "bid", "btext")))
     assert(outBloom.select("doc_id").collect().map(_.getLong(0)).toSet === Set(3L, 4L, 5L))
 
+    // the ExactSubstr mode (collision-free spans, precedence over ngram
+    // modes) drops exactly the docs sharing a verbatim 40-char window: docs
+    // 1 and 2 contain the benchmark sentence; 3/4/5 share nothing that long
+    val outSubstr = Pipeline.curate(corpus, "doc_id", "text",
+      CurationConfig(minTokens = 1, decontaminateSubstrLen = Some(40)),
+      benchmark = Some((bench, "bid", "btext")))
+    assert(outSubstr.select("doc_id").collect().map(_.getLong(0)).toSet === Set(3L, 4L, 5L))
+
     val sampled = Pipeline.curate(corpus, "doc_id", "text",
       CurationConfig(sampleRates = Some(Map("en" -> 1.0))),
       stratumCol = Some("lang"))
