@@ -280,9 +280,13 @@ object SuffixArray {
     // share ranks among themselves but never with a full window (their
     // missing tail ranks as the -1 sentinel, a class of its own).
     val full = ranks.join(lens, idCol).where(col("off") + minLen <= col("_len"))
-    val classes = full.groupBy("rank")
-      .agg(count(lit(1)).as("_n"), countDistinct(col(idCol)).as("_nd"))
-      .where(if (crossDocOnly) col("_nd") >= 2 else col("_n") >= 2)
+    // "distinct docs >= 2" is min(id) != max(id) — a one-pass map-side
+    // partial aggregate, vs countDistinct's expand over the position rows.
+    val classes = (if (crossDocOnly)
+        full.groupBy("rank").agg(min(col(idCol)).as("_a"), max(col(idCol)).as("_b"))
+          .where(col("_a") =!= col("_b"))
+      else
+        full.groupBy("rank").agg(count(lit(1)).as("_n")).where(col("_n") >= 2))
       .select("rank")
     val dupPos = full.join(classes, "rank")
       .select(col(idCol), col("off").cast("long").as("span_start"),
