@@ -198,12 +198,21 @@ object SuffixArray {
     var current = globalDenseRank(
       charPositions(docs, idCol, textCol, seedWidth), Seq("r"), "r")
     var width = seedWidth
-    while (width < targetLen && current.classes < current.rows) {
+    var converged = false
+    while (width < targetLen && current.classes < current.rows && !converged) {
       val k = if (exact) math.min(width, targetLen - width) else width
       val perDoc = Window.partitionBy("id").orderBy("off")
       val paired = current.df
         .withColumn("r2", coalesce(lead(col("r"), k).over(perDoc), lit(-1L)))
       val next = globalDenseRank(paired, Seq("r", "r2"), "r")
+      // PLATEAU EXIT: classes only ever split (the new key embeds the old
+      // rank), so an unchanged count means the partition itself is unchanged
+      // — i.e. equal-on-w implies equal-on-(w+k) for every pair. Applying
+      // that to the shifted pair (s+k, t+k) inductively gives equality at
+      // w+mk for all m: the partition is FINAL. This is the exit that fires
+      // on duplicate-heavy corpora, where exactly-equal suffixes keep
+      // classes < rows forever and the all-distinct exit never triggers.
+      converged = next.classes == current.classes
       // next's pass-1 collect consumed current's sorted RDD; release it.
       current.handle.unpersist(blocking = false)
       current = next

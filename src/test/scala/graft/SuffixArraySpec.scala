@@ -113,6 +113,22 @@ class SuffixArraySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("exact-duplicate documents force the plateau exit; SA stays exact") {
+    // Docs 1 and 2 are byte-identical: every suffix pair across them is
+    // equal FOREVER, so the all-distinct exit can never fire and the
+    // doubling must stop via the plateau (unchanged-partition) exit instead
+    // of running to max document length.
+    val t = "the same exact document body repeated verbatim"
+    val d = df(1L -> t, 2L -> t, 3L -> "another unrelated body entirely")
+    val got = SuffixArray.suffixArray(d, "doc_id", "text")
+      .orderBy("sa_rank")
+      .select("doc_id", "off").as[(Long, Int)].collect().toSeq
+    val expect = (for ((id, s) <- Seq(1L -> t, 2L -> t,
+        3L -> "another unrelated body entirely"); off <- 0 until s.length)
+      yield (s.substring(off), id, off)).sorted.map { case (_, id, off) => (id, off) }
+    assert(got === expect)
+  }
+
   test("contaminatedSpans: only train∩bench overlap fires; train-train repeats do not") {
     val planted = "EVALBENCHMARKQUESTIONTEXT" // 25 chars
     val trainRep = "TRAINONLYREPEATEDSTRINGS!" // repeats within train only
