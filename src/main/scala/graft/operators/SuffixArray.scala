@@ -272,35 +272,75 @@ object SuffixArray {
           .as("lcp"))
   }
 
+  /** Window lengths up to this take the DIRECT class path (group literal
+    * L-char windows — one narrow exchange of ≤L-byte keys, exact for ANY
+    * text); longer windows take the suffix-rank path, whose per-row state
+    * stays (id, off, rank) no matter how large L grows.
+    */
+  private val DirectWindowMaxLen = 128
+
+  /** One row per full-length window: (id, off, _g) with _g the literal
+    * L-char substring starting at 0-based off. Docs shorter than L
+    * contribute nothing.
+    */
+  private def windowsOf(docs: DataFrame, idCol: String, textCol: String,
+                        len: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(expr(
+          s"""CASE WHEN length($textCol) >= $len
+             |  THEN transform(sequence(1, length($textCol) - ${len - 1}),
+             |                 i -> substring($textCol, i, $len))
+             |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+      .select(col("id"), col("pos").as("off"), col("col").as("_g"))
+
   /** ExactSubstr duplicate spans: every maximal union of length-`minLen`
     * windows that re-occur elsewhere in the corpus (arXiv:2107.06499 §4.1 —
     * within-document re-occurrence counts too unless `crossDocOnly`).
-    * Collision-free: window equality comes from the suffix ranks, not hashes.
-    * Output: (id, span_start, span_end, n_grams) — [start, end) character
-    * spans per document, overlapping/touching windows merged by the
-    * single-exchange scan-line ([[Intervals.mergeIntervals]]).
+    * Collision-free both ways: for minLen ≤ [[DirectWindowMaxLen]] window
+    * equality is equality of the LITERAL substrings (one groupBy + one
+    * semi-join over ≤minLen-byte keys, no hashes, exact for any text); above
+    * that it comes from the suffix ranks, whose exchanged rows stay narrow
+    * (id, off, rank) triples regardless of minLen. Output: (id, span_start,
+    * span_end, n_grams) — [start, end) character spans per document,
+    * overlapping/touching windows merged by the single-exchange scan-line
+    * ([[Intervals.mergeIntervals]]).
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                     minLen: Int, crossDocOnly: Boolean = false): DataFrame = {
+                     minLen: Int, crossDocOnly: Boolean = false,
+                     directMaxLen: Int = DirectWindowMaxLen): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
-    val ranks = prefixRanks(docs, idCol, textCol, minLen)
-    val lens = docs.select(col(idCol), length(col(textCol)).as("_len"))
-    // Only positions with a FULL L-gram participate; end-truncated suffixes
-    // share ranks among themselves but never with a full window (their
-    // missing tail ranks as the -1 sentinel, a class of its own).
-    val full = ranks.join(lens, idCol).where(col("off") + minLen <= col("_len"))
-    // "distinct docs >= 2" is min(id) != max(id) — a one-pass map-side
-    // partial aggregate, vs countDistinct's expand over the position rows.
-    val classes = (if (crossDocOnly)
-        full.groupBy("rank").agg(min(col(idCol)).as("_a"), max(col(idCol)).as("_b"))
-          .where(col("_a") =!= col("_b"))
-      else
-        full.groupBy("rank").agg(count(lit(1)).as("_n")).where(col("_n") >= 2))
-      .select("rank")
-    val dupPos = full.join(classes, "rank")
-      .select(col(idCol), col("off").cast("long").as("span_start"),
-        (col("off") + minLen).cast("long").as("span_end"))
-    Intervals.mergeIntervals(dupPos, Seq(idCol), "span_start", "span_end")
+    val dupPos =
+      if (minLen <= directMaxLen) {
+        val wins = windowsOf(docs, idCol, textCol, minLen)
+        // "distinct docs >= 2" is min(id) != max(id) — a one-pass map-side
+        // partial aggregate, vs countDistinct's expand over the window rows.
+        val classes = (if (crossDocOnly)
+            wins.groupBy("_g").agg(min(col("id")).as("_a"), max(col("id")).as("_b"))
+              .where(col("_a") =!= col("_b"))
+          else
+            wins.groupBy("_g").agg(count(lit(1)).as("_n")).where(col("_n") >= 2))
+          .select("_g")
+        wins.join(classes, Seq("_g"), "left_semi")
+      } else {
+        val ranks = prefixRanks(docs, idCol, textCol, minLen)
+          .withColumnRenamed(idCol, "id")
+        val lens = docs.select(col(idCol).as("id"), length(col(textCol)).as("_len"))
+        // Only positions with a FULL L-gram participate; end-truncated
+        // suffixes share ranks among themselves but never with a full window
+        // (their missing tail ranks as the -1 sentinel, a class of its own).
+        val full = ranks.join(lens, "id").where(col("off") + minLen <= col("_len"))
+        val classes = (if (crossDocOnly)
+            full.groupBy("rank").agg(min(col("id")).as("_a"), max(col("id")).as("_b"))
+              .where(col("_a") =!= col("_b"))
+          else
+            full.groupBy("rank").agg(count(lit(1)).as("_n")).where(col("_n") >= 2))
+          .select("rank")
+        full.join(classes, Seq("rank"), "left_semi")
+      }
+    val spans = dupPos.select(col("id").as(idCol),
+      col("off").cast("long").as("span_start"),
+      (col("off") + minLen).cast("long").as("span_end"))
+    Intervals.mergeIntervals(spans, Seq(idCol), "span_start", "span_end")
       .select(col(idCol), col("island_start").as("span_start"),
         col("island_end").as("span_end"), col("n_intervals").as("n_grams"))
   }
@@ -308,28 +348,43 @@ object SuffixArray {
   /** Cross-corpus exact-substring decontamination (arXiv:2107.06499 §6.2's
     * eval-overlap check, made collision-free): every maximal merged span of
     * `train` whose length-`minLen` window occurs verbatim ANYWHERE in
-    * `bench`. Both corpora union under a (corpus, key) struct id, one
-    * doubling run ranks the union, and a LEFT-SEMI join keeps exactly the
-    * train positions whose rank class has a bench member — semi, so a class
-    * with many bench occurrences can never duplicate a train row. Output:
+    * `bench`. For minLen ≤ [[DirectWindowMaxLen]], train windows LEFT-SEMI
+    * join the bench window set on the literal substring (exact for any
+    * text); above that, both corpora union under a (corpus, key) struct id,
+    * one doubling run ranks the union, and the semi-join keys on the rank
+    * class instead — either way semi, so a window with many bench
+    * occurrences can never duplicate a train row. Output:
     * (idCol, span_start, span_end, n_grams) over train documents only.
     */
   def contaminatedSpans(train: DataFrame, bench: DataFrame, idCol: String,
-                        textCol: String, minLen: Int): DataFrame = {
+                        textCol: String, minLen: Int,
+                        directMaxLen: Int = DirectWindowMaxLen): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
-    val u = train
-      .select(struct(lit(0).as("corpus"), col(idCol).as("key")).as("_uid"), col(textCol))
-      .unionByName(bench
-        .select(struct(lit(1).as("corpus"), col(idCol).as("key")).as("_uid"), col(textCol)))
-    val ranks = prefixRanks(u, "_uid", textCol, minLen)
-    val lens = u.select(col("_uid"), length(col(textCol)).as("_len"))
-    val full = ranks.join(lens, "_uid").where(col("off") + minLen <= col("_len"))
-    val benchRanks = full.where(col("_uid.corpus") === 1).select("rank")
-    val dupPos = full.where(col("_uid.corpus") === 0)
-      .join(benchRanks, Seq("rank"), "left_semi")
-      .select(col("_uid.key").as(idCol), col("off").cast("long").as("span_start"),
-        (col("off") + minLen).cast("long").as("span_end"))
-    Intervals.mergeIntervals(dupPos, Seq(idCol), "span_start", "span_end")
+    val dupPos =
+      if (minLen <= directMaxLen) {
+        // Direct path: train windows LEFT-SEMI join the bench window set on
+        // the literal substring — one narrow-key join, no union, no ranks.
+        val tw = windowsOf(train, idCol, textCol, minLen)
+        val bw = windowsOf(bench, idCol, textCol, minLen).select("_g")
+        tw.join(bw, Seq("_g"), "left_semi")
+          .select(col("id").as(idCol), col("off"))
+      } else {
+        val u = train
+          .select(struct(lit(0).as("corpus"), col(idCol).as("key")).as("_uid"), col(textCol))
+          .unionByName(bench
+            .select(struct(lit(1).as("corpus"), col(idCol).as("key")).as("_uid"), col(textCol)))
+        val ranks = prefixRanks(u, "_uid", textCol, minLen)
+        val lens = u.select(col("_uid"), length(col(textCol)).as("_len"))
+        val full = ranks.join(lens, "_uid").where(col("off") + minLen <= col("_len"))
+        val benchRanks = full.where(col("_uid.corpus") === 1).select("rank")
+        full.where(col("_uid.corpus") === 0)
+          .join(benchRanks, Seq("rank"), "left_semi")
+          .select(col("_uid.key").as(idCol), col("off"))
+      }
+    val spans = dupPos.select(col(idCol),
+      col("off").cast("long").as("span_start"),
+      (col("off") + minLen).cast("long").as("span_end"))
+    Intervals.mergeIntervals(spans, Seq(idCol), "span_start", "span_end")
       .select(col(idCol), col("island_start").as("span_start"),
         col("island_end").as("span_end"), col("n_intervals").as("n_grams"))
   }

@@ -113,6 +113,34 @@ class SuffixArraySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("direct and suffix-rank span paths agree exactly (dup + contaminated)") {
+    // 2-letter alphabet: ~1000 windows over 2^12 possible 12-grams makes
+    // repeats (within-doc, cross-doc, and train∩bench) statistically certain.
+    val rnd = new scala.util.Random(23L)
+    val rows = (0 until 25).map { i =>
+      i.toLong -> Seq.fill(30 + rnd.nextInt(40))("ab".charAt(rnd.nextInt(2))).mkString
+    }
+    val d = df(rows: _*)
+    for (cross <- Seq(false, true)) {
+      val direct = SuffixArray.duplicateSpans(d, "doc_id", "text",
+          minLen = 12, crossDocOnly = cross)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val ranked = SuffixArray.duplicateSpans(d, "doc_id", "text",
+          minLen = 12, crossDocOnly = cross, directMaxLen = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(direct === ranked, s"crossDocOnly=$cross")
+      assert(direct.nonEmpty, "fixture should produce spans")
+    }
+    val train = df(rows.take(15): _*); val bench = df(rows.drop(15): _*)
+    val directC = SuffixArray.contaminatedSpans(train, bench, "doc_id", "text", minLen = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val rankedC = SuffixArray.contaminatedSpans(train, bench, "doc_id", "text",
+        minLen = 12, directMaxLen = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(directC === rankedC)
+    assert(directC.nonEmpty, "fixture should produce contaminated spans")
+  }
+
   test("exact-duplicate documents force the plateau exit; SA stays exact") {
     // Docs 1 and 2 are byte-identical: every suffix pair across them is
     // equal FOREVER, so the all-distinct exit can never fire and the
