@@ -142,8 +142,10 @@ object Stress {
     "cluster_kmeans_train", "graph_pagerank_dangling",
     // round-7b: the prefix-doubling suffix family — seeded doubling rounds
     // (range-partitioned two-pass global dense rank + per-doc lead shift),
-    // ExactSubstr window classes, and the SA-adjacency LCP join
-    "text_suffix_ranks", "dedup_exact_substr", "text_lcp_topk")
+    // direct literal-window ExactSubstr classes, the SA-adjacency LCP join,
+    // and the cross-corpus decontamination semi-join
+    "text_suffix_ranks", "dedup_exact_substr", "text_lcp_topk",
+    "decontam_substr")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "stress"
