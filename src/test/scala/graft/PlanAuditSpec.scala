@@ -84,12 +84,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // dedup_ngram_jaccard is BY CONTRACT a bounded cross join (the exact-verify
     // path callers feed an LSH bucket or a capped subset); everything else must
     // never plan one. This is the blanket regression net under the targeted
-    // audits above.
+    // audits above. The same pass reports every query whose plan funnels
+    // corpus-scale data through an Exchange SinglePartition — the accidental
+    // global-window shape that dies at cluster scale.
     val allowed = Set("dedup_ngram_jaccard")
+    // Every name here funnels a BOUNDED frame, audited by hand:
+    //   - mid-plan GlobalLimit over already-cut top-k search results (k ≤ 100
+    //     rows): a1_rrf_fusion, a1b_weighted_rrf, a2_group_docs, t2_bm25_topk
+    //   - one-row / few-row scalar aggregates (global SUM/MAX/AVG or a scalar
+    //     subquery's threshold): a4_watermark_max, q6_forecast, q11, q14,
+    //     q15, q19, q22, events_funnel, text_js_divergence
+    //   - metadata-sized control frames the surrounding plan broadcasts back:
+    //     m5_chunk_fanout's (doc_id, n) id window, the #buckets-row pack
+    //     offset windows (sample_pack_sequences/shards), pca's fixed
+    //     covariance buffer, the capped vocab/top-N tables of
+    //     text_collocations / text_keywords.
+    // A NEW name appearing below means corpus-scale data may be crossing one
+    // task — justify it here or fix the plan.
+    val singlePartitionAllowed = Set(
+      "a1_rrf_fusion", "a1b_weighted_rrf", "a2_group_docs", "a4_watermark_max",
+      "events_funnel", "m5_chunk_fanout", "pca_top_component",
+      "q11_important_stock", "q14_promo", "q15_top_supplier", "q19_disjunctive",
+      "q22_no_orders", "q6_forecast", "sample_pack_sequences",
+      "sample_pack_shards", "t2_bm25_topk", "text_collocations",
+      "text_js_divergence", "text_keywords")
+    val singlePartition = scala.collection.mutable.SortedSet.empty[String]
     Queries.all.keys.toSeq.sorted.filterNot(allowed).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"cartesian product in $name")
+      if (p.contains("Exchange SinglePartition")) singlePartition += name
     }
+    val unexpected = singlePartition.diff(singlePartitionAllowed)
+    assert(unexpected.isEmpty,
+      s"unaudited Exchange SinglePartition in: ${unexpected.mkString(", ")}")
   }
 
   test("set ops run as one full-outer join of the two distinct sets") {
