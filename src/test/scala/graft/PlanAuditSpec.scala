@@ -108,15 +108,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       "q22_no_orders", "q6_forecast", "sample_pack_sequences",
       "sample_pack_shards", "t2_bm25_topk", "text_collocations",
       "text_js_divergence", "text_keywords")
+    // Non-equi joins plan BroadcastNestedLoopJoin; that's only safe when the
+    // broadcast side is provably bounded. Every name here broadcasts a
+    // BOUNDED build side, audited by hand:
+    //   - one-row scalar-threshold cross joins (global avg/total/fraction):
+    //     q11, q15, q22, events_funnel, text_js_divergence,
+    //     sketch_quantile_hist, pca_top_component
+    //   - one-row corpus-stats / bounded query-table cross joins (BM25 N+avgdl,
+    //     the ≤25-row query-vector batches, the labeled eval query set, search
+    //     query stats): t2_bm25_topk, t2b_bm25_postings, t1b_vector_batch,
+    //     ann_recall_eval, eval_mrr, a1_rrf_fusion, a1b_weighted_rrf,
+    //     a2_group_docs, text_collocations, text_keywords
+    // A NEW name below means a non-equi join may be broadcasting an unbounded
+    // side — justify it here or fix the plan.
+    val bnljAllowed = Set(
+      "a1_rrf_fusion", "a1b_weighted_rrf", "a2_group_docs", "ann_recall_eval",
+      "eval_mrr", "events_funnel", "pca_top_component", "q11_important_stock",
+      "q15_top_supplier", "q22_no_orders", "sketch_quantile_hist",
+      "t1b_vector_batch", "t2_bm25_topk", "t2b_bm25_postings",
+      "text_collocations", "text_js_divergence", "text_keywords")
     val singlePartition = scala.collection.mutable.SortedSet.empty[String]
+    val bnlj = scala.collection.mutable.SortedSet.empty[String]
     Queries.all.keys.toSeq.sorted.filterNot(allowed).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"cartesian product in $name")
       if (p.contains("Exchange SinglePartition")) singlePartition += name
+      if (p.contains("BroadcastNestedLoopJoin")) bnlj += name
     }
     val unexpected = singlePartition.diff(singlePartitionAllowed)
     assert(unexpected.isEmpty,
       s"unaudited Exchange SinglePartition in: ${unexpected.mkString(", ")}")
+    val unexpectedBnlj = bnlj.diff(bnljAllowed)
+    assert(unexpectedBnlj.isEmpty,
+      s"unaudited BroadcastNestedLoopJoin in: ${unexpectedBnlj.mkString(", ")}")
   }
 
   test("set ops run as one full-outer join of the two distinct sets") {
