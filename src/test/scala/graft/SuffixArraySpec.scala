@@ -214,6 +214,51 @@ class SuffixArraySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("property: prefixRanks equals brute force on random corpora (both seed paths)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // Mostly-ASCII docs with an occasional 'é' so generated cases land on
+    // BOTH the packed seed and the width-1 fallback; empty docs included.
+    val charGen = Gen.frequency(12 -> Gen.oneOf('a', 'b', 'z'), 1 -> Gen.const('é'))
+    val docGen = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val corpusGen = for {
+      n <- Gen.choose(3, 10)
+      ds <- Gen.listOfN(n, docGen)
+      w <- Gen.choose(1, 20)
+    } yield (ds.zipWithIndex.map { case (t, i) => i.toLong -> t }, w)
+    val prop = Prop.forAll(corpusGen) { case (rows, w) =>
+      val got = SuffixArray.prefixRanks(df(rows: _*), "doc_id", "text", w)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      got == bruteRanks(rows, w)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: direct and rank span paths agree on random repeat-dense corpora") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val docGen = Gen.choose(8, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val caseGen = for {
+      n <- Gen.choose(4, 8)
+      ds <- Gen.listOfN(n, docGen)
+      l <- Gen.choose(4, 10)
+      cross <- Gen.oneOf(true, false)
+    } yield (ds.zipWithIndex.map { case (t, i) => i.toLong -> t }, l, cross)
+    val prop = Prop.forAll(caseGen) { case (rows, l, cross) =>
+      val d = df(rows: _*)
+      val direct = SuffixArray.duplicateSpans(d, "doc_id", "text", l, cross)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val ranked = SuffixArray.duplicateSpans(d, "doc_id", "text", l, cross,
+          directMaxLen = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      direct == ranked
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("partition invariance: ranks identical regardless of input partitioning") {
     val rnd = new scala.util.Random(41L)
     val rows = (0 until 25).map { i =>
