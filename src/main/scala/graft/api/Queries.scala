@@ -2069,6 +2069,52 @@ object Queries {
            |SELECT doc_id, min(s) AS span_start, max(e) AS span_end, count(*) AS n_grams
            |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin))
 
+  /** Corpus-level contamination report over the same split as
+    * `decontam_substr`: how many train docs carry a verbatim-16-char overlap
+    * with the benchmark, and what fraction of their characters the merged
+    * spans cover — the go/no-go health metric a pipeline reads before
+    * training. One row; fractions at 6dp with the ROUND-before-compare
+    * contract.
+    */
+  private val decontamReport = Q(
+    (s, d) => {
+      val docs = D.documents(s, d)
+      val train = docs.filter(col("doc_id") % 41 =!= 0).select("doc_id", "text")
+      val spans = graft.operators.SuffixArray.contaminatedSpans(
+        train, docs.filter(col("doc_id") % 41 === 0).select("doc_id", "text"),
+        "doc_id", "text", minLen = 16)
+      val perDoc = spans.groupBy("doc_id")
+        .agg(sum(col("span_end") - col("span_start")).as("_cov"))
+      train.join(perDoc, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_train_docs"),
+          count(col("_cov")).as("n_contaminated_docs"),
+          round(sum(coalesce(col("_cov"), lit(0L)))
+            / sum(length(col("text")).cast("long")), 6).as("contaminated_char_frac"))
+    },
+    Some("""WITH be AS (SELECT text FROM documents WHERE doc_id % 41 = 0),
+           |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0),
+           |bw AS (SELECT DISTINCT substr(text, off + 1, 16) AS g FROM
+           |  (SELECT text, unnest(generate_series(0, length(text) - 16)) AS off
+           |   FROM be WHERE length(text) >= 16)),
+           |tw AS (SELECT doc_id, off, substr(text, off + 1, 16) AS g FROM
+           |  (SELECT doc_id, text, unnest(generate_series(0, length(text) - 16)) AS off
+           |   FROM tr WHERE length(text) >= 16)),
+           |dup AS (SELECT doc_id, off AS s, off + 16 AS e FROM tw JOIN bw USING (g)),
+           |fl AS (SELECT doc_id, s, e,
+           |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
+           |  FROM dup),
+           |isl AS (SELECT doc_id, s, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl),
+           |sp AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, island),
+           |pd AS (SELECT doc_id, sum(e - s) AS cov FROM sp GROUP BY doc_id)
+           |SELECT count(*) AS n_train_docs,
+           |  count(pd.cov) AS n_contaminated_docs,
+           |  round(sum(coalesce(pd.cov, 0)) / sum(CAST(length(tr.text) AS BIGINT)), 6)
+           |    AS contaminated_char_frac
+           |FROM tr LEFT JOIN pd USING (doc_id)""".stripMargin))
+
   /** Product-quantization ADC search ([[graft.operators.Pq]]): fixed
     * centroids (sub-vectors of corpus ids 1..16, the same replayable recipe
     * as `cluster_assign`/IVF) make encode AND the asymmetric-distance top-k
@@ -4498,6 +4544,7 @@ object Queries {
     "text_lcp_topk" -> textLcpTopk,
     "dedup_exact_substr" -> dedupExactSubstr,
     "decontam_substr" -> decontamSubstr,
+    "decontam_report" -> decontamReport,
     "ann_pq_adc" -> annPqAdc,
     "ann_pq_rerank" -> annPqRerank,
     "t1c_maxsim" -> t1cMaxsim,

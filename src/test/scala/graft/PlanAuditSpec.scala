@@ -93,7 +93,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     //     rows): a1_rrf_fusion, a1b_weighted_rrf, a2_group_docs, t2_bm25_topk
     //   - one-row / few-row scalar aggregates (global SUM/MAX/AVG or a scalar
     //     subquery's threshold): a4_watermark_max, q6_forecast, q11, q14,
-    //     q15, q19, q22, events_funnel, text_js_divergence
+    //     q15, q19, q22, events_funnel, text_js_divergence, decontam_report
+    //     (the one-row corpus contamination summary — partial aggregates
+    //     map-side, one row per task crosses)
     //   - metadata-sized control frames the surrounding plan broadcasts back:
     //     m5_chunk_fanout's (doc_id, n) id window, the #buckets-row pack
     //     offset windows (sample_pack_sequences/shards), pca's fixed
@@ -102,6 +104,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // A NEW name appearing below means corpus-scale data may be crossing one
     // task — justify it here or fix the plan.
     val singlePartitionAllowed = Set(
+      "decontam_report",
       "a1_rrf_fusion", "a1b_weighted_rrf", "a2_group_docs", "a4_watermark_max",
       "events_funnel", "m5_chunk_fanout", "pca_top_component",
       "q11_important_stock", "q14_promo", "q15_top_supplier", "q19_disjunctive",
