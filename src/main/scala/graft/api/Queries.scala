@@ -1933,6 +1933,39 @@ object Queries {
            |FROM spans JOIN shared USING (span_hash)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Exact token-window duplicate spans
+    * ([[graft.operators.Dedup.exactTokenSpans]]): the collision-free,
+    * span-merged upgrade of `dedup_spans` — maximal merged runs of 8-token
+    * windows shared with ≥1 other document, as [start, end) token-index
+    * spans. The oracle replays windows by literal string, the min≠max
+    * cross-doc class test, and the gaps-and-islands merge.
+    */
+  private val dedupTokenSpans = Q(
+    (s, d) => graft.operators.Dedup.exactTokenSpans(
+        D.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        nTokens = 8, crossDocOnly = true)
+      .orderBy("doc_id", "tok_start"),
+    Some("""WITH toks AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           |                x -> x <> '') AS ts
+           |  FROM documents),
+           |w AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+           |  FROM toks WHERE len(ts) >= 8),
+           |wins AS (SELECT doc_id, i - 1 AS off, array_to_string(ts[i:i+7], ' ') AS g
+           |  FROM w),
+           |sh AS (SELECT g FROM (
+           |    SELECT g, min(doc_id) AS a, max(doc_id) AS b FROM wins GROUP BY g)
+           |  WHERE a <> b),
+           |dup AS (SELECT doc_id, off AS s, off + 8 AS e FROM wins JOIN sh USING (g)),
+           |fl AS (SELECT doc_id, s, e,
+           |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
+           |  FROM dup),
+           |isl AS (SELECT doc_id, s, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl)
+           |SELECT doc_id, min(s) AS tok_start, max(e) AS tok_end, count(*) AS n_windows
+           |FROM isl GROUP BY doc_id, island ORDER BY doc_id, tok_start""".stripMargin))
+
   /** Distributed prefix-doubling suffix ranks
     * ([[graft.operators.SuffixArray.prefixRanks]]): the dense rank of every
     * suffix's first 16 characters across the whole corpus. The oracle is the
@@ -4539,6 +4572,7 @@ object Queries {
     "sample_mixture_plan" -> sampleMixturePlan,
     "curate_domain_cap" -> curateDomainCap,
     "dedup_spans" -> dedupSpans,
+    "dedup_token_spans" -> dedupTokenSpans,
     "text_suffix_ranks" -> textSuffixRanks,
     "text_suffix_array" -> textSuffixArray,
     "text_lcp_topk" -> textLcpTopk,

@@ -542,6 +542,44 @@ object Dedup {
         count(lit(1)).as("n_shared_spans"))
   }
 
+  /** Exact token-window duplicate spans (arXiv:2107.06499's ExactSubstr in
+    * its TOKEN form — the unit practitioners dedup on): every maximal merged
+    * run of `nTokens`-token windows whose literal token sequence re-occurs in
+    * another document (or anywhere, when crossDocOnly=false). Collision-free:
+    * windows group by the space-joined token string itself — tokens are
+    * [a-z0-9]+ so the join is unambiguous — the exact upgrade of
+    * [[repeatedSpans]]'s md5 counting form, and the token-unit sibling of
+    * [[SuffixArray.duplicateSpans]]'s character form. Output: (idCol,
+    * tok_start, tok_end, n_windows) with [start, end) 0-based token-index
+    * spans, overlapping/touching windows merged by the scan-line interval
+    * merge. Scale shape: one groupBy + one left-semi join on bounded window
+    * strings, then the single-exchange merge — no hashing, no self-join.
+    */
+  def exactTokenSpans(docs: DataFrame, idCol: String, textCol: String,
+                      nTokens: Int = 8, crossDocOnly: Boolean = true): DataFrame = {
+    require(nTokens >= 2, "nTokens must be >= 2")
+    val wins = docs
+      .withColumn("_ts", expr(toksExpr(textCol)))
+      .where(size(col("_ts")) >= nTokens)
+      .select(col(idCol).as("_id"), posexplode(expr(
+        s"transform(sequence(1, size(_ts) - ${nTokens - 1}), " +
+          s"i -> array_join(slice(_ts, i, $nTokens), ' '))")))
+      .select(col("_id"), col("pos").as("_off"), col("col").as("_g"))
+    // "distinct docs >= 2" as min != max: one-pass partial agg, no expand.
+    val classes = (if (crossDocOnly)
+        wins.groupBy("_g").agg(min(col("_id")).as("_a"), max(col("_id")).as("_b"))
+          .where(col("_a") =!= col("_b"))
+      else
+        wins.groupBy("_g").agg(count(lit(1)).as("_n")).where(col("_n") >= 2))
+      .select("_g")
+    val dupPos = wins.join(classes, Seq("_g"), "left_semi")
+      .select(col("_id").as(idCol), col("_off").cast("long").as("tok_start"),
+        (col("_off") + nTokens).cast("long").as("tok_end"))
+    Intervals.mergeIntervals(dupPos, Seq(idCol), "tok_start", "tok_end")
+      .select(col(idCol), col("island_start").as("tok_start"),
+        col("island_end").as("tok_end"), col("n_intervals").as("n_windows"))
+  }
+
   def signBucket(vecCol: Column, bits: Int = 8): Column =
     array_join(transform(slice(vecCol, 1, bits),
       x => when(x >= 0f, lit("1")).otherwise(lit("0"))), "")

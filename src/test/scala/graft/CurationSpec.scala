@@ -407,4 +407,25 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(out(1L)._2 === out(2L)._2) // same shared span set
     assert(!out.contains(3L) && !out.contains(4L))
   }
+
+  test("exactTokenSpans: merged token-index spans, exact bounds, crossDocOnly semantics") {
+    import spark.implicits._
+    val boiler = "one two three four five six seven eight nine" // 9 shared tokens
+    val docs = Seq(
+      (1L, s"alpha $boiler beta"),       // tokens: alpha + 9 + beta → span [1, 10)
+      (2L, s"$boiler gamma delta"),      // span [0, 9)
+      (3L, "entirely distinct words here nothing shared at all today friend"),
+      // within-doc repeat only → excluded by crossDocOnly, included without
+      (4L, "p1 p2 p3 p4 p5 p6 p7 p8 zz p1 p2 p3 p4 p5 p6 p7 p8"))
+      .toDF("doc_id", "text")
+    val cross = graft.operators.Dedup.exactTokenSpans(docs, "doc_id", "text",
+        nTokens = 8, crossDocOnly = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // 9 shared tokens → two 8-token windows per doc, merged into one span.
+    assert(cross === Set((1L, 1L, 10L, 2L), (2L, 0L, 9L, 2L)))
+    val any = graft.operators.Dedup.exactTokenSpans(docs, "doc_id", "text",
+        nTokens = 8, crossDocOnly = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(any.contains((4L, 0L, 8L)) && any.contains((4L, 9L, 17L)))
+  }
 }
