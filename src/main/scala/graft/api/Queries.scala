@@ -2102,6 +2102,52 @@ object Queries {
            |SELECT doc_id, min(s) AS span_start, max(e) AS span_end, count(*) AS n_grams
            |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin))
 
+  /** ExactSubstr remediation ([[graft.operators.SuffixArray.stripSpans]]):
+    * cut every cross-doc duplicated 24-char span (the `dedup_exact_substr`
+    * span set) out of the text and hash-gate the CLEANED corpus — md5 +
+    * length of every surviving text, so the oracle proves the segment
+    * reassembly byte-for-byte, not just the span arithmetic.
+    */
+  private val dedupStripSpans = Q(
+    (s, d) => {
+      val docs = D.documents(s, d).select("doc_id", "text")
+      val spans = graft.operators.SuffixArray.duplicateSpans(
+        docs, "doc_id", "text", minLen = 24, crossDocOnly = true)
+      graft.operators.SuffixArray.stripSpans(docs, spans, "doc_id", "text")
+        .select(col("doc_id"), length(col("text")).cast("long").as("clean_len"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH pos AS (SELECT doc_id, text,
+           |    unnest(generate_series(0, length(text) - 24)) AS off
+           |  FROM documents WHERE length(text) >= 24),
+           |wins AS (SELECT doc_id, off, substr(text, off + 1, 24) AS g FROM pos),
+           |sh AS (SELECT g FROM (
+           |    SELECT g, count(DISTINCT doc_id) AS nd FROM wins GROUP BY g) WHERE nd >= 2),
+           |dup AS (SELECT doc_id, off AS s, off + 24 AS e FROM wins JOIN sh USING (g)),
+           |fl AS (SELECT doc_id, s, e,
+           |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
+           |  FROM dup),
+           |isl AS (SELECT doc_id, s, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl),
+           |sp AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, island),
+           |tails AS (SELECT p.doc_id, max(p.e) AS gs, CAST(length(d.text) AS BIGINT) AS ge
+           |  FROM sp p JOIN documents d USING (doc_id) GROUP BY p.doc_id, length(d.text)),
+           |segs AS (SELECT doc_id,
+           |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs, s AS ge
+           |  FROM sp
+           |  UNION ALL SELECT doc_id, gs, ge FROM tails),
+           |clean AS (SELECT g.doc_id,
+           |    string_agg(substr(d.text, CAST(g.gs AS INT) + 1, CAST(g.ge - g.gs AS INT)),
+           |               '' ORDER BY g.gs) AS ct
+           |  FROM segs g JOIN documents d USING (doc_id) GROUP BY g.doc_id)
+           |SELECT d.doc_id,
+           |  CAST(length(coalesce(c.ct, d.text)) AS BIGINT) AS clean_len,
+           |  md5(coalesce(c.ct, d.text)) AS clean_md5
+           |FROM documents d LEFT JOIN clean c USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin))
+
   /** Corpus-level contamination report over the same split as
     * `decontam_substr`: how many train docs carry a verbatim-16-char overlap
     * with the benchmark, and what fraction of their characters the merged
@@ -4579,6 +4625,7 @@ object Queries {
     "dedup_exact_substr" -> dedupExactSubstr,
     "decontam_substr" -> decontamSubstr,
     "decontam_report" -> decontamReport,
+    "dedup_strip_spans" -> dedupStripSpans,
     "ann_pq_adc" -> annPqAdc,
     "ann_pq_rerank" -> annPqRerank,
     "t1c_maxsim" -> t1cMaxsim,

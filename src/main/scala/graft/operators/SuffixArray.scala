@@ -345,6 +345,35 @@ object SuffixArray {
         col("island_end").as("span_end"), col("n_intervals").as("n_grams"))
   }
 
+  /** Remove duplicate spans from the text (arXiv:2107.06499 §4.1's
+    * remediation step): given a span frame (idCol, span_start, span_end) of
+    * merged, non-overlapping [start, end) character ranges — the output
+    * shape of [[duplicateSpans]] / [[contaminatedSpans]] — cut those ranges
+    * out of `textCol`, keeping everything between them. Strict ExactSubstr
+    * strips every flagged occurrence; keep-one policies are expressed by
+    * filtering the span frame before calling. Docs with no spans pass
+    * through unchanged. Scale shape: spans collect per document only
+    * (bounded by len/minLen entries), one hash join on id, and the rebuild
+    * is a single codegen'd `aggregate` over that per-doc array — the corpus
+    * text never shuffles beyond the one join.
+    */
+  def stripSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").cast("long").as("s"),
+        col("span_end").cast("long").as("e")))).as("_sp"))
+    docs.join(perDoc, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("_sp").isNull, col(textCol)).otherwise(expr(
+          s"""aggregate(_sp, named_struct('cur', CAST(0 AS BIGINT), 'acc', ''),
+             |  (st, sp) -> named_struct('cur', sp.e,
+             |    'acc', concat(st.acc, substring($textCol, CAST(st.cur AS INT) + 1,
+             |                                    CAST(sp.s - st.cur AS INT)))),
+             |  st -> concat(st.acc, substring($textCol, CAST(st.cur AS INT) + 1)))""".stripMargin)))
+      .drop("_sp")
+  }
+
   /** Cross-corpus exact-substring decontamination (arXiv:2107.06499 §6.2's
     * eval-overlap check, made collision-free): every maximal merged span of
     * `train` whose length-`minLen` window occurs verbatim ANYWHERE in

@@ -141,6 +141,28 @@ class SuffixArraySpec extends AnyFunSuite with SparkSuite {
     assert(directC.nonEmpty, "fixture should produce contaminated spans")
   }
 
+  test("stripSpans: head/middle/tail cuts, untouched docs, full-doc removal") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = df(1L -> "0123456789", 2L -> "abcdef", 3L -> "wxyz")
+    val spans = Seq(
+      (1L, 0L, 2L),  // head
+      (1L, 4L, 6L),  // middle
+      (1L, 8L, 10L), // tail
+      (3L, 0L, 4L))  // whole doc
+      .toDF("doc_id", "span_start", "span_end")
+    val out = SuffixArray.stripSpans(docs, spans, "doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "2367", 2L -> "abcdef", 3L -> ""))
+    // Round-trip with the detector: stripping ALL duplicate spans leaves no
+    // cross-doc 10-char window behind.
+    val dd = df(10L -> "aaaaSHAREDWINDOW24!bbbb", 11L -> "cccSHAREDWINDOW24!dd")
+    val detected = SuffixArray.duplicateSpans(dd, "doc_id", "text",
+      minLen = 10, crossDocOnly = true)
+    val cleaned = SuffixArray.stripSpans(dd, detected, "doc_id", "text")
+    assert(SuffixArray.duplicateSpans(cleaned, "doc_id", "text",
+      minLen = 10, crossDocOnly = true).isEmpty)
+  }
+
   test("exact-duplicate documents force the plateau exit; SA stays exact") {
     // Docs 1 and 2 are byte-identical: every suffix pair across them is
     // equal FOREVER, so the all-distinct exit can never fire and the
