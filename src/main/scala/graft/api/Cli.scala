@@ -222,7 +222,8 @@ object Cli {
           }.toMap),
           sampleDefaultRate = opt("sample-default").map(_.toDouble).getOrElse(0.0),
           decontaminateViaBloom = flags("decontaminate-bloom"),
-          decontaminateSubstrLen = opt("decontaminate-substr").map(_.toInt))
+          decontaminateSubstrLen = opt("decontaminate-substr").map(_.toInt),
+          decontaminateSubstrStrip = flags("decontaminate-substr-strip"))
         val bench = opt("benchmark").map(p => (
           spark.read.parquet(p),
           opt("benchmark-id-col").getOrElse(idCol),
@@ -295,6 +296,7 @@ object Cli {
             |         [--line-dedup-max N] [--near-dedup] [--domain-cap N]
             |         [--min-entropy E --max-entropy E] [--benchmark P] [--decontaminate-bloom]
             |         [--decontaminate-substr L]  drop docs sharing a verbatim L-char window
+            |         [--decontaminate-substr-strip]  strip the ranges instead of dropping docs
             |         [--lm-train P --lm-max-nll X] [--quality-model P --quality-model-min S]
             |         [--sample-rates k=v,..] [--stratum-col C]
             |  compact --path P [--target-mb 256] [--min-avg-mb 32]

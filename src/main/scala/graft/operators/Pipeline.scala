@@ -48,7 +48,10 @@ object Pipeline {
       // collision-free ExactSubstr mode ([[SuffixArray.contaminatedSpans]]):
       // drop any doc sharing a verbatim window of this length with the
       // benchmark. Takes precedence over the ngram modes when set.
-      decontaminateSubstrLen: Option[Int] = None)
+      decontaminateSubstrLen: Option[Int] = None,
+      // with decontaminateSubstrLen: STRIP the contaminated character ranges
+      // from the text ([[SuffixArray.stripSpans]]) instead of dropping docs
+      decontaminateSubstrStrip: Boolean = false)
 
   /** Run the configured stages over `docs`. Output keeps every input column,
     * with `textCol` rewritten in place by cleanup/redaction stages, plus the
@@ -146,12 +149,15 @@ object Pipeline {
     benchmark.foreach { case (bench, bid, btext) =>
       cfg.decontaminateSubstrLen match {
         case Some(minLen) =>
-          val hits = SuffixArray.contaminatedSpans(
-              cur.select(col(idCol), col(textCol)),
-              bench.select(col(bid).as(idCol), col(btext).as(textCol)),
-              idCol, textCol, minLen)
-            .select(col(idCol)).distinct()
-          cur = cur.join(hits, Seq(idCol), "left_anti")
+          val spans = SuffixArray.contaminatedSpans(
+            cur.select(col(idCol), col(textCol)),
+            bench.select(col(bid).as(idCol), col(btext).as(textCol)),
+            idCol, textCol, minLen)
+          cur =
+            if (cfg.decontaminateSubstrStrip)
+              SuffixArray.stripSpans(cur, spans, idCol, textCol)
+            else
+              cur.join(spans.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
         case None =>
       val clean =
         if (cfg.decontaminateViaBloom)

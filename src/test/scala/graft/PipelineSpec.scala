@@ -180,6 +180,20 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       benchmark = Some((bench, "bid", "btext")))
     assert(outSubstr.select("doc_id").collect().map(_.getLong(0)).toSet === Set(3L, 4L, 5L))
 
+    // strip mode keeps all docs but removes the overlapping ranges: docs 1
+    // and 2 shrink, everything else is byte-identical
+    val outStrip = Pipeline.curate(corpus, "doc_id", "text",
+      CurationConfig(minTokens = 1, decontaminateSubstrLen = Some(40),
+        decontaminateSubstrStrip = true),
+      benchmark = Some((bench, "bid", "btext")))
+    val lens = outStrip.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length).toMap
+    val origLens = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length).toMap
+    assert(lens.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(lens(1L) < origLens(1L) && lens(2L) < origLens(2L))
+    assert(lens(3L) === origLens(3L) && lens(4L) === origLens(4L) && lens(5L) === origLens(5L))
+
     val sampled = Pipeline.curate(corpus, "doc_id", "text",
       CurationConfig(sampleRates = Some(Map("en" -> 1.0))),
       stratumCol = Some("lang"))
