@@ -145,7 +145,9 @@ object Stress {
     // direct literal-window ExactSubstr classes, the SA-adjacency LCP join,
     // and the cross-corpus decontamination semi-join
     "text_suffix_ranks", "dedup_exact_substr", "text_lcp_topk",
-    "decontam_substr")
+    "decontam_substr",
+    // round-7c: exact token-window classes and the strip-rebuild pass
+    "dedup_token_spans", "dedup_strip_spans")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "stress"
