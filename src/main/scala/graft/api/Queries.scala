@@ -24,6 +24,10 @@ object Queries {
 
   /** Shared query text used by the search-family queries. */
   val searchQuery = "table scan merge"
+
+  /** Query text for the gated M1 embed→search lifecycle (must stay free of SQL
+    * metacharacters — it is spliced into the oracle as a string literal). */
+  val m1Query = "data pipeline quality"
   val searchTerms: Seq[String] = Search.tokenize(searchQuery).distinct
 
   // ------------------------------------------------------------ relational core
@@ -3950,29 +3954,92 @@ object Queries {
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
-  /** Full indexing pipeline throughput (M1/M5): recursive split → header chunk →
-    * global sequential ids (zipWithIndex) → hashing embeddings, reduced to
-    * per-document chunk counts. Rows-only (the recursive splitter and murmur
-    * embedder aren't SQL-expressible); lets BENCH track create-path throughput.
+  // --- murmur3_x86_32 replayed in DuckDB SQL (Scala MurmurHash3.stringHash) ---
+  // Every arithmetic step is masked to 32 bits; multiplies go through HUGEINT
+  // because BIGINT×BIGINT would overflow before the mask. Constants are the
+  // public murmur3 constants (0xcc9e2d51, 0x1b873593, 0xe6546b64, 0x85ebca6b,
+  // 0xc2b2ae35) in decimal.
+  private def mhMul(e: String, c: Long): String =
+    s"CAST(((CAST($e AS HUGEINT) * $c) % 4294967296) AS BIGINT)"
+  private def mhRotl(e: String, r: Int): String =
+    s"(((($e) << $r) | (($e) >> ${32 - r})) & 4294967295)"
+  /** mixLast's k-transform: k*c1, rotl15, k*c2 — applied to a 32-bit block. */
+  private def mhK(d: String): String =
+    mhMul(mhRotl(mhMul(d, 3432918353L), 15), 461845907L)
+  /** One mix round as a list_reduce lambda body: h ← (rotl13(h ⊕ K(d)))·5 + c. */
+  private val mhMixLambda: String =
+    s"CAST((${mhRotl(s"xor(h, ${mhK("d")})", 13)} * 5 + 3864292196) % 4294967296 AS BIGINT)"
+
+  /** Full M1 embed → search lifecycle, hash-gated end to end: SQL-expressible
+    * chunk fan-out (the m5 splitter variant) → the PRODUCTION murmur hashing
+    * embedder ([[graft.operators.Indexing.attachEmbeddings]] calling
+    * [[HashingEmbedder]] — uni+bigram feature hashing, signed, L2-normalized) →
+    * cosine top-10 against the same embedder's query vector
+    * ([[Search.vectorTopK]]). The oracle replays Scala's
+    * `MurmurHash3.stringHash` bit-for-bit in DuckDB SQL (char-pair blocks via
+    * `list_reduce`, odd-tail mixLast, ⊕length, avalanche), rebuilds each
+    * 64-dim vector (idx = h mod 64, sign = 1−2·bit31, v = float32(count·(1/√Σc²))),
+    * and reuses the proven double-precision cosine form from t1. Zero-feature
+    * chunks are excluded on both sides (their cosine is NaN by construction).
+    * Reference anchor: sentence_embeder.py:10-14 — embed → index → search is
+    * the core lifecycle. Spec: EmbedderOracleSpec pins the murmur goldens.
     */
   private val m1EmbedPipeline = Q(
     (s, d) => {
-      val docs = D.documents(s, d).select(
-        col("doc_id").cast("string").as("id"),
-        concat(lit("doc://"), col("doc_id")).as("url"),
-        map(lit("lang"), col("lang")).as("metadata"),
-        col("text"))
-      val chunks = graft.operators.Indexing.buildChunks(
-        graft.operators.Indexing.splitDocuments(
-          docs, new graft.functions.TextSplitter(400, 100)),
-        HashingEmbedder.default)
-      chunks.groupBy("documentId")
-        .agg(count(lit(1)).as("n_chunks"),
-          max("chunkId").as("max_chunk_id"),
-          round(sum(element_at(col("embedding"), 1)), 4).as("emb_sum"))
-        .orderBy(col("documentId").cast("long"))
+      val emb = HashingEmbedder.default
+      val chunks = chunkFanout(s, d)
+        .filter(lower(col("chunk_text")).rlike("[a-z0-9]"))
+      val embedded = graft.operators.Indexing.attachEmbeddings(
+        chunks, "chunk_text", emb)
+      Search.vectorTopK(embedded, "embedding", emb.embed(m1Query), 10, "cosine",
+          idCol = "chunk_id")
+        .select(col("chunk_id"), col("doc_id"), col("chunk_number"),
+          round(-col("score"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("chunk_id").asc)
     },
-    None)
+    Some(s"""WITH c AS (
+            |  SELECT chunk_id, doc_id, chunk_number, chunk_text FROM ($chunkFanoutSql)
+            |  WHERE regexp_matches(lower(chunk_text), '[a-z0-9]')
+            |  UNION ALL
+            |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), '$m1Query'),
+            |tl AS (SELECT chunk_id, doc_id, chunk_number,
+            |    list_filter(regexp_split_to_array(lower(chunk_text), '[^a-z0-9]+'), x -> x <> '') AS ts
+            |  FROM c),
+            |feats AS (SELECT chunk_id, unnest(
+            |    ts || list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])
+            |  ) AS f FROM tl),
+            |h0 AS (SELECT chunk_id, f, list_reduce(
+            |    list_prepend(CAST(42 AS BIGINT),
+            |      list_transform(generate_series(1, length(f) // 2),
+            |        j -> CAST(unicode(substr(f, 2*j - 1, 1)) * 65536 + unicode(substr(f, 2*j, 1)) AS BIGINT))),
+            |    (h, d) -> $mhMixLambda) AS hb FROM feats),
+            |h1 AS (SELECT chunk_id, xor(CASE WHEN length(f) % 2 = 1
+            |    THEN xor(hb, ${mhK("unicode(substr(f, length(f), 1))")}) ELSE hb END,
+            |    length(f)) AS hx FROM h0),
+            |h2 AS (SELECT chunk_id, xor(hx, hx >> 16) AS a1 FROM h1),
+            |h3 AS (SELECT chunk_id, ${mhMul("a1", 2246822507L)} AS a2 FROM h2),
+            |h4 AS (SELECT chunk_id, xor(a2, a2 >> 13) AS a3 FROM h3),
+            |h5 AS (SELECT chunk_id, ${mhMul("a3", 3266489909L)} AS a4 FROM h4),
+            |hf AS (SELECT chunk_id, xor(a4, a4 >> 16) AS h FROM h5),
+            |acc AS (SELECT chunk_id, CAST(h % 64 AS INT) AS idx,
+            |    SUM(CAST(1 - 2 * ((h >> 31) & 1) AS DOUBLE)) AS cacc
+            |  FROM hf GROUP BY 1, 2),
+            |nrm AS (SELECT chunk_id, 1.0 / sqrt(SUM(cacc * cacc)) AS inv FROM acc GROUP BY 1),
+            |dense AS (SELECT t.chunk_id, s.i,
+            |    coalesce(CAST(a.cacc * n.inv AS FLOAT), CAST(0 AS FLOAT)) AS v
+            |  FROM (SELECT DISTINCT chunk_id FROM tl) t
+            |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) s
+            |  LEFT JOIN acc a ON a.chunk_id = t.chunk_id AND a.idx = s.i
+            |  JOIN nrm n ON n.chunk_id = t.chunk_id),
+            |vecs AS (SELECT chunk_id, list(v ORDER BY i) AS emb FROM dense GROUP BY chunk_id),
+            |q AS (SELECT emb AS e FROM vecs WHERE chunk_id = -1),
+            |meta AS (SELECT chunk_id, doc_id, chunk_number FROM tl WHERE chunk_id <> -1),
+            |scored AS (SELECT m.chunk_id, m.doc_id, m.chunk_number,
+            |    ${cosSql("v.emb", "(SELECT e FROM q)")} AS sc
+            |  FROM vecs v JOIN meta m ON v.chunk_id = m.chunk_id),
+            |topk AS (SELECT * FROM scored ORDER BY sc DESC, chunk_id LIMIT 10)
+            |SELECT chunk_id, doc_id, chunk_number, round(sc, 6) AS sim
+            |FROM topk ORDER BY round(sc, 6) DESC, chunk_id""".stripMargin))
 
   // ---------------------------------------------------- ANN + multimodal binary
 

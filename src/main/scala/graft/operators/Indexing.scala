@@ -57,6 +57,19 @@ object Indexing {
               "indexedData", "metadata", "embedding")
   }
 
+  /** Attach an `embedding` column to any frame with a text column — the standalone
+    * M1 surface (reference: sentence_embeder.py:10-14 `embed(texts) -> ndarray`).
+    * Same per-row embedder call [[buildChunks]] makes, but kept inside the
+    * DataFrame plan (no RDD round-trip) so upstream pushdown/pruning survive;
+    * the UDF itself is the batch boundary, exactly like the reference's
+    * `indexing_batch_size` mega-batching.
+    */
+  def attachEmbeddings(df: DataFrame, textCol: String, embedder: Embedder,
+      outCol: String = "embedding"): DataFrame = {
+    val embedUdf = udf((t: String) => embedder.embed(if (t == null) "" else t))
+    df.withColumn(outCol, embedUdf(col(textCol)))
+  }
+
   /** Split documents' raw text into chunks (header chunk + splitter output), mirroring
     * the converter contract (chunk 0 = header: files_document_converter.py:36-39).
     */
