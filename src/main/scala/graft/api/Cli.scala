@@ -223,7 +223,21 @@ object Cli {
           sampleDefaultRate = opt("sample-default").map(_.toDouble).getOrElse(0.0),
           decontaminateViaBloom = flags("decontaminate-bloom"),
           decontaminateSubstrLen = opt("decontaminate-substr").map(_.toInt),
-          decontaminateSubstrStrip = flags("decontaminate-substr-strip"))
+          decontaminateSubstrStrip = flags("decontaminate-substr-strip"),
+          selfDedupSubstrLen = opt("self-dedup-substr").map(_.toInt),
+          selfDedupSubstrStrip = flags("self-dedup-substr-strip"))
+        // Flag-interaction guards: strip is a mode OF the substr check, and
+        // the substr check takes precedence over the bloom n-gram probe —
+        // fail fast / warn instead of silently ignoring what the user typed.
+        if (cfg.decontaminateSubstrStrip && cfg.decontaminateSubstrLen.isEmpty)
+          throw new IllegalArgumentException(
+            "--decontaminate-substr-strip requires --decontaminate-substr L")
+        if (cfg.selfDedupSubstrStrip && cfg.selfDedupSubstrLen.isEmpty)
+          throw new IllegalArgumentException(
+            "--self-dedup-substr-strip requires --self-dedup-substr L")
+        if (cfg.decontaminateSubstrLen.isDefined && cfg.decontaminateViaBloom)
+          System.err.println("[curate] --decontaminate-substr takes precedence; " +
+            "--decontaminate-bloom is ignored")
         val bench = opt("benchmark").map(p => (
           spark.read.parquet(p),
           opt("benchmark-id-col").getOrElse(idCol),
@@ -296,7 +310,14 @@ object Cli {
             |         [--line-dedup-max N] [--near-dedup] [--domain-cap N]
             |         [--min-entropy E --max-entropy E] [--benchmark P] [--decontaminate-bloom]
             |         [--decontaminate-substr L]  drop docs sharing a verbatim L-char window
+            |             (takes precedence over --decontaminate-bloom when both are set)
             |         [--decontaminate-substr-strip]  strip the ranges instead of dropping docs
+            |             (requires --decontaminate-substr; re-applies the quality floors
+            |              to the stripped text, so docs cut below them drop)
+            |         [--self-dedup-substr L]  within-corpus ExactSubstr: drop docs sharing a
+            |             verbatim L-char window with any OTHER doc (arXiv:2107.06499)
+            |         [--self-dedup-substr-strip]  strip the duplicated ranges from every copy
+            |             instead (requires --self-dedup-substr; floors re-apply as above)
             |         [--lm-train P --lm-max-nll X] [--quality-model P --quality-model-min S]
             |         [--sample-rates k=v,..] [--stratum-col C]
             |  compact --path P [--target-mb 256] [--min-avg-mb 32]

@@ -51,7 +51,14 @@ object Pipeline {
       decontaminateSubstrLen: Option[Int] = None,
       // with decontaminateSubstrLen: STRIP the contaminated character ranges
       // from the text ([[SuffixArray.stripSpans]]) instead of dropping docs
-      decontaminateSubstrStrip: Boolean = false)
+      decontaminateSubstrStrip: Boolean = false,
+      // within-corpus ExactSubstr self-dedup (arXiv:2107.06499's primary use
+      // case, [[SuffixArray.duplicateSpans]] with crossDocOnly): windows of
+      // this length shared verbatim by >= 2 distinct docs are duplicated text
+      selfDedupSubstrLen: Option[Int] = None,
+      // with selfDedupSubstrLen: STRIP the duplicated ranges from every copy
+      // instead of dropping the docs that contain them
+      selfDedupSubstrStrip: Boolean = false)
 
   /** Run the configured stages over `docs`. Output keeps every input column,
     * with `textCol` rewritten in place by cleanup/redaction stages, plus the
@@ -130,7 +137,36 @@ object Pipeline {
         .filter(col("_keep")).drop("_fp", "_keep")
     }
 
-    // 4b. per-domain cap: largest docs win per first-URL-domain; docs with
+    // Strip-mode stages rewrite the text AFTER the quality gates ran, so a
+    // stripped doc can fall below the configured floors (even to empty text).
+    // Recompute the signals on the REBUILT text and re-apply the same floors,
+    // so the audit columns and the gates both reflect what actually ships.
+    def reapplyFloors(df: DataFrame): DataFrame =
+      if (cfg.minTokens > 0 || cfg.minQuality > 0)
+        TextAnalysis.qualitySignals(
+            df.drop("n_tokens", "n_chars_t", "mean_word_len",
+              "alnum_ratio", "stopword_ratio", "quality_score"),
+            textCol)
+          .filter(col("n_tokens") >= cfg.minTokens &&
+            col("quality_score") >= cfg.minQuality)
+      else df
+
+    // 4b. within-corpus ExactSubstr self-dedup: verbatim windows shared by
+    // >= 2 distinct docs either strip out of EVERY copy (the collision-free
+    // span semantics the dedup_strip_spans oracle gates) or drop the docs
+    // containing them
+    cfg.selfDedupSubstrLen.foreach { minLen =>
+      val spans = SuffixArray.duplicateSpans(
+        cur.select(col(idCol), col(textCol)), idCol, textCol, minLen,
+        crossDocOnly = true)
+      cur =
+        if (cfg.selfDedupSubstrStrip)
+          reapplyFloors(SuffixArray.stripSpans(cur, spans, idCol, textCol))
+        else
+          cur.join(spans.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+    }
+
+    // 4c. per-domain cap: largest docs win per first-URL-domain; docs with
     // no URL carry no site identity and pass through uncapped
     cfg.domainCap.foreach { n =>
       val withDom = Curation.withDomains(cur, textCol)
@@ -155,7 +191,7 @@ object Pipeline {
             idCol, textCol, minLen)
           cur =
             if (cfg.decontaminateSubstrStrip)
-              SuffixArray.stripSpans(cur, spans, idCol, textCol)
+              reapplyFloors(SuffixArray.stripSpans(cur, spans, idCol, textCol))
             else
               cur.join(spans.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
         case None =>

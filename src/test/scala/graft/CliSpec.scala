@@ -81,6 +81,21 @@ class CliSpec extends AnyFunSuite with SparkSuite {
       .getString(0).contains("<EMAIL>"))
   }
 
+  test("curate: strip flags without their substr length fail fast") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-cli-guard")
+    val in = s"$work/in"; val out = s"$work/out"
+    Seq((1L, "some text here")).toDF("doc_id", "text").write.parquet(in)
+    val e1 = intercept[IllegalArgumentException] {
+      captured("curate", "--in", in, "--out", out, "--decontaminate-substr-strip")
+    }
+    assert(e1.getMessage.contains("--decontaminate-substr"))
+    val e2 = intercept[IllegalArgumentException] {
+      captured("curate", "--in", in, "--out", out, "--self-dedup-substr-strip")
+    }
+    assert(e2.getMessage.contains("--self-dedup-substr"))
+  }
+
   test("stats: dataset-card JSON per language from one aggregation pass") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-cli-stats")

@@ -203,4 +203,40 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       stratumCol = Some("lang"))
     assert(none.count() === 0)
   }
+
+  test("within-corpus ExactSubstr self-dedup: drop mode, strip mode, floor re-apply") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // drop mode: docs 1 and 2 are verbatim copies → both contain shared
+    // 40-char windows → BOTH drop (crossDocOnly ignores doc 5's internal ×2)
+    val dropped = Pipeline.curate(corpus, "doc_id", "text",
+      CurationConfig(selfDedupSubstrLen = Some(40)))
+    assert(ids(dropped) === Set(3L, 4L, 5L))
+
+    // strip mode without floors: everything survives, the shared ranges strip
+    // out of EVERY copy — the identical docs 1/2 go (near-)empty, 3/4/5 are
+    // byte-identical to their inputs
+    val stripped = Pipeline.curate(corpus, "doc_id", "text",
+      CurationConfig(selfDedupSubstrLen = Some(40), selfDedupSubstrStrip = true))
+    val lens = stripped.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length).toMap
+    val origLens = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length).toMap
+    assert(lens.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(lens(1L) < origLens(1L) && lens(2L) < origLens(2L))
+    assert(lens(3L) === origLens(3L) && lens(4L) === origLens(4L) &&
+      lens(5L) === origLens(5L))
+
+    // strip mode WITH floors: the floors re-apply to the REBUILT text, so the
+    // stripped-to-empty copies drop instead of shipping sub-threshold docs,
+    // and the audit column reflects the post-strip text
+    val gated = Pipeline.curate(corpus, "doc_id", "text",
+      CurationConfig(minTokens = 5, selfDedupSubstrLen = Some(40),
+        selfDedupSubstrStrip = true))
+    assert(ids(gated) === Set(4L, 5L))
+    val postTokens = gated.select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(postTokens.values.forall(_ >= 5L))
+  }
 }
