@@ -2024,11 +2024,16 @@ object Queries {
     * the same 64-char cap applied by truncating the compared suffixes.
     */
   private val textLcpTopk = Q(
-    (s, d) => graft.operators.SuffixArray.lcpArray(
-        D.documents(s, d).where(col("doc_id") % 5 === 0).select("doc_id", "text"),
-        "doc_id", "text", maxLcp = 64)
-      .select(col("doc_id"), col("off").cast("long").as("off"), col("sa_rank"), col("lcp"))
-      .orderBy(col("lcp").desc, col("sa_rank")).limit(25),
+    (s, d) => {
+      // Exercise the prebuilt-SA seam (the shape an SA+LCP+spans mining
+      // session uses — the doubling loop runs once, the frame is reused):
+      val docs = D.documents(s, d).where(col("doc_id") % 5 === 0)
+        .select("doc_id", "text")
+      val sa = graft.operators.SuffixArray.suffixArray(docs, "doc_id", "text")
+      graft.operators.SuffixArray.lcpArray(docs, sa, "doc_id", "text", maxLcp = 64)
+        .select(col("doc_id"), col("off").cast("long").as("off"), col("sa_rank"), col("lcp"))
+        .orderBy(col("lcp").desc, col("sa_rank")).limit(25)
+    },
     Some("""WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
            |pos AS (SELECT doc_id, text,
            |    unnest(generate_series(0, length(text) - 1)) AS off FROM t),

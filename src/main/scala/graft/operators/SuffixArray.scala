@@ -259,9 +259,19 @@ object SuffixArray {
     * [[graft.plans.CommonPrefixLength]] (one byte-walk, no arrays).
     */
   def lcpArray(docs: DataFrame, idCol: String, textCol: String,
-               maxLcp: Int = 256): DataFrame = {
+               maxLcp: Int = 256): DataFrame =
+    lcpArray(docs, suffixArray(docs, idCol, textCol), idCol, textCol, maxLcp)
+
+  /** LCP from a PREBUILT suffix-array frame (the `(idCol, off, sa_rank)` shape
+    * [[suffixArray]] returns) — a caller mining SA + LCP (+ spans) from the
+    * same corpus pays the prefix-doubling loop once and reuses the frame,
+    * instead of re-running the doubling per derived product. The SA must have
+    * been built over exactly `docs`; ranks from a different corpus silently
+    * mis-pair adjacent suffixes.
+    */
+  def lcpArray(docs: DataFrame, sa: DataFrame, idCol: String, textCol: String,
+               maxLcp: Int): DataFrame = {
     require(maxLcp >= 1, "maxLcp must be >= 1")
-    val sa = suffixArray(docs, idCol, textCol)
     val withSuf = sa.join(docs.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), col("off"), col("sa_rank"),
         expr(s"substring($textCol, off + 1, $maxLcp)").as("_suf"))

@@ -129,7 +129,8 @@ object LegacyChroma {
   /** List the members of an archive-form artifact without extracting — a
     * from-scratch ustar reader (512-byte headers, octal size at offset 124,
     * typeflag at 156, ustar prefix at 345; pax extended-header members 'x'/'g'
-    * carry metadata only and are skipped with their payload).
+    * carry metadata only and are skipped with their payload; GNU 'L' longname
+    * members rename the next member, 'K' long-linknames are consumed unused).
     */
   def listArchive(bytes: Array[Byte]): Seq[ArchiveEntry] = {
     require(isArchive(bytes), "not an archive-form artifact (magic prefix missing)")
@@ -156,21 +157,40 @@ object LegacyChroma {
       if (s.isEmpty) 0L else java.lang.Long.parseLong(s, 8)
     }
     var done = false
+    // GNU longname support: a typeflag-'L' member ("././@LongLink") carries the
+    // REAL name of the next member as its payload. Both passes (list here,
+    // extract below) resolve it identically — the extract-time traversal guard
+    // validates the names THIS pass produces, so a divergence would be a
+    // guard bypass. 'K' (long linkname) is consumed as metadata like pax.
+    var pendingLongName: Option[String] = None
     while (!done && readFully(header)) {
       if (header.forall(_ == 0)) done = true // end-of-archive zero block
       else {
         val name = str(0, 100)
         val prefix = str(345, 155)
-        val full = if (prefix.nonEmpty) s"$prefix/$name" else name
         val size = octal(124, 12)
         val typeflag = header(156).toChar
-        val isFile = typeflag == '0' || typeflag == 0.toChar // NUL = old-style regular file
-        if (typeflag != 'x' && typeflag != 'g') // pax headers: metadata only
-          entries += ArchiveEntry(full, size, isFile)
-        var toSkip = ((size + 511) / 512) * 512
-        val skipBuf = new Array[Byte](512)
-        while (toSkip > 0) {
-          if (!readFully(skipBuf)) toSkip = 0 else toSkip -= 512
+        if (typeflag == 'L') {
+          require(size <= 4096, s"unreasonable GNU longname length: $size")
+          val padded = (((size + 511) / 512) * 512).toInt
+          val data = new Array[Byte](padded)
+          readFully(data)
+          var e = 0
+          while (e < size && data(e) != 0) e += 1
+          pendingLongName = Some(new String(data, 0, e,
+            java.nio.charset.StandardCharsets.UTF_8))
+        } else {
+          val full = pendingLongName.getOrElse(
+            if (prefix.nonEmpty) s"$prefix/$name" else name)
+          pendingLongName = None
+          val isFile = typeflag == '0' || typeflag == 0.toChar // NUL = old-style regular file
+          if (typeflag != 'x' && typeflag != 'g' && typeflag != 'K') // metadata only
+            entries += ArchiveEntry(full, size, isFile)
+          var toSkip = ((size + 511) / 512) * 512
+          val skipBuf = new Array[Byte](512)
+          while (toSkip > 0) {
+            if (!readFully(skipBuf)) toSkip = 0 else toSkip -= 512
+          }
         }
       }
     }
@@ -205,6 +225,7 @@ object LegacyChroma {
       true
     }
     var done = false
+    var pendingLongName: Option[String] = None // GNU 'L' — same rule as listArchive
     while (!done && readFully(header, 512)) {
       if (header.forall(_ == 0)) done = true
       else {
@@ -214,7 +235,6 @@ object LegacyChroma {
         var pEnd = 345
         while (pEnd < 500 && header(pEnd) != 0) pEnd += 1
         val prefix = new String(header, 345, pEnd - 345, java.nio.charset.StandardCharsets.UTF_8)
-        val full = if (prefix.nonEmpty) s"$prefix/$name" else name
         val sizeStr = new String(header, 124, 12, java.nio.charset.StandardCharsets.UTF_8)
           .takeWhile(c => c != 0 && c != ' ').trim
         val size = if (sizeStr.isEmpty) 0L else java.lang.Long.parseLong(sizeStr, 8)
@@ -222,13 +242,23 @@ object LegacyChroma {
         val padded = ((size + 511) / 512) * 512
         val data = new Array[Byte](padded.toInt)
         readFully(data, padded.toInt)
-        if (typeflag == '0' || typeflag == 0.toChar) { // NUL = old-style regular file
-          val target = new java.io.File(root, full)
-          target.getParentFile.mkdirs()
-          java.nio.file.Files.write(target.toPath,
-            java.util.Arrays.copyOfRange(data, 0, size.toInt))
-        } else if (typeflag == '5') new java.io.File(root, full).mkdirs()
-        // pax 'x'/'g' and anything else: payload consumed, nothing written
+        if (typeflag == 'L') {
+          var e = 0
+          while (e < size && data(e) != 0) e += 1
+          pendingLongName = Some(new String(data, 0, e,
+            java.nio.charset.StandardCharsets.UTF_8))
+        } else {
+          val full = pendingLongName.getOrElse(
+            if (prefix.nonEmpty) s"$prefix/$name" else name)
+          pendingLongName = None
+          if (typeflag == '0' || typeflag == 0.toChar) { // NUL = old-style regular file
+            val target = new java.io.File(root, full)
+            target.getParentFile.mkdirs()
+            java.nio.file.Files.write(target.toPath,
+              java.util.Arrays.copyOfRange(data, 0, size.toInt))
+          } else if (typeflag == '5') new java.io.File(root, full).mkdirs()
+          // pax 'x'/'g', 'K', and anything else: payload consumed, nothing written
+        }
       }
     }
     in.close()

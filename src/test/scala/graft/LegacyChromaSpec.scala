@@ -153,4 +153,40 @@ class LegacyChromaSpec extends AnyFunSuite with SparkSuite {
     assert(err.getMessage.contains("Invalid archive entry path"))
     assert(!new java.io.File(new java.io.File(dir).getParentFile, "evil.txt").exists())
   }
+
+  test("CPython pickle of a >64-bit int fails loudly, never truncates") {
+    // legacy_bigint.pkl = pickle.dumps({"ids": ["0"], "huge": 2**70}, protocol=2)
+    // → LONG1 with a 9-byte body; the codec must refuse, not wrap modulo 2^64.
+    val err = intercept[IllegalArgumentException] {
+      Pickle.load(fixture("legacy_bigint.pkl"))
+    }
+    assert(err.getMessage.contains("wider than 64 bits"))
+  }
+
+  test("GNU @LongLink members resolve to their real >100-char names") {
+    // legacy_archive_gnu.bin: CPython tarfile GNU_FORMAT — the 189-char member
+    // path forces a typeflag-'L' longname header before the real member.
+    val bytes = fixture("legacy_archive_gnu.bin")
+    val longname = "persist/" + "deep_directory_segment/" * 5 + "x" * 40 +
+      "/chroma-embeddings.parquet"
+    val entries = LegacyChroma.listArchive(bytes)
+    assert(entries.map(e => e.name -> e.size).toSet === Set(
+      "persist/index_metadata.pickle" -> 4L, longname -> 700L))
+    val dir = java.nio.file.Files.createTempDirectory("legacy-gnu").toString
+    LegacyChroma.extractArchive(bytes, dir)
+    val f = new java.io.File(dir, longname)
+    assert(f.length() === 700L)
+    assert(java.nio.file.Files.readAllBytes(f.toPath).forall(_ == 'B'.toByte))
+  }
+
+  test("a traversal hidden behind @LongLink is refused like a plain one") {
+    // The extract-time guard validates the names listArchive resolves — the
+    // longname path must flow through the SAME resolution in both passes.
+    val dir = java.nio.file.Files.createTempDirectory("legacy-evil-gnu").toString
+    val err = intercept[IllegalArgumentException] {
+      LegacyChroma.extractArchive(fixture("legacy_archive_evil_longname.bin"), dir)
+    }
+    assert(err.getMessage.contains("Invalid archive entry path"))
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() === 0L)
+  }
 }

@@ -208,6 +208,20 @@ class SuffixArraySpec extends AnyFunSuite with SparkSuite {
     assert(capped === Seq(1L, 2L, 0L, 0L, 2L))
   }
 
+  test("lcpArray(sa = prebuilt) equals the self-building overload") {
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 12).map { i =>
+      i.toLong -> Seq.fill(6 + rnd.nextInt(20))("abz".charAt(rnd.nextInt(3))).mkString
+    }
+    val docs = df(rows: _*)
+    val sa = SuffixArray.suffixArray(docs, "doc_id", "text")
+    val viaSeam = SuffixArray.lcpArray(docs, sa, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = SuffixArray.lcpArray(docs, "doc_id", "text", maxLcp = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaSeam === direct)
+  }
+
   test("lcpArray equals brute force over a random multi-doc corpus") {
     val rnd = new scala.util.Random(13L)
     val rows = (0 until 20).map { i =>
