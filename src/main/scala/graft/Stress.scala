@@ -154,6 +154,13 @@ object Stress {
     // Optional second arg: regex over query names — rerun one row of the
     // sweep (e.g. after reshaping one operator) without paying for all 14.
     val nameFilter = if (args.length > 1) args(1).r else ".*".r
+    // Optional third arg: comma-separated scale multipliers (default "1,10").
+    // "10,100" runs the 10×→100× spot-check for amortization claims — the
+    // exponent column is log10 of each consecutive-pair ratio.
+    val scales = (if (args.length > 2) args(2) else "1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    require(scales.size >= 2 && scales == scales.sorted,
+      "scales must be >= 2 ascending multipliers")
     val active = stressQueries.filter(q => nameFilter.matches(q))
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -164,7 +171,6 @@ object Stress {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.configure(spark)
 
-    val scales = Seq(1, 10)
     scales.foreach { m =>
       val dir = s"$baseDir/x$m"
       // version marker probe: older stress dirs (pre-o_custkey) regenerate
@@ -198,11 +204,14 @@ object Stress {
       }.toMap
     }.toMap
 
-    println("query,t_x1_s,t_x10_s,ratio,exponent")
-    active.foreach { q =>
-      val t1 = results(1)(q); val t10 = results(10)(q)
-      val ratio = t10 / t1
-      println(f"$q,$t1%.2f,$t10%.2f,$ratio%.2f,${math.log10(ratio)}%.2f")
+    scales.sliding(2).foreach { case Seq(lo, hi) =>
+      val step = hi.toDouble / lo
+      println(s"query,t_x${lo}_s,t_x${hi}_s,ratio,exponent (x$lo -> x$hi)")
+      active.foreach { q =>
+        val tl = results(lo)(q); val th = results(hi)(q)
+        val ratio = th / tl
+        println(f"$q,$tl%.2f,$th%.2f,$ratio%.2f,${math.log(ratio) / math.log(step)}%.2f")
+      }
     }
     spark.stop()
   }
