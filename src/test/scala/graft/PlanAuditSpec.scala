@@ -97,7 +97,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     //     (the one-row corpus contamination summary — partial aggregates
     //     map-side, one row per task crosses)
     //   - metadata-sized control frames the surrounding plan broadcasts back:
-    //     m5_chunk_fanout's (doc_id, n) id window, the #buckets-row pack
+    //     m5_chunk_fanout's (doc_id, n) id window (m1_embed_pipeline reuses
+    //     the same fan-out, so the same narrow window — chunk text and
+    //     embeddings never cross it), the #buckets-row pack
     //     offset windows (sample_pack_sequences/shards), pca's fixed
     //     covariance buffer, the capped vocab/top-N tables of
     //     text_collocations / text_keywords.
@@ -106,7 +108,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     val singlePartitionAllowed = Set(
       "decontam_report",
       "a1_rrf_fusion", "a1b_weighted_rrf", "a2_group_docs", "a4_watermark_max",
-      "events_funnel", "m5_chunk_fanout", "pca_top_component",
+      "events_funnel", "m1_embed_pipeline", "m5_chunk_fanout", "pca_top_component",
       "q11_important_stock", "q14_promo", "q15_top_supplier", "q19_disjunctive",
       "q22_no_orders", "q6_forecast", "sample_pack_sequences",
       "sample_pack_shards", "t2_bm25_topk", "text_collocations",
