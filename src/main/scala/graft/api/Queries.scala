@@ -4046,6 +4046,80 @@ object Queries {
             |SELECT chunk_id, doc_id, chunk_number, round(sc, 6) AS sim
             |FROM topk ORDER BY round(sc, 6) DESC, chunk_id""".stripMargin))
 
+  /** Fixed BPE merge table for the gated encode query — the first 24 merges
+    * [[graft.functions.Bpe.train]] produces over the sf0.01 documents corpus,
+    * frozen as a model artifact the same way `ann_ivf_topk` fixes its
+    * centroids: the TRAINING loop is driver-iterative (spec-gated, BpeSpec),
+    * while the greedy encoder — the production path every countTokens /
+    * token-budget-packing call takes — is hash-gated end to end below.
+    * Merge symbols never contain spaces, so the oracle ranks pairs as
+    * "left right" strings (the merges-file ship format).
+    */
+  private val bpeFixedMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "e" -> "</w>", "n" -> "</w>", "er" -> "</w>", "o" -> "w",
+    "ow" -> "</w>", "o" -> "r", "s" -> "t", "h" -> "</w>", "a" -> "t",
+    "l" -> "u", "i" -> "n", "a" -> "</w>", "g" -> "</w>", "y" -> "</w>",
+    "a" -> "r", "p" -> "ar", "t" -> "</w>", "i" -> "n</w>", "j" -> "o",
+    "jo" -> "in</w>", "a" -> "s", "as" -> "h</w>", "h" -> "ash</w>")
+
+  /** Production BPE greedy encode ([[graft.functions.Bpe.BpeModel.encodeWord]])
+    * hash-gated: EVERY doc's full token stream (count + md5) under the
+    * fixed merge table. The oracle replays the EXACT greedy loop in DuckDB —
+    * a recursive CTE whose state is the per-word symbol list; each step finds
+    * the lowest-rank adjacent pair (leftmost on ties, `list_position` is
+    * first-match) and merges that ONE occurrence, exactly the Scala loop.
+    * Note DuckDB's `list_position` returns 0 (not NULL) for a missing
+    * element — the `nullif(…, 0)` is what makes unranked pairs sort last.
+    */
+  private val bpeEncode = Q(
+    (s, d) => {
+      val model = graft.functions.Bpe.BpeModel(bpeFixedMerges)
+      val encodeUdf = udf((t: String) => model.encode(t))
+      D.documents(s, d)
+        .select(col("doc_id"), encodeUdf(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_bpe"),
+          md5(array_join(col("toks"), " ")).as("stream_md5"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val mLit = bpeFixedMerges.map { case (a, b) => s"'$a $b'" }
+        .mkString("[", ", ", "]")
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, text FROM documents),
+         |wl AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+         |  FROM base),
+         |words0 AS (
+         |  SELECT doc_id, wpos,
+         |    list_transform(generate_series(1, length(ws[wpos])), i -> ws[wpos][i]) || ['</w>'] AS s
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS wpos FROM wl)),
+         |enc AS (
+         |  SELECT doc_id, wpos, s, false AS done FROM words0
+         |  UNION ALL
+         |  SELECT doc_id, wpos,
+         |    CASE WHEN minr IS NULL OR minr = 100000 THEN s
+         |         ELSE list_slice(s, 1, bi - 1) || [s[bi] || s[bi + 1]] || list_slice(s, bi + 2, len(s)) END,
+         |    (minr IS NULL OR minr = 100000) AS done
+         |  FROM (
+         |    SELECT doc_id, wpos, s,
+         |      list_aggregate(ranks, 'min') AS minr,
+         |      list_position(ranks, list_aggregate(ranks, 'min')) AS bi
+         |    FROM (
+         |      SELECT doc_id, wpos, s,
+         |        list_transform(generate_series(1, len(s) - 1),
+         |          i -> coalesce(nullif(list_position($mLit, s[i] || ' ' || s[i + 1]), 0), 100000)) AS ranks
+         |      FROM enc WHERE NOT done))),
+         |fin AS (SELECT doc_id, wpos, s FROM enc WHERE done),
+         |toks AS (SELECT doc_id, wpos, tpos, s[tpos] AS tok
+         |  FROM (SELECT doc_id, wpos, s, unnest(generate_series(1, len(s))) AS tpos FROM fin)),
+         |joined AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY wpos, tpos) AS stream,
+         |    count(*) AS n_toks FROM toks GROUP BY doc_id)
+         |SELECT b.doc_id, coalesce(j.n_toks, 0) AS n_bpe,
+         |  md5(coalesce(j.stream, '')) AS stream_md5
+         |FROM base b LEFT JOIN joined j USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin
+    })
+
   // ---------------------------------------------------- ANN + multimodal binary
 
   /** IVF approximate kNN with FIXED centroids (corpus vectors 1..16) so the
@@ -4674,6 +4748,7 @@ object Queries {
     "skew_salted_agg" -> skewSaltedAgg,
     "skew_salted_join" -> skewSaltedJoin,
     "m1_embed_pipeline" -> m1EmbedPipeline,
+    "bpe_encode" -> bpeEncode,
     "dedup_clusters" -> dedupClusters,
     "pipeline_filter" -> pipelineFilter,
     "pipeline_curation" -> pipelineCuration,

@@ -86,4 +86,26 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     val b = Bpe.train(corpus.repartition(5), "text", 20).merges
     assert(a === b)
   }
+
+  test("fixed-merge gated model: encode goldens match the hand-traced greedy loop") {
+    // The same 24-merge artifact the bpe_encode oracle replays in DuckDB
+    // (Queries.bpeFixedMerges). Goldens hand-traced with the one-merge-per-step
+    // leftmost-lowest-rank loop; a semantics change in encodeWord would break
+    // this spec and the oracle together.
+    val model = Bpe.BpeModel(Seq(
+      "e" -> "r", "e" -> "</w>", "n" -> "</w>", "er" -> "</w>", "o" -> "w",
+      "ow" -> "</w>", "o" -> "r", "s" -> "t", "h" -> "</w>", "a" -> "t",
+      "l" -> "u", "i" -> "n", "a" -> "</w>", "g" -> "</w>", "y" -> "</w>",
+      "a" -> "r", "p" -> "ar", "t" -> "</w>", "i" -> "n</w>", "j" -> "o",
+      "jo" -> "in</w>", "a" -> "s", "as" -> "h</w>", "h" -> "ash</w>"))
+    assert(model.encode("the power lower join hash flower") === Seq(
+      "t", "h", "e</w>", "p", "ow", "er</w>", "l", "ow", "er</w>",
+      "join</w>", "hash</w>", "f", "l", "ow", "er</w>"))
+    assert(model.encode("aaa stash parser") === Seq(
+      "a", "a", "a</w>", "st", "ash</w>", "par", "s", "er</w>"))
+    assert(model.encode("join join hashes") === Seq(
+      "join</w>", "join</w>", "h", "as", "h", "e", "s", "</w>"))
+    assert(model.encode("x") === Seq("x", "</w>"))
+    assert(model.countTokens("99 bottles of hash") === 15L)
+  }
 }
