@@ -802,6 +802,90 @@ object Queries {
       .orderBy("doc_id", "chunk_number"),
     Some(s"SELECT chunk_id, doc_id, chunk_number, chunk_text FROM ($chunkFanoutSql) ORDER BY doc_id, chunk_number"))
 
+  /** The RECURSIVE character splitter (F1, TextSplitter 400/100 — the
+    * reference's LangChain-default splitting semantics) hash-gated: every
+    * doc's chunk count + chunk-stream md5. The oracle replays the greedy
+    * merge loop (LangChain `_merge_splits`: emit on overflow, then slide the
+    * window dropping head splits until the carried tail fits the overlap
+    * budget) as a DuckDB recursive CTE — one step per word, state = the
+    * current split list + its joined length; the drop-head while-loop
+    * resolves in-step by scanning candidate drop counts over prefix sums.
+    * Faithfulness precondition, enforced SYMMETRICALLY in both engines so
+    * the gate stays correct under any corpus: docs containing newlines (a
+    * coarser separator would win) or a word ≥ chunkSize (per-char recursion
+    * would trigger) are excluded from the gate on BOTH sides. On the driver
+    * corpus nothing is excluded — the space-separator merge path IS the
+    * splitter here. TextSplitterSpec covers the recursive/oversize paths.
+    */
+  private val splitRecursive = Q(
+    (s, d) => {
+      val splitter = new graft.functions.TextSplitter(400, 100)
+      val splitUdf = udf((t: String) => splitter.split(t))
+      D.documents(s, d)
+        .filter(!col("text").contains("\n") &&
+          !expr("exists(split(text, ' '), w -> length(w) >= 400)"))
+        .select(col("doc_id"), splitUdf(col("text")).as("chunks"))
+        .select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks"),
+          md5(array_join(col("chunks"), "\u001f")).as("stream_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE base AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE text NOT LIKE '%' || chr(10) || '%'
+           |    AND len(list_filter(string_split(text, ' '), x -> length(x) >= 400)) = 0),
+           |wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+           |words AS (SELECT doc_id, wi, ws[wi] AS w, length(ws[wi]) AS wl
+           |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS wi FROM wt)),
+           |st AS (
+           |  SELECT doc_id, 1 AS wi, CAST([] AS VARCHAR[]) AS cur, 0 AS total,
+           |         '' AS acc, 0 AS n_chunks, false AS done
+           |  FROM base
+           |  UNION ALL
+           |  SELECT doc_id, wi + 1,
+           |    CASE WHEN fin THEN cur
+           |         WHEN ovf THEN list_slice(cur, jstar + 1, len(cur)) || [w]
+           |         ELSE cur || [w] END,
+           |    CASE WHEN fin THEN total
+           |         WHEN ovf THEN tj + wl + (CASE WHEN len(cur) - jstar > 0 THEN 1 ELSE 0 END)
+           |         ELSE total + wl + (CASE WHEN len(cur) > 0 THEN 1 ELSE 0 END) END,
+           |    CASE WHEN (fin OR ovf) AND em <> ''
+           |         THEN acc || (CASE WHEN n_chunks > 0 THEN chr(31) ELSE '' END) || em
+           |         ELSE acc END,
+           |    n_chunks + (CASE WHEN (fin OR ovf) AND em <> '' THEN 1 ELSE 0 END),
+           |    fin
+           |  FROM (
+           |    SELECT *, CASE WHEN ovf THEN tots[jstar + 1] ELSE 0 END AS tj
+           |    FROM (
+           |      SELECT *, CASE WHEN ovf THEN js[1] ELSE 0 END AS jstar
+           |      FROM (
+           |        SELECT *,
+           |          (NOT fin AND len(cur) > 0 AND total + wl + 1 > 400) AS ovf,
+           |          CASE WHEN len(cur) > 0 AND (fin OR total + wl + 1 > 400)
+           |               THEN trim(array_to_string(cur, ' ')) ELSE '' END AS em,
+           |          list_filter(generate_series(0, len(cur)),
+           |            j -> NOT (tots[j + 1] > 100 OR
+           |                      (tots[j + 1] + wl + (CASE WHEN len(cur) - j > 0 THEN 1 ELSE 0 END) > 400
+           |                       AND tots[j + 1] > 0))) AS js
+           |        FROM (
+           |          SELECT s.doc_id, s.wi, s.cur, s.total, s.acc, s.n_chunks,
+           |            (w3.doc_id IS NULL) AS fin,
+           |            coalesce(w3.w, '') AS w, coalesce(w3.wl, 0) AS wl,
+           |            list_transform(generate_series(0, len(s.cur)),
+           |              j -> s.total - CASE WHEN j = 0 THEN 0 ELSE
+           |                CAST(list_sum(list_transform(generate_series(1, j),
+           |                  i -> length(s.cur[i]) + CASE WHEN i < len(s.cur) THEN 1 ELSE 0 END)) AS INT) END) AS tots
+           |          FROM (SELECT * FROM st WHERE NOT done) s
+           |          LEFT JOIN words w3 ON w3.doc_id = s.doc_id AND w3.wi = s.wi
+           |        )
+           |      )
+           |    )
+           |  )
+           |)
+           |SELECT b.doc_id, CAST(coalesce(f.n_chunks, 0) AS BIGINT) AS n_chunks,
+           |  md5(coalesce(f.acc, '')) AS stream_md5
+           |FROM base b LEFT JOIN (SELECT doc_id, n_chunks, acc FROM st WHERE done) f USING (doc_id)
+           |ORDER BY b.doc_id""".stripMargin))
+
   // --------------------------------------------------------------------- dedup
 
   private val dedupExact = Q(
@@ -4749,6 +4833,7 @@ object Queries {
     "skew_salted_join" -> skewSaltedJoin,
     "m1_embed_pipeline" -> m1EmbedPipeline,
     "bpe_encode" -> bpeEncode,
+    "split_recursive" -> splitRecursive,
     "dedup_clusters" -> dedupClusters,
     "pipeline_filter" -> pipelineFilter,
     "pipeline_curation" -> pipelineCuration,
