@@ -829,62 +829,133 @@ object Queries {
           md5(array_join(col("chunks"), "\u001f")).as("stream_md5"))
         .orderBy("doc_id")
     },
-    Some("""WITH RECURSIVE base AS (
+    Some(s"""WITH RECURSIVE base AS (
            |  SELECT doc_id, text FROM documents
            |  WHERE text NOT LIKE '%' || chr(10) || '%'
            |    AND len(list_filter(string_split(text, ' '), x -> length(x) >= 400)) = 0),
-           |wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
-           |words AS (SELECT doc_id, wi, ws[wi] AS w, length(ws[wi]) AS wl
-           |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS wi FROM wt)),
-           |st AS (
-           |  SELECT doc_id, 1 AS wi, CAST([] AS VARCHAR[]) AS cur, 0 AS total,
-           |         '' AS acc, 0 AS n_chunks, false AS done
-           |  FROM base
-           |  UNION ALL
-           |  SELECT doc_id, wi + 1,
-           |    CASE WHEN fin THEN cur
-           |         WHEN ovf THEN list_slice(cur, jstar + 1, len(cur)) || [w]
-           |         ELSE cur || [w] END,
-           |    CASE WHEN fin THEN total
-           |         WHEN ovf THEN tj + wl + (CASE WHEN len(cur) - jstar > 0 THEN 1 ELSE 0 END)
-           |         ELSE total + wl + (CASE WHEN len(cur) > 0 THEN 1 ELSE 0 END) END,
-           |    CASE WHEN (fin OR ovf) AND em <> ''
-           |         THEN acc || (CASE WHEN n_chunks > 0 THEN chr(31) ELSE '' END) || em
-           |         ELSE acc END,
-           |    n_chunks + (CASE WHEN (fin OR ovf) AND em <> '' THEN 1 ELSE 0 END),
-           |    fin
-           |  FROM (
-           |    SELECT *, CASE WHEN ovf THEN tots[jstar + 1] ELSE 0 END AS tj
-           |    FROM (
-           |      SELECT *, CASE WHEN ovf THEN js[1] ELSE 0 END AS jstar
-           |      FROM (
-           |        SELECT *,
-           |          (NOT fin AND len(cur) > 0 AND total + wl + 1 > 400) AS ovf,
-           |          CASE WHEN len(cur) > 0 AND (fin OR total + wl + 1 > 400)
-           |               THEN trim(array_to_string(cur, ' ')) ELSE '' END AS em,
-           |          list_filter(generate_series(0, len(cur)),
-           |            j -> NOT (tots[j + 1] > 100 OR
-           |                      (tots[j + 1] + wl + (CASE WHEN len(cur) - j > 0 THEN 1 ELSE 0 END) > 400
-           |                       AND tots[j + 1] > 0))) AS js
-           |        FROM (
-           |          SELECT s.doc_id, s.wi, s.cur, s.total, s.acc, s.n_chunks,
-           |            (w3.doc_id IS NULL) AS fin,
-           |            coalesce(w3.w, '') AS w, coalesce(w3.wl, 0) AS wl,
-           |            list_transform(generate_series(0, len(s.cur)),
-           |              j -> s.total - CASE WHEN j = 0 THEN 0 ELSE
-           |                CAST(list_sum(list_transform(generate_series(1, j),
-           |                  i -> length(s.cur[i]) + CASE WHEN i < len(s.cur) THEN 1 ELSE 0 END)) AS INT) END) AS tots
-           |          FROM (SELECT * FROM st WHERE NOT done) s
-           |          LEFT JOIN words w3 ON w3.doc_id = s.doc_id AND w3.wi = s.wi
-           |        )
-           |      )
-           |    )
-           |  )
-           |)
+           |$splitStateCtesSql
            |SELECT b.doc_id, CAST(coalesce(f.n_chunks, 0) AS BIGINT) AS n_chunks,
            |  md5(coalesce(f.acc, '')) AS stream_md5
            |FROM base b LEFT JOIN (SELECT doc_id, n_chunks, acc FROM st WHERE done) f USING (doc_id)
            |ORDER BY b.doc_id""".stripMargin))
+
+
+  /** The recursive-splitter state machine (TextSplitter 400/100, space
+    * separator) as CTE text, shared by `split_recursive` and
+    * `m1b_full_lifecycle`. Expects a prior CTE `base(doc_id, text)` already
+    * filtered by the symmetric faithfulness guards; yields `st` whose
+    * `done` rows carry (doc_id, acc = chr(31)-joined chunks, n_chunks).
+    * Must appear under a WITH RECURSIVE prefix.
+    */
+  private def splitStateCtesSql: String =
+    s"""wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+       |words AS (SELECT doc_id, wi, ws[wi] AS w, length(ws[wi]) AS wl
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS wi FROM wt)),
+       |st AS (
+       |  SELECT doc_id, 1 AS wi, CAST([] AS VARCHAR[]) AS cur, 0 AS total,
+       |         '' AS acc, 0 AS n_chunks, false AS done
+       |  FROM base
+       |  UNION ALL
+       |  SELECT doc_id, wi + 1,
+       |    CASE WHEN fin THEN cur
+       |         WHEN ovf THEN list_slice(cur, jstar + 1, len(cur)) || [w]
+       |         ELSE cur || [w] END,
+       |    CASE WHEN fin THEN total
+       |         WHEN ovf THEN tj + wl + (CASE WHEN len(cur) - jstar > 0 THEN 1 ELSE 0 END)
+       |         ELSE total + wl + (CASE WHEN len(cur) > 0 THEN 1 ELSE 0 END) END,
+       |    CASE WHEN (fin OR ovf) AND em <> ''
+       |         THEN acc || (CASE WHEN n_chunks > 0 THEN chr(31) ELSE '' END) || em
+       |         ELSE acc END,
+       |    n_chunks + (CASE WHEN (fin OR ovf) AND em <> '' THEN 1 ELSE 0 END),
+       |    fin
+       |  FROM (
+       |    SELECT *, CASE WHEN ovf THEN tots[jstar + 1] ELSE 0 END AS tj
+       |    FROM (
+       |      SELECT *, CASE WHEN ovf THEN js[1] ELSE 0 END AS jstar
+       |      FROM (
+       |        SELECT *,
+       |          (NOT fin AND len(cur) > 0 AND total + wl + 1 > 400) AS ovf,
+       |          CASE WHEN len(cur) > 0 AND (fin OR total + wl + 1 > 400)
+       |               THEN trim(array_to_string(cur, ' ')) ELSE '' END AS em,
+       |          list_filter(generate_series(0, len(cur)),
+       |            j -> NOT (tots[j + 1] > 100 OR
+       |                      (tots[j + 1] + wl + (CASE WHEN len(cur) - j > 0 THEN 1 ELSE 0 END) > 400
+       |                       AND tots[j + 1] > 0))) AS js
+       |        FROM (
+       |          SELECT s.doc_id, s.wi, s.cur, s.total, s.acc, s.n_chunks,
+       |            (w3.doc_id IS NULL) AS fin,
+       |            coalesce(w3.w, '') AS w, coalesce(w3.wl, 0) AS wl,
+       |            list_transform(generate_series(0, len(s.cur)),
+       |              j -> s.total - CASE WHEN j = 0 THEN 0 ELSE
+       |                CAST(list_sum(list_transform(generate_series(1, j),
+       |                  i -> length(s.cur[i]) + CASE WHEN i < len(s.cur) THEN 1 ELSE 0 END)) AS INT) END) AS tots
+       |          FROM (SELECT * FROM st WHERE NOT done) s
+       |          LEFT JOIN words w3 ON w3.doc_id = s.doc_id AND w3.wi = s.wi
+       |        )
+       |      )
+       |    )
+       |  )
+       |)
+""".stripMargin
+
+  /** The reference's EXACT create-path lifecycle, hash-gated end to end:
+    * header chunk + RECURSIVE splitter ([[graft.operators.Indexing.splitDocuments]]
+    * with the real TextSplitter — chunk 0 = header, the converter contract) →
+    * the production murmur hashing embedder ([[graft.operators.Indexing.attachEmbeddings]])
+    * → cosine top-10 ([[Search.vectorTopK]]). The oracle COMPOSES the two
+    * round-8 replay machines: the per-word splitter state CTEs feed their
+    * chr(31)-joined chunk streams into the murmur-embed/cosine chain. Chunk
+    * identity is (doc_id, chunk_number) — global zipWithIndex ids stay
+    * order-dependent and spec-gated; the synthetic doc_id·10000+chunk_number
+    * key exists only for deterministic tie-breaks. Same symmetric splitter
+    * guards as `split_recursive` (plus excluding chr(31) itself, the stream
+    * separator); nothing is excluded on this corpus.
+    */
+  private val m1bFullLifecycle = Q(
+    (s, d) => {
+      val emb = HashingEmbedder.default
+      val docs = D.documents(s, d)
+        .filter(!col("text").contains("\n") &&
+          !expr("exists(split(text, ' '), w -> length(w) >= 400)") &&
+          !col("text").contains(""))
+        .select(col("doc_id"), col("doc_id").cast("string").as("id"), col("text"))
+      val withChunks = graft.operators.Indexing.splitDocuments(
+        docs, new graft.functions.TextSplitter(400, 100))
+      val chunks = withChunks
+        .select(col("doc_id"),
+          posexplode(col("chunks")).as(Seq("chunk_number", "chunk")))
+        .select(col("doc_id"), col("chunk_number").cast("long").as("chunk_number"),
+          col("chunk.indexedData").as("chunk_text"))
+        .filter(lower(col("chunk_text")).rlike("[a-z0-9]"))
+        .withColumn("chunk_id", col("doc_id") * 10000 + col("chunk_number"))
+      val embedded = graft.operators.Indexing.attachEmbeddings(chunks, "chunk_text", emb)
+      Search.vectorTopK(embedded, "embedding", emb.embed(m1Query), 10, "cosine",
+          idCol = "chunk_id")
+        .select(col("doc_id"), col("chunk_number"), round(-col("score"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id"), col("chunk_number"))
+    },
+    Some(s"""WITH RECURSIVE base AS (
+            |  SELECT doc_id, text FROM documents
+            |  WHERE text NOT LIKE '%' || chr(10) || '%'
+            |    AND len(list_filter(string_split(text, ' '), x -> length(x) >= 400)) = 0
+            |    AND text NOT LIKE '%' || chr(31) || '%'),
+            |$splitStateCtesSql,
+            |chunksrc AS (
+            |  SELECT doc_id, CAST(0 AS BIGINT) AS chunk_number,
+            |    CAST(doc_id AS VARCHAR) AS chunk_text FROM base
+            |  UNION ALL
+            |  SELECT doc_id, CAST(ci AS BIGINT) AS chunk_number, cs[ci] AS chunk_text
+            |  FROM (SELECT doc_id, cs, unnest(generate_series(1, len(cs))) AS ci
+            |        FROM (SELECT doc_id, string_split(acc, chr(31)) AS cs
+            |              FROM st WHERE done AND acc <> ''))),
+            |c AS (
+            |  SELECT doc_id * 10000 + chunk_number AS chunk_id, doc_id, chunk_number, chunk_text
+            |  FROM chunksrc WHERE regexp_matches(lower(chunk_text), '[a-z0-9]')
+            |  UNION ALL
+            |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), '$m1Query'),
+            |$embedSearchCtesSql
+            |SELECT doc_id, chunk_number, round(sc, 6) AS sim
+            |FROM topk ORDER BY round(sc, 6) DESC, chunk_id""".stripMargin))
 
   // --------------------------------------------------------------------- dedup
 
@@ -4056,7 +4127,7 @@ object Queries {
   private def mhK(d: String): String =
     mhMul(mhRotl(mhMul(d, 3432918353L), 15), 461845907L)
   /** One mix round as a list_reduce lambda body: h ← (rotl13(h ⊕ K(d)))·5 + c. */
-  private val mhMixLambda: String =
+  private def mhMixLambda: String =
     s"CAST((${mhRotl(s"xor(h, ${mhK("d")})", 13)} * 5 + 3864292196) % 4294967296 AS BIGINT)"
 
   /** Full M1 embed → search lifecycle, hash-gated end to end: SQL-expressible
@@ -4091,44 +4162,53 @@ object Queries {
             |  WHERE regexp_matches(lower(chunk_text), '[a-z0-9]')
             |  UNION ALL
             |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), '$m1Query'),
-            |tl AS (SELECT chunk_id, doc_id, chunk_number,
-            |    list_filter(regexp_split_to_array(lower(chunk_text), '[^a-z0-9]+'), x -> x <> '') AS ts
-            |  FROM c),
-            |feats AS (SELECT chunk_id, unnest(
-            |    ts || list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])
-            |  ) AS f FROM tl),
-            |h0 AS (SELECT chunk_id, f, list_reduce(
-            |    list_prepend(CAST(42 AS BIGINT),
-            |      list_transform(generate_series(1, length(f) // 2),
-            |        j -> CAST(unicode(substr(f, 2*j - 1, 1)) * 65536 + unicode(substr(f, 2*j, 1)) AS BIGINT))),
-            |    (h, d) -> $mhMixLambda) AS hb FROM feats),
-            |h1 AS (SELECT chunk_id, xor(CASE WHEN length(f) % 2 = 1
-            |    THEN xor(hb, ${mhK("unicode(substr(f, length(f), 1))")}) ELSE hb END,
-            |    length(f)) AS hx FROM h0),
-            |h2 AS (SELECT chunk_id, xor(hx, hx >> 16) AS a1 FROM h1),
-            |h3 AS (SELECT chunk_id, ${mhMul("a1", 2246822507L)} AS a2 FROM h2),
-            |h4 AS (SELECT chunk_id, xor(a2, a2 >> 13) AS a3 FROM h3),
-            |h5 AS (SELECT chunk_id, ${mhMul("a3", 3266489909L)} AS a4 FROM h4),
-            |hf AS (SELECT chunk_id, xor(a4, a4 >> 16) AS h FROM h5),
-            |acc AS (SELECT chunk_id, CAST(h % 64 AS INT) AS idx,
-            |    SUM(CAST(1 - 2 * ((h >> 31) & 1) AS DOUBLE)) AS cacc
-            |  FROM hf GROUP BY 1, 2),
-            |nrm AS (SELECT chunk_id, 1.0 / sqrt(SUM(cacc * cacc)) AS inv FROM acc GROUP BY 1),
-            |dense AS (SELECT t.chunk_id, s.i,
-            |    coalesce(CAST(a.cacc * n.inv AS FLOAT), CAST(0 AS FLOAT)) AS v
-            |  FROM (SELECT DISTINCT chunk_id FROM tl) t
-            |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) s
-            |  LEFT JOIN acc a ON a.chunk_id = t.chunk_id AND a.idx = s.i
-            |  JOIN nrm n ON n.chunk_id = t.chunk_id),
-            |vecs AS (SELECT chunk_id, list(v ORDER BY i) AS emb FROM dense GROUP BY chunk_id),
-            |q AS (SELECT emb AS e FROM vecs WHERE chunk_id = -1),
-            |meta AS (SELECT chunk_id, doc_id, chunk_number FROM tl WHERE chunk_id <> -1),
-            |scored AS (SELECT m.chunk_id, m.doc_id, m.chunk_number,
-            |    ${cosSql("v.emb", "(SELECT e FROM q)")} AS sc
-            |  FROM vecs v JOIN meta m ON v.chunk_id = m.chunk_id),
-            |topk AS (SELECT * FROM scored ORDER BY sc DESC, chunk_id LIMIT 10)
+            |$embedSearchCtesSql
             |SELECT chunk_id, doc_id, chunk_number, round(sc, 6) AS sim
             |FROM topk ORDER BY round(sc, 6) DESC, chunk_id""".stripMargin))
+
+  /** The murmur-embed → cosine-top-10 CTE chain, shared by `m1_embed_pipeline`
+    * and `m1b_full_lifecycle`. Expects a prior CTE
+    * `c(chunk_id, doc_id, chunk_number, chunk_text)` that includes the
+    * chunk_id = -1 query sentinel and excludes zero-feature chunks; yields
+    * `topk(chunk_id, doc_id, chunk_number, sc)`.
+    */
+  private def embedSearchCtesSql: String =
+    s"""tl AS (SELECT chunk_id, doc_id, chunk_number,
+       |    list_filter(regexp_split_to_array(lower(chunk_text), '[^a-z0-9]+'), x -> x <> '') AS ts
+       |  FROM c),
+       |feats AS (SELECT chunk_id, unnest(
+       |    ts || list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])
+       |  ) AS f FROM tl),
+       |h0 AS (SELECT chunk_id, f, list_reduce(
+       |    list_prepend(CAST(42 AS BIGINT),
+       |      list_transform(generate_series(1, length(f) // 2),
+       |        j -> CAST(unicode(substr(f, 2*j - 1, 1)) * 65536 + unicode(substr(f, 2*j, 1)) AS BIGINT))),
+       |    (h, d) -> $mhMixLambda) AS hb FROM feats),
+       |h1 AS (SELECT chunk_id, xor(CASE WHEN length(f) % 2 = 1
+       |    THEN xor(hb, ${mhK("unicode(substr(f, length(f), 1))")}) ELSE hb END,
+       |    length(f)) AS hx FROM h0),
+       |h2 AS (SELECT chunk_id, xor(hx, hx >> 16) AS a1 FROM h1),
+       |h3 AS (SELECT chunk_id, ${mhMul("a1", 2246822507L)} AS a2 FROM h2),
+       |h4 AS (SELECT chunk_id, xor(a2, a2 >> 13) AS a3 FROM h3),
+       |h5 AS (SELECT chunk_id, ${mhMul("a3", 3266489909L)} AS a4 FROM h4),
+       |hf AS (SELECT chunk_id, xor(a4, a4 >> 16) AS h FROM h5),
+       |acc AS (SELECT chunk_id, CAST(h % 64 AS INT) AS idx,
+       |    SUM(CAST(1 - 2 * ((h >> 31) & 1) AS DOUBLE)) AS cacc
+       |  FROM hf GROUP BY 1, 2),
+       |nrm AS (SELECT chunk_id, 1.0 / sqrt(SUM(cacc * cacc)) AS inv FROM acc GROUP BY 1),
+       |dense AS (SELECT t.chunk_id, s.i,
+       |    coalesce(CAST(a.cacc * n.inv AS FLOAT), CAST(0 AS FLOAT)) AS v
+       |  FROM (SELECT DISTINCT chunk_id FROM tl) t
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) s
+       |  LEFT JOIN acc a ON a.chunk_id = t.chunk_id AND a.idx = s.i
+       |  JOIN nrm n ON n.chunk_id = t.chunk_id),
+       |vecs AS (SELECT chunk_id, list(v ORDER BY i) AS emb FROM dense GROUP BY chunk_id),
+       |q AS (SELECT emb AS e FROM vecs WHERE chunk_id = -1),
+       |meta AS (SELECT chunk_id, doc_id, chunk_number FROM tl WHERE chunk_id <> -1),
+       |scored AS (SELECT m.chunk_id, m.doc_id, m.chunk_number,
+       |    ${cosSql("v.emb", "(SELECT e FROM q)")} AS sc
+       |  FROM vecs v JOIN meta m ON v.chunk_id = m.chunk_id),
+       |topk AS (SELECT * FROM scored ORDER BY sc DESC, chunk_id LIMIT 10)""".stripMargin
 
   /** Fixed BPE merge table for the gated encode query — the first 24 merges
     * [[graft.functions.Bpe.train]] produces over the sf0.01 documents corpus,
@@ -4834,6 +4914,7 @@ object Queries {
     "m1_embed_pipeline" -> m1EmbedPipeline,
     "bpe_encode" -> bpeEncode,
     "split_recursive" -> splitRecursive,
+    "m1b_full_lifecycle" -> m1bFullLifecycle,
     "dedup_clusters" -> dedupClusters,
     "pipeline_filter" -> pipelineFilter,
     "pipeline_curation" -> pipelineCuration,
