@@ -898,6 +898,66 @@ object Queries {
        |)
 """.stripMargin
 
+
+  /** One BPE training round as CTE text: pair counts over the previous
+    * round's symbol lists (weighted by word frequency), the deterministic
+    * argmax (count desc, then lexicographic pair — Scala's minBy(-c, a, b)),
+    * and the merge APPLIED by a fuse-leftmost recursion (provably equivalent
+    * to the trainer's single left-to-right pass: fusing at i can never
+    * create a match before i, since that would need b == a+b). */
+  private def bpeTrainRoundSql(k: Int): String = {
+    val prev = if (k > 1) s"apply${k - 1}_fin" else "syms0"
+    s""",
+       |pairs$k AS (SELECT l[i] AS a, l[i+1] AS b, sum(c) AS pc
+       |  FROM (SELECT l, c, unnest(generate_series(1, len(l) - 1)) AS i FROM $prev)
+       |  GROUP BY 1, 2),
+       |best$k AS (SELECT a, b FROM pairs$k ORDER BY pc DESC, a, b LIMIT 1),
+       |apply$k AS (
+       |  SELECT w, c, l, false AS done FROM $prev
+       |  UNION ALL
+       |  SELECT w, c,
+       |    CASE WHEN fi IS NULL THEN l
+       |         ELSE list_slice(l, 1, fi - 1) || [l[fi] || l[fi + 1]] || list_slice(l, fi + 2, len(l)) END,
+       |    fi IS NULL
+       |  FROM (
+       |    SELECT w, c, l,
+       |      (list_filter(generate_series(1, len(l) - 1),
+       |        i -> l[i] = ba AND l[i+1] = bb))[1] AS fi
+       |    FROM (SELECT s.w, s.c, s.l, b.a AS ba, b.b AS bb
+       |          FROM (SELECT * FROM apply$k WHERE NOT done) s, best$k b))),
+       |apply${k}_fin AS (SELECT w, c, l FROM apply$k WHERE done)""".stripMargin
+  }
+
+  /** The PRODUCTION BPE trainer ([[graft.functions.Bpe.train]] — distributed
+    * word-frequency aggregation + driver merge loop) hash-gated for its first
+    * 3 rounds, the `cluster_kmeans_train` unrolled-round parity contract:
+    * each round's argmax is only right if the previous round's merge was
+    * APPLIED right, so the gate covers pair counting, the deterministic
+    * tie-break, and the fuse pass transitively. (The frozen-artifact
+    * `bpe_encode` gates the encoder; together trainer + encoder are both
+    * oracle-covered.)
+    */
+  private val bpeTrainRounds = Q(
+    (s, d) => {
+      val model = graft.functions.Bpe.train(
+        D.documents(s, d).select("text"), "text", nMerges = 3)
+      val sp = s
+      import sp.implicits._
+      model.merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rank", "left_s", "right_s").orderBy("rank")
+    },
+    Some(s"""WITH RECURSIVE wf AS (
+            |  SELECT t AS w, count(*) AS c FROM (
+            |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+            |    FROM documents) GROUP BY t),
+            |syms0 AS (SELECT w, c,
+            |  list_transform(generate_series(1, length(w)), i -> w[i]) || ['</w>'] AS l FROM wf)${bpeTrainRoundSql(1)}${bpeTrainRoundSql(2)}${bpeTrainRoundSql(3)}
+            |SELECT CAST(1 AS BIGINT) AS rank, a AS left_s, b AS right_s FROM best1
+            |UNION ALL SELECT CAST(2 AS BIGINT), a, b FROM best2
+            |UNION ALL SELECT CAST(3 AS BIGINT), a, b FROM best3
+            |ORDER BY rank""".stripMargin))
+
   /** The reference's EXACT create-path lifecycle, hash-gated end to end:
     * header chunk + RECURSIVE splitter ([[graft.operators.Indexing.splitDocuments]]
     * with the real TextSplitter — chunk 0 = header, the converter contract) →
@@ -4913,6 +4973,7 @@ object Queries {
     "skew_salted_join" -> skewSaltedJoin,
     "m1_embed_pipeline" -> m1EmbedPipeline,
     "bpe_encode" -> bpeEncode,
+    "bpe_train_rounds" -> bpeTrainRounds,
     "split_recursive" -> splitRecursive,
     "m1b_full_lifecycle" -> m1bFullLifecycle,
     "dedup_clusters" -> dedupClusters,
