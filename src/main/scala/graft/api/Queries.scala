@@ -3985,6 +3985,30 @@ object Queries {
     * expression of the Structured Streaming update path (SURVEY §2.10); the same
     * plan runs under readStream + withWatermark.
     */
+  /** Sliding (hopping) event-time window — the second Structured Streaming
+    * window shape (`window(ts, size, slide)`): with size 1h / slide 30m each
+    * event belongs to EXACTLY size/slide = 2 epoch-aligned windows, which the
+    * oracle materializes as an unnest of the two bucket starts. The batch
+    * `window()` expression here is the identical operator streaming uses;
+    * StreamingSpec covers the incremental execution.
+    */
+  private val st2SlidingWindow = Q(
+    (s, d) => D.events(s, d)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("cnt"), col("sum_value"))
+      .orderBy("event_type", "win_start"),
+    Some("""SELECT event_type,
+           |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+           |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+           |FROM (SELECT event_type, value,
+           |        unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+           |                time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+           |      FROM events)
+           |GROUP BY 1, 2 ORDER BY event_type, win_start""".stripMargin))
+
   private val st1TumblingWindow = Q(
     (s, d) => D.events(s, d)
       .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
@@ -4960,6 +4984,7 @@ object Queries {
     "j7_snapshot_diff" -> j7SnapshotDiff,
     "u2_set_ops" -> u2SetOps,
     "st1_tumbling_window" -> st1TumblingWindow,
+    "st2_sliding_window" -> st2SlidingWindow,
     "f_scalar_json" -> fScalarJson,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_recall_eval" -> annRecallEval,

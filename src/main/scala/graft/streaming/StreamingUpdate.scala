@@ -127,13 +127,20 @@ object StreamingUpdate {
   def windowedEventCounts(
       events: DataFrame, // streaming DF: ts timestamp, event_type string, value double
       windowLength: String = "1 hour",
-      lateness: String = "10 minutes"): DataFrame =
+      lateness: String = "10 minutes",
+      slide: Option[String] = None): DataFrame = {
+    // slide = hopping window (each event lands in length/slide windows);
+    // None = tumbling. Same state/eviction story either way — the watermark
+    // closes a window once event time passes start + length + lateness.
+    val w = slide.fold(window(col("ts"), windowLength))(
+      s => window(col("ts"), windowLength, s))
     events
       .withWatermark("ts", lateness)
-      .groupBy(col("event_type"), window(col("ts"), windowLength).as("w"))
+      .groupBy(col("event_type"), w.as("w"))
       .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
       .select(col("event_type"), col("w.start").as("window_start"),
         col("cnt"), col("sum_value"))
+  }
 
   /** Watermarked stream-stream interval join — the streaming form of the
     * batch conversion funnel's first transition: each view pairs with the

@@ -387,6 +387,34 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       ("view", "2026-01-01 10:00:00.0", 1L, 10.0)))
   }
 
+  test("sliding windowed counts: each event lands in length/slide windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val events = stream.toDF().toDF("ts", "event_type", "value")
+
+    def t(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    stream.addData((t(5), "click", 1.0), (t(35), "click", 2.0))
+
+    val out = StreamingUpdate.windowedEventCounts(
+      events, "30 minutes", "10 minutes", slide = Some("15 minutes"))
+    val q = out.writeStream.format("memory").queryName("slidewin")
+      .outputMode("update").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val rows = spark.table("slidewin")
+      .select("event_type", "window_start", "cnt", "sum_value")
+      .collect().map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3))).toSet
+    // 10:05 → windows starting 09:45 and 10:00; 10:35 → 10:15 and 10:30
+    assert(rows === Set(
+      ("2026-01-01 09:45:00.0", 1L, 1.0),
+      ("2026-01-01 10:00:00.0", 1L, 1.0),
+      ("2026-01-01 10:15:00.0", 1L, 2.0),
+      ("2026-01-01 10:30:00.0", 1L, 2.0)))
+  }
+
   test("foreachBatch accumulates a CMS grid across micro-batches (linear merge)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
