@@ -4009,6 +4009,38 @@ object Queries {
            |      FROM events)
            |GROUP BY 1, 2 ORDER BY event_type, win_start""".stripMargin))
 
+  /** Native `session_window` (the third Structured Streaming window shape):
+    * a session extends while the next event lands strictly BEFORE
+    * last_ts + gap (end-exclusive), so an event exactly gap later starts a
+    * new session — note the `>=` here vs the hand-rolled w3_sessionize's `>`
+    * convention; both are gated, pinning the two semantics apart. The oracle
+    * replays gaps-and-islands with EXACT timestamp arithmetic (no epoch
+    * flooring — session_window compares raw event times).
+    */
+  private val st3SessionWindow = Q(
+    (s, d) => D.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("cnt"), col("sum_value"))
+      .orderBy("user_id", "sess_start"),
+    Some("""WITH marked AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |sess AS (SELECT user_id, ts, value,
+           |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM marked)
+           |SELECT user_id,
+           |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS sess_end,
+           |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+           |FROM sess GROUP BY user_id, sid
+           |ORDER BY user_id, sess_start""".stripMargin))
+
   private val st1TumblingWindow = Q(
     (s, d) => D.events(s, d)
       .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
@@ -4985,6 +5017,7 @@ object Queries {
     "u2_set_ops" -> u2SetOps,
     "st1_tumbling_window" -> st1TumblingWindow,
     "st2_sliding_window" -> st2SlidingWindow,
+    "st3_session_window" -> st3SessionWindow,
     "f_scalar_json" -> fScalarJson,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_recall_eval" -> annRecallEval,
