@@ -4041,6 +4041,89 @@ object Queries {
            |FROM sess GROUP BY user_id, sid
            |ORDER BY user_id, sess_start""".stripMargin))
 
+  /** F2 HTML→text gated on a CONSTRUCTED family: each doc's text is wrapped
+    * in deterministic HTML (head style block, entity-laden h1 header,
+    * sentence-per-<p> body, a script tag with raw `<`/`&` inside) and run
+    * through the PRODUCTION `Converters.htmlToText`; the oracle computes the
+    * expected extraction directly from the construction. This gates the
+    * script/style strip, tag split, entity decode (&amp; &lt; &gt; &quot;),
+    * trim-drop-join — on inputs whose expected output is provable. Symmetric
+    * guards exclude docs whose raw text contains markup metacharacters or
+    * control chars (Scala trim strips all ctrl chars, SQL trim only spaces);
+    * nothing is excluded on this corpus. The '. '→'.</p><p>' replace and the
+    * oracle's string_split('. ') agree because both scan left-to-right
+    * non-overlapping.
+    */
+  private val f2HtmlExtract = Q(
+    (s, d) => {
+      val docs = D.documents(s, d)
+        .filter(!col("text").contains("<") && !col("text").contains(">") &&
+          !col("text").contains("&") && !col("text").rlike("[\\x00-\\x1f]"))
+      val html = concat(
+        lit("<html><head><style>p { color: red }</style></head><body><h1>Doc "),
+        col("doc_id"),
+        lit(" &amp; &lt;ref&gt; &quot;q&quot;</h1><p>"),
+        expr("replace(text, '. ', '.</p><p>')"),
+        lit("</p><script>if (1 < 2) { alert(\"x & y\"); }</script></body></html>"))
+      docs.select(col("doc_id"),
+          graft.sources.Converters.htmlToTextUdf(html).as("txt"))
+        .select(col("doc_id"),
+          size(split(col("txt"), "\n", -1)).cast("long").as("n_lines"),
+          md5(col("txt")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE text NOT LIKE '%<%' AND text NOT LIKE '%>%'
+           |    AND text NOT LIKE '%&%' AND NOT regexp_matches(text, '[\x00-\x1f]')),
+           |pieces AS (
+           |  SELECT doc_id,
+           |    list_filter(list_transform(generate_series(1, len(segs)),
+           |      k -> trim(CASE WHEN k < len(segs) THEN segs[k] || '.' ELSE segs[k] END)),
+           |      x -> x <> '') AS ps
+           |  FROM (SELECT doc_id, string_split(text, '. ') AS segs FROM base)),
+           |expected AS (
+           |  SELECT doc_id,
+           |    'Doc ' || doc_id || ' & <ref> "q"' ||
+           |      (CASE WHEN len(ps) > 0 THEN chr(10) || array_to_string(ps, chr(10)) ELSE '' END) AS exp
+           |  FROM pieces)
+           |SELECT doc_id, CAST(len(string_split(exp, chr(10))) AS BIGINT) AS n_lines,
+           |  md5(exp) AS text_md5
+           |FROM expected ORDER BY doc_id""".stripMargin))
+
+  /** F3 ADF→text gated on a constructed tree: each doc's sentences become
+    * ADF blocks with TWO inlines each — the real text and a null-text inline
+    * (gating the traversal's `coalesce(text, '')`) — and run through the
+    * production [[graft.sources.Converters.adfToText]] two-level
+    * flatten/transform; the oracle computes the expected join directly.
+    */
+  private val f3AdfExtract = Q(
+    (s, d) => {
+      val docs = D.documents(s, d)
+        .filter(!col("text").rlike("[\\x00-\\x1f]"))
+      val segs = split(col("text"), java.util.regex.Pattern.quote(". "), -1)
+      val adf = transform(segs, seg => struct(
+        array(struct(seg.as("text")),
+              struct(lit(null).cast("string").as("text"))).as("content")))
+      docs.select(col("doc_id"),
+          graft.sources.Converters.adfToText(adf).as("txt"))
+        .select(col("doc_id"),
+          size(split(col("txt"), "\n", -1)).cast("long").as("n_lines"),
+          md5(col("txt")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE NOT regexp_matches(text, '[\x00-\x1f]')),
+           |expected AS (
+           |  SELECT doc_id, array_to_string(
+           |    flatten(list_transform(string_split(text, '. '), x -> [x, ''])),
+           |    chr(10)) AS exp
+           |  FROM base)
+           |SELECT doc_id, CAST(len(string_split(exp, chr(10))) AS BIGINT) AS n_lines,
+           |  md5(exp) AS text_md5
+           |FROM expected ORDER BY doc_id""".stripMargin))
+
   private val st1TumblingWindow = Q(
     (s, d) => D.events(s, d)
       .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
@@ -5018,6 +5101,8 @@ object Queries {
     "st1_tumbling_window" -> st1TumblingWindow,
     "st2_sliding_window" -> st2SlidingWindow,
     "st3_session_window" -> st3SessionWindow,
+    "f2_html_extract" -> f2HtmlExtract,
+    "f3_adf_extract" -> f3AdfExtract,
     "f_scalar_json" -> fScalarJson,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_recall_eval" -> annRecallEval,
