@@ -159,8 +159,9 @@ object Stress {
     // exponent column is log10 of each consecutive-pair ratio.
     val scales = (if (args.length > 2) args(2) else "1,10")
       .split(",").map(_.trim.toInt).toSeq
-    require(scales.size >= 2 && scales == scales.sorted,
-      "scales must be >= 2 ascending multipliers")
+    require(scales.size >= 2 &&
+        scales.sliding(2).forall { case Seq(a, b) => a < b; case _ => true },
+      "scales must be >= 2 strictly ascending multipliers")
     val active = stressQueries.filter(q => nameFilter.matches(q))
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -312,8 +312,9 @@ object Cli {
             |         [--decontaminate-substr L]  drop docs sharing a verbatim L-char window
             |             (takes precedence over --decontaminate-bloom when both are set)
             |         [--decontaminate-substr-strip]  strip the ranges instead of dropping docs
-            |             (requires --decontaminate-substr; re-applies the quality floors
-            |              to the stripped text, so docs cut below them drop)
+            |             (requires --decontaminate-substr; re-applies EVERY configured
+            |              gate — token/quality floors, entropy band, quality model,
+            |              LM max-nll — to the stripped text, so docs cut below them drop)
             |         [--self-dedup-substr L]  within-corpus ExactSubstr: drop docs sharing a
             |             verbatim L-char window with any OTHER doc (arXiv:2107.06499)
             |         [--self-dedup-substr-strip]  strip the duplicated ranges from every copy

@@ -977,7 +977,7 @@ object Queries {
       val docs = D.documents(s, d)
         .filter(!col("text").contains("\n") &&
           !expr("exists(split(text, ' '), w -> length(w) >= 400)") &&
-          !col("text").contains(""))
+          !col("text").contains("\u001f"))
         .select(col("doc_id"), col("doc_id").cast("string").as("id"), col("text"))
       val withChunks = graft.operators.Indexing.splitDocuments(
         docs, new graft.functions.TextSplitter(400, 100))

@@ -139,17 +139,35 @@ object Pipeline {
 
     // Strip-mode stages rewrite the text AFTER the quality gates ran, so a
     // stripped doc can fall below the configured floors (even to empty text).
-    // Recompute the signals on the REBUILT text and re-apply the same floors,
-    // so the audit columns and the gates both reflect what actually ships.
-    def reapplyFloors(df: DataFrame): DataFrame =
+    // Recompute EVERY configured gate's signals on the REBUILT text and
+    // re-apply the same thresholds — heuristic floors, entropy band, model
+    // score, and LM perplexity alike — so the audit columns and the gates
+    // all reflect the text that actually ships.
+    def reapplyFloors(df: DataFrame): DataFrame = {
+      var out = df
       if (cfg.minTokens > 0 || cfg.minQuality > 0)
-        TextAnalysis.qualitySignals(
-            df.drop("n_tokens", "n_chars_t", "mean_word_len",
+        out = TextAnalysis.qualitySignals(
+            out.drop("n_tokens", "n_chars_t", "mean_word_len",
               "alnum_ratio", "stopword_ratio", "quality_score"),
             textCol)
           .filter(col("n_tokens") >= cfg.minTokens &&
             col("quality_score") >= cfg.minQuality)
-      else df
+      cfg.entropyBand.foreach { case (lo, hi) =>
+        out = TextAnalysis.withCharEntropy(out.drop("entropy"), textCol)
+          .filter(col("entropy").between(lo, hi))
+      }
+      qualityModel.foreach { case (model, minScore) =>
+        out = model.filterByQuality(out.drop("model_quality"), textCol, minScore)
+      }
+      lmModel.foreach { case (model, maxAvgNll) =>
+        val scores = LanguageModel.scoreAgainst(
+          out.select(col(idCol), col(textCol)), idCol, textCol, model)
+        out = out.drop("avg_nll", "ppl")
+          .join(scores.drop("n_bigrams"), Seq(idCol))
+          .filter(col("avg_nll").isNull || col("avg_nll") <= maxAvgNll)
+      }
+      out
+    }
 
     // 4b. within-corpus ExactSubstr self-dedup: verbatim windows shared by
     // >= 2 distinct docs either strip out of EVERY copy (the collision-free

@@ -180,11 +180,15 @@ object LegacyChroma {
           pendingLongName = Some(new String(data, 0, e,
             java.nio.charset.StandardCharsets.UTF_8))
         } else {
+          // pax 'x'/'g' and GNU 'K' members between an 'L' and its target are
+          // metadata-only: they must NOT consume the pending longname (GNU tar
+          // applies 'L' to the next REAL member, skipping interleaved metadata)
+          val isMetadata = typeflag == 'x' || typeflag == 'g' || typeflag == 'K'
           val full = pendingLongName.getOrElse(
             if (prefix.nonEmpty) s"$prefix/$name" else name)
-          pendingLongName = None
+          if (!isMetadata) pendingLongName = None
           val isFile = typeflag == '0' || typeflag == 0.toChar // NUL = old-style regular file
-          if (typeflag != 'x' && typeflag != 'g' && typeflag != 'K') // metadata only
+          if (!isMetadata)
             entries += ArchiveEntry(full, size, isFile)
           var toSkip = ((size + 511) / 512) * 512
           val skipBuf = new Array[Byte](512)
@@ -243,14 +247,16 @@ object LegacyChroma {
         val data = new Array[Byte](padded.toInt)
         readFully(data, padded.toInt)
         if (typeflag == 'L') {
+          require(size <= 4096, s"unreasonable GNU longname length: $size") // mirror listArchive
           var e = 0
           while (e < size && data(e) != 0) e += 1
           pendingLongName = Some(new String(data, 0, e,
             java.nio.charset.StandardCharsets.UTF_8))
         } else {
+          val isMetadata = typeflag == 'x' || typeflag == 'g' || typeflag == 'K'
           val full = pendingLongName.getOrElse(
             if (prefix.nonEmpty) s"$prefix/$name" else name)
-          pendingLongName = None
+          if (!isMetadata) pendingLongName = None
           if (typeflag == '0' || typeflag == 0.toChar) { // NUL = old-style regular file
             val target = new java.io.File(root, full)
             target.getParentFile.mkdirs()

@@ -179,6 +179,46 @@ class LegacyChromaSpec extends AnyFunSuite with SparkSuite {
     assert(java.nio.file.Files.readAllBytes(f.toPath).forall(_ == 'B'.toByte))
   }
 
+  test("pax metadata between @LongLink and its target does not eat the longname") {
+    // GNU tar applies a typeflag-'L' longname to the next REAL member; a pax
+    // 'x'/'g' (or GNU 'K') metadata member interleaved between them is
+    // skipped without consuming it. Build the archive by hand: L → x → file.
+    def header(name: String, size: Long, typeflag: Char): Array[Byte] = {
+      val h = new Array[Byte](512)
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      System.arraycopy(nb, 0, h, 0, math.min(nb.length, 100))
+      val sz = ("%011o".format(size) + " ").getBytes
+      System.arraycopy(sz, 0, h, 124, sz.length)
+      h(156) = typeflag.toByte
+      h
+    }
+    def padded(data: Array[Byte]): Array[Byte] =
+      java.util.Arrays.copyOf(data, ((data.length + 511) / 512) * 512)
+    val longname = "persist/" + "n" * 120 + "/chroma-embeddings.parquet"
+    val paxPayload = "30 mtime=1700000000.000\n".getBytes
+    val filePayload = Array.fill[Byte](17)('Z'.toByte)
+    val tar = header("././@LongLink", longname.length.toLong, 'L') ++
+      padded(longname.getBytes) ++
+      header("./PaxHeaders/ignored", paxPayload.length.toLong, 'x') ++
+      padded(paxPayload) ++
+      header("persist/chroma-embed", filePayload.length.toLong, '0') ++
+      padded(filePayload) ++
+      new Array[Byte](1024) // end-of-archive
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(LegacyChroma.ArchiveMagic)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(tar); gz.close()
+    val bytes = bos.toByteArray
+
+    val entries = LegacyChroma.listArchive(bytes)
+    assert(entries.map(e => e.name -> e.size) === Seq(longname -> 17L))
+    val dir = java.nio.file.Files.createTempDirectory("legacy-pax-gnu").toString
+    LegacyChroma.extractArchive(bytes, dir)
+    val f = new java.io.File(dir, longname)
+    assert(f.length() === 17L)
+    assert(java.nio.file.Files.readAllBytes(f.toPath).forall(_ == 'Z'.toByte))
+  }
+
   test("a traversal hidden behind @LongLink is refused like a plain one") {
     // The extract-time guard validates the names listArchive resolves — the
     // longname path must flow through the SAME resolution in both passes.

@@ -239,4 +239,58 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(postTokens.values.forall(_ >= 5L))
   }
+
+  test("strip mode re-applies EVERY configured gate to the rebuilt text") {
+    import spark.implicits._
+    // docs 1 and 2 share a >=40-char high-entropy passage. After strip-mode
+    // self-dedup removes it from both, doc 1's remainder is low-entropy
+    // filler while doc 2's stays varied — so an entropy band that BOTH pass
+    // pre-strip must drop doc 1 post-strip. Doc 3 shares nothing and is
+    // untouched.
+    val shared = "the quick brown fox jumps over the lazy dog beside a river"
+    val docs = Seq(
+      (1L, shared + " aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa"),
+      (2L, shared + " many varied tokens keep character entropy comfortably high here"),
+      (3L, "an unrelated document with plenty of distinct words and characters in it"))
+      .toDF("doc_id", "text")
+
+    // sanity: pre-strip, all three are inside the band
+    val pre = graft.operators.TextAnalysis.withCharEntropy(docs, "text")
+      .select("doc_id", "entropy").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pre.values.forall(e => e >= 2.5 && e <= 6.0))
+
+    val out = Pipeline.curate(docs, "doc_id", "text",
+      CurationConfig(entropyBand = Some((2.5, 6.0)),
+        selfDedupSubstrLen = Some(40), selfDedupSubstrStrip = true))
+    val survivors = out.select("doc_id", "entropy", "text").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toList
+    assert(survivors.map(_._1).toSet === Set(2L, 3L))
+    // the audit column reflects the POST-strip text, not the pre-strip score
+    survivors.foreach { case (id, ent, text) =>
+      val fresh = graft.operators.TextAnalysis.withCharEntropy(
+        Seq((id, text)).toDF("doc_id", "text"), "text")
+        .select("entropy").head().getDouble(0)
+      assert(math.abs(ent - fresh) < 1e-9)
+    }
+
+    // the model-score and LM gates re-apply through the same path: with a
+    // permissive threshold survivors carry RECOMPUTED audit columns matching
+    // a fresh scoring of their shipped text
+    val lm = graft.operators.LanguageModel.train(docs, "doc_id", "text")
+    val withLm = Pipeline.curate(docs, "doc_id", "text",
+      CurationConfig(selfDedupSubstrLen = Some(40), selfDedupSubstrStrip = true),
+      lmModel = Some((lm, 1e9)))
+    val audit = withLm.select("doc_id", "text", "avg_nll").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toList
+    assert(audit.map(_._1).toSet === Set(1L, 2L, 3L))
+    audit.foreach { case (id, text, nll) =>
+      val fresh = graft.operators.LanguageModel.scoreAgainst(
+        Seq((id, text)).toDF("doc_id", "text"), "doc_id", "text", lm)
+        .select("avg_nll").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).head
+      assert(nll === fresh, s"doc $id audit avg_nll stale")
+    }
+  }
 }
