@@ -84,12 +84,34 @@ object Bpe {
     * distributed aggregation; the loop then runs over that table locally
     * (each iteration touches only words containing the merged pair, tracked
     * in an index — the sentencepiece-style optimization, minus the heap).
+    *
+    * The driver-side table is bounded BY CONSTRUCTION, not by corpus luck:
+    * `minFreq` floors the frequency and `maxVocab` caps the collect at the
+    * top-V words (freq desc, word asc — deterministic). At web scale the
+    * distinct alphanumeric token set is 1e8–1e9 rows (typos, numbers, IDs);
+    * an uncapped collect OOMs the driver. The cut is the standard BPE/
+    * sentencepiece vocabulary pruning and is an approximation in the strict
+    * sense: an excluded word removes its occurrences from the counts of the
+    * pairs it contains, so a merge decision flips only when the margin
+    * between the winning pair and the runner-up is smaller than the total
+    * excluded mass touching exactly one of them. Early merges on real
+    * corpora are decided by margins orders of magnitude above any single
+    * rare word's mass; a freq-2 floor is therefore safe for realistic merge
+    * counts, and the default cap (2^20 words) is far above any gated corpus
+    * so existing oracles are byte-identical.
     */
-  def train(docs: DataFrame, textCol: String, nMerges: Int): BpeModel = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int,
+            minFreq: Long = 1L, maxVocab: Int = 1 << 20): BpeModel = {
+    require(maxVocab > 0, "maxVocab must be positive (it bounds the driver collect)")
     val wordFreq: Array[(String, Long)] = docs
       .select(explode(expr(
         s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != '')")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minFreq)
+      // top-V: TakeOrderedAndProject — per-partition heaps + driver merge of
+      // V rows, never a full sort shuffle
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1))
 
     // mutable word representations: symbol vectors with frequencies

@@ -81,6 +81,39 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     assert(packed.forall(r => r.getAs[Long]("n_seqs") >= 1))
   }
 
+  test("vocab cap bounds the driver collect; defaults leave small corpora exact") {
+    // defaults (minFreq=1, maxVocab=2^20) are the identity on a small corpus
+    val base = Bpe.train(corpus, "text", nMerges = 20).merges
+    assert(Bpe.train(corpus, "text", 20, minFreq = 1L).merges === base)
+    // the freq floor's exact semantics: training with minFreq=2 IS training
+    // on the vocabulary with singleton word types removed (pair counts are
+    // word-type × freq, so a corpus of each kept word repeated freq times
+    // reproduces the floored table bit-for-bit)
+    val kept = corpus
+      .select(explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rebuilt = kept.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+    val floored = Bpe.train(corpus, "text", 20, minFreq = 2L).merges
+    assert(floored === Bpe.train(Seq(rebuilt).toDF("text"), "text", 20).merges)
+    // and the dominant early merges (margins above any singleton's mass)
+    // survive the floor — the "safe for early merges" claim, pinned
+    assert(floored.take(3) === base.take(3))
+    // a tiny top-V cap still trains (merge loop input bounded by construction):
+    // with the top-3 words only, every learned merge comes from those words
+    val capped = Bpe.train(corpus, "text", 10, maxVocab = 3)
+    assert(capped.merges.nonEmpty && capped.merges.length <= 10)
+    val topWords = Set("the", "theory", "theme") // freq 9/4/3 — the corpus top-3
+    capped.merges.foreach { case (a, b) =>
+      val fused = (a + b).replace(Bpe.endOfWord, "")
+      assert(topWords.exists(_.contains(fused)),
+        s"merge ($a,$b) not derivable from the capped vocab")
+    }
+    intercept[IllegalArgumentException] { Bpe.train(corpus, "text", 5, maxVocab = 0) }
+    ()
+  }
+
   test("training is deterministic: same corpus, same merges at any parallelism") {
     val a = Bpe.train(corpus.repartition(1), "text", 20).merges
     val b = Bpe.train(corpus.repartition(5), "text", 20).merges
