@@ -15,6 +15,8 @@ import org.apache.spark.sql.SparkSession
   * {{{
   *   graft.api.Cli create-files  --collection c --path DIR [--include RE]... [--exclude RE]...
   *                               [--chunk-size 1000] [--chunk-overlap 100] [--data-dir D]
+  *                               [--buckets N]  (N>0: bucketed layout — update/delete
+  *                                rewrite only the bucket dirs holding changed docs)
   *   graft.api.Cli create-jira   --collection c --json FILE [--cloud] ...
   *   graft.api.Cli create-confluence --collection c --json FILE ...
   *   graft.api.Cli update-jira   --collection c --json FILE [--cloud]
@@ -78,6 +80,10 @@ object Cli {
         includePatterns = opts.getOrElse("include", Seq(".*")),
         excludePatterns = opts.getOrElse("exclude", Nil)), splitter)
 
+    // > 0 selects the bucketed layout (docs/chunks under bucket=K dirs;
+    // update/delete rewrite only dirty buckets). 0 = flat.
+    val nBuckets = opt("buckets").map(_.toInt).getOrElse(0)
+
     cmd match {
       case "create-files" =>
         // Reader details persist in the manifest (get_reader_details,
@@ -87,16 +93,18 @@ object Cli {
           "type" -> "localFiles",
           "basePath" -> req("path"),
           "includePatterns" -> opts.getOrElse("include", Seq(".*")).mkString("\t"),
-          "excludePatterns" -> opts.getOrElse("exclude", Nil).mkString("\t")))
+          "excludePatterns" -> opts.getOrElse("exclude", Nil).mkString("\t")),
+          nBuckets = nBuckets)
         println(s"""{"created": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
       case "create-jira" =>
         val issues = spark.read.json(req("json"))
         val docs = Converters.jira(issues, splitter, cloud = flags.contains("cloud"))
-        val m = cm.create(req("collection"), docs)
+        val m = cm.create(req("collection"), docs, nBuckets = nBuckets)
         println(s"""{"created": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
       case "create-confluence" =>
         val pages = spark.read.json(req("json"))
-        val m = cm.create(req("collection"), Converters.confluence(pages, splitter))
+        val m = cm.create(req("collection"), Converters.confluence(pages, splitter),
+          nBuckets = nBuckets)
         println(s"""{"created": "${m.collectionName}", "documents": ${m.numberOfDocuments}, "chunks": ${m.numberOfChunks}}""")
       case "update-jira" =>
         // Re-read payloads replace their documents by id (anti-join merge) —
@@ -349,9 +357,22 @@ object Cli {
         val path = req("path")
         val target = opt("target-mb").map(_.toLong).getOrElse(256L) << 20
         val minAvg = opt("min-avg-mb").map(_.toLong).getOrElse(32L) << 20
-        val (n0, bytes, _) = Maintenance.fileStats(spark, path)
-        val n1 = Maintenance.compact(spark, path, target, minAvg)
-        println(s"""{"path":"$path","filesBefore":$n0,"filesAfter":$n1,"bytes":$bytes}""")
+        // a partitioned layout (bucket=K, listId=N) compacts per partition
+        // dir so pruning and the dirty-bucket update property survive
+        val fsys = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val partitioned = fsys.listStatus(new org.apache.hadoop.fs.Path(path))
+          .exists(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+        if (partitioned) {
+          val (nParts, files) =
+            Maintenance.compactPartitioned(spark, path, target, minAvg)
+          println(s"""{"path":"$path","partitionsCompacted":$nParts,"filesAfter":$files}""")
+        } else {
+          val (n0, bytes, _) = Maintenance.fileStats(spark, path)
+          val n1 = Maintenance.compact(spark, path, target, minAvg)
+          println(s"""{"path":"$path","filesBefore":$n0,"filesAfter":$n1,"bytes":$bytes}""")
+        }
       case other => sys.error(s"unknown subcommand $other")
     }
   }

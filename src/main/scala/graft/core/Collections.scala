@@ -121,6 +121,7 @@ final class CollectionManager(
     root.put("numberOfDocuments", m.numberOfDocuments)
     root.put("numberOfChunks", m.numberOfChunks)
     root.put("lastIndexItemId", m.lastIndexItemId)
+    if (m.bucketCount > 0) root.put("bucketCount", m.bucketCount)
     val idx = root.putArray("indexers")
     m.indexers.foreach(idx.add)
     root.put("chunkSize", m.chunkSize)
@@ -152,7 +153,8 @@ final class CollectionManager(
       chunkOverlap = root.path("chunkOverlap").asInt(0),
       reader = root.path("reader").properties().asScala
         .map(e => e.getKey -> e.getValue.asText).toMap,
-      embedder = root.path("embedder").asText(""))
+      embedder = root.path("embedder").asText(""),
+      bucketCount = root.path("bucketCount").asInt(0)) // absent = legacy flat
   }
 
   def exists(name: String): Boolean = fs.exists(new Path(manifestPath(name)))
@@ -169,21 +171,80 @@ final class CollectionManager(
 
   // ------------------------------------------------------------------- lifecycle
 
+  /** Bucket id of a document id — the SAME function keys both tables (docs by
+    * `id`, chunks by `documentId`), so one dirty-bucket set covers both.
+    * Spark's `hash` is Murmur3 with a fixed seed: stable across sessions, so
+    * a collection written today routes tomorrow's update to the same buckets.
+    */
+  private def bucketOf(c: org.apache.spark.sql.Column, n: Int) =
+    pmod(hash(c), lit(n)).cast("int")
+
+  /** Write `df` under `path` as `bucket=K/` partition directories. The bucket
+    * value is a DERIVED column (dropped on read by the accessors); partition
+    * discovery reconstructs it, so update/delete prune their scans to dirty
+    * buckets via `PartitionFilters` — a file-skip, not a data-skip.
+    */
+  private def writeBucketedTable(df: DataFrame, keyCol: String, n: Int,
+                                 path: String, nTasks: Int = 0): Unit = {
+    val withB = df.withColumn("bucket", bucketOf(col(keyCol), n))
+    // one shuffle partition per PRESENT bucket keeps file counts ~1 per dir;
+    // a dirty-bucket rewrite passes its (small) dirty count so a 1-bucket
+    // update doesn't schedule n near-empty write tasks
+    withB.repartition(math.max(1, if (nTasks > 0) nTasks else n), col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+  }
+
+  /** Swap only the dirty `bucket=K` directories from a staging root into the
+    * live table — per-bucket staging-swap atomicity: a crash mid-loop leaves
+    * each bucket wholly old or wholly new, never mixed, and untouched buckets
+    * are never opened. A dirty bucket with NO staging dir means every row in
+    * it was removed: the live dir is deleted.
+    */
+  private def swapBuckets(stagingRoot: String, targetRoot: String,
+                          dirty: Seq[Int]): Unit = {
+    dirty.foreach { k =>
+      val s = new Path(s"$stagingRoot/bucket=$k")
+      val t = new Path(s"$targetRoot/bucket=$k")
+      if (fs.exists(s)) swap(s.toString, t.toString)
+      else if (fs.exists(t)) fs.delete(t, true)
+    }
+    fs.delete(new Path(stagingRoot), true) // _SUCCESS + any empty residue
+  }
+
+  /** The dirty-bucket ids of a set of document ids — bounded by bucketCount
+    * by construction, so the collect is a ≤ n-int driver list, never data.
+    */
+  private def dirtyBuckets(ids: DataFrame, idCol: String, n: Int): Seq[Int] =
+    ids.select(bucketOf(col(idCol), n).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
   /** Create (or overwrite) a collection from raw documents. Converter-built
     * chunks (header semantics, per-page metadata) are kept as-is; the splitter
     * only runs when the input has no `chunks` column.
+    *
+    * `nBuckets > 0` selects the bucketed layout: docs and chunks live under
+    * `bucket=K` partition dirs keyed by document id, and [[update]]/[[delete]]
+    * rewrite ONLY the buckets containing changed documents — at 100 TB an
+    * update touching 0.1% of documents pays ~0.1% of the table write instead
+    * of a full staging rewrite. Size guidance: corpus_bytes / ~1 GB, rounded
+    * to a power of two. 0 (default) keeps the flat single-directory layout.
     */
   def create(name: String, rawDocs: DataFrame,
-             readerDetails: Map[String, String] = Map.empty): Model.Manifest = {
+             readerDetails: Map[String, String] = Map.empty,
+             nBuckets: Int = 0): Model.Manifest = {
+    require(nBuckets >= 0, s"nBuckets must be >= 0, got $nBuckets")
     val docs = withChunks(rawDocs)
-    docs.write.mode(SaveMode.Overwrite).parquet(docsPath(name))
+    if (nBuckets > 0) writeBucketedTable(docs, "id", nBuckets, docsPath(name))
+    else docs.write.mode(SaveMode.Overwrite).parquet(docsPath(name))
 
-    val persisted = spark.read.parquet(docsPath(name))
+    val persisted = spark.read.parquet(docsPath(name)).drop("bucket")
     val chunks = Indexing.buildChunks(persisted, embedder, startId = 0L)
-    chunks.write.mode(SaveMode.Overwrite).parquet(chunksPath(name))
-    bm25Indexer(name).index(spark.read.parquet(chunksPath(name)))
+    if (nBuckets > 0)
+      writeBucketedTable(chunks, "documentId", nBuckets, chunksPath(name))
+    else chunks.write.mode(SaveMode.Overwrite).parquet(chunksPath(name))
+    bm25Indexer(name).index(this.chunks(name))
 
-    val stats = spark.read.parquet(chunksPath(name))
+    val stats = this.chunks(name)
       .agg(count("*").as("n"), coalesce(max("chunkId"), lit(-1L)).as("maxId"),
            countDistinct("documentId").as("docs")).head()
     val m = Model.Manifest(
@@ -193,7 +254,8 @@ final class CollectionManager(
       lastIndexItemId = stats.getLong(1),
       indexers = Seq("vector_exact_l2", "bm25"),
       chunkSize = splitter.chunkSize, chunkOverlap = splitter.chunkOverlap,
-      reader = readerDetails, embedder = embedder.name)
+      reader = readerDetails, embedder = embedder.name,
+      bucketCount = nBuckets)
     writeManifest(m, name)
     m
   }
@@ -233,29 +295,91 @@ final class CollectionManager(
     requireMatchingEmbedder(name)
     val changed = withChunks(changedRawDocs)
 
-    val oldDocs = spark.read.parquet(docsPath(name))
-    val mergedDocs = oldDocs
-      .join(changed.select(col("id")), Seq("id"), "left_anti")
-      .unionByName(changed)
-    // Parquet is immutable — stage the merged table, then swap in.
-    val docsStaging = s"${docsPath(name)}__staging"
-    mergedDocs.write.mode(SaveMode.Overwrite).parquet(docsStaging)
-    swap(docsStaging, docsPath(name))
+    if (old.bucketCount > 0) {
+      // ---- bucketed layout: touch only the buckets holding changed docs ----
+      val n = old.bucketCount
+      val changedIds = changed.select(col("id")).distinct()
+      val dirty = dirtyBuckets(changedIds, "id", n)
 
-    val newChunks = Indexing.buildChunks(
-      spark.read.parquet(docsPath(name))
-        .join(changed.select(col("id")), Seq("id"), "left_semi"),
-      embedder, startId = old.lastIndexItemId + 1)
-    val keptChunks = spark.read.parquet(chunksPath(name))
-      .join(changed.select(col("id").as("documentId")), Seq("documentId"), "left_anti")
-    val chunksStaging = s"${chunksPath(name)}__staging"
-    keptChunks.select(newChunks.columns.map(col): _*).unionByName(newChunks)
-      .write.mode(SaveMode.Overwrite).parquet(chunksStaging)
-    swap(chunksStaging, chunksPath(name))
-    // Rebuild the BM25 postings from the merged chunks (an incremental postings
-    // merge — anti-join by docId + append — is the optimization when updates are
-    // a small fraction; full rebuild keeps df/avgdl exact).
-    bm25Indexer(name).index(spark.read.parquet(chunksPath(name)))
+      // docs: merge WITHIN the dirty buckets only; every other bucket dir is
+      // never read, never rewritten (the spec pins them byte-identical)
+      val oldDirtyDocs = spark.read.parquet(docsPath(name))
+        .filter(col("bucket").isin(dirty: _*)).drop("bucket")
+      val mergedDirtyDocs = oldDirtyDocs
+        .join(changedIds, Seq("id"), "left_anti")
+        .unionByName(changed)
+      val docsStaging = s"${docsPath(name)}__staging"
+      writeBucketedTable(mergedDirtyDocs, "id", n, docsStaging, dirty.size)
+      swapBuckets(docsStaging, docsPath(name), dirty)
+
+      // chunks: the removed side (old chunks of changed docs) feeds the
+      // incremental BM25 merge; the pruned read touches dirty buckets only
+      val changedDocIds = changedIds.select(col("id").as("documentId"))
+      val dirtyChunks = spark.read.parquet(chunksPath(name))
+        .filter(col("bucket").isin(dirty: _*)).drop("bucket")
+      val removedChunkIds = dirtyChunks
+        .join(changedDocIds, Seq("documentId"), "left_semi")
+        .select(col("chunkId").as("docId"))
+        .persist()
+      // MATERIALIZE before the chunks swap: the plan reads chunksPath, and a
+      // lazy first action after the swap would see the post-swap table (where
+      // these ids are gone) — the anti-join side would silently empty
+      removedChunkIds.count()
+      val newChunks = Indexing.buildChunks(
+        spark.read.parquet(docsPath(name))
+          .filter(col("bucket").isin(dirty: _*)).drop("bucket")
+          .join(changedIds, Seq("id"), "left_semi"),
+        embedder, startId = old.lastIndexItemId + 1)
+      val keptDirtyChunks = dirtyChunks
+        .join(changedDocIds, Seq("documentId"), "left_anti")
+      val chunksStaging = s"${chunksPath(name)}__staging"
+      writeBucketedTable(
+        keptDirtyChunks.select(newChunks.columns.map(col): _*)
+          .unionByName(newChunks),
+        "documentId", n, chunksStaging, dirty.size)
+      swapBuckets(chunksStaging, chunksPath(name), dirty)
+
+      // BM25: incremental postings merge — anti-join the removed chunks'
+      // postings out, tokenize ONLY the new chunks, recompute df/avgdl
+      // exactly (tokenize cost ∝ changed docs, not corpus)
+      val newPersistedChunks = this.chunks(name)
+        .join(changedDocIds, Seq("documentId"), "left_semi")
+      bm25Indexer(name).updateIncremental(removedChunkIds, newPersistedChunks)
+      removedChunkIds.unpersist()
+    } else {
+      val oldDocs = spark.read.parquet(docsPath(name))
+      val mergedDocs = oldDocs
+        .join(changed.select(col("id")), Seq("id"), "left_anti")
+        .unionByName(changed)
+      // Parquet is immutable — stage the merged table, then swap in.
+      val docsStaging = s"${docsPath(name)}__staging"
+      mergedDocs.write.mode(SaveMode.Overwrite).parquet(docsStaging)
+      swap(docsStaging, docsPath(name))
+
+      val changedDocIds = changed.select(col("id").as("documentId")).distinct()
+      val newChunks = Indexing.buildChunks(
+        spark.read.parquet(docsPath(name))
+          .join(changed.select(col("id")), Seq("id"), "left_semi"),
+        embedder, startId = old.lastIndexItemId + 1)
+      val removedChunkIds = spark.read.parquet(chunksPath(name))
+        .join(changedDocIds, Seq("documentId"), "left_semi")
+        .select(col("chunkId").as("docId"))
+        .persist()
+      removedChunkIds.count() // materialize BEFORE the swap (see bucketed branch)
+      val keptChunks = spark.read.parquet(chunksPath(name))
+        .join(changedDocIds, Seq("documentId"), "left_anti")
+      val chunksStaging = s"${chunksPath(name)}__staging"
+      keptChunks.select(newChunks.columns.map(col): _*).unionByName(newChunks)
+        .write.mode(SaveMode.Overwrite).parquet(chunksStaging)
+      swap(chunksStaging, chunksPath(name))
+      // BM25: incremental postings merge here too — the flat layout still
+      // rewrites the postings table, but tokenization (the dominant shuffle:
+      // explode over every token of every doc) runs over the NEW chunks only
+      val newPersistedChunks = spark.read.parquet(chunksPath(name))
+        .join(changedDocIds, Seq("documentId"), "left_semi")
+      bm25Indexer(name).updateIncremental(removedChunkIds, newPersistedChunks)
+      removedChunkIds.unpersist()
+    }
     // If an IVF index was built, refresh its assignment against the frozen
     // centroids — otherwise vector_ivf would keep serving deleted chunks and
     // miss the replacements (BM25 gets its rebuild above; IVF must follow).
@@ -266,14 +390,14 @@ final class CollectionManager(
     val ivfDir = s"${dir(name)}/indexes/ivf"
     if (refreshIvf && fs.exists(new Path(s"$ivfDir/centroids")))
       new graft.operators.IvfVectorIndexer(spark, ivfDir, embedder)
-        .refresh(spark.read.parquet(chunksPath(name)))
+        .refresh(this.chunks(name))
 
     val stats = spark.read.parquet(chunksPath(name))
       .agg(count("*").as("n"), coalesce(max("chunkId"), lit(-1L)).as("maxId"),
            countDistinct("documentId").as("docs")).head()
     val m = old.copy(
       updatedTime = nowIso,
-      lastModifiedDocumentTime = latestModified(spark.read.parquet(docsPath(name))),
+      lastModifiedDocumentTime = latestModified(this.documents(name)),
       numberOfDocuments = stats.getLong(2), numberOfChunks = stats.getLong(0),
       lastIndexItemId = stats.getLong(1))
     writeManifest(m, name)
@@ -291,24 +415,62 @@ final class CollectionManager(
     val old = readManifest(name)
     import spark.implicits._
     val idDf = broadcast(ids.toDF("id"))
+    val docIdDf = idDf.select(col("id").as("documentId"))
 
-    val keptDocs = spark.read.parquet(docsPath(name))
-      .join(idDf, Seq("id"), "left_anti")
-    val docsStaging = s"${docsPath(name)}__staging"
-    keptDocs.write.mode(SaveMode.Overwrite).parquet(docsStaging)
-    swap(docsStaging, docsPath(name))
+    // removed chunk ids for the incremental postings merge — read BEFORE the
+    // chunks swap (a lazy read materialized after it would see the new table)
+    val removedChunkIds = {
+      val base = spark.read.parquet(chunksPath(name))
+      val pruned =
+        if (old.bucketCount > 0)
+          base.filter(col("bucket").isin(
+            dirtyBuckets(idDf, "id", old.bucketCount): _*))
+        else base
+      pruned.join(docIdDf, Seq("documentId"), "left_semi")
+        .select(col("chunkId").as("docId")).persist()
+    }
+    removedChunkIds.count()
 
-    val keptChunks = spark.read.parquet(chunksPath(name))
-      .join(idDf.select(col("id").as("documentId")), Seq("documentId"), "left_anti")
-    val chunksStaging = s"${chunksPath(name)}__staging"
-    keptChunks.write.mode(SaveMode.Overwrite).parquet(chunksStaging)
-    swap(chunksStaging, chunksPath(name))
+    if (old.bucketCount > 0) {
+      // ---- bucketed layout: rewrite only the buckets holding deleted ids ----
+      val n = old.bucketCount
+      val dirty = dirtyBuckets(idDf, "id", n)
+      val keptDirtyDocs = spark.read.parquet(docsPath(name))
+        .filter(col("bucket").isin(dirty: _*)).drop("bucket")
+        .join(idDf, Seq("id"), "left_anti")
+      val docsStaging = s"${docsPath(name)}__staging"
+      writeBucketedTable(keptDirtyDocs, "id", n, docsStaging, dirty.size)
+      swapBuckets(docsStaging, docsPath(name), dirty)
 
-    bm25Indexer(name).index(spark.read.parquet(chunksPath(name)))
+      val keptDirtyChunks = spark.read.parquet(chunksPath(name))
+        .filter(col("bucket").isin(dirty: _*)).drop("bucket")
+        .join(docIdDf, Seq("documentId"), "left_anti")
+      val chunksStaging = s"${chunksPath(name)}__staging"
+      writeBucketedTable(keptDirtyChunks, "documentId", n, chunksStaging, dirty.size)
+      swapBuckets(chunksStaging, chunksPath(name), dirty)
+    } else {
+      val keptDocs = spark.read.parquet(docsPath(name))
+        .join(idDf, Seq("id"), "left_anti")
+      val docsStaging = s"${docsPath(name)}__staging"
+      keptDocs.write.mode(SaveMode.Overwrite).parquet(docsStaging)
+      swap(docsStaging, docsPath(name))
+
+      val keptChunks = spark.read.parquet(chunksPath(name))
+        .join(docIdDf, Seq("documentId"), "left_anti")
+      val chunksStaging = s"${chunksPath(name)}__staging"
+      keptChunks.write.mode(SaveMode.Overwrite).parquet(chunksStaging)
+      swap(chunksStaging, chunksPath(name))
+    }
+
+    // delete = update's removal half: postings of the removed chunks anti-join
+    // out, nothing tokenizes, df/avgdl re-derive exactly
+    bm25Indexer(name).updateIncremental(
+      removedChunkIds, this.chunks(name).limit(0))
+    removedChunkIds.unpersist()
     val ivfDir = s"${dir(name)}/indexes/ivf"
     if (fs.exists(new Path(s"$ivfDir/centroids")))
       new graft.operators.IvfVectorIndexer(spark, ivfDir, embedder)
-        .refresh(spark.read.parquet(chunksPath(name)))
+        .refresh(this.chunks(name))
 
     // dedup-on-arrival signatures follow the documents: a deleted doc's stale
     // signature must not block re-ingesting similar content later
@@ -361,10 +523,26 @@ final class CollectionManager(
       ("chunkless_documents", 0L, chunklessDocs))
     val bm25 =
       if (fs.exists(new Path(s"${bm25Dir(name)}/postings")))
+        // the LOGICAL postings table (base ∪ delta ⊖ tombstones): physically
+        // present but tombstoned rows are not stray — they're the LSM tail
         Seq(("bm25_stray_postings", 0L,
-          spark.read.parquet(s"${bm25Dir(name)}/postings")
+          bm25Indexer(name).postingsTable()
             .select(col("docId").as("chunkId")).distinct()
             .join(ch.select("chunkId"), Seq("chunkId"), "left_anti").count()))
+      else Nil
+    // bucketed layout: a row in the wrong bucket dir would dodge every future
+    // dirty-bucket rewrite (updates to its doc would duplicate, deletes would
+    // miss) — assert the partition value matches the hash for every row
+    val buckets =
+      if (m.bucketCount > 0) Seq(
+        ("misbucketed_documents", 0L,
+          spark.read.parquet(docsPath(name))
+            .filter(col("bucket") =!= bucketOf(col("id"), m.bucketCount))
+            .count()),
+        ("misbucketed_chunks", 0L,
+          spark.read.parquet(chunksPath(name))
+            .filter(col("bucket") =!= bucketOf(col("documentId"), m.bucketCount))
+            .count()))
       else Nil
     val ivf = ivfIndex(name).map(ix =>
       ("ivf_size_matches_chunks", nChunks, ix.size)).toSeq
@@ -382,7 +560,7 @@ final class CollectionManager(
           ("doc_without_dedup_sig", 0L,
             docs.join(sigIds, Seq("id"), "left_anti").count()))
       } else Nil
-    (base ++ bm25 ++ ivf ++ sigs)
+    (base ++ bm25 ++ buckets ++ ivf ++ sigs)
       .map { case (c, e, a) => (c, e, a, e == a) }
       .toDF("check", "expected", "actual", "ok")
   }
@@ -393,8 +571,15 @@ final class CollectionManager(
     * collections whose append-only IVF assignment has drifted from the
     * frozen centroids.
     */
+  /** Fold the BM25 index's delta/tombstone tail (grown by incremental
+    * updates/deletes) back into its base segment — LSM compaction. Values
+    * are unchanged by construction; search latency and the tombstone
+    * anti-join shrink. Cheap no-op when the tail is empty.
+    */
+  def compactBm25(name: String): Unit = bm25Indexer(name).compact()
+
   def reindex(name: String): Unit = {
-    bm25Indexer(name).index(spark.read.parquet(chunksPath(name)))
+    bm25Indexer(name).index(this.chunks(name))
     if (ivfIndex(name).isDefined) {
       val lists = spark.read.parquet(s"${dir(name)}/indexes/ivf/centroids")
         .count().toInt // preserve the existing list count
@@ -417,8 +602,14 @@ final class CollectionManager(
 
   // --------------------------------------------------------------------- queries
 
-  def chunks(name: String): DataFrame = spark.read.parquet(chunksPath(name))
-  def documents(name: String): DataFrame = spark.read.parquet(docsPath(name))
+  /** The chunks/documents tables with the physical layout abstracted away:
+    * the bucketed layout's `bucket` partition column is an implementation
+    * detail and never reaches a consumer (drop is a no-op on flat layouts).
+    */
+  def chunks(name: String): DataFrame =
+    spark.read.parquet(chunksPath(name)).drop("bucket")
+  def documents(name: String): DataFrame =
+    spark.read.parquet(docsPath(name)).drop("bucket")
 
   /** Indexers available to search, by manifest name. The IVF index joins the
     * registry once built ([[buildIvfIndex]]) — discovery mirrors the reference's

@@ -69,5 +69,9 @@ object Model {
       chunkSize: Int,
       chunkOverlap: Int,
       reader: Map[String, String] = Map.empty,
-      embedder: String = "")
+      embedder: String = "",
+      // > 0: docs and chunks live under bucket=K partition dirs, K =
+      // pmod(hash(docId), bucketCount) — incremental update/delete rewrite
+      // only dirty buckets. 0 = flat single-directory layout (the default).
+      bucketCount: Int = 0)
 }

@@ -56,16 +56,30 @@ final class VectorIndexer(
   * SQLite FTS5 keeps internally, sqllite_indexer.py:106-114, made columnar):
   *
   * {{{
-  *   {dir}/postings/   (term, docId, tf, docLen)  — sorted by term at write, so
-  *                     term IN (...) predicates prune parquet row groups
-  *   {dir}/termDf/     (term, df)
-  *   {dir}/corpus/     (n, avgdl)                 — one row
+  *   {dir}/postings/        (term, docId, tf, docLen) — the base segment,
+  *                          range-partitioned + sorted by term, so
+  *                          term IN (...) predicates prune parquet row groups
+  *   {dir}/postings_delta/  appended segments, one per incremental update —
+  *                          same schema, term-sorted within each segment
+  *   {dir}/tombstones/      (docId) — chunk ids whose postings are dead
+  *   {dir}/termDf/          (term, df)
+  *   {dir}/corpus/          (n, avgdl)              — one row
   * }}}
   *
-  * A query reads ONLY its terms' postings (pruned scan) + two tiny broadcast
-  * tables — no full-corpus scan or tokenization at query time, unlike the inline
-  * [[Search.bm25TopK]]. At 100 TB the postings table is the only big artifact and
-  * it's touched proportionally to query-term selectivity.
+  * The logical postings table every reader sees is
+  * base ∪ delta ⊖ tombstones ([[postingsTable]]) — the LSM posture: an
+  * incremental update APPENDS the new docs' postings as a delta segment and
+  * the replaced chunk ids as tombstones, so update write-IO is proportional
+  * to the CHANGED docs, never the corpus. Chunk ids are globally unique
+  * across collection history (the manifest high-water mark), so tombstoned
+  * ids can never collide with live ones. [[compact]] folds the three back
+  * into a fresh base segment when the delta/tombstone tail has grown.
+  *
+  * A query reads ONLY its terms' postings (pruned scan in base AND delta —
+  * the IN-filter pushes through the union) + two tiny broadcast tables — no
+  * full-corpus scan or tokenization at query time, unlike the inline
+  * [[Search.bm25TopK]]. At 100 TB the postings table is the only big artifact
+  * and it's touched proportionally to query-term selectivity.
   *
   * Metadata filtering: postings carry only ids, so a filter applies as a
   * semi-join against the (filtered) chunks table — the same pre-filtered-search
@@ -82,13 +96,78 @@ final class Bm25Indexer(
 
   private def p(sub: String) = s"$indexDir/$sub"
 
-  def index(chunks: DataFrame): Unit = {
-    val toks = chunks.select(col("chunkId").as("docId"),
-      Search.tokensCol(col("indexedData")).as("tokens"))
-    val postings = toks
+  /** (term, docId, docLen, tf) rows of a chunk set — the tokenize + explode +
+    * count shuffle, the dominant cost of indexing. Shared by the full build
+    * and the incremental merge (which runs it over NEW chunks only).
+    */
+  private def postingsOf(chunks: DataFrame): DataFrame =
+    chunks.select(col("chunkId").as("docId"),
+        Search.tokensCol(col("indexedData")).as("tokens"))
       .select(col("docId"), arraySize(col("tokens")).as("docLen"),
         explode(col("tokens")).as("term"))
       .groupBy("term", "docId", "docLen").agg(count("*").as("tf"))
+
+  private def fsys = new org.apache.hadoop.fs.Path(indexDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readIf(path: String): Option[DataFrame] =
+    if (fsys.exists(new org.apache.hadoop.fs.Path(path)))
+      Some(spark.read.parquet(path))
+    else None
+
+  /** The LOGICAL postings table: base ∪ delta segments ⊖ tombstones. `pre`
+    * applies to base and every delta BEFORE the union so a term filter
+    * pushes into each segment's pruned parquet scan. The tombstone
+    * anti-join is unhinted — AQE broadcasts it while the tail is small,
+    * [[compact]] keeps it small.
+    */
+  def postingsTable(pre: DataFrame => DataFrame = identity): DataFrame = {
+    val base = pre(spark.read.parquet(p("postings")))
+    val all = readIf(p("postings_delta"))
+      .map(d => base.unionByName(pre(d))).getOrElse(base)
+    readIf(p("tombstones"))
+      .map(t => all.join(t.select("docId"), Seq("docId"), "left_anti"))
+      .getOrElse(all)
+  }
+
+  /** Derive termDf + corpus stats from the logical postings — ONE derivation
+    * for the full build, the incremental merge, and compaction, so the
+    * artifacts can't drift. The scan is narrow (term, docId, docLen); the
+    * writes are vocab-sized and one-row.
+    */
+  private def deriveStats(): Unit = {
+    val eff = postingsTable()
+    eff.groupBy("term").agg(count("*").as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(p("termDf") + "__staging")
+    swapDir(p("termDf") + "__staging", p("termDf"))
+    // Corpus stats from the postings (distinct docId carries docLen): saves a
+    // second full-corpus tokenize, and counts docs-with-tokens — the
+    // population BM25 length normalization is defined over (a doc with zero
+    // tokens can never match, so excluding it from n/avgdl is the FTS5-faithful
+    // choice and what the DuckDB oracle computes).
+    eff.select("docId", "docLen").distinct()
+      .agg(count("*").as("n"), avg("docLen").as("avgdl"))
+      .write.mode(SaveMode.Overwrite).parquet(p("corpus") + "__staging")
+    swapDir(p("corpus") + "__staging", p("corpus"))
+  }
+
+  /** Rename-to-backup swap (same crash posture as the collection tables):
+    * the target dir is whole-old or whole-new, never missing mid-write —
+    * required here because compaction READS the live postings while staging
+    * their replacement.
+    */
+  private def swapDir(staging: String, target: String): Unit = {
+    val fs = fsys
+    val t = new org.apache.hadoop.fs.Path(target)
+    val backup = new org.apache.hadoop.fs.Path(target + "__old")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(t)) fs.rename(t, backup)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), t)
+    if (fs.exists(backup)) fs.delete(backup, true)
+  }
+
+  /** Write a fresh base segment and clear the delta/tombstone tail. */
+  private def writeBase(postings: DataFrame): Unit = {
     // Range-partition on (term, docId) rather than hash on term: a
     // stopword-grade hot term would land its entire postings list in one hash
     // partition, while a range boundary splits it across partitions (bounded
@@ -96,25 +175,80 @@ final class Bm25Indexer(
     // still prune term lookups.
     postings.repartitionByRange(col("term"), col("docId"))
       .sortWithinPartitions("term", "docId")
-      .write.mode(SaveMode.Overwrite).parquet(p("postings"))
-    val persisted = spark.read.parquet(p("postings"))
-    persisted.groupBy("term").agg(count("*").as("df"))
-      .write.mode(SaveMode.Overwrite).parquet(p("termDf"))
-    // Corpus stats from the persisted postings (distinct docId carries docLen):
-    // saves a second full-corpus tokenize, and counts docs-with-tokens — the
-    // population BM25 length normalization is defined over (a doc with zero
-    // tokens can never match, so excluding it from n/avgdl is the FTS5-faithful
-    // choice and what the DuckDB oracle computes).
-    persisted.select("docId", "docLen").distinct()
-      .agg(count("*").as("n"), avg("docLen").as("avgdl"))
-      .write.mode(SaveMode.Overwrite).parquet(p("corpus"))
+      .write.mode(SaveMode.Overwrite).parquet(p("postings") + "__staging")
+    swapDir(p("postings") + "__staging", p("postings"))
+    fsys.delete(new org.apache.hadoop.fs.Path(p("postings_delta")), true)
+    fsys.delete(new org.apache.hadoop.fs.Path(p("tombstones")), true)
   }
+
+  def index(chunks: DataFrame): Unit = {
+    writeBase(postingsOf(chunks))
+    deriveStats()
+  }
+
+  /** Incremental postings merge for an update that replaced a known doc
+    * set's chunks — the LSM path: `removedChunkIds` (one `docId` column)
+    * APPEND to the tombstone table, postings tokenized from `newChunks` ONLY
+    * append as a delta segment, and termDf/corpus re-derive from the logical
+    * table by the SAME code path as [[index]], so df/n/avgdl stay exact —
+    * equality with a full rebuild is spec-pinned (IndexersSpec).
+    *
+    * Cost shape at 100 TB: the tokenize + explode + count shuffle AND the
+    * write are both proportional to the CHANGED docs; the base segment is
+    * never rewritten. The stats re-derivation reads the narrow
+    * (term, docId, docLen) projection of the corpus — a column-pruned scan,
+    * no rewrite. Repeated updates grow the delta/tombstone tail ∝ total
+    * churn; fold it with [[compact]] before the tombstone anti-join or the
+    * per-term segment fan-out gets expensive.
+    *
+    * Crash posture: delta lands before tombstones, so a crash between the
+    * two can leave BOTH revisions of a doc's postings visible (over-count,
+    * detected by fsck's stray-postings check and healed by re-running the
+    * update or [[compact]]) — never a missing revision.
+    */
+  def updateIncremental(removedChunkIds: DataFrame, newChunks: DataFrame): Unit = {
+    postingsOf(newChunks)
+      .repartitionByRange(col("term"), col("docId"))
+      .sortWithinPartitions("term", "docId")
+      .write.mode(SaveMode.Append).parquet(p("postings_delta"))
+    removedChunkIds.select(col("docId"))
+      .write.mode(SaveMode.Append).parquet(p("tombstones"))
+    deriveStats()
+  }
+
+  /** Fold base ∪ delta ⊖ tombstones into a fresh base segment — the LSM
+    * compaction that bounds the tombstone anti-join and the per-term segment
+    * fan-out. stats re-derive (values unchanged by construction; the spec
+    * pins it). No-op when the tail is empty.
+    */
+  def compact(): Unit = {
+    val hasTail = fsys.exists(new org.apache.hadoop.fs.Path(p("postings_delta"))) ||
+      fsys.exists(new org.apache.hadoop.fs.Path(p("tombstones")))
+    if (!hasTail) return
+    val folded = postingsTable().persist()
+    folded.count() // materialize before the base swap invalidates the plan's source
+    writeBase(folded)
+    folded.unpersist()
+    deriveStats()
+  }
+
+  /** Bytes in the delta + tombstone tail vs the base segment — the compact-
+    * or-not signal for maintenance loops (compare against base bytes or an
+    * absolute budget).
+    */
+  def tailBytes: Long =
+    Seq(p("postings_delta"), p("tombstones")).map { d =>
+      val path = new org.apache.hadoop.fs.Path(d)
+      if (fsys.exists(path))
+        fsys.getContentSummary(path).getLength
+      else 0L
+    }.sum
 
   def search(query: String, k: Int, metadataFilter: Option[Column]): DataFrame = {
     val terms = Search.tokenize(query).distinct
     if (terms.isEmpty) return Search.emptyScored(spark, "chunkId")
-    val postings0 = spark.read.parquet(p("postings"))
-      .filter(col("term").isin(terms: _*)) // pushed into the pruned parquet scan
+    val postings0 = postingsTable(
+      _.filter(col("term").isin(terms: _*))) // pushed into each segment's pruned scan
     val postings = metadataFilter match {
       case Some(f) => postings0.join( // pre-filtered search via id semi-join
         spark.read.parquet(chunksPath).filter(f).select(col("chunkId").as("docId")),

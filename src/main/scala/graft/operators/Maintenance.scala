@@ -73,6 +73,7 @@ object Maintenance {
     val (n, bytes, avg) = fileStats(spark, path)
     if (n == 0 || avg >= minAvgBytes) return n
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    if (n <= nOut) return n // rewrite couldn't reduce the file count — skip
     val staging = path + "__compact"
     spark.read.parquet(path).coalesce(nOut)
       .write.mode("overwrite").parquet(staging)
@@ -84,5 +85,35 @@ object Maintenance {
     fs.rename(new Path(staging), target)
     fs.delete(backup, true)
     fileStats(spark, path)._1
+  }
+
+  /** Per-partition compaction for a partitioned layout (`bucket=K/`,
+    * `listId=N/` …): each partition directory compacts INDIVIDUALLY through
+    * [[compact]], so the directory structure — and with it partition pruning
+    * and the bucketed collection's dirty-bucket-only update property —
+    * survives. Repeated partial updates accrete small files ONLY in the
+    * buckets they touch; this pays the rewrite only for directories whose
+    * average file size fell below `minAvgBytes` (typically the hot buckets),
+    * leaving cold partitions untouched — same skip rule, applied per
+    * directory. Returns (partitions compacted, total files after).
+    */
+  def compactPartitioned(spark: SparkSession, path: String, targetBytes: Long,
+                         minAvgBytes: Long): (Long, Long) = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(path))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted
+    require(parts.nonEmpty,
+      s"compactPartitioned: $path has no partition directories — use compact")
+    var compacted = 0L
+    var files = 0L
+    parts.foreach { p =>
+      val (nBefore, _, avg) = fileStats(spark, p)
+      val nAfter = compact(spark, p, targetBytes, minAvgBytes)
+      if (nBefore > 0 && avg < minAvgBytes && nAfter < nBefore) compacted += 1
+      files += nAfter
+    }
+    (compacted, files)
   }
 }

@@ -240,4 +240,107 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
       .map(r => r.getAs[String]("check") -> r.getAs[Boolean]("ok")).toMap
     assert(after("bm25_stray_postings") && after("ivf_size_matches_chunks"))
   }
+
+  // ------------------------------------------------------- bucketed layout
+
+  /** (relative path → (length, mtime)) of every data file under `root` —
+    * the byte-identity fingerprint the partial-rewrite assertions compare.
+    */
+  private def fileStamps(root: String): Map[String, (Long, Long)] = {
+    val base = java.nio.file.Paths.get(root)
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    java.nio.file.Files.walk(base).forEach { p =>
+      val f = p.toFile
+      if (f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        out(base.relativize(p).toString) = (f.length(), f.lastModified())
+    }
+    out.toMap
+  }
+
+  test("bucketed layout: update rewrites ONLY dirty buckets, results match flat") {
+    val tmp = Files.createTempDirectory("graft-bucketed").toString
+    val cm = mkManager(tmp)
+    val mB = cm.create("cb", rawDocs(docsV1), nBuckets = 8)
+    val mF = cm.create("cf", rawDocs(docsV1)) // flat twin for equivalence
+    assert(mB.bucketCount === 8 && mF.bucketCount === 0)
+    assert(cm.readManifest("cb").bucketCount === 8)
+    // the layout is invisible to consumers: same schema, same search results
+    assert(cm.chunks("cb").columns.toSeq === cm.chunks("cf").columns.toSeq)
+    assert(cm.documents("cb").columns.toSeq === cm.documents("cf").columns.toSeq)
+
+    val before = (fileStamps(s"$tmp/cb/documents"), fileStamps(s"$tmp/cb/chunks"))
+
+    val changed = rawDocs(Seq(
+      ("d2", "file://d2", Map("space" -> "OPS", "lastModifiedAt" -> "2026-02-01T00:00:00"),
+        "rewritten deployment instructions\nnow with containers")))
+    val m2B = cm.update("cb", changed)
+    val m2F = cm.update("cf", changed)
+
+    // ---- the partial-rewrite guarantee: every bucket dir NOT containing d2
+    // is byte-identical (same files, same length, same mtime) after the update
+    val dirtyDoc = cm.documents("cb")
+      .filter(col("id") === "d2")
+    assert(dirtyDoc.count() === 1)
+    def dirtyBucketsOf(stamps: Map[String, (Long, Long)],
+                       after: Map[String, (Long, Long)]): Set[String] = {
+      def bucketDir(rel: String) = rel.split("/").head
+      val touched = (stamps.keySet ++ after.keySet)
+        .filter(rel => stamps.get(rel) != after.get(rel))
+      touched.map(bucketDir)
+    }
+    val afterStamps = (fileStamps(s"$tmp/cb/documents"), fileStamps(s"$tmp/cb/chunks"))
+    val docsTouched = dirtyBucketsOf(before._1, afterStamps._1)
+    val chunksTouched = dirtyBucketsOf(before._2, afterStamps._2)
+    // exactly ONE doc changed → at most one bucket rewritten per table, and
+    // ≥ (N-1)/N of the bucket dirs byte-identical
+    assert(docsTouched.size <= 1, s"docs buckets touched: $docsTouched")
+    assert(chunksTouched.size <= 1, s"chunks buckets touched: $chunksTouched")
+    assert(docsTouched.forall(_.startsWith("bucket=")))
+
+    // ---- equivalence with the flat layout: same docs, same chunks (modulo
+    // physical order), same manifest counters, same search results
+    assert(m2B.numberOfDocuments === m2F.numberOfDocuments)
+    assert(m2B.numberOfChunks === m2F.numberOfChunks)
+    assert(m2B.lastIndexItemId === m2F.lastIndexItemId)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("documentId", "chunkNumber", "indexedData")
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(cm.chunks("cb")) === canon(cm.chunks("cf")))
+    val hitsB = cm.search("cb", "containers").collect().map(_.getString(0)).toSeq
+    val hitsF = cm.search("cf", "containers").collect().map(_.getString(0)).toSeq
+    assert(hitsB === hitsF && hitsB.contains("d2"))
+
+    // fsck green, including the misbucketed checks
+    val report = cm.fsck("cb").collect()
+    assert(report.forall(_.getAs[Boolean]("ok")),
+      s"bucketed fsck:\n${report.mkString("\n")}")
+    assert(report.map(_.getAs[String]("check")).toSet
+      .contains("misbucketed_documents"))
+  }
+
+  test("bucketed layout: delete rewrites only dirty buckets; HWM survives") {
+    val tmp = Files.createTempDirectory("graft-bucketed-del").toString
+    val cm = mkManager(tmp)
+    val m1 = cm.create("cd", rawDocs(docsV1), nBuckets = 8)
+    val before = fileStamps(s"$tmp/cd/chunks")
+
+    val m2 = cm.delete("cd", Seq("d1"))
+    assert(m2.numberOfDocuments === 2)
+    assert(cm.documents("cd").filter(col("id") === "d1").count() === 0)
+    assert(cm.chunks("cd").filter(col("documentId") === "d1").count() === 0)
+    assert(m2.lastIndexItemId === m1.lastIndexItemId) // HWM never recedes
+
+    val after = fileStamps(s"$tmp/cd/chunks")
+    val touched = (before.keySet ++ after.keySet)
+      .filter(rel => before.get(rel) != after.get(rel))
+      .map(_.split("/").head)
+    assert(touched.size <= 1, s"chunks buckets touched by delete: $touched")
+
+    // BM25 followed: deleted doc's terms no longer reachable, survivors are
+    val gone = cm.search("cd", "bm25 ranking", indexNames = Some(Seq("bm25"))).collect()
+    assert(!gone.map(_.getString(0)).contains("d1"))
+    val still = cm.search("cd", "deploy script", indexNames = Some(Seq("bm25"))).collect()
+    assert(still.map(_.getString(0)).contains("d2"))
+    assert(cm.fsck("cd").collect().forall(_.getAs[Boolean]("ok")))
+  }
 }

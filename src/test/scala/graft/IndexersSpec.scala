@@ -180,4 +180,73 @@ class IndexersSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("PushedFilters") &&
       (plan.contains("In(term,") || plan.contains("EqualTo(term,")))
   }
+
+  test("incremental postings merge == full rebuild on all three tables") {
+    import spark.implicits._
+    val (cm, _, dir) = setup()
+    val chunksAll = cm.chunks("ix").persist()
+    chunksAll.count()
+
+    // simulate an update replacing d2's chunks: new ids past the HWM
+    val hwm = chunksAll.agg(max("chunkId")).head().getLong(0)
+    val replacement = chunksAll.filter(col("documentId") === "d2")
+      .withColumn("chunkId",
+        col("chunkId") + lit(hwm + 1L)) // fresh unique ids
+      .withColumn("indexedData",
+        concat(col("indexedData"), lit(" refreshed deployment notes")))
+    val merged = chunksAll.filter(col("documentId") =!= "d2")
+      .unionByName(replacement).persist()
+    merged.count()
+
+    // path A: incremental LSM merge on the live index (delta + tombstones)
+    val incDir = s"$dir/indexes/bm25"
+    val inc = new Bm25Indexer(spark, incDir, s"$dir/chunks")
+    inc.updateIncremental(
+      chunksAll.filter(col("documentId") === "d2")
+        .select(col("chunkId").as("docId")),
+      replacement)
+    // the base segment was NOT rewritten — the delta/tombstone tail exists
+    assert(new java.io.File(s"$incDir/postings_delta").isDirectory)
+    assert(new java.io.File(s"$incDir/tombstones").isDirectory)
+    assert(inc.tailBytes > 0L)
+
+    // path B: full rebuild from the merged chunks in a fresh dir
+    val fullDir = s"$dir/indexes/bm25_full"
+    val full = new Bm25Indexer(spark, fullDir, s"$dir/chunks")
+    full.index(merged)
+
+    // equality on every artifact (logical content, not physical layout)
+    def rows(df: org.apache.spark.sql.DataFrame, cols: String*): Seq[String] =
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    def assertEqualIndexes(): Unit = {
+      assert(rows(inc.postingsTable(), "term", "docId", "docLen", "tf") ===
+        rows(full.postingsTable(), "term", "docId", "docLen", "tf"))
+      assert(rows(spark.read.parquet(s"$incDir/termDf"), "term", "df") ===
+        rows(spark.read.parquet(s"$fullDir/termDf"), "term", "df"))
+      assert(rows(spark.read.parquet(s"$incDir/corpus"), "n", "avgdl") ===
+        rows(spark.read.parquet(s"$fullDir/corpus"), "n", "avgdl"))
+    }
+    assertEqualIndexes()
+    // search agrees through the LSM view (tombstoned postings never serve)
+    assert(inc.search("deployment", 5, None).collect().map(_.toString).toSeq ===
+      full.search("deployment", 5, None).collect().map(_.toString).toSeq)
+
+    // and a pure-removal merge (delete semantics): empty new side
+    inc.updateIncremental(
+      replacement.select(col("chunkId").as("docId")), merged.limit(0))
+    val afterDelete = merged.filter(col("documentId") =!= "d2")
+    full.index(afterDelete)
+    assertEqualIndexes()
+
+    // compaction folds the tail into a fresh base — values unchanged
+    inc.compact()
+    assert(!new java.io.File(s"$incDir/postings_delta").exists)
+    assert(!new java.io.File(s"$incDir/tombstones").exists)
+    assert(inc.tailBytes === 0L)
+    assertEqualIndexes()
+    inc.compact() // idempotent no-op on an empty tail
+    assertEqualIndexes()
+    chunksAll.unpersist(); merged.unpersist()
+    ()
+  }
 }

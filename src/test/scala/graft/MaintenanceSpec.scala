@@ -51,4 +51,72 @@ class MaintenanceSpec extends AnyFunSuite with SparkSuite {
     val n = Maintenance.compact(spark, dir, targetBytes = 1 << 20, minAvgBytes = 1)
     assert(n === n0) // avg >= 1 byte → healthy → untouched
   }
+
+  test("compactPartitioned: per-bucket rewrite keeps the partitioned layout") {
+    val dir = Files.createTempDirectory("graft-compact4").toString + "/t"
+    // fragment bucket=0 (5 appends of 1 file each); bucket=1 stays healthy
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, 0, s"hot row $i")).toDF("id", "bucket", "v")
+        .coalesce(1).write.mode("append").partitionBy("bucket").parquet(dir)
+    }
+    Seq((100L, 1, "cold row")).toDF("id", "bucket", "v")
+      .coalesce(1).write.mode("append").partitionBy("bucket").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val coldStamp = new java.io.File(s"$dir/bucket=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified())).toSeq
+
+    val (nParts, files) = Maintenance.compactPartitioned(
+      spark, dir, targetBytes = 1 << 20, minAvgBytes = 1 << 20)
+    assert(nParts === 1L) // bucket=0 folded 5→1; bucket=1 already 1 file → skipped
+    assert(files === 2L)  // one file per bucket after
+    // the single-file bucket was not gratuitously rewritten
+    assert(new java.io.File(s"$dir/bucket=1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSeq === coldStamp)
+    // layout preserved: bucket dirs still exist, partition column still reads
+    assert(new java.io.File(s"$dir/bucket=0").isDirectory)
+    assert(new java.io.File(s"$dir/bucket=1").isDirectory)
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq === before)
+
+    // skip rule is per-directory: with a 1-byte floor nothing is touched
+    val stamps0 = new java.io.File(s"$dir/bucket=0").listFiles()
+      .map(f => (f.getName, f.lastModified())).toSeq
+    val (nParts2, _) = Maintenance.compactPartitioned(
+      spark, dir, targetBytes = 1 << 20, minAvgBytes = 1)
+    assert(nParts2 === 0L)
+    assert(new java.io.File(s"$dir/bucket=0").listFiles()
+      .map(f => (f.getName, f.lastModified())).toSeq === stamps0)
+    ()
+  }
+
+  test("bucketed collection survives per-bucket compaction: search + fsck green") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact5").toString
+    val cm = new graft.core.CollectionManager(spark, tmp,
+      new graft.functions.HashingEmbedder(dim = 16),
+      new graft.functions.TextSplitter(50, 10))
+    cm.create("cc", Seq(
+      ("d1", "u1", Map("k" -> "v"), "vector search over spark"),
+      ("d2", "u2", Map("k" -> "v"), "deployment playbook for the ops team"),
+      ("d3", "u3", Map("k" -> "v"), "embedding similarity notes"))
+      .toDF("id", "url", "metadata", "text"), nBuckets = 4)
+    // a few single-doc updates accrete files in d2's bucket
+    (1 to 3).foreach { i =>
+      cm.update("cc", Seq(("d2", "u2", Map("k" -> "v"),
+        s"deployment playbook revision $i for the ops team"))
+        .toDF("id", "url", "metadata", "text"))
+    }
+    val chunksBefore = cm.chunks("cc").collect().map(_.toString).sorted.toSeq
+    Maintenance.compactPartitioned(spark, s"$tmp/cc/documents", 1 << 20, 1 << 20)
+    Maintenance.compactPartitioned(spark, s"$tmp/cc/chunks", 1 << 20, 1 << 20)
+    assert(cm.chunks("cc").collect().map(_.toString).sorted.toSeq === chunksBefore)
+    val hits = cm.search("cc", "revision 3").collect()
+    assert(hits.map(_.getString(0)).contains("d2"))
+    assert(cm.fsck("cc").collect().forall(_.getAs[Boolean]("ok")))
+    // the NEXT dirty-bucket update still rewrites only one bucket
+    cm.update("cc", Seq(("d2", "u2", Map("k" -> "v"),
+      "deployment playbook final revision for the ops team"))
+      .toDF("id", "url", "metadata", "text"))
+    assert(cm.fsck("cc").collect().forall(_.getAs[Boolean]("ok")))
+  }
 }
