@@ -4009,28 +4009,56 @@ object Queries {
            |      FROM events)
            |GROUP BY 1, 2 ORDER BY event_type, win_start""".stripMargin))
 
-  /** Native `session_window` (the third Structured Streaming window shape):
-    * a session extends while the next event lands strictly BEFORE
-    * last_ts + gap (end-exclusive), so an event exactly gap later starts a
-    * new session — note the `>=` here vs the hand-rolled w3_sessionize's `>`
-    * convention; both are gated, pinning the two semantics apart. The oracle
-    * replays gaps-and-islands with EXACT timestamp arithmetic (no epoch
-    * flooring — session_window compares raw event times).
+  /** Native `session_window` (the third Structured Streaming window shape).
+    * MEASURED convention (streaming AND batch, StreamingSpec pins both): a
+    * session's window is `[first, last + gap]`-touching — an event landing
+    * EXACTLY `gap` after the last still MERGES (adjacent windows touch), and
+    * only a strictly-larger silence starts a new session. Round 8 documented
+    * this operator as `>=`-starts-new; that was WRONG, and the oracle only
+    * passed because the generated events never land an exact-gap pair. The
+    * gate now (a) encodes the true `>`-starts-new rule in raw-timestamp
+    * arithmetic (no epoch flooring — session_window compares raw times,
+    * unlike w3_sessionize's floored-seconds rule) and (b) UNIONS a
+    * constructed boundary family — reserved user −1 with events at exact
+    * 30-minute touches chained across the merge and one beyond — so the
+    * boundary semantics are load-bearing in the hash, not accidental.
     */
   private val st3SessionWindow = Q(
-    (s, d) => D.events(s, d)
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
-      .select(col("user_id"),
-        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
-        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
-        col("cnt"), col("sum_value"))
-      .orderBy("user_id", "sess_start"),
-    Some("""WITH marked AS (
+    (s, d) => {
+      import s.implicits._
+      val boundary = Seq(
+        // 10:00 → 10:30 → 11:00: two exact-gap touches chain into ONE
+        // session [10:00, 11:30); 12:00:00.001 is strictly beyond → new
+        (-1L, java.sql.Timestamp.valueOf("2026-03-01 10:00:00"), 1.0),
+        (-1L, java.sql.Timestamp.valueOf("2026-03-01 10:30:00"), 2.0),
+        (-1L, java.sql.Timestamp.valueOf("2026-03-01 11:00:00"), 3.0),
+        (-1L, new java.sql.Timestamp(
+          java.sql.Timestamp.valueOf("2026-03-01 11:30:00").getTime + 1L), 4.0))
+        .toDF("user_id", "ts", "value")
+      D.events(s, d).select("user_id", "ts", "value")
+        .unionByName(boundary)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+          col("cnt"), col("sum_value"))
+        .orderBy("user_id", "sess_start")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, ts, value FROM events
+           |  UNION ALL
+           |  SELECT * FROM (VALUES
+           |    (CAST(-1 AS BIGINT), TIMESTAMP '2026-03-01 10:00:00', 1.0),
+           |    (CAST(-1 AS BIGINT), TIMESTAMP '2026-03-01 10:30:00', 2.0),
+           |    (CAST(-1 AS BIGINT), TIMESTAMP '2026-03-01 11:00:00', 3.0),
+           |    (CAST(-1 AS BIGINT), TIMESTAMP '2026-03-01 11:30:00.001', 4.0)
+           |  ) AS b(user_id, ts, value)),
+           |marked AS (
            |  SELECT user_id, ts, value,
            |    CASE WHEN lag(ts) OVER w IS NULL
-           |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
-           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+           |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
            |sess AS (SELECT user_id, ts, value,
            |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
            |  FROM marked)

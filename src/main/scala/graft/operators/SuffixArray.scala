@@ -110,7 +110,8 @@ object SuffixArray {
     * pass 2 assigns rank = partition base + local class index from the
     * broadcast offsets.
     */
-  private def globalDenseRank(df: DataFrame, keyCols: Seq[String], rankCol: String): Ranked = {
+  private def globalDenseRank(df: DataFrame, keyCols: Seq[String], rankCol: String,
+                              numPartitions: Int = 0): Ranked = {
     val spark = df.sparkSession
     val nKeys = keyCols.length
     // The range exchange runs a SAMPLING job over its input before the
@@ -120,10 +121,17 @@ object SuffixArray {
     // (by then the shuffle files exist and the sorted RDD is persisted).
     val input = df.select((Seq("id", "off") ++ keyCols).map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sorted = input
-      .repartitionByRange(keyCols.map(col): _*)
+    val sorted = (if (numPartitions > 0)
+        input.repartitionByRange(numPartitions, keyCols.map(col): _*)
+      else input.repartitionByRange(keyCols.map(col): _*))
       .sortWithinPartitions(keyCols.map(col): _*)
-    val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // SERIALIZED storage: the loop legitimately holds two rounds' sorted
+    // RDDs at once (previous released only after the next round's pass-1
+    // collect), and deserialized Row objects cost ~2-4× their serialized
+    // bytes — at 100M+ positions the difference is the single-JVM heap
+    // (SCALE.md's 100× OOM). Serialized blocks also evict/spill whole,
+    // without the GC churn of object graphs.
+    val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK_SER)
     // Pass 1: (first key, last key, #rows, #classes) per partition. Keys are
     // small Seq[Any] (longs / the id value); only boundary EQUALITY is checked
     // on the driver — ordering already happened in the range exchange.
@@ -184,9 +192,28 @@ object SuffixArray {
     * first-`width` characters of each suffix, eagerly materialized
     * (localCheckpoint) so every round's cache is released here.
     */
+  /** Partition count sized to the POSITION count, not the session default:
+    * per-task sort/rank state stays ~`rowsPerPartition` rows (~100–200 MB)
+    * no matter how big the corpus — the "more partitions" prescription from
+    * the round-8 100× OOM (SCALE.md), applied automatically. Never below
+    * the session's `spark.sql.shuffle.partitions` (small corpora keep their
+    * parallelism), capped at 4096 (a 100 TB corpus shards by doc range
+    * upstream before any single suffix job sees it all).
+    */
+  private def autoPartitions(spark: org.apache.spark.sql.SparkSession,
+                             positions: Long): Int = {
+    val rowsPerPartition = 2000000L
+    val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    math.max(base, math.min(4096L, positions / rowsPerPartition + 1L).toInt)
+  }
+
   private def ranksToWidth(docs: DataFrame, idCol: String, textCol: String,
                            targetLen: Int, exact: Boolean): DataFrame = {
     require(targetLen >= 1, "targetLen must be >= 1")
+    // one narrow scan: the exploded position count drives the partition count
+    val positions = docs.agg(coalesce(sum(length(col(textCol))), lit(0L))
+      .cast("long")).head.getLong(0)
+    val nParts = autoPartitions(docs.sparkSession, positions)
     // Seed as wide as the packing allows: for an all-ASCII corpus the first
     // round already ranks 9-char prefixes (and range-partitions on a
     // high-cardinality key instead of ~60 raw char codes), cutting the
@@ -196,7 +223,7 @@ object SuffixArray {
     val seedWidth =
       if (targetLen > 1 && asciiSeedSafe(docs, textCol)) math.min(9, targetLen) else 1
     var current = globalDenseRank(
-      charPositions(docs, idCol, textCol, seedWidth), Seq("r"), "r")
+      charPositions(docs, idCol, textCol, seedWidth), Seq("r"), "r", nParts)
     var width = seedWidth
     var converged = false
     while (width < targetLen && current.classes < current.rows && !converged) {
@@ -204,7 +231,7 @@ object SuffixArray {
       val perDoc = Window.partitionBy("id").orderBy("off")
       val paired = current.df
         .withColumn("r2", coalesce(lead(col("r"), k).over(perDoc), lit(-1L)))
-      val next = globalDenseRank(paired, Seq("r", "r2"), "r")
+      val next = globalDenseRank(paired, Seq("r", "r2"), "r", nParts)
       // PLATEAU EXIT: classes only ever split (the new key embeds the old
       // rank), so an unchanged count means the partition itself is unchanged
       // — i.e. equal-on-w implies equal-on-(w+k) for every pair. Applying
@@ -236,10 +263,12 @@ object SuffixArray {
     * tie-break by (id, off), so ranks are a permutation of 1..n.
     */
   def suffixArray(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val maxLen = docs.agg(coalesce(max(length(col(textCol))), lit(0)))
-      .head.getInt(0)
+    val agg = docs.agg(coalesce(max(length(col(textCol))), lit(0)).as("m"),
+      coalesce(sum(length(col(textCol))), lit(0L)).cast("long").as("n")).head
+    val (maxLen, positions) = (agg.getInt(0), agg.getLong(1))
     val ranked = ranksToWidth(docs, idCol, textCol, math.max(maxLen, 1), exact = false)
-    val tied = globalDenseRank(ranked, Seq("r", "id", "off"), "sa_rank")
+    val tied = globalDenseRank(ranked, Seq("r", "id", "off"), "sa_rank",
+      autoPartitions(docs.sparkSession, positions))
     val out = tied.df.localCheckpoint()
     tied.handle.unpersist(blocking = false)
     out.withColumnRenamed("id", idCol)

@@ -199,6 +199,37 @@ object StreamingUpdate {
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_end: java.sql.Timestamp, n_events: Long, duration_s: Long)
 
+  /** Gap-based sessionization via the NATIVE `session_window` expression —
+    * the built-in streaming session shape (watermarked, append-mode-safe:
+    * a session emits once the watermark passes its end, and Spark's session
+    * state store merges overlapping windows per key without custom code).
+    *
+    * Convention (MEASURED, streaming and batch — StreamingSpec pins both):
+    * per-event windows `[ts, ts + gap]` merge when they overlap OR TOUCH,
+    * so an event arriving EXACTLY `gap` after the last still merges, and
+    * only a strictly-longer silence opens a new session — the `>`-starts-new
+    * rule the `st3_session_window` oracle gates with a constructed
+    * exact-boundary family (raw-timestamp arithmetic, no epoch flooring).
+    * The [[sessionize]] path below reaches the same `>`-rule through
+    * FLOORED-seconds comparison (w3_sessionize's convention), so the two
+    * agree except when sub-second parts straddle the flooring;
+    * StreamingSpec pins their agreement on whole-second data and
+    * streaming-vs-batch equality for this one. Prefer this path when the built-in semantics
+    * fit — it keeps the whole aggregation inside Catalyst (no Scala lambda
+    * state, no per-group object churn); reach for flatMapGroupsWithState
+    * only when the state shape is genuinely custom.
+    */
+  def sessionizeNative(
+      events: DataFrame, // streaming DF: ts timestamp, user_id long
+      gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** Gap-based sessionization with CUSTOM state — `flatMapGroupsWithState` with
     * an event-time timeout, the streaming twin of the batch `w3_sessionize`
     * query (same gap rule: a silence of more than `gapMinutes`, in floored

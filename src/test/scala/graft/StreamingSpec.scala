@@ -337,6 +337,80 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       (2L, ts(12, 0), 1L, 0L)))
   }
 
+  test("native session_window streaming agg: batch parity + merge-on-touch gap rule") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, Long)]
+    val events = stream.toDF().toDF("ts", "user_id")
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+    val q = StreamingUpdate.sessionizeNative(events, gap = "30 minutes",
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+
+    // u1: 10:00 + 10:05 (one session), then 11:30 (new). u2: 10:00, then
+    // 10:30 — EXACTLY the gap later: the native expression MERGES touching
+    // windows ([10:00,10:30] + [10:30,11:00] → one session), the rule the
+    // st3 oracle's constructed boundary family gates; only a silence
+    // STRICTLY longer than the gap starts a new session.
+    val data = Seq(
+      (ts(10, 0), 1L), (ts(10, 5), 1L), (ts(11, 30), 1L),
+      (ts(10, 0), 2L), (ts(10, 30), 2L))
+    stream.addData(data: _*)
+    q.processAllAvailable()
+    // advance the watermark far past every session end so append emits all
+    stream.addData((ts(23, 0), 99L))
+    q.processAllAvailable()
+    stream.addData((ts(23, 1), 99L))
+    q.processAllAvailable()
+    q.stop()
+
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val streamed = canon(spark.table("native_sessions")
+      .filter($"user_id" =!= 99L)
+      .select("user_id", "session_start", "session_end", "n_events").collect())
+
+    // merge-on-touch: u2's exact-gap pair is ONE session spanning both
+    assert(streamed === Set(
+      (1L, ts(10, 0), ts(10, 35), 2L),
+      (1L, ts(11, 30), ts(12, 0), 1L),
+      (2L, ts(10, 0), ts(11, 0), 2L)))
+
+    // batch parity: the SAME expression over the same rows as a static DF
+    // (the st3-gated batch twin) produces identical sessions — the streaming
+    // state store and the batch merge agree
+    val batch = canon(StreamingUpdate.sessionizeNative(
+        data.toDF("ts", "user_id"), gap = "30 minutes")
+      .collect())
+    assert(batch === streamed)
+
+    // the custom-state path agrees on EVERY session here, u2's exact-gap
+    // pair included: its floored-seconds `<= gap` merge and the native
+    // merge-on-touch coincide at whole-second boundaries (they part only
+    // when sub-second diffs straddle the flooring)
+    val stream2 = MemoryStream[(Timestamp, Long)]
+    val q2 = StreamingUpdate.sessionize(
+        stream2.toDF().toDF("ts", "user_id"), gapMinutes = 30,
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("stateful_sessions2")
+      .outputMode("append").start()
+    stream2.addData(data: _*)
+    q2.processAllAvailable()
+    stream2.addData((ts(23, 0), 99L)); q2.processAllAvailable()
+    stream2.addData((ts(23, 1), 99L)); q2.processAllAvailable()
+    q2.stop()
+    val stateful = spark.table("stateful_sessions2")
+      .filter($"user_id" =!= 99L)
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(stateful === streamed.map(s => (s._1, s._2, s._4)))
+    ()
+  }
+
   test("streaming near-dedup by simhash drops same-fingerprint replays") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
