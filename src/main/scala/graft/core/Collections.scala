@@ -578,6 +578,11 @@ final class CollectionManager(
     */
   def compactBm25(name: String): Unit = bm25Indexer(name).compact()
 
+  /** Size of the BM25 delta/tombstone tail — the compact-or-not signal
+    * (listing only, no data read).
+    */
+  def bm25TailBytes(name: String): Long = bm25Indexer(name).tailBytes
+
   def reindex(name: String): Unit = {
     bm25Indexer(name).index(this.chunks(name))
     if (ivfIndex(name).isDefined) {

@@ -57,7 +57,8 @@ object StreamingUpdate {
       checkpointDir: String,
       appendIvf: Boolean = false,
       dedupOnArrival: Boolean = false,
-      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactTailBytes: Long = 64L << 20): DataStreamWriter[org.apache.spark.sql.Row] = {
     // once per stream start: heal documents that have no signature (a crash
     // between cm.update and the sig upsert leaves them un-gated forever —
     // fsck's doc_without_dedup_sig check is the audit twin of this repair)
@@ -112,6 +113,14 @@ object StreamingUpdate {
                 ivf.append(cm.chunks(collectionName)
                   .join(batchIds, col("documentId") === col("id"), "left_semi"))
               }
+              // each update appends a BM25 delta segment + tombstones (LSM);
+              // a long-running watcher would grow the tail without bound —
+              // fold it back once it outweighs a batch-churn budget. The
+              // listing is two getContentSummary calls; compaction itself
+              // only triggers ∝ accumulated churn, so the amortized cost per
+              // batch stays proportional to the batch.
+              if (cm.bm25TailBytes(collectionName) > compactTailBytes)
+                cm.compactBm25(collectionName)
             }
             if (incoming ne batch) incoming.unpersist()
           }

@@ -32,13 +32,22 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     stream.addData(
       ("s2", "u2", "second document about vector search"),
       ("s1", "u1", "first document rewritten entirely"))
-    val q2 = StreamingUpdate.collectionUpdateWriter(docs, cm, "live", s"$tmp/ckpt").start()
+    // compactTailBytes = 0: every batch's BM25 delta/tombstone tail folds
+    // back immediately — the long-running-watcher bound, exercised per batch
+    val q2 = StreamingUpdate.collectionUpdateWriter(docs, cm, "live", s"$tmp/ckpt",
+      compactTailBytes = 0L).start()
     q2.awaitTermination(60000)
 
     val m = cm.readManifest("live")
     assert(m.numberOfDocuments === 2) // s1 replaced, s2 added
     assert(cm.chunks("live").filter(col("indexedData").contains("rewritten")).count() > 0)
     assert(cm.chunks("live").filter(col("indexedData").contains("about spark")).count() === 0)
+    // the tail compacted: no delta/tombstone dirs survive the batch, and the
+    // folded index still serves the replacement content
+    assert(cm.bm25TailBytes("live") === 0L)
+    assert(!new java.io.File(s"$tmp/coll/live/indexes/bm25/postings_delta").exists)
+    val hits = cm.search("live", "rewritten", indexNames = Some(Seq("bm25"))).collect()
+    assert(hits.map(_.getString(0)).contains("s1"))
   }
 
   test("watch CLI e2e: files dropped into a dir appear in search; IVF appends per batch") {
