@@ -3922,6 +3922,51 @@ object Queries {
            |  CAST(greatest(1, ceil((length(text) + CASE WHEN doc_id % 7 = 0 THEN 8 ELSE 0 END - 100) / 300.0)) AS BIGINT) AS n_chunks
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** The BUCKETED collection lifecycle gated end to end on REAL on-disk
+    * state: create (16 buckets) → incremental update (doc_id % 7 re-read
+    * with appended text; only dirty buckets rewrite) → delete (doc_id % 13;
+    * dirty buckets again) through [[graft.core.CollectionManager]], then the
+    * surviving chunks table is the result. Docs are pre-chunked (one chunk =
+    * full text) so the gate isolates the update/bucketing semantics — the
+    * splitter has its own gates (split_recursive, m1b). Gated facts, per
+    * doc: the post-lifecycle indexed text hash (anti-join + replace routed
+    * through pmod(hash(id), 16) bucket dirs), the chunk-id-past-HWM flag
+    * (id sequence continues across a bucketed update), and survival
+    * (bucketed delete removes exactly the requested ids).
+    */
+  private val j3bBucketedLifecycle = Q(
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
+      val cm = new graft.core.CollectionManager(
+        s, tmp, graft.functions.HashingEmbedder.default)
+      def asDocs(df: DataFrame) = df.select(
+        col("doc_id").cast("string").as("id"),
+        concat(lit("doc://"), col("doc_id")).as("url"),
+        map(lit("lang"), col("lang")).as("metadata"),
+        col("text"),
+        array(struct(col("text").as("indexedData"),
+          map().cast("map<string,string>").as("metadata"))).as("chunks"))
+      val docs = D.documents(s, d)
+      cm.create("j3b", asDocs(docs), nBuckets = 16)
+      val hwm = cm.readManifest("j3b").lastIndexItemId
+      cm.update("j3b", asDocs(docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" updated")))))
+      val delIds = docs.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id").cast("string")).collect().map(_.getString(0)).toSeq
+      cm.delete("j3b", delIds)
+      cm.chunks("j3b")
+        .groupBy(col("documentId").cast("long").as("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          (min("chunkId") > hwm).as("replaced"),
+          md5(max("indexedData").cast("binary")).as("h"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(1 AS BIGINT) AS n_chunks,
+           |  (doc_id % 7 = 0) AS replaced,
+           |  md5(text || CASE WHEN doc_id % 7 = 0 THEN ' updated' ELSE '' END) AS h
+           |FROM documents WHERE doc_id % 13 <> 0
+           |ORDER BY doc_id""".stripMargin))
+
   private val j4SemiAnti = Q(
     (s, d) => {
       val c = D.customer(s, d); val o = D.orders(s, d); val n = D.nation(s, d)
@@ -5121,6 +5166,7 @@ object Queries {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "j3_incremental_update" -> j3IncrementalUpdate,
+    "j3b_bucketed_lifecycle" -> j3bBucketedLifecycle,
     "j4_semi_anti" -> j4SemiAnti,
     "j5_asof_join" -> j5AsofJoin,
     "j6_range_join" -> j6RangeJoin,

@@ -111,7 +111,8 @@ object SuffixArray {
     * broadcast offsets.
     */
   private def globalDenseRank(df: DataFrame, keyCols: Seq[String], rankCol: String,
-                              numPartitions: Int = 0): Ranked = {
+                              numPartitions: Int = 0,
+                              serialized: Boolean = false): Ranked = {
     val spark = df.sparkSession
     val nKeys = keyCols.length
     // The range exchange runs a SAMPLING job over its input before the
@@ -125,13 +126,18 @@ object SuffixArray {
         input.repartitionByRange(numPartitions, keyCols.map(col): _*)
       else input.repartitionByRange(keyCols.map(col): _*))
       .sortWithinPartitions(keyCols.map(col): _*)
-    // SERIALIZED storage: the loop legitimately holds two rounds' sorted
-    // RDDs at once (previous released only after the next round's pass-1
-    // collect), and deserialized Row objects cost ~2-4× their serialized
-    // bytes — at 100M+ positions the difference is the single-JVM heap
-    // (SCALE.md's 100× OOM). Serialized blocks also evict/spill whole,
-    // without the GC churn of object graphs.
-    val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // SERIALIZED storage above the position threshold (see ranksToWidth):
+    // the loop legitimately holds two rounds' sorted RDDs at once (previous
+    // released only after the next round's pass-1 collect), and deserialized
+    // Row objects cost ~2-4× their serialized bytes — at 100M+ positions the
+    // difference is the single-JVM heap (SCALE.md's 100× OOM). Serialized
+    // blocks also evict/spill whole, without the GC churn of object graphs.
+    // Below the threshold the deserialized level keeps the fast path
+    // (SER costs ~1.5-1.7× wall on the big runs; don't pay it when the
+    // working set fits).
+    val rdd = sorted.rdd.persist(
+      if (serialized) StorageLevel.MEMORY_AND_DISK_SER
+      else StorageLevel.MEMORY_AND_DISK)
     // Pass 1: (first key, last key, #rows, #classes) per partition. Keys are
     // small Seq[Any] (longs / the id value); only boundary EQUALITY is checked
     // on the driver — ordering already happened in the range exchange.
@@ -214,6 +220,10 @@ object SuffixArray {
     val positions = docs.agg(coalesce(sum(length(col(textCol))), lit(0L))
       .cast("long")).head.getLong(0)
     val nParts = autoPartitions(docs.sparkSession, positions)
+    // working set ~50 B/row × 2-3 live copies: past ~30M positions the
+    // deserialized copies contend with sort execution for a single JVM's
+    // heap — switch the loop's persists to serialized storage
+    val ser = positions > 30000000L
     // Seed as wide as the packing allows: for an all-ASCII corpus the first
     // round already ranks 9-char prefixes (and range-partitions on a
     // high-cardinality key instead of ~60 raw char codes), cutting the
@@ -223,7 +233,7 @@ object SuffixArray {
     val seedWidth =
       if (targetLen > 1 && asciiSeedSafe(docs, textCol)) math.min(9, targetLen) else 1
     var current = globalDenseRank(
-      charPositions(docs, idCol, textCol, seedWidth), Seq("r"), "r", nParts)
+      charPositions(docs, idCol, textCol, seedWidth), Seq("r"), "r", nParts, ser)
     var width = seedWidth
     var converged = false
     while (width < targetLen && current.classes < current.rows && !converged) {
@@ -231,7 +241,7 @@ object SuffixArray {
       val perDoc = Window.partitionBy("id").orderBy("off")
       val paired = current.df
         .withColumn("r2", coalesce(lead(col("r"), k).over(perDoc), lit(-1L)))
-      val next = globalDenseRank(paired, Seq("r", "r2"), "r", nParts)
+      val next = globalDenseRank(paired, Seq("r", "r2"), "r", nParts, ser)
       // PLATEAU EXIT: classes only ever split (the new key embeds the old
       // rank), so an unchanged count means the partition itself is unchanged
       // — i.e. equal-on-w implies equal-on-(w+k) for every pair. Applying
@@ -268,7 +278,7 @@ object SuffixArray {
     val (maxLen, positions) = (agg.getInt(0), agg.getLong(1))
     val ranked = ranksToWidth(docs, idCol, textCol, math.max(maxLen, 1), exact = false)
     val tied = globalDenseRank(ranked, Seq("r", "id", "off"), "sa_rank",
-      autoPartitions(docs.sparkSession, positions))
+      autoPartitions(docs.sparkSession, positions), positions > 30000000L)
     val out = tied.df.localCheckpoint()
     tied.handle.unpersist(blocking = false)
     out.withColumnRenamed("id", idCol)
