@@ -71,39 +71,88 @@ final class CollectionManager(
 
   private def sigsPath(name: String) = s"${dir(name)}/indexes/minhash_sigs"
 
-  /** Persisted minhash signature table (`ex_id`, sig0..sig3) backing
-    * dedup-on-arrival ([[graft.operators.Dedup.incrementalNearDups]]'s
-    * `existingSigs` side), or None if never built. Narrow (5 columns, one row
-    * per document) — the incremental-dedup posture where the corpus text is
-    * never re-read.
+  /** Persisted minhash signature table backing dedup-on-arrival
+    * ([[graft.operators.Dedup.incrementalNearDups]]'s `existingSigs` side),
+    * or None if never built. Returns the LOGICAL view (`ex_id`, sig0..sig3 —
+    * one live row per document): physically the table is append-only
+    * versioned rows (`rev`, `deleted`) so upserts and deletes are O(batch)
+    * appends, and the view keeps each id's max-rev row and drops tombstones.
+    * The reader's argmax is one narrow groupBy over a 7-column table —
+    * [[compactSigs]] folds the history when the tail has grown. A
+    * pre-versioning table (no `rev` column) reads as rev 0 unchanged.
     */
   def minhashSigs(name: String): Option[DataFrame] =
-    if (fs.exists(new Path(sigsPath(name))))
-      Some(spark.read.parquet(sigsPath(name)))
-    else None
+    if (fs.exists(new Path(sigsPath(name)))) {
+      val raw = spark.read.parquet(sigsPath(name))
+      if (!raw.columns.contains("rev")) Some(raw)
+      else Some(raw
+        .groupBy("ex_id")
+        .agg(max_by(struct("sig0", "sig1", "sig2", "sig3", "deleted"), col("rev"))
+          .as("_latest"))
+        .filter(!col("_latest.deleted"))
+        .select(col("ex_id"), col("_latest.sig0").as("sig0"),
+          col("_latest.sig1").as("sig1"), col("_latest.sig2").as("sig2"),
+          col("_latest.sig3").as("sig3")))
+    } else None
+
+  /** Next revision number + legacy migration: a pre-versioning table (plain
+    * ex_id..sig3) rewrites ONCE to versioned rows at rev 0, then every
+    * append/delete is an O(batch) append at max(rev)+1. Single-writer
+    * discipline (the collection design's standing assumption) makes the
+    * read-increment safe.
+    */
+  private def nextSigRev(name: String): Long =
+    if (!fs.exists(new Path(sigsPath(name)))) 0L
+    else {
+      val raw = spark.read.parquet(sigsPath(name))
+      if (!raw.columns.contains("rev")) {
+        val staging = s"${sigsPath(name)}__staging"
+        raw.withColumn("rev", lit(0L)).withColumn("deleted", lit(false))
+          .write.mode(SaveMode.Overwrite).parquet(staging)
+        swap(staging, sigsPath(name))
+        1L
+      } else
+        raw.agg(coalesce(max("rev"), lit(-1L))).head().getLong(0) + 1L
+    }
 
   /** Upsert the minhash signatures of `docs` (id, text) into the signature
     * table, creating it on first call. Replace semantics per id: an id being
-    * re-appended prunes its previous revision first — a stale signature for
+    * re-appended supersedes its previous revision — a stale signature for
     * text no longer in the corpus would silently block genuinely new content
-    * that resembles the OLD revision (the same hazard [[delete]] prunes
-    * for). The prune is an anti-join rewrite of a 5-column table — narrow,
-    * but O(table) per call; fine at watch-tick frequency, batch your calls
-    * if ticking sub-second.
+    * that resembles the OLD revision (the same hazard [[delete]] handles).
+    * Cost: ONE appended segment per call (O(batch) rows); the replace is
+    * resolved at read time by [[minhashSigs]]'s argmax, so a ticking watcher
+    * never pays an O(table) rewrite per batch.
     */
   def appendMinhashSigs(name: String, docs: DataFrame): Unit = {
-    val fresh = graft.operators.Dedup
+    val rev = nextSigRev(name)
+    graft.operators.Dedup
       .minhashSignatures(docs.select("id", "text"), "id", "text")
       .withColumnRenamed("id", "ex_id")
-    if (fs.exists(new Path(sigsPath(name)))) {
-      val kept = spark.read.parquet(sigsPath(name))
-        .join(fresh.select("ex_id"), Seq("ex_id"), "left_anti")
-      val staging = s"${sigsPath(name)}__staging"
-      kept.unionByName(fresh).write.mode(SaveMode.Overwrite).parquet(staging)
-      swap(staging, sigsPath(name))
-    } else
-      fresh.write.mode("append").parquet(sigsPath(name))
+      .withColumn("rev", lit(rev)).withColumn("deleted", lit(false))
+      .write.mode("append").parquet(sigsPath(name))
   }
+
+  /** Fold the signature table's revision history into one live row per id
+    * (rev reset to 0) — bounds the reader's argmax input and the file count
+    * accreted by per-batch appends. Values unchanged by construction.
+    */
+  /** Total bytes of the signature table — the fold-or-not signal for the
+    * streaming writer (listing only; after a fold this IS the live-row size,
+    * so comparing against a budget bounds history growth to ~budget).
+    */
+  def sigHistoryBytes(name: String): Long = {
+    val p = new Path(sigsPath(name))
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  def compactSigs(name: String): Unit =
+    minhashSigs(name).foreach { live =>
+      val staging = s"${sigsPath(name)}__staging"
+      live.withColumn("rev", lit(0L)).withColumn("deleted", lit(false))
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+      swap(staging, sigsPath(name))
+    }
 
   // ------------------------------------------------------------------ manifest IO
 
@@ -473,13 +522,18 @@ final class CollectionManager(
         .refresh(this.chunks(name))
 
     // dedup-on-arrival signatures follow the documents: a deleted doc's stale
-    // signature must not block re-ingesting similar content later
+    // signature must not block re-ingesting similar content later. Append
+    // TOMBSTONE revisions (the versioned layout's delete) — O(ids), not an
+    // O(table) rewrite; minhashSigs' argmax view drops them at read time.
     if (fs.exists(new Path(sigsPath(name)))) {
-      val keptSigs = spark.read.parquet(sigsPath(name))
-        .join(idDf.select(col("id").as("ex_id")), Seq("ex_id"), "left_anti")
-      val sigsStaging = s"${sigsPath(name)}__staging"
-      keptSigs.write.mode(SaveMode.Overwrite).parquet(sigsStaging)
-      swap(sigsStaging, sigsPath(name))
+      val rev = nextSigRev(name)
+      idDf.select(col("id").as("ex_id"))
+        .withColumn("sig0", lit(null).cast("string"))
+        .withColumn("sig1", lit(null).cast("string"))
+        .withColumn("sig2", lit(null).cast("string"))
+        .withColumn("sig3", lit(null).cast("string"))
+        .withColumn("rev", lit(rev)).withColumn("deleted", lit(true))
+        .write.mode("append").parquet(sigsPath(name))
     }
 
     val stats = spark.read.parquet(chunksPath(name))
@@ -548,7 +602,9 @@ final class CollectionManager(
       ("ivf_size_matches_chunks", nChunks, ix.size)).toSeq
     val sigs =
       if (fs.exists(new Path(sigsPath(name)))) {
-        val sigIds = spark.read.parquet(sigsPath(name))
+        // the LOGICAL view: superseded revisions and tombstones are history,
+        // not inconsistency
+        val sigIds = minhashSigs(name).get
           .select(col("ex_id").as("id")).distinct()
         Seq(
           ("dedup_sigs_without_doc", 0L,

@@ -121,6 +121,11 @@ object StreamingUpdate {
               // batch stays proportional to the batch.
               if (cm.bm25TailBytes(collectionName) > compactTailBytes)
                 cm.compactBm25(collectionName)
+              // same bound for the signature table's revision history: every
+              // gated batch appends a segment; fold once the history
+              // outweighs the live rows' budget
+              if (dedupOnArrival && cm.sigHistoryBytes(collectionName) > compactTailBytes)
+                cm.compactSigs(collectionName)
             }
             if (incoming ne batch) incoming.unpersist()
           }

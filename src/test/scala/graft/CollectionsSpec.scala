@@ -241,6 +241,68 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
     assert(after("bm25_stray_postings") && after("ivf_size_matches_chunks"))
   }
 
+  test("versioned sig store: O(batch) upsert/delete, argmax view, compaction, legacy migration") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-sigs").toString
+    val cm = mkManager(tmp)
+    cm.create("cs", rawDocs(docsV1))
+    def view() = cm.minhashSigs("cs").get
+      .select("ex_id", "sig0").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // upsert: append d1+d2; re-append d1 with DIFFERENT text — the view keeps
+    // the latest revision only, and nothing rewrote (append-only: file count
+    // grows, no staging swap)
+    cm.appendMinhashSigs("cs", Seq(
+      ("d1", "original text for doc one"), ("d2", "text for doc two"))
+      .toDF("id", "text"))
+    val v1 = view()
+    cm.appendMinhashSigs("cs", Seq(
+      ("d1", "completely different rewritten content here"))
+      .toDF("id", "text"))
+    val v2 = view()
+    assert(v2.keySet === Set("d1", "d2"))
+    assert(v2("d2") === v1("d2"))
+    assert(v2("d1") !== v1("d1")) // superseded, not duplicated
+    // physically both revisions exist until compaction
+    assert(spark.read.parquet(s"$tmp/cs/indexes/minhash_sigs")
+      .filter(col("ex_id") === "d1").count() === 2)
+
+    // delete appends a tombstone: the id leaves the view, history remains
+    cm.delete("cs", Seq("d1"))
+    assert(view().keySet === Set("d2"))
+
+    // re-ingesting d1-like content later is NOT blocked by the tombstone
+    cm.appendMinhashSigs("cs", Seq(("d1", "third life of doc one"))
+      .toDF("id", "text"))
+    assert(view().keySet === Set("d1", "d2"))
+
+    // compaction folds to one live row per id; the view is unchanged
+    val before = view()
+    cm.compactSigs("cs")
+    assert(view() === before)
+    val folded = spark.read.parquet(s"$tmp/cs/indexes/minhash_sigs")
+    assert(folded.count() === 2)
+    assert(folded.select("rev").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
+
+    // legacy migration: a pre-versioning table (no rev column) reads as-is
+    // and upgrades in place on the first append
+    val legacyDir = s"$tmp/cl/indexes/minhash_sigs"
+    graft.operators.Dedup.minhashSignatures(
+        Seq(("x1", "legacy doc text")).toDF("id", "text"), "id", "text")
+      .withColumnRenamed("id", "ex_id")
+      .write.parquet(legacyDir)
+    cm.writeManifest(cm.readManifest("cs").copy(collectionName = "cl"), "cl")
+    assert(cm.minhashSigs("cl").get.select("ex_id").collect()
+      .map(_.getString(0)).toSeq === Seq("x1"))
+    cm.appendMinhashSigs("cl", Seq(("x2", "new doc text")).toDF("id", "text"))
+    val migrated = spark.read.parquet(legacyDir)
+    assert(migrated.columns.contains("rev"))
+    assert(cm.minhashSigs("cl").get.select("ex_id").collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("x1", "x2"))
+    assert(cm.sigHistoryBytes("cl") > 0L)
+  }
+
   // ------------------------------------------------------- bucketed layout
 
   /** (relative path → (length, mtime)) of every data file under `root` —
