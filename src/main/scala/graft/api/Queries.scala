@@ -1092,12 +1092,14 @@ object Queries {
   // ---------------------------------------------------------------------- BM25
 
   /** DuckDB CTEs computing BM25 (k1=1.2, b=0.75) over `documents` for searchTerms. */
-  private def bm25Sql(conjunctive: Boolean, k: Int): String = {
+  private def bm25Sql(conjunctive: Boolean, k: Int,
+                      from: String = "documents",
+                      tieBreak: String = "doc_id"): String = {
     val termList = searchTerms.map(t => s"'$t'").mkString(", ")
     val gate = if (conjunctive) s"WHERE matched = ${searchTerms.length}" else ""
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
-       |  FROM documents),
+       |  FROM $from),
        |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
        |corpus AS (SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ($termList) GROUP BY doc_id, term),
@@ -1110,7 +1112,7 @@ object Queries {
        |  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN corpus
        |  GROUP BY tf.doc_id),
        |gated AS (SELECT doc_id, score FROM scored $gate),
-       |topk AS (SELECT doc_id, score FROM gated ORDER BY round(score,5) DESC, doc_id LIMIT $k)
+       |topk AS (SELECT doc_id, score FROM gated ORDER BY round(score,5) DESC, $tieBreak LIMIT $k)
        |SELECT doc_id, round(score,5) AS score FROM topk""".stripMargin
   }
 
@@ -1142,6 +1144,42 @@ object Queries {
         .orderBy(col("score").desc, col("doc_id").asc)
     },
     Some(bm25Sql(conjunctive = true, 10) + " ORDER BY score DESC, doc_id"))
+
+  /** The LSM postings lifecycle gated at SEARCH time: full index build, then
+    * ONE incremental merge doing both delete (doc_id % 13 ids tombstone,
+    * nothing re-tokenized) and update (doc_id % 7 re-tokenize with appended
+    * text under FRESH ids past a 1e7 offset — removed ids never return, the
+    * tombstone-soundness contract), then a top-k search served from
+    * base ∪ delta ⊖ tombstones. The oracle replays BM25 over the
+    * post-lifecycle corpus, replicating the indexer's chunk-id tie-break
+    * (replaced docs carry the offset) so the k-boundary is engine-stable.
+    */
+  private val t2cBm25LsmSearch = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm25_lsm_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
+      idx.index(docs)
+      val removed = docs.filter(col("chunkId") % 13 === 0 || col("chunkId") % 7 === 0)
+        .select(col("chunkId").as("docId"))
+      val replacement = docs
+        .filter(col("chunkId") % 7 === 0 && col("chunkId") % 13 =!= 0)
+        .select((col("chunkId") + 10000000L).as("chunkId"),
+          concat(col("indexedData"), lit(" updated")).as("indexedData"))
+      idx.updateIncremental(removed, replacement)
+      idx.search(searchQuery, 10)
+        .select((col("chunkId") % 10000000L).as("doc_id"),
+          round(col("score"), 5).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
+    Some(bm25Sql(conjunctive = true, 10,
+      from = """(SELECT doc_id,
+                |   text || CASE WHEN doc_id % 7 = 0 THEN ' updated' ELSE '' END AS text
+                | FROM documents WHERE doc_id % 13 <> 0)""".stripMargin,
+      tieBreak = """(CASE WHEN doc_id % 7 = 0 THEN doc_id + 10000000 ELSE doc_id END)""")
+      + " ORDER BY score DESC, doc_id"))
 
   // ----------------------------------------------------------------------- RRF
 
@@ -5143,6 +5181,7 @@ object Queries {
     "t1b_vector_batch" -> t1bVectorBatch,
     "t2_bm25_topk" -> t2Bm25TopK,
     "t2b_bm25_postings" -> t2bBm25Postings,
+    "t2c_bm25_lsm_search" -> t2cBm25LsmSearch,
     "a1_rrf_fusion" -> a1RrfFusion,
     "a1b_weighted_rrf" -> a1bWeightedRrf,
     "a2_group_docs" -> a2GroupDocs,

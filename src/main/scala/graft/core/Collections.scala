@@ -344,7 +344,7 @@ final class CollectionManager(
     requireMatchingEmbedder(name)
     val changed = withChunks(changedRawDocs)
 
-    if (old.bucketCount > 0) {
+    val removedAndChanged = if (old.bucketCount > 0) {
       // ---- bucketed layout: touch only the buckets holding changed docs ----
       val n = old.bucketCount
       val changedIds = changed.select(col("id")).distinct()
@@ -388,13 +388,7 @@ final class CollectionManager(
         "documentId", n, chunksStaging, dirty.size)
       swapBuckets(chunksStaging, chunksPath(name), dirty)
 
-      // BM25: incremental postings merge — anti-join the removed chunks'
-      // postings out, tokenize ONLY the new chunks, recompute df/avgdl
-      // exactly (tokenize cost ∝ changed docs, not corpus)
-      val newPersistedChunks = this.chunks(name)
-        .join(changedDocIds, Seq("documentId"), "left_semi")
-      bm25Indexer(name).updateIncremental(removedChunkIds, newPersistedChunks)
-      removedChunkIds.unpersist()
+      (removedChunkIds, changedDocIds)
     } else {
       val oldDocs = spark.read.parquet(docsPath(name))
       val mergedDocs = oldDocs
@@ -421,25 +415,31 @@ final class CollectionManager(
       keptChunks.select(newChunks.columns.map(col): _*).unionByName(newChunks)
         .write.mode(SaveMode.Overwrite).parquet(chunksStaging)
       swap(chunksStaging, chunksPath(name))
-      // BM25: incremental postings merge here too — the flat layout still
-      // rewrites the postings table, but tokenization (the dominant shuffle:
-      // explode over every token of every doc) runs over the NEW chunks only
-      val newPersistedChunks = spark.read.parquet(chunksPath(name))
-        .join(changedDocIds, Seq("documentId"), "left_semi")
-      bm25Indexer(name).updateIncremental(removedChunkIds, newPersistedChunks)
-      removedChunkIds.unpersist()
+      (removedChunkIds, changedDocIds)
     }
-    // If an IVF index was built, refresh its assignment against the frozen
-    // centroids — otherwise vector_ivf would keep serving deleted chunks and
-    // miss the replacements (BM25 gets its rebuild above; IVF must follow).
-    // Streaming callers pass refreshIvf = false and APPEND only the batch's
-    // chunks instead (StreamingUpdate) — a full per-batch reassignment is the
-    // wrong cost shape for a ticking watcher, and doing both would
-    // double-index every batch.
+
+    val (removedChunkIds, changedDocIds) = removedAndChanged
+    // BM25: incremental postings merge — the removed chunks' postings
+    // tombstone out, tokenization (the dominant shuffle: explode over every
+    // token of every doc) runs over the NEW chunks only
+    val newPersistedChunks = this.chunks(name)
+      .join(changedDocIds, Seq("documentId"), "left_semi")
+    bm25Indexer(name).updateIncremental(removedChunkIds, newPersistedChunks)
+    // IVF follows the same incremental shape: tombstone the replaced chunk
+    // ids ALWAYS (otherwise vector_ivf keeps serving them), assign the new
+    // chunks against the frozen centroids when this call owns the refresh.
+    // Streaming callers pass refreshIvf = false and APPEND the batch's
+    // chunks themselves (StreamingUpdate) — assigning here too would
+    // double-index every batch; the tombstones close the stale-replacement
+    // gap the append-only path used to carry.
     val ivfDir = s"${dir(name)}/indexes/ivf"
-    if (refreshIvf && fs.exists(new Path(s"$ivfDir/centroids")))
-      new graft.operators.IvfVectorIndexer(spark, ivfDir, embedder)
-        .refresh(this.chunks(name))
+    if (fs.exists(new Path(s"$ivfDir/centroids"))) {
+      val ivf = new graft.operators.IvfVectorIndexer(spark, ivfDir, embedder)
+      val removedAsChunk = removedChunkIds.select(col("docId").as("chunkId"))
+      if (refreshIvf) ivf.refreshIncremental(removedAsChunk, newPersistedChunks)
+      else ivf.removeIds(removedAsChunk)
+    }
+    removedChunkIds.unpersist()
 
     val stats = spark.read.parquet(chunksPath(name))
       .agg(count("*").as("n"), coalesce(max("chunkId"), lit(-1L)).as("maxId"),
@@ -512,14 +512,16 @@ final class CollectionManager(
     }
 
     // delete = update's removal half: postings of the removed chunks anti-join
-    // out, nothing tokenizes, df/avgdl re-derive exactly
+    // out, nothing tokenizes, df/avgdl re-derive exactly; IVF tombstones the
+    // same ids (O(ids) append — removedChunkIds came from the live chunks
+    // table, so every tombstone kills exactly one assigned row)
     bm25Indexer(name).updateIncremental(
       removedChunkIds, this.chunks(name).limit(0))
-    removedChunkIds.unpersist()
     val ivfDir = s"${dir(name)}/indexes/ivf"
     if (fs.exists(new Path(s"$ivfDir/centroids")))
       new graft.operators.IvfVectorIndexer(spark, ivfDir, embedder)
-        .refresh(this.chunks(name))
+        .removeIds(removedChunkIds.select(col("docId").as("chunkId")))
+    removedChunkIds.unpersist()
 
     // dedup-on-arrival signatures follow the documents: a deleted doc's stale
     // signature must not block re-ingesting similar content later. Append

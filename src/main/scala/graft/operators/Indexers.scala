@@ -299,6 +299,24 @@ final class IvfVectorIndexer(
 
   private def assignedPath = s"$indexDir/assigned"
   private def centroidsPath = s"$indexDir/centroids"
+  private def tombstonesPath = s"$indexDir/tombstones"
+
+  private def fsys = new org.apache.hadoop.fs.Path(indexDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The LOGICAL assignment table: the listId-partitioned rows minus
+    * tombstoned chunk ids ([[removeIds]]). `pre` applies BEFORE the
+    * anti-join so a probe's listId filter stays a PartitionFilters
+    * file-skip; the tombstone join is unhinted (AQE broadcasts a small
+    * tail, [[compact]] keeps it small).
+    */
+  def assignedTable(pre: DataFrame => DataFrame = identity): DataFrame = {
+    val base = pre(spark.read.parquet(assignedPath))
+    if (fsys.exists(new org.apache.hadoop.fs.Path(tombstonesPath)))
+      base.join(spark.read.parquet(tombstonesPath).select("chunkId"),
+        Seq("chunkId"), "left_anti")
+    else base
+  }
 
   def index(chunks: DataFrame): Unit = {
     // deterministic=true trades MLlib's k-means for the bit-reproducible
@@ -310,6 +328,7 @@ final class IvfVectorIndexer(
       else Ann.buildIvf(chunks, "embedding", nLists, seed)
     ivf.assigned.write.mode(SaveMode.Overwrite)
       .partitionBy("listId").parquet(assignedPath)
+    fsys.delete(new org.apache.hadoop.fs.Path(tombstonesPath), true)
     import spark.implicits._
     ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("listId", "centroid")
@@ -332,14 +351,61 @@ final class IvfVectorIndexer(
     writeAssigned(chunks, SaveMode.Append)
 
   /** Re-derive the WHOLE assignment from the current chunks table against the
-    * frozen centroids — the post-update refresh: deletions leave the index,
-    * replacements enter it, one assignLists pass, no k-means re-fit. (The
-    * incremental alternative — anti-join the assigned table by documentId +
-    * [[append]] — wins when updates are a small fraction; the full reassign
-    * keeps this path simple and exact, mirroring the BM25 rebuild choice.)
+    * frozen centroids — the full-reassign repair: deletions leave the index,
+    * replacements enter it, one assignLists pass, no k-means re-fit. Clears
+    * any tombstone tail (the rewrite IS the fold). Incremental updates take
+    * [[refreshIncremental]] instead — cost ∝ changed chunks.
     */
-  def refresh(chunks: DataFrame): Unit =
+  def refresh(chunks: DataFrame): Unit = {
     writeAssigned(chunks, SaveMode.Overwrite)
+    fsys.delete(new org.apache.hadoop.fs.Path(tombstonesPath), true)
+  }
+
+  /** Tombstone chunk ids out of the logical assignment — O(ids) append; the
+    * listId partition dirs are never opened. [[assignedTable]] drops them at
+    * read time, [[compact]] folds them away physically.
+    */
+  def removeIds(chunkIds: DataFrame): Unit =
+    chunkIds.select(col("chunkId"))
+      .write.mode(SaveMode.Append).parquet(tombstonesPath)
+
+  /** The incremental post-update refresh: tombstone the replaced/deleted
+    * chunk ids (O(ids) append) and assign ONLY the new chunks against the
+    * frozen centroids (dynamic partition append into their lists). Write IO
+    * ∝ changed chunks, vs [[refresh]]'s full-table reassign. Chunk-id
+    * global uniqueness (the manifest high-water mark) is what makes the
+    * tombstones sound — a removed id can never be re-assigned.
+    */
+  def refreshIncremental(removedChunkIds: DataFrame, newChunks: DataFrame): Unit = {
+    removeIds(removedChunkIds)
+    append(newChunks)
+  }
+
+  /** Fold the tombstone tail into the partitioned layout: rewrite the
+    * assigned dirs minus tombstones, drop the tail. No-op when empty.
+    */
+  def compact(): Unit = {
+    if (!fsys.exists(new org.apache.hadoop.fs.Path(tombstonesPath))) return
+    // stage-and-swap: Spark refuses a direct self-overwrite of a path the
+    // plan reads, and the rename keeps the whole-old-or-whole-new posture
+    val staging = assignedPath + "__staging"
+    assignedTable().write.mode(SaveMode.Overwrite)
+      .partitionBy("listId").parquet(staging)
+    val fs = fsys
+    val t = new org.apache.hadoop.fs.Path(assignedPath)
+    val backup = new org.apache.hadoop.fs.Path(assignedPath + "__old")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(t)) fs.rename(t, backup)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), t)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath), true)
+  }
+
+  /** Bytes in the tombstone tail — the compact-or-not signal. */
+  def tailBytes: Long = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath)
+    if (fsys.exists(p)) fsys.getContentSummary(p).getLength else 0L
+  }
 
   private def writeAssigned(chunks: DataFrame, mode: SaveMode): Unit = {
     val cents = centroids().sortBy(_._1).map(_._2)
@@ -357,15 +423,19 @@ final class IvfVectorIndexer(
     }
     val probes = centroids().map { case (i, c) => (l2(c), i) }
       .sortBy(_._1).take(nProbe).map(_._2)
-    // listId is a partition column: isin => PartitionFilters => file skip.
-    val scanned = spark.read.parquet(assignedPath)
-      .filter(col("listId").isin(probes: _*))
+    // listId is a partition column: isin => PartitionFilters => file skip;
+    // the tombstone anti-join applies AFTER the pruned scan.
+    val scanned = assignedTable(_.filter(col("listId").isin(probes: _*)))
     Search.vectorTopK(scanned, "embedding", q, k, "l2", metadataFilter)
       .select(col("chunkId"), col("score"))
   }
 
-  /** Footer-metadata count over the listId partition dirs — no scan job. */
-  def size: Long = graft.core.ParquetMeta.rowCount(spark, assignedPath)
+  /** Footer-metadata count over the listId partition dirs minus the
+    * tombstone tail — still no scan job (ids are unique, every tombstone
+    * kills exactly one assigned row).
+    */
+  def size: Long = graft.core.ParquetMeta.rowCount(spark, assignedPath) -
+    graft.core.ParquetMeta.rowCount(spark, tombstonesPath)
 }
 
 object Indexers {

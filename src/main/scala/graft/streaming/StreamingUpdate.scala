@@ -126,6 +126,12 @@ object StreamingUpdate {
               // outweighs the live rows' budget
               if (dedupOnArrival && cm.sigHistoryBytes(collectionName) > compactTailBytes)
                 cm.compactSigs(collectionName)
+              // IVF tombstones (replaced docs' old vectors) under the same
+              // budget — the append-only streaming path accretes them per
+              // batch of re-ingested documents
+              cm.ivfIndex(collectionName).foreach { ivf =>
+                if (ivf.tailBytes > compactTailBytes) ivf.compact()
+              }
             }
             if (incoming ne batch) incoming.unpersist()
           }

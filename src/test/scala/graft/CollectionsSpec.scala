@@ -128,12 +128,21 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
         "rewritten deployment instructions\nnow with containers")))
     cm.update("c5", changed)
 
-    // the IVF assignment must mirror the merged chunks table exactly
-    val assigned = spark.read.parquet(s"$tmp/c5/indexes/ivf/assigned")
+    // the LOGICAL IVF assignment (tombstones applied) must mirror the merged
+    // chunks table exactly; the physical dirs may retain tombstoned rows
+    // until compaction — that history must never serve
+    val ivf = cm.ivfIndex("c5").get
+    val assigned = ivf.assignedTable()
     val chunks = cm.chunks("c5")
     assert(assigned.count() === chunks.count())
+    assert(ivf.size === chunks.count()) // footer-count path agrees
     assert(assigned.join(chunks.select("chunkId"), Seq("chunkId"), "left_anti")
       .count() === 0, "ivf index serves chunk ids absent from the chunks table")
+    // compaction folds the tombstones physically; the view is unchanged
+    ivf.compact()
+    assert(ivf.tailBytes === 0L)
+    assert(spark.read.parquet(s"$tmp/c5/indexes/ivf/assigned")
+      .join(chunks.select("chunkId"), Seq("chunkId"), "left_anti").count() === 0)
     // and IVF search reflects the replacement text, not the deleted one
     val hits = cm.search("c5", "containers deployment",
       indexNames = Some(Seq("vector_ivf")), includeText = true).collect()
@@ -164,10 +173,12 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
     assert(cm.chunks("c6").filter(col("documentId") === "d2").count() === 0)
     // high-water mark survives the delete: later additions never reuse ids
     assert(m2.lastIndexItemId === m1.lastIndexItemId)
-    // every index stopped serving the deleted doc
-    val assigned = spark.read.parquet(s"$tmp/c6/indexes/ivf/assigned")
+    // every index stopped serving the deleted doc (logical view: the
+    // delete appended IVF tombstones instead of rewriting the lists)
+    val assigned = cm.ivfIndex("c6").get.assignedTable()
     assert(assigned.join(cm.chunks("c6").select("chunkId"), Seq("chunkId"), "left_anti")
       .count() === 0)
+    assert(cm.ivfIndex("c6").get.size === cm.chunks("c6").count())
     assert(cm.search("c6", "deploy script")
       .collect().forall(_.getString(0) != "d2"))
   }
