@@ -121,7 +121,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     //     sketch_quantile_hist, pca_top_component
     //   - one-row corpus-stats / bounded query-table cross joins (BM25 N+avgdl,
     //     the ≤25-row query-vector batches, the labeled eval query set, search
-    //     query stats): t2_bm25_topk, t2b_bm25_postings, t1b_vector_batch,
+    //     query stats): t2_bm25_topk, t2b_bm25_postings, t2c_bm25_lsm_search
+    //     (same one-row corpus-stats cross join as t2b, served from the LSM
+    //     view), t1b_vector_batch,
     //     ann_recall_eval, eval_mrr, a1_rrf_fusion, a1b_weighted_rrf,
     //     a2_group_docs, text_collocations, text_keywords
     // A NEW name below means a non-equi join may be broadcasting an unbounded
@@ -131,7 +133,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       "eval_mrr", "events_funnel", "pca_top_component", "q11_important_stock",
       "q15_top_supplier", "q22_no_orders", "sketch_quantile_hist",
       "t1b_vector_batch", "t2_bm25_topk", "t2b_bm25_postings",
-      "text_collocations", "text_js_divergence", "text_keywords")
+      "t2c_bm25_lsm_search", "text_collocations", "text_js_divergence",
+      "text_keywords")
     val singlePartition = scala.collection.mutable.SortedSet.empty[String]
     val bnlj = scala.collection.mutable.SortedSet.empty[String]
     Queries.all.keys.toSeq.sorted.filterNot(allowed).foreach { name =>
