@@ -1146,11 +1146,12 @@ object Queries {
     Some(bm25Sql(conjunctive = true, 10) + " ORDER BY score DESC, doc_id"))
 
   /** The LSM postings lifecycle gated at SEARCH time: full index build, then
-    * ONE incremental merge doing both delete (doc_id % 13 ids tombstone,
-    * nothing re-tokenized) and update (doc_id % 7 re-tokenize with appended
-    * text under FRESH ids past a 1e7 offset — removed ids never return, the
-    * tombstone-soundness contract), then a top-k search served from
-    * base ∪ delta ⊖ tombstones. The oracle replays BM25 over the
+    * ONE incremental merge doing both delete (doc_id % 13 ids tombstone;
+    * their text tokenizes ONLY for the O(changed) df/avgdl decrements) and
+    * update (doc_id % 7 re-tokenize with appended text under FRESH ids past
+    * a 1e7 offset — removed ids never return, the tombstone-soundness
+    * contract), then a top-k search served from base ∪ delta ⊖ tombstones
+    * with stats summed from base ⊕ delta. The oracle replays BM25 over the
     * post-lifecycle corpus, replicating the indexer's chunk-id tie-break
     * (replaced docs carry the offset) so the k-boundary is engine-stable.
     */
@@ -1163,7 +1164,7 @@ object Queries {
         s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
       idx.index(docs)
       val removed = docs.filter(col("chunkId") % 13 === 0 || col("chunkId") % 7 === 0)
-        .select(col("chunkId").as("docId"))
+        .select(col("chunkId").as("docId"), col("indexedData"))
       val replacement = docs
         .filter(col("chunkId") % 7 === 0 && col("chunkId") % 13 =!= 0)
         .select((col("chunkId") + 10000000L).as("chunkId"),

@@ -368,7 +368,9 @@ final class CollectionManager(
         .filter(col("bucket").isin(dirty: _*)).drop("bucket")
       val removedChunkIds = dirtyChunks
         .join(changedDocIds, Seq("documentId"), "left_semi")
-        .select(col("chunkId").as("docId"))
+        // indexedData rides along so the BM25 merge can tokenize the REMOVED
+        // side for O(changed) df decrements instead of re-scanning the corpus
+        .select(col("chunkId").as("docId"), col("indexedData"))
         .persist()
       // MATERIALIZE before the chunks swap: the plan reads chunksPath, and a
       // lazy first action after the swap would see the post-swap table (where
@@ -406,7 +408,7 @@ final class CollectionManager(
         embedder, startId = old.lastIndexItemId + 1)
       val removedChunkIds = spark.read.parquet(chunksPath(name))
         .join(changedDocIds, Seq("documentId"), "left_semi")
-        .select(col("chunkId").as("docId"))
+        .select(col("chunkId").as("docId"), col("indexedData"))
         .persist()
       removedChunkIds.count() // materialize BEFORE the swap (see bucketed branch)
       val keptChunks = spark.read.parquet(chunksPath(name))
@@ -476,7 +478,7 @@ final class CollectionManager(
             dirtyBuckets(idDf, "id", old.bucketCount): _*))
         else base
       pruned.join(docIdDf, Seq("documentId"), "left_semi")
-        .select(col("chunkId").as("docId")).persist()
+        .select(col("chunkId").as("docId"), col("indexedData")).persist()
     }
     removedChunkIds.count()
 
@@ -512,7 +514,8 @@ final class CollectionManager(
     }
 
     // delete = update's removal half: postings of the removed chunks anti-join
-    // out, nothing tokenizes, df/avgdl re-derive exactly; IVF tombstones the
+    // out, and df/n/avgdl adjust by tokenizing ONLY the removed chunks' text
+    // (O(removed), never an O(corpus) re-derivation); IVF tombstones the
     // same ids (O(ids) append — removedChunkIds came from the live chunks
     // table, so every tombstone kills exactly one assigned row)
     bm25Indexer(name).updateIncremental(
@@ -589,17 +592,40 @@ final class CollectionManager(
     // bucketed layout: a row in the wrong bucket dir would dodge every future
     // dirty-bucket rewrite (updates to its doc would duplicate, deletes would
     // miss) — assert the partition value matches the hash for every row
+    // every VISIBLE child of a bucketed table root must parse as bucket=<int>
+    // — a stray visible dir (e.g. crash residue from a pre-hidden-backup
+    // build, or operator error) flips partition discovery to string typing,
+    // re-reads its rows as duplicates, and dodges every dirty-bucket rewrite;
+    // hidden (`.`/`_`) names are skipped by readers and are not corruption
+    def malformedChildren(path: String): Long =
+      fs.listStatus(new Path(path)).count { st =>
+        val n0 = st.getPath.getName
+        !n0.startsWith("_") && !n0.startsWith(".") &&
+          !(st.isDirectory && n0.matches("bucket=\\d+"))
+      }.toLong
     val buckets =
-      if (m.bucketCount > 0) Seq(
-        ("misbucketed_documents", 0L,
-          spark.read.parquet(docsPath(name))
-            .filter(col("bucket") =!= bucketOf(col("id"), m.bucketCount))
-            .count()),
-        ("misbucketed_chunks", 0L,
-          spark.read.parquet(chunksPath(name))
-            .filter(col("bucket") =!= bucketOf(col("documentId"), m.bucketCount))
-            .count()))
-      else Nil
+      if (m.bucketCount > 0) {
+        val malformedDocs = malformedChildren(docsPath(name))
+        val malformedChunks = malformedChildren(chunksPath(name))
+        // the per-row hash check presupposes integer-typed partition values;
+        // with a stray visible dir, discovery types `bucket` as string and
+        // the ANSI cast would throw mid-report — the malformed rows already
+        // carry the failure, so the row scan runs only on a clean root
+        val misbucketed =
+          if (malformedDocs == 0L && malformedChunks == 0L) Seq(
+            ("misbucketed_documents", 0L,
+              spark.read.parquet(docsPath(name))
+                .filter(col("bucket") =!= bucketOf(col("id"), m.bucketCount))
+                .count()),
+            ("misbucketed_chunks", 0L,
+              spark.read.parquet(chunksPath(name))
+                .filter(col("bucket") =!= bucketOf(col("documentId"), m.bucketCount))
+                .count()))
+          else Nil
+        misbucketed ++ Seq(
+          ("malformed_bucket_children_documents", 0L, malformedDocs),
+          ("malformed_bucket_children_chunks", 0L, malformedChunks))
+      } else Nil
     val ivf = ivfIndex(name).map(ix =>
       ("ivf_size_matches_chunks", nChunks, ix.size)).toSeq
     val sigs =
@@ -653,10 +679,18 @@ final class CollectionManager(
   /** Swap staging into place via rename-to-backup first: a crash between steps
     * leaves either the old table (backup not yet renamed away is recoverable) or
     * the new one — never a missing directory, unlike delete-then-rename.
+    *
+    * The backup name is DOT-PREFIXED (`.{name}__old`): when the target is a
+    * `bucket=K` dir inside a partitioned table root, a visible residue dir
+    * after a crash would poison partition discovery — Spark infers `bucket`
+    * as STRING from the non-numeric dir name, rows under the residue re-read
+    * as duplicates, and the misbucketed fsck check null-excludes them. Hidden
+    * names are skipped by Spark's listing (and ParquetMeta), so crash residue
+    * is inert: invisible to every reader, reclaimed by the next swap.
     */
   private def swap(staging: String, target: String): Unit = {
     val t = new Path(target)
-    val backup = new Path(target + "__old")
+    val backup = new Path(t.getParent, "." + t.getName + "__old")
     if (fs.exists(backup)) fs.delete(backup, true)
     if (fs.exists(t)) fs.rename(t, backup)
     fs.rename(new Path(staging), t)

@@ -62,8 +62,10 @@ final class VectorIndexer(
   *   {dir}/postings_delta/  appended segments, one per incremental update —
   *                          same schema, term-sorted within each segment
   *   {dir}/tombstones/      (docId) — chunk ids whose postings are dead
-  *   {dir}/termDf/          (term, df)
-  *   {dir}/corpus/          (n, avgdl)              — one row
+  *   {dir}/termDf/          (term, df) — base stats segment
+  *   {dir}/termDf_delta/    appended SIGNED df deltas, one segment per update
+  *   {dir}/corpus/          (n, avgdl, totalLen)    — one row, base
+  *   {dir}/corpus_delta/    appended signed (n, totalLen) rows, one per update
   * }}}
   *
   * The logical postings table every reader sees is
@@ -130,12 +132,55 @@ final class Bm25Indexer(
       .getOrElse(all)
   }
 
-  /** Derive termDf + corpus stats from the logical postings — ONE derivation
-    * for the full build, the incremental merge, and compaction, so the
-    * artifacts can't drift. The scan is narrow (term, docId, docLen); the
-    * writes are vocab-sized and one-row.
+  /** The LOGICAL term→df table: base ⊕ signed delta segments, summed per
+    * term. `pre` (a term filter) applies to base and every delta BEFORE the
+    * union so it pushes into each segment's pruned parquet scan — a query
+    * sums ≤ |queryTerms| groups, never the vocabulary. With no delta tail
+    * the base is returned as-is (zero extra plan nodes on a compacted index).
+    */
+  def termDfTable(pre: DataFrame => DataFrame = identity): DataFrame = {
+    val base = pre(spark.read.parquet(p("termDf")))
+    readIf(p("termDf_delta")) match {
+      case Some(delta) => base.select("term", "df")
+        .unionByName(pre(delta).select("term", "df"))
+        .groupBy("term").agg(sum("df").as("df"))
+        .filter(col("df") > 0)
+      case None => base
+    }
+  }
+
+  /** The LOGICAL corpus stats (n, avgdl): base row ⊕ signed delta rows.
+    * avgdl is ALWAYS totalLen/n in double division — the same expression the
+    * base derivation uses, so the folded and unfolded views are bit-equal.
+    * A legacy base (no totalLen column) can only exist with no delta tail
+    * (the delta path refuses to start from it) and reads unchanged.
+    */
+  def corpusStats(): DataFrame = {
+    val base = spark.read.parquet(p("corpus"))
+    readIf(p("corpus_delta")) match {
+      case Some(delta) => base.select(col("n"), col("totalLen"))
+        .unionByName(delta.select("n", "totalLen"))
+        .agg(sum("n").as("n"), sum("totalLen").as("totalLen"))
+        .select(col("n"),
+          (col("totalLen").cast("double") / col("n").cast("double")).as("avgdl"))
+      case None => base.select("n", "avgdl")
+    }
+  }
+
+  /** Derive termDf + corpus stats from the logical postings and FOLD them
+    * into fresh base segments (delta tails cleared) — the full derivation
+    * used by [[index]] and [[compact]]; [[updateIncremental]] maintains the
+    * same values as O(changed) deltas instead. The scan is narrow
+    * (term, docId, docLen); the writes are vocab-sized and one-row.
+    *
+    * Crash posture: the stat delta tails delete FIRST (they're about to be
+    * re-derived from the postings truth, and leaving them to stack on a
+    * freshly-folded base would double-apply); a crash mid-derivation leaves
+    * stale-but-consistent bases that the caller's re-run heals.
     */
   private def deriveStats(): Unit = {
+    fsys.delete(new org.apache.hadoop.fs.Path(p("termDf_delta")), true)
+    fsys.delete(new org.apache.hadoop.fs.Path(p("corpus_delta")), true)
     val eff = postingsTable()
     eff.groupBy("term").agg(count("*").as("df"))
       .write.mode(SaveMode.Overwrite).parquet(p("termDf") + "__staging")
@@ -144,9 +189,13 @@ final class Bm25Indexer(
     // second full-corpus tokenize, and counts docs-with-tokens — the
     // population BM25 length normalization is defined over (a doc with zero
     // tokens can never match, so excluding it from n/avgdl is the FTS5-faithful
-    // choice and what the DuckDB oracle computes).
+    // choice and what the DuckDB oracle computes). totalLen persists so the
+    // incremental path can maintain n/avgdl as exact integer deltas.
     eff.select("docId", "docLen").distinct()
-      .agg(count("*").as("n"), avg("docLen").as("avgdl"))
+      .agg(count("*").as("n"), sum("docLen").as("totalLen"))
+      .select(col("n"),
+        (col("totalLen").cast("double") / col("n").cast("double")).as("avgdl"),
+        col("totalLen"))
       .write.mode(SaveMode.Overwrite).parquet(p("corpus") + "__staging")
     swapDir(p("corpus") + "__staging", p("corpus"))
   }
@@ -187,62 +236,113 @@ final class Bm25Indexer(
   }
 
   /** Incremental postings merge for an update that replaced a known doc
-    * set's chunks — the LSM path: `removedChunkIds` (one `docId` column)
-    * APPEND to the tombstone table, postings tokenized from `newChunks` ONLY
-    * append as a delta segment, and termDf/corpus re-derive from the logical
-    * table by the SAME code path as [[index]], so df/n/avgdl stay exact —
-    * equality with a full rebuild is spec-pinned (IndexersSpec).
+    * set's chunks — the LSM path: `removedChunks` (`docId` + the removed
+    * chunks' `indexedData`, in the caller's hand pre-swap) APPEND their ids
+    * to the tombstone table, postings tokenized from `newChunks` ONLY append
+    * as a delta segment, and termDf/corpus are maintained as O(changed)
+    * DELTAS: df increments come from the new delta postings, df decrements
+    * from tokenizing the REMOVED chunks' text (the same deterministic
+    * tokenize that produced their base postings, so the decrement is exact),
+    * and n/totalLen as signed scalar rows — equality with a full rebuild is
+    * spec-pinned (IndexersSpec), logically pre-compact and byte-level
+    * post-compact.
     *
-    * Cost shape at 100 TB: the tokenize + explode + count shuffle AND the
-    * write are both proportional to the CHANGED docs; the base segment is
-    * never rewritten. The stats re-derivation reads the narrow
-    * (term, docId, docLen) projection of the corpus — a column-pruned scan,
-    * no rewrite. Repeated updates grow the delta/tombstone tail ∝ total
-    * churn; fold it with [[compact]] before the tombstone anti-join or the
-    * per-term segment fan-out gets expensive.
+    * Cost shape at 100 TB: tokenize + explode + count shuffles AND every
+    * write are proportional to the CHANGED docs; neither the base postings
+    * segment NOR the base stats tables are read or rewritten — an update's
+    * job graph opens no base segment at all (spec-proven by hiding the base
+    * dir mid-update). Repeated updates grow the delta/tombstone tails ∝
+    * total churn; fold with [[compact]] before the tombstone anti-join or
+    * the per-term segment fan-out gets expensive.
     *
-    * Crash posture: delta lands before tombstones, so a crash between the
-    * two can leave BOTH revisions of a doc's postings visible (over-count,
-    * detected by fsck's stray-postings check and healed by re-running the
-    * update or [[compact]]) — never a missing revision.
+    * Fallback: when `removedChunks` carries no `indexedData` column, or the
+    * index predates the totalLen corpus schema, stats re-derive from the
+    * full logical postings (the pre-delta behavior) — correct, O(corpus
+    * read), and it migrates the corpus schema so the next update is
+    * O(changed).
+    *
+    * Crash posture: delta lands, then tombstones, then stat deltas. A crash
+    * after delta can leave BOTH revisions of a doc's postings visible
+    * (over-count — fsck's duplicate/stray checks detect, re-running the
+    * update or [[compact]] heals); a crash before the stat deltas leaves
+    * stats stale by one batch — ranking drift only (membership comes from
+    * postings), healed by [[compact]]'s full re-derivation.
     */
-  def updateIncremental(removedChunkIds: DataFrame, newChunks: DataFrame): Unit = {
-    postingsOf(newChunks)
+  def updateIncremental(removedChunks: DataFrame, newChunks: DataFrame): Unit = {
+    val newPostings = postingsOf(newChunks).persist()
+    newPostings
       .repartitionByRange(col("term"), col("docId"))
       .sortWithinPartitions("term", "docId")
       .write.mode(SaveMode.Append).parquet(p("postings_delta"))
-    removedChunkIds.select(col("docId"))
+    removedChunks.select(col("docId"))
       .write.mode(SaveMode.Append).parquet(p("tombstones"))
-    deriveStats()
+    val deltaCapable = removedChunks.columns.contains("indexedData") &&
+      spark.read.parquet(p("corpus")).columns.contains("totalLen")
+    if (!deltaCapable) deriveStats()
+    else {
+      val removedPostings = postingsOf(
+        removedChunks.select(col("docId").as("chunkId"), col("indexedData")))
+      // df: +1 per (term, doc) entering, -1 per (term, doc) leaving; net-zero
+      // terms are dropped so the delta segment is bounded by the batch vocab
+      newPostings.groupBy("term")
+        .agg(count("*").cast("long").as("df"))
+        .unionByName(removedPostings.groupBy("term")
+          .agg((-count("*")).cast("long").as("df")))
+        .groupBy("term").agg(sum("df").as("df")).filter(col("df") =!= 0)
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(p("termDf_delta"))
+      // corpus: signed doc-count and token-length totals, one appended row
+      def docTotals(posts: DataFrame, sign: Int) =
+        posts.select("docId", "docLen").distinct()
+          .agg((count("*") * sign).cast("long").as("n"),
+            (coalesce(sum("docLen"), lit(0L)) * sign).cast("long").as("totalLen"))
+      docTotals(newPostings, 1).unionByName(docTotals(removedPostings, -1))
+        .agg(sum("n").as("n"), sum("totalLen").as("totalLen"))
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(p("corpus_delta"))
+    }
+    newPostings.unpersist()
+    ()
   }
 
   /** Fold base ∪ delta ⊖ tombstones into a fresh base segment — the LSM
     * compaction that bounds the tombstone anti-join and the per-term segment
-    * fan-out. stats re-derive (values unchanged by construction; the spec
-    * pins it). No-op when the tail is empty.
+    * fan-out. Stats re-derive from the folded postings (values unchanged by
+    * construction; the spec pins it). No-op when the tail is empty.
+    *
+    * The fold is SELF-HEALING: it drops exact-duplicate postings rows before
+    * writing the new base. Legitimately a (term, docId) pair lives in exactly
+    * one segment (chunk ids are globally unique and never reassigned), so an
+    * exact duplicate can only be crash residue — a previous compact that
+    * swapped its folded base in but died before clearing the delta tail, or
+    * a replayed update appending its delta twice. Without the dedup,
+    * re-running compact would bake the double-counted tf/df into the base
+    * permanently; with it, the re-run IS the repair.
     */
   def compact(): Unit = {
-    val hasTail = fsys.exists(new org.apache.hadoop.fs.Path(p("postings_delta"))) ||
-      fsys.exists(new org.apache.hadoop.fs.Path(p("tombstones")))
+    val hasTail = Seq("postings_delta", "tombstones", "termDf_delta", "corpus_delta")
+      .exists(d => fsys.exists(new org.apache.hadoop.fs.Path(p(d))))
     if (!hasTail) return
-    val folded = postingsTable().persist()
+    val folded = postingsTable()
+      .dropDuplicates("term", "docId", "docLen", "tf").persist()
     folded.count() // materialize before the base swap invalidates the plan's source
     writeBase(folded)
     folded.unpersist()
     deriveStats()
   }
 
-  /** Bytes in the delta + tombstone tail vs the base segment — the compact-
-    * or-not signal for maintenance loops (compare against base bytes or an
-    * absolute budget).
+  /** Bytes in the delta/tombstone/stat-delta tail vs the base segments — the
+    * compact-or-not signal for maintenance loops (compare against base bytes
+    * or an absolute budget).
     */
   def tailBytes: Long =
-    Seq(p("postings_delta"), p("tombstones")).map { d =>
-      val path = new org.apache.hadoop.fs.Path(d)
-      if (fsys.exists(path))
-        fsys.getContentSummary(path).getLength
-      else 0L
-    }.sum
+    Seq(p("postings_delta"), p("tombstones"), p("termDf_delta"), p("corpus_delta"))
+      .map { d =>
+        val path = new org.apache.hadoop.fs.Path(d)
+        if (fsys.exists(path))
+          fsys.getContentSummary(path).getLength
+        else 0L
+      }.sum
 
   def search(query: String, k: Int, metadataFilter: Option[Column]): DataFrame = {
     val terms = Search.tokenize(query).distinct
@@ -255,8 +355,8 @@ final class Bm25Indexer(
         Seq("docId"), "left_semi")
       case None => postings0
     }
-    val stats = spark.read.parquet(p("corpus"))
-    val df = spark.read.parquet(p("termDf")).filter(col("term").isin(terms: _*))
+    val stats = corpusStats()
+    val df = termDfTable(_.filter(col("term").isin(terms: _*)))
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("docLen") / col("avgdl")))
@@ -280,7 +380,7 @@ final class Bm25Indexer(
       .orderBy(ord: _*).limit(k)
   }
 
-  def size: Long = spark.read.parquet(p("corpus")).head().getLong(0)
+  def size: Long = corpusStats().head().getLong(0)
 }
 
 /** IVF vector index persisted with the inverted lists as PARTITION directories:
@@ -430,12 +530,20 @@ final class IvfVectorIndexer(
       .select(col("chunkId"), col("score"))
   }
 
-  /** Footer-metadata count over the listId partition dirs minus the
-    * tombstone tail — still no scan job (ids are unique, every tombstone
-    * kills exactly one assigned row).
+  /** Footer-metadata count over the listId partition dirs when there is no
+    * tombstone tail — zero scan jobs, the common read-path case. With a tail,
+    * count the LOGICAL table instead: footer arithmetic (assigned − tombstones)
+    * silently drifts low when a tombstone matches nothing — a replayed
+    * foreachBatch that crashed between the collection update's removeIds and
+    * the streaming append leaves exactly such an unmatched (or duplicated)
+    * tombstone, and the bias would trip fsck's ivf_size_matches_chunks until
+    * a full refresh. The anti-join count is exact under both; [[compact]]
+    * folds the tail away and restores the footer fast path.
     */
-  def size: Long = graft.core.ParquetMeta.rowCount(spark, assignedPath) -
-    graft.core.ParquetMeta.rowCount(spark, tombstonesPath)
+  def size: Long =
+    if (fsys.exists(new org.apache.hadoop.fs.Path(tombstonesPath)))
+      assignedTable().count()
+    else graft.core.ParquetMeta.rowCount(spark, assignedPath)
 }
 
 object Indexers {

@@ -74,15 +74,22 @@ object Maintenance {
     if (n == 0 || avg >= minAvgBytes) return n
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     if (n <= nOut) return n // rewrite couldn't reduce the file count — skip
-    val staging = path + "__compact"
-    spark.read.parquet(path).coalesce(nOut)
-      .write.mode("overwrite").parquet(staging)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // staging/backup are DOT-PREFIXED siblings: when `path` is a partition
+    // dir (bucket=K, listId=N) inside a table root, visible residue after a
+    // crash would corrupt partition discovery (the value parses as a string,
+    // duplicating rows and dodging pruning); hidden names are skipped by
+    // Spark's listing, so a crashed compact leaves only inert residue that
+    // the next run reclaims.
     val target = new Path(path)
-    val backup = new Path(path + "__old")
+    val staging = new Path(target.getParent, "." + target.getName + "__compact")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode("overwrite").parquet(staging.toString)
+    val backup = new Path(target.getParent, "." + target.getName + "__old")
     if (fs.exists(backup)) fs.delete(backup, true)
     fs.rename(target, backup)
-    fs.rename(new Path(staging), target)
+    fs.rename(staging, target)
     fs.delete(backup, true)
     fileStats(spark, path)._1
   }

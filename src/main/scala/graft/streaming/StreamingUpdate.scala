@@ -20,6 +20,15 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
   */
 object StreamingUpdate {
 
+  /** Fold-or-not for the signature table: fold when the table has outgrown
+    * TWICE the size recorded at the last fold (i.e. accumulated history ≈
+    * live rows), floored by `floor` so tiny tables never churn. Growth-based
+    * on purpose — see the baseline var in [[collectionUpdateWriter]].
+    */
+  private[graft] def sigFoldDue(totalBytes: Long, baselineBytes: Long,
+                                floor: Long): Boolean =
+    totalBytes > math.max(floor, 2L * baselineBytes)
+
   /** Continuous incremental update: each micro-batch of changed documents
     * (id, url, metadata, text) merges into the collection via the same anti-join +
     * append + high-water-mark path as batch update — exactly-once per batch since
@@ -63,6 +72,14 @@ object StreamingUpdate {
     // between cm.update and the sig upsert leaves them un-gated forever —
     // fsck's doc_without_dedup_sig check is the audit twin of this repair)
     var sigsHealed = false
+    // signature-table bytes at the last fold (seeded from the first gated
+    // batch's observation). The fold trigger compares GROWTH against this
+    // baseline, not absolute size: live signatures alone eventually exceed
+    // any fixed budget (~1M docs at the 64 MB default), and an absolute
+    // trigger would then fire a full-table rewrite on EVERY batch without
+    // ever getting under budget — exactly the O(table)-per-tick cost the
+    // versioned store exists to avoid.
+    var sigBaselineBytes = -1L
     changedDocs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -121,11 +138,20 @@ object StreamingUpdate {
               // batch stays proportional to the batch.
               if (cm.bm25TailBytes(collectionName) > compactTailBytes)
                 cm.compactBm25(collectionName)
-              // same bound for the signature table's revision history: every
-              // gated batch appends a segment; fold once the history
-              // outweighs the live rows' budget
-              if (dedupOnArrival && cm.sigHistoryBytes(collectionName) > compactTailBytes)
-                cm.compactSigs(collectionName)
+              // the signature table folds when it has roughly DOUBLED since
+              // the last fold (floored by compactTailBytes so tiny tables
+              // never churn): history growth pays for the rewrite, live size
+              // never does. A restarted stream seeds the baseline from its
+              // first observation — at worst one fold later than a
+              // continuous run, never one per tick.
+              if (dedupOnArrival) {
+                val total = cm.sigHistoryBytes(collectionName)
+                if (sigBaselineBytes < 0L) sigBaselineBytes = total
+                if (sigFoldDue(total, sigBaselineBytes, compactTailBytes)) {
+                  cm.compactSigs(collectionName)
+                  sigBaselineBytes = cm.sigHistoryBytes(collectionName)
+                }
+              }
               // IVF tombstones (replaced docs' old vectors) under the same
               // budget — the append-only streaming path accretes them per
               // batch of re-ingested documents

@@ -416,4 +416,39 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
     assert(still.map(_.getString(0)).contains("d2"))
     assert(cm.fsck("cd").collect().forall(_.getAs[Boolean]("ok")))
   }
+
+  test("bucketed layout: crash residue is hidden+inert; fsck flags visible strays") {
+    val tmp = Files.createTempDirectory("graft-bucketed-res").toString
+    val cm = mkManager(tmp)
+    cm.create("cr", rawDocs(docsV1), nBuckets = 4)
+    val chunksRoot = s"$tmp/cr/chunks"
+    val nChunks = cm.chunks("cr").count()
+    val aBucket = new java.io.File(chunksRoot).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .head.toPath
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    def plant(name: String): Unit = org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(aBucket.toString), fs,
+      new org.apache.hadoop.fs.Path(s"$chunksRoot/$name"), false, conf)
+
+    // a swap that crashed mid-rename leaves a DOT-PREFIXED backup — invisible
+    // to partition discovery, row counts, and fsck (inert residue)
+    plant(".bucket=0__old")
+    assert(cm.chunks("cr").count() === nChunks,
+      "hidden residue must not be re-read as rows")
+    assert(cm.fsck("cr").collect().forall(_.getAs[Boolean]("ok")))
+
+    // a VISIBLE stray dir (pre-hidden-backup residue, operator error) is the
+    // dangerous state: discovery types `bucket` as string, rows duplicate,
+    // dirty-bucket pruning dodges them — fsck must say so
+    plant("bucket=0__old")
+    val report = cm.fsck("cr").collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Boolean]("ok")).toMap
+    assert(report("malformed_bucket_children_chunks") === false,
+      s"visible stray must be flagged, report: $report")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$chunksRoot/bucket=0__old"), true)
+    assert(cm.fsck("cr").collect().forall(_.getAs[Boolean]("ok")))
+  }
 }

@@ -95,7 +95,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     //     subquery's threshold): a4_watermark_max, q6_forecast, q11, q14,
     //     q15, q19, q22, events_funnel, text_js_divergence, decontam_report
     //     (the one-row corpus contamination summary — partial aggregates
-    //     map-side, one row per task crosses)
+    //     map-side, one row per task crosses), t2c_bm25_lsm_search (the
+    //     corpus-stats fold: 1 base row ⊕ 1 signed row per uncompacted
+    //     update segment sum into (n, avgdl) — bounded by the compaction
+    //     budget, never corpus data)
     //   - metadata-sized control frames the surrounding plan broadcasts back:
     //     m5_chunk_fanout's (doc_id, n) id window (m1_embed_pipeline reuses
     //     the same fan-out, so the same narrow window — chunk text and
@@ -111,8 +114,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       "events_funnel", "m1_embed_pipeline", "m5_chunk_fanout", "pca_top_component",
       "q11_important_stock", "q14_promo", "q15_top_supplier", "q19_disjunctive",
       "q22_no_orders", "q6_forecast", "sample_pack_sequences",
-      "sample_pack_shards", "t2_bm25_topk", "text_collocations",
-      "text_js_divergence", "text_keywords")
+      "sample_pack_shards", "t2_bm25_topk", "t2c_bm25_lsm_search",
+      "text_collocations", "text_js_divergence", "text_keywords")
     // Non-equi joins plan BroadcastNestedLoopJoin; that's only safe when the
     // broadcast side is provably bounded. Every name here broadcasts a
     // BOUNDED build side, audited by hand:

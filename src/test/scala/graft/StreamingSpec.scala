@@ -527,4 +527,30 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(est("alpha") >= 17 && est("beta") >= 4 && est("gamma") >= 2)
     assert(grid.get.count() <= 4L * w)
   }
+
+  test("sig-fold trigger fires on history GROWTH, never on live size alone") {
+    import graft.streaming.StreamingUpdate.sigFoldDue
+    // live rows (100 units) already exceed the floor (64): the old absolute
+    // trigger (total > floor) would fold — a full-table rewrite — on EVERY
+    // tick without ever getting under the floor. The growth trigger folds
+    // only when accumulated history ≈ live size again.
+    var baseline = -1L
+    var total = 100L // live rows
+    var folds = 0
+    (1 to 120).foreach { _ =>
+      total += 1L // one appended history segment per gated batch
+      if (baseline < 0L) baseline = total
+      if (sigFoldDue(total, baseline, 64L)) {
+        folds += 1
+        total = 100L // fold rewrites to live rows only
+        baseline = total
+      }
+    }
+    assert(folds <= 2, s"expected O(1) folds over 120 ticks, got $folds " +
+      "(an absolute-size trigger would fold 120 times)")
+    // small tables never churn: below the floor nothing folds even at 3x
+    assert(!sigFoldDue(totalBytes = 30L, baselineBytes = 10L, floor = 64L))
+    // and genuine doubling above the floor does fold
+    assert(sigFoldDue(totalBytes = 201L, baselineBytes = 100L, floor = 64L))
+  }
 }
