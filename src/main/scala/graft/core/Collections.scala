@@ -100,19 +100,32 @@ final class CollectionManager(
     * append/delete is an O(batch) append at max(rev)+1. Single-writer
     * discipline (the collection design's standing assumption) makes the
     * read-increment safe.
+    *
+    * max(rev) comes from parquet FOOTER statistics ([[ParquetMeta
+    * .columnMaxLong]]) — a metadata read, no Spark job: a gated streaming
+    * batch calls this on every tick, and a full-column scan here would be an
+    * O(history) read per batch on the one table whose whole design point is
+    * O(batch) ticks. The scan fallback only runs for foreign files with no
+    * recorded stats.
     */
-  private def nextSigRev(name: String): Long =
+  private[graft] def nextSigRev(name: String): Long =
     if (!fs.exists(new Path(sigsPath(name)))) 0L
-    else {
-      val raw = spark.read.parquet(sigsPath(name))
-      if (!raw.columns.contains("rev")) {
-        val staging = s"${sigsPath(name)}__staging"
-        raw.withColumn("rev", lit(0L)).withColumn("deleted", lit(false))
-          .write.mode(SaveMode.Overwrite).parquet(staging)
-        swap(staging, sigsPath(name))
-        1L
-      } else
-        raw.agg(coalesce(max("rev"), lit(-1L))).head().getLong(0) + 1L
+    else ParquetMeta.columnMaxLong(
+        spark.sessionState.newHadoopConf(), sigsPath(name), "rev") match {
+      // the footer max doubles as the schema probe: Some proves the rev
+      // column exists, so the versioned fast path never constructs a Spark
+      // read at all (schema inference alone schedules a listing job)
+      case Some(maxRev) => maxRev + 1L
+      case None =>
+        val raw = spark.read.parquet(sigsPath(name))
+        if (!raw.columns.contains("rev")) {
+          val staging = s"${sigsPath(name)}__staging"
+          raw.withColumn("rev", lit(0L)).withColumn("deleted", lit(false))
+            .write.mode(SaveMode.Overwrite).parquet(staging)
+          swap(staging, sigsPath(name))
+          1L
+        } else
+          raw.agg(coalesce(max("rev"), lit(-1L))).head().getLong(0) + 1L
     }
 
   /** Upsert the minhash signatures of `docs` (id, text) into the signature
@@ -666,6 +679,28 @@ final class CollectionManager(
     * (listing only, no data read).
     */
   def bm25TailBytes(name: String): Long = bm25Indexer(name).tailBytes
+
+  /** Centroid-drift signal of the collection's IVF index (None when no index
+    * or a pre-signal index) — total-variation distance between the current
+    * and train-time list-share distributions, footer-read cheap. The
+    * maintenance loop's re-train-or-not evidence, like [[bm25TailBytes]] is
+    * its compact-or-not evidence.
+    */
+  def ivfDrift(name: String): Option[Double] =
+    ivfIndex(name).flatMap(_.listSizeDrift)
+
+  /** Re-train the IVF index from the CURRENT chunks at its existing list
+    * count — fresh k-means centroids, full reassignment, drift signal reset.
+    * The repair [[ivfDrift]] calls for; cheaper than [[reindex]] (BM25 is
+    * left alone).
+    */
+  def retrainIvf(name: String): Unit =
+    if (ivfIndex(name).isDefined) {
+      val lists = spark.read.parquet(s"${dir(name)}/indexes/ivf/centroids")
+        .count().toInt
+      buildIvfIndex(name, nLists = lists)
+      ()
+    }
 
   def reindex(name: String): Unit = {
     bm25Indexer(name).index(this.chunks(name))

@@ -400,6 +400,7 @@ final class IvfVectorIndexer(
   private def assignedPath = s"$indexDir/assigned"
   private def centroidsPath = s"$indexDir/centroids"
   private def tombstonesPath = s"$indexDir/tombstones"
+  private def trainStatsPath = s"$indexDir/train_stats"
 
   private def fsys = new org.apache.hadoop.fs.Path(indexDir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -433,6 +434,52 @@ final class IvfVectorIndexer(
     ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("listId", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(centroidsPath)
+    // snapshot the list-size distribution AT TRAIN TIME — the reference
+    // point [[listSizeDrift]] compares against (footer counts, no scan)
+    listCounts().toSeq.sortBy(_._1).toDF("listId", "cnt")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(trainStatsPath)
+  }
+
+  /** Per-list row counts from parquet footers — a metadata read over the
+    * listId partition dirs, no scan job (the [[graft.core.ParquetMeta]]
+    * discipline). Counts the PHYSICAL assignment (tombstoned rows included):
+    * the drift signal tracks where appends LAND, which is exactly what the
+    * frozen centroids decide.
+    */
+  private def listCounts(): Map[Int, Long] = {
+    val root = new org.apache.hadoop.fs.Path(assignedPath)
+    if (!fsys.exists(root)) Map.empty
+    else fsys.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("listId="))
+      .map { s =>
+        s.getPath.getName.stripPrefix("listId=").toInt ->
+          graft.core.ParquetMeta.rowCount(spark, s.getPath.toString)
+      }.toMap
+  }
+
+  /** Centroid-drift signal for maintenance loops, exposed like [[tailBytes]]:
+    * total-variation distance (0..1) between the CURRENT list-share
+    * distribution and the one recorded when the centroids were trained.
+    * Streaming appends assign against frozen centroids; when the incoming
+    * data's geometry shifts, its vectors pile into a few lists — shares
+    * skew away from the train-time snapshot, probe quality degrades (a
+    * probe's candidate pool balloons or starves), and THIS number says so
+    * cheaply: footer counts + one ≤nLists-row read, no vector is touched.
+    * ~0 = appends look like the training data; rule of thumb: re-train
+    * (fresh k-means via a full [[index]] pass) above ~0.15–0.25. None when
+    * the index predates the train-stats snapshot (legacy) — re-train once
+    * to start the signal.
+    */
+  def listSizeDrift: Option[Double] = {
+    if (!fsys.exists(new org.apache.hadoop.fs.Path(trainStatsPath))) return None
+    val train = spark.read.parquet(trainStatsPath).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val now = listCounts()
+    val (tTot, nTot) = (train.values.sum.toDouble, now.values.sum.toDouble)
+    if (tTot == 0d || nTot == 0d) None
+    else Some((train.keySet ++ now.keySet).toSeq.map { l =>
+      math.abs(now.getOrElse(l, 0L) / nTot - train.getOrElse(l, 0L) / tTot)
+    }.sum / 2.0)
   }
 
   private def centroids(): Array[(Int, Array[Float])] =

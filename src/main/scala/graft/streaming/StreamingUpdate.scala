@@ -67,7 +67,8 @@ object StreamingUpdate {
       appendIvf: Boolean = false,
       dedupOnArrival: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow(),
-      compactTailBytes: Long = 64L << 20): DataStreamWriter[org.apache.spark.sql.Row] = {
+      compactTailBytes: Long = 64L << 20,
+      retrainIvfDriftAbove: Double = 0.0): DataStreamWriter[org.apache.spark.sql.Row] = {
     // once per stream start: heal documents that have no signature (a crash
     // between cm.update and the sig upsert leaves them un-gated forever —
     // fsck's doc_without_dedup_sig check is the audit twin of this repair)
@@ -158,6 +159,16 @@ object StreamingUpdate {
               cm.ivfIndex(collectionName).foreach { ivf =>
                 if (ivf.tailBytes > compactTailBytes) ivf.compact()
               }
+              // drift-evidenced IVF re-train (opt-in, retrainIvfDriftAbove
+              // in (0,1]): appends assign against frozen centroids; once the
+              // list-share distribution has moved this far from its
+              // train-time snapshot, pay one fresh k-means instead of
+              // serving ever-worse probes. The signal itself is footer-read
+              // cheap per tick.
+              if (retrainIvfDriftAbove > 0.0)
+                cm.ivfDrift(collectionName).foreach { d =>
+                  if (d > retrainIvfDriftAbove) cm.retrainIvf(collectionName)
+                }
             }
             if (incoming ne batch) incoming.unpersist()
           }

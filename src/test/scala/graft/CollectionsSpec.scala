@@ -314,6 +314,39 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
     assert(cm.sigHistoryBytes("cl") > 0L)
   }
 
+  test("nextSigRev is a footer-stats read — zero Spark jobs per gated tick") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-sigrev").toString
+    val cm = mkManager(tmp)
+    cm.create("sr", rawDocs(docsV1))
+    cm.appendMinhashSigs("sr", Seq(("d1", "first text")).toDF("id", "text"))
+    cm.appendMinhashSigs("sr", Seq(("d2", "second text")).toDF("id", "text"))
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def barrier(atLeast: Int): Unit = {
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get() < atLeast && System.nanoTime() < deadline) Thread.sleep(20)
+      var last = -1
+      while (last != jobs.get()) { last = jobs.get(); Thread.sleep(500) }
+    }
+    try {
+      barrier(1); jobs.set(0)
+      // the rev counter a streaming batch pays on EVERY gated tick: must be
+      // a metadata read (footer max), never an O(history) scan job
+      assert(cm.nextSigRev("sr") === 2L)
+      barrier(1)
+      assert(jobs.get() === 1,
+        s"nextSigRev must not schedule Spark jobs; saw ${jobs.get() - 1} extra")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   // ------------------------------------------------------- bucketed layout
 
   /** (relative path → (length, mtime)) of every data file under `root` —

@@ -171,6 +171,40 @@ class IndexersSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("listId"))
   }
 
+  test("IVF drift signal: skewed appends flip it, uniform appends don't") {
+    val (cm, _, dir) = setup()
+    val ivf = cm.buildIvfIndex("ix", nLists = 4, nProbe = 4)
+    assert(ivf.listSizeDrift.exists(_ === 0.0), "fresh index: zero drift")
+
+    // uniform stream: re-append EVERY chunk under fresh ids — every list
+    // doubles, shares are unchanged, the signal must not fire
+    val chunks = cm.chunks("ix").persist()
+    chunks.count()
+    ivf.append(chunks.withColumn("chunkId", col("chunkId") + lit(100000L)))
+    val uniform = ivf.listSizeDrift.get
+    assert(uniform === 0.0, s"uniform appends must not read as drift: $uniform")
+
+    // drifted stream: every arrival lands in ONE list (clone that list's
+    // members) — its share grows, the signal moves
+    val assigned = spark.read.parquet(s"$dir/indexes/ivf/assigned")
+    val hot = assigned.groupBy("listId").count()
+      .orderBy(col("count").desc).head().getInt(0)
+    val hotChunks = chunks.join(
+      assigned.filter(col("listId") === hot).select("chunkId"),
+      Seq("chunkId"), "left_semi")
+    (1 to 5).foreach(i =>
+      ivf.append(hotChunks.withColumn("chunkId", col("chunkId") + lit(200000L * i))))
+    val drifted = ivf.listSizeDrift.get
+    assert(drifted > 0.05 && drifted > uniform,
+      s"skewed appends must move the signal: $drifted")
+
+    // re-train resets the reference distribution — drift reads ~0 again
+    cm.retrainIvf("ix")
+    assert(cm.ivfDrift("ix").exists(_ === 0.0))
+    chunks.unpersist()
+    ()
+  }
+
   test("IVF size stays exact under unmatched and duplicated tombstones") {
     import spark.implicits._
     val (cm, _, _) = setup()
