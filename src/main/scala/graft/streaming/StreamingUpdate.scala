@@ -68,7 +68,8 @@ object StreamingUpdate {
       dedupOnArrival: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow(),
       compactTailBytes: Long = 64L << 20,
-      retrainIvfDriftAbove: Double = 0.0): DataStreamWriter[org.apache.spark.sql.Row] = {
+      retrainIvfDriftAbove: Double = 0.0,
+      createBuckets: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] = {
     // once per stream start: heal documents that have no signature (a crash
     // between cm.update and the sig upsert leaves them un-gated forever —
     // fsck's doc_without_dedup_sig check is the audit twin of this repair)
@@ -122,9 +123,13 @@ object StreamingUpdate {
             if (!incoming.isEmpty) {
               // appendIvf suppresses the merge's full IVF reassignment — the
               // batch's chunks APPEND instead (doing both double-indexes)
+              // createBuckets > 0 makes a stream-born collection BUCKETED
+              // from its first batch — every later tick then pays only its
+              // dirty buckets (the manifest's bucketCount routes cm.update);
+              // an existing collection keeps whatever layout it was built with
               if (existed) cm.update(collectionName, incoming,
                 refreshIvf = !appendIvf)
-              else cm.create(collectionName, incoming)
+              else cm.create(collectionName, incoming, nBuckets = createBuckets)
               if (dedupOnArrival) cm.appendMinhashSigs(collectionName, incoming)
               if (appendIvf) cm.ivfIndex(collectionName).foreach { ivf =>
                 val batchIds = incoming.select(col("id")).distinct()

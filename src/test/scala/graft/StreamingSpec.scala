@@ -50,6 +50,89 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(hits.map(_.getString(0)).contains("s1"))
   }
 
+  test("streaming × bucketed: dirty-bucket ticks, per-bucket compaction, fsck green") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val tmp = Files.createTempDirectory("graft-stream-bkt").toString
+    val cm = new CollectionManager(spark, s"$tmp/coll",
+      new HashingEmbedder(dim = 16), new TextSplitter(50, 10))
+    val stream = MemoryStream[(String, String, String)]
+    val docs = stream.toDF().toDF("id", "url", "text")
+      .withColumn("metadata", map(lit("source"), lit("stream")))
+      .select("id", "url", "metadata", "text")
+    def tick(): Unit = {
+      val q = StreamingUpdate.collectionUpdateWriter(docs, cm, "bl", s"$tmp/ckpt",
+        compactTailBytes = 0L, createBuckets = 4).start()
+      q.awaitTermination(60000); ()
+    }
+    def stamps(root: String): Map[String, (Long, Long)] = {
+      val base = java.nio.file.Paths.get(root)
+      val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      java.nio.file.Files.walk(base).forEach { p =>
+        val f = p.toFile
+        if (f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          out(base.relativize(p).toString) = (f.length, f.lastModified)
+      }
+      out.toMap
+    }
+
+    // tick 1: the collection is BORN bucketed from the stream
+    stream.addData(
+      ("b1", "u1", "alpha document about spark shuffles"),
+      ("b2", "u2", "beta document about vector search"),
+      ("b3", "u3", "gamma runbook for the deployment service"),
+      ("b4", "u4", "delta notes on broadcast joins"))
+    tick()
+    assert(cm.readManifest("bl").bucketCount === 4)
+    assert(cm.readManifest("bl").numberOfDocuments === 4)
+
+    // tick 2: ONE doc replaced — buckets not holding it stay byte-identical
+    val beforeDocs = stamps(s"$tmp/coll/bl/documents")
+    val beforeChunks = stamps(s"$tmp/coll/bl/chunks")
+    stream.addData(("b2", "u2", "beta document rewritten with containers"))
+    tick()
+    def touchedBuckets(before: Map[String, (Long, Long)], root: String): Set[String] =
+      (before.keySet ++ stamps(root).keySet)
+        .filter(rel => before.get(rel) != stamps(root).get(rel))
+        .map(_.split("/").head)
+    assert(touchedBuckets(beforeDocs, s"$tmp/coll/bl/documents").size <= 1)
+    assert(touchedBuckets(beforeChunks, s"$tmp/coll/bl/chunks").size <= 1)
+
+    // tick 3: an arrival + another replacement; the watcher has now done a
+    // create and two dirty-bucket merges with per-batch BM25 tail folds
+    stream.addData(
+      ("b5", "u5", "epsilon addendum on salted aggregations"),
+      ("b1", "u1", "alpha rewritten to cover partition pruning"))
+    tick()
+    val m = cm.readManifest("bl")
+    assert(m.numberOfDocuments === 5)
+    assert(cm.bm25TailBytes("bl") === 0L) // compactTailBytes=0 folds per tick
+    val hits = cm.search("bl", "containers", indexNames = Some(Seq("bm25"))).collect()
+    assert(hits.map(_.getString(0)).contains("b2"))
+    assert(cm.chunks("bl").filter(col("indexedData").contains("about spark")).count() === 0)
+    assert(cm.fsck("bl").collect().forall(_.getAs[Boolean]("ok")),
+      s"fsck after 3 ticks:\n${cm.fsck("bl").collect().mkString("\n")}")
+
+    // table maintenance through the CLI auto-route: a bucketed root goes
+    // through compactPartitioned (min-avg forced high so every dir rewrites),
+    // the bucket layout survives, and the collection still checks out
+    graft.api.Cli.run(Array("compact", "--path", s"$tmp/coll/bl/chunks",
+      "--target-mb", "256", "--min-avg-mb", "256"), spark)
+    val bucketDirs = new java.io.File(s"$tmp/coll/bl/chunks").listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
+    assert(bucketDirs.nonEmpty && bucketDirs.forall(_.matches("bucket=\\d+")),
+      s"bucket dirs after compaction: ${bucketDirs.mkString(",")}")
+    // …and the flat compactor REFUSES the partitioned root (the route is
+    // load-bearing, not cosmetic)
+    intercept[IllegalArgumentException] {
+      graft.operators.Maintenance.compact(spark, s"$tmp/coll/bl/chunks", 1L << 20, 1L << 20)
+    }
+    assert(cm.fsck("bl").collect().forall(_.getAs[Boolean]("ok")))
+    val hits2 = cm.search("bl", "pruning", indexNames = Some(Seq("bm25"))).collect()
+    assert(hits2.map(_.getString(0)).contains("b1"))
+  }
+
   test("watch CLI e2e: files dropped into a dir appear in search; IVF appends per batch") {
     val tmp = Files.createTempDirectory("graft-watch")
     val dataDir = s"$tmp/collections"
