@@ -165,12 +165,18 @@ object Cli {
           if (flags.contains("once")) org.apache.spark.sql.streaming.Trigger.AvailableNow()
           else org.apache.spark.sql.streaming.Trigger.ProcessingTime(
             opt("interval").getOrElse("10 seconds"))
+        // --buckets N: a collection CREATED by this watcher is bucketed from
+        // its first batch (later ticks rewrite only dirty buckets);
+        // --retrain-drift X: re-train the IVF centroids when the list-share
+        // drift signal exceeds X (0..1, footer-read cheap per tick)
         val q = graft.streaming.StreamingUpdate.collectionUpdateWriter(
           stream, cm, name,
           checkpointDir = opt("checkpoint").getOrElse(s"$dataDir/$name/_checkpoint"),
           appendIvf = flags.contains("ivf"),
           dedupOnArrival = flags.contains("dedup"),
-          trigger = trigger).start()
+          trigger = trigger,
+          retrainIvfDriftAbove = opt("retrain-drift").map(_.toDouble).getOrElse(0.0),
+          createBuckets = opt("buckets").map(_.toInt).getOrElse(0)).start()
         q.awaitTermination()
         // zero files may have arrived before the first tick — the collection
         // then doesn't exist yet, which is a no-op, not a crash
@@ -307,8 +313,10 @@ object Cli {
             |  update --name N            re-drive the manifest's stored reader
             |  update-files/-jira/-confluence   source-specific incremental update
             |  watch --collection N --path DIR [--once | --interval "10 seconds"]
-            |        [--ivf] [--dedup] [--checkpoint DIR]   streaming file ingestion
-            |        (foreachBatch merge; --dedup drops arriving near-dups via minhash sigs)
+            |        [--ivf] [--dedup] [--checkpoint DIR] [--buckets N] [--retrain-drift X]
+            |        streaming file ingestion (foreachBatch merge; --dedup drops arriving
+            |        near-dups via minhash sigs; --buckets makes a stream-born collection
+            |        bucketed; --retrain-drift re-trains IVF past a drift threshold)
             |  search --name N --query Q [--filter DSL] [--indexes a,b] [--rrfK K]
             |         [--max-chunks K] [--max-docs K] [--include-text] [--format json|indent|toon]
             |  fetch --name N --id ID [--from L --to L]
