@@ -280,26 +280,28 @@ final class Bm25Indexer(
       spark.read.parquet(p("corpus")).columns.contains("totalLen")
     if (!deltaCapable) deriveStats()
     else {
+      // One signed postings frame feeds BOTH stat deltas: the removed chunks
+      // tokenize exactly once (persisted alongside the new postings), not once
+      // per aggregate — at sf0.1 the double-tokenize was the measured hot spot
+      // of the delta path (t2c bench row).
       val removedPostings = postingsOf(
         removedChunks.select(col("docId").as("chunkId"), col("indexedData")))
+      val signed = newPostings.withColumn("sign", lit(1L))
+        .unionByName(removedPostings.withColumn("sign", lit(-1L)))
+        .persist()
       // df: +1 per (term, doc) entering, -1 per (term, doc) leaving; net-zero
       // terms are dropped so the delta segment is bounded by the batch vocab
-      newPostings.groupBy("term")
-        .agg(count("*").cast("long").as("df"))
-        .unionByName(removedPostings.groupBy("term")
-          .agg((-count("*")).cast("long").as("df")))
-        .groupBy("term").agg(sum("df").as("df")).filter(col("df") =!= 0)
+      signed.groupBy("term").agg(sum("sign").as("df"))
+        .filter(col("df") =!= 0)
         .coalesce(1)
         .write.mode(SaveMode.Append).parquet(p("termDf_delta"))
       // corpus: signed doc-count and token-length totals, one appended row
-      def docTotals(posts: DataFrame, sign: Int) =
-        posts.select("docId", "docLen").distinct()
-          .agg((count("*") * sign).cast("long").as("n"),
-            (coalesce(sum("docLen"), lit(0L)) * sign).cast("long").as("totalLen"))
-      docTotals(newPostings, 1).unionByName(docTotals(removedPostings, -1))
-        .agg(sum("n").as("n"), sum("totalLen").as("totalLen"))
+      signed.select("docId", "docLen", "sign").distinct()
+        .agg(coalesce(sum("sign"), lit(0L)).as("n"),
+          coalesce(sum(col("docLen") * col("sign")), lit(0L)).as("totalLen"))
         .coalesce(1)
         .write.mode(SaveMode.Append).parquet(p("corpus_delta"))
+      signed.unpersist()
     }
     newPostings.unpersist()
     ()
