@@ -201,24 +201,43 @@ object SuffixArray {
   /** Partition count sized to the POSITION count, not the session default:
     * per-task sort/rank state stays ~`rowsPerPartition` rows (~100–200 MB)
     * no matter how big the corpus — the "more partitions" prescription from
-    * the round-8 100× OOM (SCALE.md), applied automatically. Never below
-    * the session's `spark.sql.shuffle.partitions` (small corpora keep their
-    * parallelism), capped at 4096 (a 100 TB corpus shards by doc range
-    * upstream before any single suffix job sees it all).
+    * the round-8 100× OOM (SCALE.md), applied automatically. Capped at 4096
+    * (a 100 TB corpus shards by doc range upstream before any single suffix
+    * job sees it all).
+    *
+    * Below `smallCorpusFloor` positions it returns 0 ("unspecified"), letting
+    * AQE coalesce the range exchange: an explicit count pins it, and at
+    * tens-of-MB shuffle sizes the per-round sampling + pass-1 overhead of 32
+    * near-empty sort tasks costs more than the lost parallelism is worth.
+    * Measured round-10 A/Bs, same conditions per pair: at sf0.1 (1.15M
+    * positions) pinning 32 cost text_suffix_array 6.15 → 8.41 s and
+    * text_lcp_topk 6.83 → 10.25 s, while at x10 (11.5M positions) the
+    * AQE-coalesced form cost text_suffix_ranks 8.35 → 18.71 s — ~9 tasks of
+    * 64 MB underusing 32 cores. The floor splits the two measured regimes;
+    * above it the count is max(session default, position-scaled), exactly the
+    * round-9 100× OOM fix.
     */
   private def autoPartitions(spark: org.apache.spark.sql.SparkSession,
                              positions: Long): Int = {
     val rowsPerPartition = 2000000L
+    val smallCorpusFloor = 4000000L
+    if (positions < smallCorpusFloor) return 0
     val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     math.max(base, math.min(4096L, positions / rowsPerPartition + 1L).toInt)
   }
 
+  /** `knownPositions < 0` → count here (one narrow scan); callers that
+    * already aggregated the corpus length (e.g. [[suffixArray]]'s maxLen
+    * pass) pass it through so the scan isn't paid twice.
+    */
   private def ranksToWidth(docs: DataFrame, idCol: String, textCol: String,
-                           targetLen: Int, exact: Boolean): DataFrame = {
+                           targetLen: Int, exact: Boolean,
+                           knownPositions: Long = -1L): DataFrame = {
     require(targetLen >= 1, "targetLen must be >= 1")
     // one narrow scan: the exploded position count drives the partition count
-    val positions = docs.agg(coalesce(sum(length(col(textCol))), lit(0L))
-      .cast("long")).head.getLong(0)
+    val positions = if (knownPositions >= 0L) knownPositions
+      else docs.agg(coalesce(sum(length(col(textCol))), lit(0L))
+        .cast("long")).head.getLong(0)
     val nParts = autoPartitions(docs.sparkSession, positions)
     // working set ~50 B/row × 2-3 live copies: past ~30M positions the
     // deserialized copies contend with sort execution for a single JVM's
@@ -276,7 +295,8 @@ object SuffixArray {
     val agg = docs.agg(coalesce(max(length(col(textCol))), lit(0)).as("m"),
       coalesce(sum(length(col(textCol))), lit(0L)).cast("long").as("n")).head
     val (maxLen, positions) = (agg.getInt(0), agg.getLong(1))
-    val ranked = ranksToWidth(docs, idCol, textCol, math.max(maxLen, 1), exact = false)
+    val ranked = ranksToWidth(docs, idCol, textCol, math.max(maxLen, 1),
+      exact = false, knownPositions = positions)
     val tied = globalDenseRank(ranked, Seq("r", "id", "off"), "sa_rank",
       autoPartitions(docs.sparkSession, positions), positions > 30000000L)
     val out = tied.df.localCheckpoint()
