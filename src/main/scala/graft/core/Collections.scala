@@ -306,14 +306,12 @@ final class CollectionManager(
     else chunks.write.mode(SaveMode.Overwrite).parquet(chunksPath(name))
     bm25Indexer(name).index(this.chunks(name))
 
-    val stats = this.chunks(name)
-      .agg(count("*").as("n"), coalesce(max("chunkId"), lit(-1L)).as("maxId"),
-           countDistinct("documentId").as("docs")).head()
+    val (nChunks, maxId, nDocs) = manifestStats(name)
     val m = Model.Manifest(
       collectionName = name, updatedTime = nowIso,
       lastModifiedDocumentTime = latestModified(persisted),
-      numberOfDocuments = stats.getLong(2), numberOfChunks = stats.getLong(0),
-      lastIndexItemId = stats.getLong(1),
+      numberOfDocuments = nDocs, numberOfChunks = nChunks,
+      lastIndexItemId = maxId,
       indexers = Seq("vector_exact_l2", "bm25"),
       chunkSize = splitter.chunkSize, chunkOverlap = splitter.chunkOverlap,
       reader = readerDetails, embedder = embedder.name,
@@ -329,6 +327,29 @@ final class CollectionManager(
         case s    => s
       }
     else ""
+
+  /** Manifest counters (numberOfChunks, lastIndexItemId, numberOfDocuments)
+    * from Parquet FOOTERS — zero Spark jobs, O(#files) metadata reads instead
+    * of the O(corpus) `count/max/countDistinct` scan this replaced. Footer
+    * row counts are exact; `chunkId` max comes from row-group statistics
+    * (falls back to a scan only for foreign files without stats, which our
+    * own writers never produce). `numberOfDocuments` is the docs-table row
+    * count — one row per document under the unique-id contract every mutation
+    * preserves (create writes source rows as-is; update/delete merge by
+    * anti-join on id). At 100 TB this turns every update/delete tick's
+    * bookkeeping from a full chunks+documents scan into a footer sweep.
+    */
+  private[graft] def manifestStats(name: String): (Long, Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val nChunks = ParquetMeta.rowCount(conf, chunksPath(name))
+    val maxId =
+      if (nChunks == 0L) -1L
+      else ParquetMeta.columnMaxLong(conf, chunksPath(name), "chunkId").getOrElse(
+        spark.read.parquet(chunksPath(name))
+          .agg(coalesce(max("chunkId"), lit(-1L))).head().getLong(0))
+    val nDocs = ParquetMeta.rowCount(conf, docsPath(name))
+    (nChunks, maxId, nDocs)
+  }
 
   /** Incremental update: re-read documents replace their old rows (and chunks) by
     * anti-join; new chunk ids continue after the manifest high-water mark.
@@ -456,14 +477,18 @@ final class CollectionManager(
     }
     removedChunkIds.unpersist()
 
-    val stats = spark.read.parquet(chunksPath(name))
-      .agg(count("*").as("n"), coalesce(max("chunkId"), lit(-1L)).as("maxId"),
-           countDistinct("documentId").as("docs")).head()
+    val (nChunks, maxId, nDocs) = manifestStats(name)
+    // watermark = max EVER SEEN, maintained monotonically from the batch in
+    // hand (O(batch), not an O(corpus) rescan): a replaced doc can carry an
+    // older timestamp, but an incremental-read cursor must never move back —
+    // everything up to the old mark has already been fetched. ISO-8601
+    // strings order lexicographically, same comparison the old scan used.
     val m = old.copy(
       updatedTime = nowIso,
-      lastModifiedDocumentTime = latestModified(this.documents(name)),
-      numberOfDocuments = stats.getLong(2), numberOfChunks = stats.getLong(0),
-      lastIndexItemId = stats.getLong(1))
+      lastModifiedDocumentTime =
+        Seq(old.lastModifiedDocumentTime, latestModified(changed)).max,
+      numberOfDocuments = nDocs, numberOfChunks = nChunks,
+      lastIndexItemId = maxId)
     writeManifest(m, name)
     m
   }
@@ -554,15 +579,13 @@ final class CollectionManager(
         .write.mode("append").parquet(sigsPath(name))
     }
 
-    val stats = spark.read.parquet(chunksPath(name))
-      .agg(count("*").as("n"), coalesce(max("chunkId"), lit(-1L)).as("maxId"),
-           countDistinct("documentId").as("docs")).head()
+    val (nChunks, maxId, nDocs) = manifestStats(name)
     val m = old.copy(
       updatedTime = nowIso,
-      numberOfDocuments = stats.getLong(2), numberOfChunks = stats.getLong(0),
+      numberOfDocuments = nDocs, numberOfChunks = nChunks,
       // the high-water mark never moves backwards: ids stay unique across the
       // collection's whole history even if the max surviving id is lower
-      lastIndexItemId = math.max(old.lastIndexItemId, stats.getLong(1)))
+      lastIndexItemId = math.max(old.lastIndexItemId, maxId))
     writeManifest(m, name)
     m
   }

@@ -484,4 +484,69 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
     fs.delete(new org.apache.hadoop.fs.Path(s"$chunksRoot/bucket=0__old"), true)
     assert(cm.fsck("cr").collect().forall(_.getAs[Boolean]("ok")))
   }
+
+  test("manifest counters come from parquet footers: scan-exact, zero Spark jobs") {
+    val tmpF = Files.createTempDirectory("graft-mstats-f").toString
+    val tmpB = Files.createTempDirectory("graft-mstats-b").toString
+    val cmF = mkManager(tmpF); val cmB = mkManager(tmpB)
+    cmF.create("ms", rawDocs(docsV1))
+    cmB.create("ms", rawDocs(docsV1), nBuckets = 4)
+
+    for (cm <- Seq(cmF, cmB)) {
+      // footer answers == the scan truth the old implementation computed
+      val truth = cm.chunks("ms")
+        .agg(count("*"), coalesce(max("chunkId"), lit(-1L)),
+             countDistinct("documentId")).head()
+      val (nChunks, maxId, nDocs) = cm.manifestStats("ms")
+      assert(nChunks === truth.getLong(0))
+      assert(maxId === truth.getLong(1))
+      assert(nDocs === truth.getLong(2))
+    }
+
+    // zero jobs: the refresh that runs after EVERY update/delete tick must be
+    // a metadata read, not an O(corpus) scan (the A3 listener proof)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def barrier(atLeast: Int): Unit = {
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get() < atLeast && System.nanoTime() < deadline) Thread.sleep(20)
+      var last = -1
+      while (last != jobs.get()) { last = jobs.get(); Thread.sleep(500) }
+    }
+    try {
+      barrier(1); jobs.set(0)
+      cmF.manifestStats("ms"); cmB.manifestStats("ms")
+      barrier(1)
+      assert(jobs.get() === 1,
+        s"manifestStats must not schedule Spark jobs; saw ${jobs.get() - 1} extra")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("document watermark is a monotone cursor: a backdated replacement never rewinds it") {
+    val tmp = Files.createTempDirectory("graft-wm").toString
+    val cm = mkManager(tmp)
+    val m1 = cm.create("wm", rawDocs(docsV1))
+    assert(m1.lastModifiedDocumentTime === "2026-01-03T00:00:00")
+
+    // replace the doc that HELD the max with an older timestamp: everything up
+    // to the old mark has already been fetched, so the incremental-read cursor
+    // must hold (a rewind would re-fetch the whole window on the next sync)
+    val backdated = rawDocs(Seq(
+      ("d3", "file://d3", Map("space" -> "ENG", "lastModifiedAt" -> "2025-12-01T00:00:00"),
+        "restored older revision of the similarity notes")))
+    val m2 = cm.update("wm", backdated)
+    assert(m2.lastModifiedDocumentTime === "2026-01-03T00:00:00")
+
+    // and a genuinely newer arrival advances it
+    val newer = rawDocs(Seq(
+      ("d4", "file://d4", Map("space" -> "ENG", "lastModifiedAt" -> "2026-03-01T00:00:00"),
+        "fresh doc past the old watermark")))
+    assert(cm.update("wm", newer).lastModifiedDocumentTime === "2026-03-01T00:00:00")
+  }
 }
