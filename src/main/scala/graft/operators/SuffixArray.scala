@@ -209,17 +209,24 @@ object SuffixArray {
     * AQE coalesce the range exchange: an explicit count pins it, and at
     * tens-of-MB shuffle sizes the per-round sampling + pass-1 overhead of 32
     * near-empty sort tasks costs more than the lost parallelism is worth.
-    * Measured round-10 A/Bs, same conditions per pair: at sf0.1 (1.15M
-    * positions) pinning 32 cost text_suffix_array 6.15 → 8.41 s and
-    * text_lcp_topk 6.83 → 10.25 s, while at x10 (11.5M positions) the
-    * AQE-coalesced form cost text_suffix_ranks 8.35 → 18.71 s — ~9 tasks of
-    * 64 MB underusing 32 cores. The floor splits the two measured regimes;
-    * above it the count is max(session default, position-scaled), exactly the
-    * round-9 100× OOM fix.
+    * Measured round-10 A/Bs: at sf0.1 (1.15M positions) pinning 32 cost
+    * text_suffix_array 6.15 → 8.41 s and text_lcp_topk 6.83 → 10.25 s,
+    * while at the stress x10 scale (9.0M positions) AQE coalesces the
+    * ~450 MB shuffle to ~9 partitions of 64 MB, underusing 32 cores:
+    * text_suffix_ranks 18.7 s AQE vs 9.2 s pinned, same day. The floor
+    * splits the two measured regimes; above it the count is max(session
+    * default, position-scaled), exactly the round-9 100× OOM fix.
+    *
+    * `rowsPerPartition` = 1M (halved from the round-9 2M): at the x100
+    * scale (90M positions, GC-bound in a 24 GB single JVM) 92 partitions
+    * beat 46 by ~11% (136.7 → 122.3 s) — smaller per-task sort state eases
+    * allocation pressure more than the extra sampler/task overhead costs —
+    * and 500k showed no further gain (119.8 s). x10 and below are unchanged
+    * (the session default floors the count at 32 either way).
     */
   private def autoPartitions(spark: org.apache.spark.sql.SparkSession,
                              positions: Long): Int = {
-    val rowsPerPartition = 2000000L
+    val rowsPerPartition = 1000000L
     val smallCorpusFloor = 4000000L
     if (positions < smallCorpusFloor) return 0
     val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
