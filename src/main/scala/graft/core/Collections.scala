@@ -488,7 +488,11 @@ final class CollectionManager(
       lastModifiedDocumentTime =
         Seq(old.lastModifiedDocumentTime, latestModified(changed)).max,
       numberOfDocuments = nDocs, numberOfChunks = nChunks,
-      lastIndexItemId = maxId)
+      // HWM never recedes (same guard as delete): an update whose docs carry
+      // explicitly-empty chunks arrays can REMOVE the highest chunk ids while
+      // adding none — a raw table max would then hand those ids back to the
+      // next update, breaking history-unique chunk ids
+      lastIndexItemId = math.max(old.lastIndexItemId, maxId))
     writeManifest(m, name)
     m
   }

@@ -528,6 +528,32 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("chunk-id HWM survives an update that removes the top ids without adding any") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-hwm").toString
+    val cm = mkManager(tmp)
+    val m1 = cm.create("hw", rawDocs(docsV1))
+    assert(m1.lastIndexItemId >= 0)
+
+    // replace EVERY doc with an explicitly-empty chunks array: the chunks
+    // table empties, but the ids that existed must stay burned — a receding
+    // HWM would hand them to the next update (history-unique ids broken)
+    val emptied = docsV1.map { case (id, url, meta, text) => (id, url, meta, text) }
+      .toDF("id", "url", "metadata", "text")
+      .withColumn("chunks", array().cast(
+        "array<struct<indexedData:string,metadata:map<string,string>>>"))
+    val m2 = cm.update("hw", emptied)
+    assert(m2.numberOfChunks === 0)
+    assert(m2.numberOfDocuments === 3)
+    assert(m2.lastIndexItemId === m1.lastIndexItemId)
+
+    // the next real update continues PAST the preserved mark
+    val m3 = cm.update("hw", rawDocs(Seq(docsV1.head)))
+    val ids = cm.chunks("hw").select("chunkId").collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(_ > m1.lastIndexItemId))
+    assert(m3.lastIndexItemId === ids.max)
+  }
+
   test("document watermark is a monotone cursor: a backdated replacement never rewinds it") {
     val tmp = Files.createTempDirectory("graft-wm").toString
     val cm = mkManager(tmp)
