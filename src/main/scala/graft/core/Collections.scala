@@ -40,6 +40,31 @@ final class CollectionManager(
   private def chunksPath(name: String) = s"${dir(name)}/chunks"
   private def manifestPath(name: String) = s"${dir(name)}/manifest.json"
   private def bm25Dir(name: String) = s"${dir(name)}/indexes/bm25"
+  private def lockPath(name: String) = new Path(s"${dir(name)}/_writer.lock")
+
+  // ------------------------------------------------------------ writer lock
+  // Single-writer discipline, ENFORCED (it was an assumption through round
+  // 10): every mutating entry point below runs under a lease-based lock next
+  // to the manifest. Two managers racing an update serialize (second waits),
+  // a slow conflict fails with a clear error instead of interleaving staged
+  // swaps, and a crashed writer's lock auto-expires. Reentrant per thread so
+  // composed mutators (reindex → buildIvfIndex) take it once.
+  private val writerId = java.util.UUID.randomUUID().toString
+
+  private def confMs(key: String, dflt: Long): Long =
+    try spark.conf.get(key, dflt.toString).toLong catch { case _: NumberFormatException => dflt }
+
+  /** Run `body` as THE writer of collection `name`. Public so external
+    * orchestration (a maintenance job spanning several calls) can hold the
+    * lock across a whole transaction script. Tunables:
+    * `graft.writer.leaseMs` (default 15 min — size to the slowest mutation;
+    * a holder past its lease can be broken) and `graft.writer.waitMs`
+    * (default 10 s — how long a second writer queues before failing).
+    */
+  def withWriterLock[T](name: String)(body: => T): T =
+    WriterLock.withLock(fs, lockPath(name), writerId,
+      leaseMs = confMs("graft.writer.leaseMs", 15L * 60L * 1000L),
+      waitMs = confMs("graft.writer.waitMs", 10000L))(body)
 
   private def vectorIndexer(name: String) =
     new graft.operators.VectorIndexer(spark, chunksPath(name), embedder)
@@ -51,13 +76,14 @@ final class CollectionManager(
     * via the returned indexer (or wire it into multiSearch).
     */
   def buildIvfIndex(name: String, nLists: Int = 64, nProbe: Int = 8,
-                    deterministic: Boolean = false): graft.operators.IvfVectorIndexer = {
-    val ivf = new graft.operators.IvfVectorIndexer(
-      spark, s"${dir(name)}/indexes/ivf", embedder, nLists, nProbe,
-      deterministic = deterministic)
-    ivf.index(chunks(name))
-    ivf
-  }
+                    deterministic: Boolean = false): graft.operators.IvfVectorIndexer =
+    withWriterLock(name) {
+      val ivf = new graft.operators.IvfVectorIndexer(
+        spark, s"${dir(name)}/indexes/ivf", embedder, nLists, nProbe,
+        deterministic = deterministic)
+      ivf.index(chunks(name))
+      ivf
+    }
 
   /** The collection's IVF index, when one has been built — the handle
     * streaming per-batch appends use ([[graft.streaming.StreamingUpdate]]).
@@ -137,7 +163,7 @@ final class CollectionManager(
     * resolved at read time by [[minhashSigs]]'s argmax, so a ticking watcher
     * never pays an O(table) rewrite per batch.
     */
-  def appendMinhashSigs(name: String, docs: DataFrame): Unit = {
+  def appendMinhashSigs(name: String, docs: DataFrame): Unit = withWriterLock(name) {
     val rev = nextSigRev(name)
     graft.operators.Dedup
       .minhashSignatures(docs.select("id", "text"), "id", "text")
@@ -159,13 +185,14 @@ final class CollectionManager(
     if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
   }
 
-  def compactSigs(name: String): Unit =
+  def compactSigs(name: String): Unit = withWriterLock(name) {
     minhashSigs(name).foreach { live =>
       val staging = s"${sigsPath(name)}__staging"
       live.withColumn("rev", lit(0L)).withColumn("deleted", lit(false))
         .write.mode(SaveMode.Overwrite).parquet(staging)
       swap(staging, sigsPath(name))
     }
+  }
 
   // ------------------------------------------------------------------ manifest IO
 
@@ -183,6 +210,7 @@ final class CollectionManager(
     root.put("numberOfDocuments", m.numberOfDocuments)
     root.put("numberOfChunks", m.numberOfChunks)
     root.put("lastIndexItemId", m.lastIndexItemId)
+    root.put("version", m.version)
     if (m.bucketCount > 0) root.put("bucketCount", m.bucketCount)
     val idx = root.putArray("indexers")
     m.indexers.foreach(idx.add)
@@ -216,7 +244,8 @@ final class CollectionManager(
       reader = root.path("reader").properties().asScala
         .map(e => e.getKey -> e.getValue.asText).toMap,
       embedder = root.path("embedder").asText(""),
-      bucketCount = root.path("bucketCount").asInt(0)) // absent = legacy flat
+      bucketCount = root.path("bucketCount").asInt(0), // absent = legacy flat
+      version = root.path("version").asLong(0L))
   }
 
   def exists(name: String): Boolean = fs.exists(new Path(manifestPath(name)))
@@ -293,8 +322,9 @@ final class CollectionManager(
     */
   def create(name: String, rawDocs: DataFrame,
              readerDetails: Map[String, String] = Map.empty,
-             nBuckets: Int = 0): Model.Manifest = {
+             nBuckets: Int = 0): Model.Manifest = withWriterLock(name) {
     require(nBuckets >= 0, s"nBuckets must be >= 0, got $nBuckets")
+    val priorVersion = if (exists(name)) readManifest(name).version else 0L
     val docs = withChunks(rawDocs)
     if (nBuckets > 0) writeBucketedTable(docs, "id", nBuckets, docsPath(name))
     else docs.write.mode(SaveMode.Overwrite).parquet(docsPath(name))
@@ -315,7 +345,7 @@ final class CollectionManager(
       indexers = Seq("vector_exact_l2", "bm25"),
       chunkSize = splitter.chunkSize, chunkOverlap = splitter.chunkOverlap,
       reader = readerDetails, embedder = embedder.name,
-      bucketCount = nBuckets)
+      bucketCount = nBuckets, version = priorVersion + 1)
     writeManifest(m, name)
     m
   }
@@ -371,7 +401,7 @@ final class CollectionManager(
   }
 
   def update(name: String, changedRawDocs: DataFrame,
-             refreshIvf: Boolean = true): Model.Manifest = {
+             refreshIvf: Boolean = true): Model.Manifest = withWriterLock(name) {
     val old = readManifest(name)
     // updating with a mismatched embedder would interleave incompatible
     // vectors with the kept chunks — same guard as search, before any write
@@ -492,7 +522,8 @@ final class CollectionManager(
       // explicitly-empty chunks arrays can REMOVE the highest chunk ids while
       // adding none — a raw table max would then hand those ids back to the
       // next update, breaking history-unique chunk ids
-      lastIndexItemId = math.max(old.lastIndexItemId, maxId))
+      lastIndexItemId = math.max(old.lastIndexItemId, maxId),
+      version = old.version + 1)
     writeManifest(m, name)
     m
   }
@@ -504,7 +535,7 @@ final class CollectionManager(
     * docs and chunks tables, BM25 rebuild, IVF refresh when built. Unknown
     * ids are a no-op per row, like the reference's mapping lookup.
     */
-  def delete(name: String, ids: Seq[String]): Model.Manifest = {
+  def delete(name: String, ids: Seq[String]): Model.Manifest = withWriterLock(name) {
     val old = readManifest(name)
     import spark.implicits._
     val idDf = broadcast(ids.toDF("id"))
@@ -589,7 +620,8 @@ final class CollectionManager(
       numberOfDocuments = nDocs, numberOfChunks = nChunks,
       // the high-water mark never moves backwards: ids stay unique across the
       // collection's whole history even if the max surviving id is lower
-      lastIndexItemId = math.max(old.lastIndexItemId, maxId))
+      lastIndexItemId = math.max(old.lastIndexItemId, maxId),
+      version = old.version + 1)
     writeManifest(m, name)
     m
   }
@@ -684,7 +716,26 @@ final class CollectionManager(
           ("doc_without_dedup_sig", 0L,
             docs.join(sigIds, Seq("id"), "left_anti").count()))
       } else Nil
-    (base ++ bm25 ++ buckets ++ ivf ++ sigs)
+    // a writer-lock file whose lease has EXPIRED is crashed-writer residue:
+    // harmless to liveness (the next writer breaks it) but worth surfacing —
+    // the mutation that died mid-flight may have left work for reindex/fsck.
+    // An unexpired lock is a live writer, not corruption, and is not flagged.
+    val lock = {
+      val p = lockPath(name)
+      val expired =
+        if (!fs.exists(p)) 0L
+        else try {
+          val in = fs.open(p)
+          val json = try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+          finally in.close()
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+          val until = root.path("acquiredAtMs").asLong(0L) + root.path("leaseMs").asLong(0L)
+          if (until <= System.currentTimeMillis()) 1L else 0L
+        } catch { case _: java.io.IOException => 1L } // unreadable = residue
+      Seq(("expired_writer_lock", 0L, expired))
+    }
+    (base ++ bm25 ++ buckets ++ ivf ++ sigs ++ lock)
       .map { case (c, e, a) => (c, e, a, e == a) }
       .toDF("check", "expected", "actual", "ok")
   }
@@ -700,7 +751,8 @@ final class CollectionManager(
     * are unchanged by construction; search latency and the tombstone
     * anti-join shrink. Cheap no-op when the tail is empty.
     */
-  def compactBm25(name: String): Unit = bm25Indexer(name).compact()
+  def compactBm25(name: String): Unit =
+    withWriterLock(name) { bm25Indexer(name).compact() }
 
   /** Size of the BM25 delta/tombstone tail — the compact-or-not signal
     * (listing only, no data read).
@@ -721,15 +773,16 @@ final class CollectionManager(
     * The repair [[ivfDrift]] calls for; cheaper than [[reindex]] (BM25 is
     * left alone).
     */
-  def retrainIvf(name: String): Unit =
+  def retrainIvf(name: String): Unit = withWriterLock(name) {
     if (ivfIndex(name).isDefined) {
       val lists = spark.read.parquet(s"${dir(name)}/indexes/ivf/centroids")
         .count().toInt
       buildIvfIndex(name, nLists = lists)
       ()
     }
+  }
 
-  def reindex(name: String): Unit = {
+  def reindex(name: String): Unit = withWriterLock(name) {
     bm25Indexer(name).index(this.chunks(name))
     if (ivfIndex(name).isDefined) {
       val lists = spark.read.parquet(s"${dir(name)}/indexes/ivf/centroids")

@@ -73,5 +73,10 @@ object Model {
       // > 0: docs and chunks live under bucket=K partition dirs, K =
       // pmod(hash(docId), bucketCount) — incremental update/delete rewrite
       // only dirty buckets. 0 = flat single-directory layout (the default).
-      bucketCount: Int = 0)
+      bucketCount: Int = 0,
+      // Monotone mutation counter: every create/update/delete writes
+      // version = prior + 1 under the writer lock, so the serialized history
+      // is observable (N racing updates land as N distinct versions) and a
+      // lost update would show as a skipped number. Absent = legacy = 0.
+      version: Long = 0L)
 }
