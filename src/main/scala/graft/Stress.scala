@@ -147,7 +147,11 @@ object Stress {
     "text_suffix_ranks", "dedup_exact_substr", "text_lcp_topk",
     "decontam_substr",
     // round-7c: exact token-window classes and the strip-rebuild pass
-    "dedup_token_spans", "dedup_strip_spans")
+    "dedup_token_spans", "dedup_strip_spans",
+    // round-11: the sharded suffix shape — K sequential per-shard rank runs
+    // + the global seed pass + auxiliary-group run (shard_dup_spans), and
+    // train-shards × replicated-bench decontamination (shard_decontam)
+    "shard_dup_spans", "shard_decontam")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "stress"

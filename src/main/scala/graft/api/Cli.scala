@@ -210,6 +210,16 @@ object Cli {
         val result = cm.fetch(req("collection"), req("doc"),
           opt("start").map(_.toInt).getOrElse(1), opt("end").map(_.toInt).getOrElse(200))
         println(Formatting.jsonIndent(result))
+      case "suggest" =>
+        // did-you-mean over the collection's own BM25 vocabulary (LSM view)
+        val terms = req("terms").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        println(Formatting.jsonIndent(cm.suggestTerms(req("collection"), terms,
+          maxEdits = opt("max-edits").map(_.toInt).getOrElse(2),
+          topK = opt("top").map(_.toInt).getOrElse(3))
+          .orderBy("q", "rank")))
+      case "complete" =>
+        println(Formatting.jsonIndent(cm.autocompleteTerms(req("collection"),
+          req("prefix"), opt("top").map(_.toInt).getOrElse(8))))
       case "list" =>
         println(cm.list().mkString("[\"", "\", \"", "\"]"))
       case "curate" =>
@@ -320,6 +330,9 @@ object Cli {
             |  search --name N --query Q [--filter DSL] [--indexes a,b] [--rrfK K]
             |         [--max-chunks K] [--max-docs K] [--include-text] [--format json|indent|toon]
             |  fetch --name N --id ID [--from L --to L]
+            |  suggest --name N --terms a,b [--max-edits 2] [--top 3]
+            |          did-you-mean from the collection's BM25 vocabulary
+            |  complete --name N --prefix P [--top 8]   prefix autocomplete, df-ranked
             |  list
             |  delete --name N --ids a,b,c
             |  curate --in P --out P [--min-tokens N] [--min-quality Q] [--redact-pii]

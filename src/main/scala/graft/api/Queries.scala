@@ -2365,6 +2365,179 @@ object Queries {
            |SELECT doc_id, min(s) AS span_start, max(e) AS span_end, count(*) AS n_grams
            |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin))
 
+  /** Sharded ExactSubstr ([[graft.operators.SuffixArray.shardedDuplicateSpans]]):
+    * the 100-TB posture of `dedup_exact_substr` made code, gated in the
+    * regime sharding exists for — minLen 160 is ABOVE the direct-path cap,
+    * so every window class must come from a doubling run, and the sharded
+    * form bounds each run to one doc-hash shard (+ the seed-selected
+    * auxiliary group that recovers cross-shard duplicates exactly). The
+    * oracle is the GLOBAL replay — same SQL shape as `dedup_exact_substr`
+    * at 160 — because the sharded run's contract is bit-equality with the
+    * global result.
+    */
+  private val shardDupSpans = Q(
+    (s, d) => graft.operators.SuffixArray.shardedDuplicateSpans(
+        D.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        minLen = 160, crossDocOnly = true, nShards = 2)
+      .orderBy("doc_id", "span_start"),
+    Some("""WITH pos AS (SELECT doc_id, text,
+           |    unnest(generate_series(0, length(text) - 160)) AS off
+           |  FROM documents WHERE length(text) >= 160),
+           |wins AS (SELECT doc_id, off, substr(text, off + 1, 160) AS g FROM pos),
+           |sh AS (SELECT g FROM (
+           |    SELECT g, count(DISTINCT doc_id) AS nd FROM wins GROUP BY g) WHERE nd >= 2),
+           |dup AS (SELECT doc_id, off AS s, off + 160 AS e FROM wins JOIN sh USING (g)),
+           |fl AS (SELECT doc_id, s, e,
+           |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
+           |  FROM dup),
+           |isl AS (SELECT doc_id, s, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl)
+           |SELECT doc_id, min(s) AS span_start, max(e) AS span_end, count(*) AS n_grams
+           |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin))
+
+  /** Sharded decontamination ([[graft.operators.SuffixArray.shardedContaminatedSpans]]):
+    * `decontam_substr`'s semantics with the train corpus split into doc-hash
+    * shards, each checked against the WHOLE benchmark — the posture that
+    * lets a fixed cluster decontaminate an arbitrarily large train set. Rank
+    * path forced (directMaxLen = 8 < minLen = 16) so each shard runs a real
+    * doubling; oracle = the global replay, because sharding train against a
+    * replicated bench is exactly the global predicate.
+    */
+  private val shardDecontam = Q(
+    (s, d) => {
+      val docs = D.documents(s, d)
+      // train slice (% 3): the corpus's train∩bench overlaps max out well
+      // below the direct-path cap, so this gate FORCES the rank path
+      // (directMaxLen = 8 < minLen = 16) to exercise the sharded doubling
+      // machinery — and pays the per-shard-run fixed job cost 3×. The gate's
+      // job is the cross-engine equality of that machinery, not throughput;
+      // full-corpus scaling is measured in Stress (shard_decontam row).
+      graft.operators.SuffixArray.shardedContaminatedSpans(
+        docs.filter(col("doc_id") % 41 =!= 0 && col("doc_id") % 3 === 0)
+          .select("doc_id", "text"),
+        docs.filter(col("doc_id") % 41 === 0).select("doc_id", "text"),
+        "doc_id", "text", minLen = 16, nShards = 3, directMaxLen = 8)
+        .orderBy("doc_id", "span_start")
+    },
+    Some("""WITH be AS (SELECT text FROM documents WHERE doc_id % 41 = 0),
+           |tr AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 41 <> 0 AND doc_id % 3 = 0),
+           |bw AS (SELECT DISTINCT substr(text, off + 1, 16) AS g FROM
+           |  (SELECT text, unnest(generate_series(0, length(text) - 16)) AS off
+           |   FROM be WHERE length(text) >= 16)),
+           |tw AS (SELECT doc_id, off, substr(text, off + 1, 16) AS g FROM
+           |  (SELECT doc_id, text, unnest(generate_series(0, length(text) - 16)) AS off
+           |   FROM tr WHERE length(text) >= 16)),
+           |dup AS (SELECT doc_id, off AS s, off + 16 AS e FROM tw JOIN bw USING (g)),
+           |fl AS (SELECT doc_id, s, e,
+           |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
+           |  FROM dup),
+           |isl AS (SELECT doc_id, s, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl)
+           |SELECT doc_id, min(s) AS span_start, max(e) AS span_end, count(*) AS n_grams
+           |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin))
+
+  /** The (term, doc-frequency) vocabulary of the documents corpus — the
+    * shared input of the query-assist operators below (and at engine scale,
+    * a projection of the BM25 termDf table).
+    */
+  private def docVocab(s: SparkSession, d: String): DataFrame =
+    D.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("term"))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("term_df"))
+
+  /** Spelling suggestion ([[graft.operators.Suggest.spellSuggest]]): SymSpell
+    * deletion-neighborhood join (NOT a vocab × query cross join), exact under
+    * Levenshtein ≤ 2, top-3 per misspelling by (distance, df desc, term).
+    * The oracle IS the cross join — DuckDB's `levenshtein` over every
+    * (query, vocab) pair — so the gate proves the delete-key join loses no
+    * candidate the brute-force path finds.
+    */
+  private val spellSuggest = Q(
+    (s, d) => {
+      import s.implicits._
+      val qs = Seq("tabel", "qurey", "windw", "scann", "custmer", "jion").toDF("q")
+      graft.operators.Suggest.spellSuggest(
+          docVocab(s, d), "term", "term_df", qs, "q", maxEdits = 2, topK = 3)
+        .orderBy("q", "rank")
+    },
+    Some("""WITH vocab AS (SELECT term, count(DISTINCT doc_id) AS term_df
+           |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+           |          x -> x <> '')) AS term FROM documents) GROUP BY term),
+           |qs AS (SELECT unnest(['tabel','qurey','windw','scann','custmer','jion']) AS q),
+           |cand AS (SELECT q, term AS suggestion,
+           |    CAST(levenshtein(q, term) AS BIGINT) AS dist, term_df
+           |  FROM qs CROSS JOIN vocab WHERE levenshtein(q, term) <= 2),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY q
+           |    ORDER BY dist, term_df DESC, suggestion) AS rn FROM cand)
+           |SELECT q, suggestion, dist, term_df, CAST(rn AS BIGINT) AS rank
+           |FROM rk WHERE rn <= 3 ORDER BY q, rank""".stripMargin))
+
+  /** Prefix autocomplete ([[graft.operators.Suggest.autocomplete]]): top
+    * completions of "s" by (df desc, term) — one pushdown-friendly
+    * startsWith filter + top-k over the vocabulary table.
+    */
+  private val autocompletePrefix = Q(
+    (s, d) => graft.operators.Suggest.autocomplete(
+        docVocab(s, d), "term", "term_df", "s", k = 8)
+      .orderBy(col("term_df").desc, col("suggestion").asc),
+    Some("""WITH vocab AS (SELECT term, count(DISTINCT doc_id) AS term_df
+           |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+           |          x -> x <> '')) AS term FROM documents) GROUP BY term)
+           |SELECT term AS suggestion, term_df FROM vocab
+           |WHERE term LIKE 's%'
+           |ORDER BY term_df DESC, suggestion LIMIT 8""".stripMargin))
+
+  /** Best-window snippet highlighting ([[graft.operators.Suggest.highlightSnippet]]):
+    * per document, the earliest 8-word window with the most query-term hits —
+    * pure per-row array expressions, replayed with DuckDB list lambdas.
+    */
+  private val searchHighlight = Q(
+    (s, d) => graft.operators.Suggest.highlightSnippet(
+        D.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "query"), window = 8)
+      .orderBy("doc_id"),
+    Some("""WITH ws AS (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+           |sc AS (SELECT doc_id, w,
+           |    list_transform(generate_series(0, greatest(len(w) - 8, 0)),
+           |      i -> len(list_filter(w[i+1:i+8],
+           |             x -> list_contains(['spark','join','query'], lower(x))))) AS scores
+           |  FROM ws),
+           |mx AS (SELECT doc_id, w, scores, list_max(scores) AS best FROM sc)
+           |SELECT doc_id,
+           |  array_to_string(list_slice(w, list_position(scores, best),
+           |    list_position(scores, best) + 7), ' ') AS snippet,
+           |  CAST(best AS BIGINT) AS n_hits
+           |FROM mx WHERE best > 0 ORDER BY doc_id""".stripMargin))
+
+  /** Faceted result counts ([[graft.operators.Suggest.facetCounts]]): for the
+    * hit set of a term search, the per-dimension top-value histogram a search
+    * UI renders (facet = lang, source) — one map-side groupBy per facet.
+    */
+  private val facetCountsQ = Q(
+    (s, d) => {
+      val hits = D.documents(s, d).where(expr(
+        "array_contains(filter(split(text, ' '), x -> x <> ''), 'spark')"))
+      graft.operators.Suggest.facetCounts(hits, Seq("lang", "source"), topK = 5)
+        .orderBy("facet", "rank")
+    },
+    Some("""WITH hits AS (SELECT * FROM documents
+           |  WHERE list_contains(list_filter(string_split(text, ' '), x -> x <> ''), 'spark')),
+           |u AS (
+           |  SELECT 'lang' AS facet, CAST(lang AS VARCHAR) AS value,
+           |      count(*) AS n FROM hits GROUP BY lang
+           |  UNION ALL
+           |  SELECT 'source' AS facet, CAST(source AS VARCHAR) AS value,
+           |      count(*) AS n FROM hits GROUP BY source),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY facet
+           |    ORDER BY n DESC, value) AS rn FROM u)
+           |SELECT facet, value, n, CAST(rn AS BIGINT) AS rank
+           |FROM rk WHERE rn <= 5 ORDER BY facet, rank""".stripMargin))
+
   /** ExactSubstr remediation ([[graft.operators.SuffixArray.stripSpans]]):
     * cut every cross-doc duplicated 24-char span (the `dedup_exact_substr`
     * span set) out of the text and hash-gate the CLEANED corpus — md5 +
@@ -5255,6 +5428,12 @@ object Queries {
     "text_lcp_topk" -> textLcpTopk,
     "dedup_exact_substr" -> dedupExactSubstr,
     "decontam_substr" -> decontamSubstr,
+    "shard_dup_spans" -> shardDupSpans,
+    "shard_decontam" -> shardDecontam,
+    "spell_suggest" -> spellSuggest,
+    "autocomplete_prefix" -> autocompletePrefix,
+    "search_highlight" -> searchHighlight,
+    "facet_counts" -> facetCountsQ,
     "decontam_report" -> decontamReport,
     "dedup_strip_spans" -> dedupStripSpans,
     "ann_pq_adc" -> annPqAdc,

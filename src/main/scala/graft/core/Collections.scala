@@ -844,6 +844,27 @@ final class CollectionManager(
     * `indexNames` selects a subset of the built indexes (None = all, like the
     * reference's --indexes arg); multiple indexes RRF-fuse with constant `rrfK`.
     */
+  /** Spelling suggestions for a query's terms against THIS collection's
+    * BM25 vocabulary — the termDf LSM view (base ⊕ deltas), so suggestions
+    * track incremental updates with no extra bookkeeping. SymSpell
+    * deletion-neighborhood join ([[graft.operators.Suggest.spellSuggest]]);
+    * df ranking makes the engine prefer the corpus's own frequent spelling.
+    */
+  def suggestTerms(name: String, queryTerms: Seq[String], maxEdits: Int = 2,
+                   topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    graft.operators.Suggest.spellSuggest(
+      bm25Indexer(name).termDfTable(), "term", "df",
+      queryTerms.toDF("q"), "q", maxEdits, topK)
+  }
+
+  /** Top completions of `prefix` from this collection's BM25 vocabulary
+    * (same LSM termDf view as [[suggestTerms]]).
+    */
+  def autocompleteTerms(name: String, prefix: String, k: Int = 8): DataFrame =
+    graft.operators.Suggest.autocomplete(
+      bm25Indexer(name).termDfTable(), "term", "df", prefix, k)
+
   def search(
       name: String, query: String,
       maxChunks: Int = 15, maxDocs: Int = 5,

@@ -59,7 +59,21 @@ object SuffixArray {
     */
   private def charPositions(docs: DataFrame, idCol: String, textCol: String,
                             seedWidth: Int): DataFrame = {
-    require(seedWidth >= 1 && seedWidth <= 9, "seedWidth must be in [1, 9]")
+    require(seedWidth >= 1, s"seedWidth must be >= 1, got $seedWidth")
+    // Widths past the 9-char long pack seed with the LITERAL substring as a
+    // STRING key: UTF-8 binary order = the packed order (truncation sorts
+    // shorter-first exactly like the 0 pad), globalDenseRank is key-type
+    // generic, and one fat rank pass replaces ceil(log2(w/9)) doubling
+    // rounds — the trade that wins for finite targets (ranksToWidth gates
+    // it); the multi-long PACKED seed was measured and lost (PLANS.md).
+    if (seedWidth > 9)
+      return docs.select(col(idCol).as("id"),
+          posexplode(expr(
+            s"""CASE WHEN length($textCol) >= 1
+               |  THEN transform(sequence(1, length($textCol)),
+               |                 i -> substring($textCol, i, $seedWidth))
+               |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+        .select(col("id"), col("pos").as("off"), col("col").as("r"))
     // The code array is built ONCE per document; the pack reads it with O(1)
     // try_element_at — NULL past the end under BOTH ANSI modes (plain
     // element_at throws under ANSI), coalesced to the 0 pad.
@@ -256,8 +270,21 @@ object SuffixArray {
     // O(log L) rounds to O(log(L/9)). Ranks must be DENSE for the contract,
     // so the seed still passes through globalDenseRank even when it alone
     // reaches targetLen.
+    // Seed width choice, ASCII-guarded either way:
+    //   - finite EXACT targets past 18 chars (≥ 2 doubling rounds saved)
+    //     seed with the literal substring at min(target, 128): on small-to-
+    //     mid corpora the per-round fixed job cost dominates the key width
+    //     (measured round 11: the width-160 rank run 13.7 → ~4 s at sf0.1),
+    //     and at 128 B × positions the one fat exchange is comparable to
+    //     the 4 narrow rounds it replaces.
+    //   - the open-ended suffix-array path (exact = false) keeps the 9-char
+    //     packed seed — its rows and 100× posture are measured and pinned
+    //     (SCALE.md); don't move them as a side effect.
     val seedWidth =
-      if (targetLen > 1 && asciiSeedSafe(docs, textCol)) math.min(9, targetLen) else 1
+      if (targetLen > 1 && asciiSeedSafe(docs, textCol)) {
+        if (exact && targetLen > 18) math.min(targetLen, 128)
+        else math.min(9, targetLen)
+      } else 1
     var current = globalDenseRank(
       charPositions(docs, idCol, textCol, seedWidth), Seq("r"), "r", nParts, ser)
     var width = seedWidth
@@ -385,6 +412,19 @@ object SuffixArray {
                      minLen: Int, crossDocOnly: Boolean = false,
                      directMaxLen: Int = DirectWindowMaxLen): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
+    mergedSpans(dupPositions(docs, idCol, textCol, minLen, crossDocOnly,
+      directMaxLen), idCol)
+  }
+
+  /** The duplicated-position set behind [[duplicateSpans]]: one (id, off)
+    * row per length-`minLen` window that re-occurs. Factored out so
+    * [[shardedDuplicateSpans]] can union position sets from sub-runs BEFORE
+    * the interval merge — merging unioned positions is exactly the global
+    * merge; merging merged spans would re-count `n_grams` as spans.
+    */
+  private def dupPositions(docs: DataFrame, idCol: String, textCol: String,
+                           minLen: Int, crossDocOnly: Boolean,
+                           directMaxLen: Int): DataFrame = {
     val dupPos =
       if (minLen <= directMaxLen) {
         val wins = windowsOf(docs, idCol, textCol, minLen)
@@ -413,9 +453,17 @@ object SuffixArray {
           .select("rank")
         full.join(classes, Seq("rank"), "left_semi")
       }
-    val spans = dupPos.select(col("id").as(idCol),
+    dupPos.select(col("id").as(idCol), col("off"),
+      lit(minLen).as("_w"))
+  }
+
+  /** (id, off, _w) window positions → maximal merged [start, end) spans —
+    * the shared tail of every span producer here.
+    */
+  private def mergedSpans(pos: DataFrame, idCol: String): DataFrame = {
+    val spans = pos.select(col(idCol),
       col("off").cast("long").as("span_start"),
-      (col("off") + minLen).cast("long").as("span_end"))
+      (col("off") + col("_w")).cast("long").as("span_end"))
     Intervals.mergeIntervals(spans, Seq(idCol), "span_start", "span_end")
       .select(col(idCol), col("island_start").as("span_start"),
         col("island_end").as("span_end"), col("n_intervals").as("n_grams"))
@@ -465,6 +513,17 @@ object SuffixArray {
                         textCol: String, minLen: Int,
                         directMaxLen: Int = DirectWindowMaxLen): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
+    mergedSpans(contamPositions(train, bench, idCol, textCol, minLen,
+      directMaxLen), idCol)
+  }
+
+  /** The contaminated-position set behind [[contaminatedSpans]] (see
+    * [[dupPositions]] for why positions, not spans, are the unit sharded
+    * runs union over).
+    */
+  private def contamPositions(train: DataFrame, bench: DataFrame,
+                              idCol: String, textCol: String, minLen: Int,
+                              directMaxLen: Int): DataFrame = {
     val dupPos =
       if (minLen <= directMaxLen) {
         // Direct path: train windows LEFT-SEMI join the bench window set on
@@ -486,11 +545,173 @@ object SuffixArray {
           .join(benchRanks, Seq("rank"), "left_semi")
           .select(col("_uid.key").as(idCol), col("off"))
       }
-    val spans = dupPos.select(col(idCol),
-      col("off").cast("long").as("span_start"),
-      (col("off") + minLen).cast("long").as("span_end"))
-    Intervals.mergeIntervals(spans, Seq(idCol), "span_start", "span_end")
-      .select(col(idCol), col("island_start").as("span_start"),
-        col("island_end").as("span_end"), col("n_intervals").as("n_grams"))
+    dupPos.select(col(idCol), col("off"), lit(minLen).as("_w"))
+  }
+
+  // ------------------------------------------------------------- sharded runs
+  //
+  // The rank path's doubling run holds the WHOLE input's positions at once;
+  // autoPartitions caps its per-task state, but a 100 TB corpus should never
+  // enter one run (SCALE.md). Through round 10 that sharding was a comment
+  // ("shards by doc range upstream") — these entry points make it code:
+  // bounded per-run position counts, with results EXACTLY equal to the
+  // global function (equality specs in SuffixArraySpec).
+
+  /** [[contaminatedSpans]] over `train` split into `nShards` doc-hash shards,
+    * each checked against the WHOLE benchmark. Exactly the global result —
+    * contamination is a per-train-position predicate against all of bench,
+    * so sharding train loses nothing — while each doubling run holds
+    * |train|/K + |bench| positions instead of |train| + |bench|. Shards run
+    * sequentially (prefixRanks materializes eagerly), so peak cluster state
+    * is one shard's run: the knob that lets a fixed cluster decontaminate an
+    * arbitrarily large train corpus against a (small) eval suite.
+    */
+  def shardedContaminatedSpans(train: DataFrame, bench: DataFrame,
+                               idCol: String, textCol: String, minLen: Int,
+                               nShards: Int,
+                               directMaxLen: Int = DirectWindowMaxLen,
+                               shardParallelism: Int = 4): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    if (nShards == 1 || minLen <= directMaxLen)
+      // the direct path is a single narrow-key semi-join — already global,
+      // shard-free, and the cheapest plan; sharding would only re-scan bench
+      return contaminatedSpans(train, bench, idCol, textCol, minLen, directMaxLen)
+    val shard = pmod(hash(col(idCol)), lit(nShards))
+    // Seed prefilter (exact): a train position can only be contaminated if
+    // its window's every seedW-subwindow occurs verbatim in bench — so a
+    // train doc sharing NO hashed seedW-gram with bench can contribute
+    // nothing and never enters a rank run. One narrow hash semi-join
+    // reduces the doubling inputs from |train| to the candidate docs; a
+    // hash collision only keeps an extra doc (the run itself is exact).
+    val seedW = math.min(minLen, DirectWindowMaxLen)
+    val benchSeeds = hashedWindows(bench, idCol, textCol, seedW)
+      .select("_g").distinct()
+    val candIds = hashedWindows(train, idCol, textCol, seedW)
+      .join(benchSeeds, Seq("_g"), "left_semi")
+      .select(col("id").as(idCol)).distinct().localCheckpoint()
+    val cand = train.join(candIds, Seq(idCol), "left_semi")
+    val positions = runConcurrently(shardParallelism, (0 until nShards).map { k =>
+      () => contamPositions(cand.where(shard === k), bench, idCol, textCol,
+        minLen, directMaxLen)
+    })
+    // train shards are disjoint → positions never duplicate across runs
+    mergedSpans(positions.reduce(_.unionByName(_)), idCol)
+  }
+
+  /** (id, _g) rows: xxhash64 of every length-`len` window — the narrow-key
+    * seed passes' shared shape (8-byte keys at any window length; callers
+    * treat matches as CANDIDATES, so collisions cost work, never
+    * correctness).
+    */
+  private def hashedWindows(docs: DataFrame, idCol: String, textCol: String,
+                            len: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(expr(
+        s"""CASE WHEN length($textCol) >= $len
+           |  THEN transform(sequence(1, length($textCol) - ${len - 1}),
+           |                 i -> xxhash64(substring($textCol, i, $len)))
+           |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)).as("_g"))
+
+  /** Run independent sub-run constructions on up to `parallelism` threads.
+    * Each sub-run materializes eagerly (prefixRanks localCheckpoints), so a
+    * sequential loop leaves the cluster idle between a run's barrier jobs;
+    * concurrent submission lets the scheduler interleave them. The knob IS
+    * the peak-state dial: parallelism 1 restores strictly-sequential runs
+    * (one shard's doubling state live at a time — the 100 TB setting);
+    * higher values trade peak executor state for wall-clock on clusters
+    * with headroom. Spark job submission is thread-safe by design.
+    */
+  private def runConcurrently(parallelism: Int,
+                              thunks: Seq[() => DataFrame]): Seq[DataFrame] = {
+    require(parallelism >= 1, s"shardParallelism must be >= 1, got $parallelism")
+    if (parallelism == 1 || thunks.size <= 1) return thunks.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, thunks.size))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      Await.result(Future.sequence(thunks.map(t => Future(t()))), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
+  /** [[duplicateSpans]] over doc-hash shards, EXACT across shards via
+    * seed-and-extend: per-shard runs catch same-shard duplicates; a single
+    * GLOBAL pass at seed width `directMaxLen` (the direct path's literal
+    * groupBy — one narrow-key shuffle, no doubling, scale-free) finds every
+    * window duplicated ACROSS shards, and only the documents carrying such a
+    * seed re-run together as one auxiliary group.
+    *
+    * Exactness: a duplicate pair (p, q) of length minLen > seed width is
+    * either same-shard (that shard's run sees both) or cross-shard — and
+    * then EVERY seed-width subwindow of the duplicated text occurs in both
+    * shards, so both documents join the auxiliary group and its run sees
+    * both. Either way p and q are flagged; conversely every sub-run flags
+    * only positions duplicated within a SUBSET of the corpus, hence
+    * duplicated globally. Position sets union (distinct — the auxiliary run
+    * re-finds some same-shard positions) before one interval merge, so the
+    * output frame equals the global function's bit-for-bit.
+    *
+    * Degradation is graceful and observable, not silent: a corpus where
+    * near-everything shares cross-shard seeds pulls near-everything into the
+    * auxiliary group (= the global run the caller was avoiding); dedup-scale
+    * corpora have sparse duplication, keeping the group small. minLen ≤
+    * directMaxLen delegates to the global direct path, which needs no
+    * sharding.
+    */
+  def shardedDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                            minLen: Int, crossDocOnly: Boolean = false,
+                            nShards: Int = 1,
+                            directMaxLen: Int = DirectWindowMaxLen,
+                            shardParallelism: Int = 4): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(directMaxLen >= 2, s"directMaxLen must be >= 2, got $directMaxLen")
+    if (nShards == 1 || minLen <= directMaxLen)
+      return duplicateSpans(docs, idCol, textCol, minLen, crossDocOnly, directMaxLen)
+    val shard = pmod(hash(col(idCol)), lit(nShards))
+    // Global seed pass, ONE narrow groupBy doing double duty. Seeds are
+    // hashed seedW-grams (seedW = min(minLen, literal cap) — the longest
+    // usable seed is the most selective; exactness only needs seedW ≤
+    // minLen, because every duplicate of length ≥ minLen contains a
+    // duplicated seedW-gram). From the same aggregate:
+    //   - CANDIDATE docs: carry a seed duplicated at all (cross-doc when
+    //     crossDocOnly) — docs outside this set cannot contribute ANY dup
+    //     position, so every rank run below reads candidates only, not the
+    //     corpus. This is what turns "K bounded runs" into "K small runs"
+    //     on dedup-sparse corpora.
+    //   - AUXILIARY docs: carry a seed duplicated ACROSS shards — only they
+    //     re-run together to recover cross-shard pairs exactly.
+    // Hash collisions only ADD docs to either set (the runs themselves are
+    // literal/rank-exact); a true duplicate always hashes equal.
+    val seedW = math.min(minLen, DirectWindowMaxLen)
+    val wins = hashedWindows(docs, idCol, textCol, seedW)
+      .withColumn("_shard", pmod(hash(col("id")), lit(nShards)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedAgg = wins.groupBy("_g").agg(
+      count(lit(1)).as("_n"),
+      min(col("id")).as("_ia"), max(col("id")).as("_ib"),
+      min(col("_shard")).as("_sa"), max(col("_shard")).as("_sb"))
+    val dupSeeds = seedAgg
+      .where(if (crossDocOnly) col("_ia") =!= col("_ib") else col("_n") >= 2)
+      .select("_g")
+    val crossSeeds = seedAgg.where(col("_sa") =!= col("_sb")).select("_g")
+    // id sets are tiny (≤ |docs| ids); checkpoint them so the lazy tails of
+    // the rank runs never re-derive the window explode, then drop it
+    def idsWith(seeds: DataFrame): DataFrame =
+      wins.join(seeds, Seq("_g"), "left_semi")
+        .select(col("id").as(idCol)).distinct().localCheckpoint()
+    val (candIds, auxIds) = (idsWith(dupSeeds), idsWith(crossSeeds))
+    wins.unpersist(blocking = false)
+    val cand = docs.join(candIds, Seq(idCol), "left_semi")
+    val aux = docs.join(auxIds, Seq(idCol), "left_semi")
+    val runs = runConcurrently(shardParallelism,
+      (0 until nShards).map { k => () =>
+        dupPositions(cand.where(shard === k), idCol, textCol, minLen,
+          crossDocOnly, directMaxLen)
+      } :+ (() => dupPositions(aux, idCol, textCol, minLen, crossDocOnly,
+        directMaxLen)))
+    mergedSpans(runs.reduce(_.unionByName(_)).distinct(), idCol)
   }
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Query-assist operators a search engine grows next to its index: spelling
+  * suggestion, prefix autocomplete, best-window snippet highlighting, and
+  * faceted result counts. The reference stops at raw search results
+  * (full_text_search_index.py returns hits only); these are the standard
+  * serving-side companions, built Spark-first: every one is a declarative
+  * plan over the vocabulary/hit tables — codegen'd expressions, narrow-key
+  * joins, no UDFs, no driver loops.
+  */
+object Suggest {
+
+  /** All strings reachable from `e` by AT MOST `maxEdits` character
+    * DELETIONS (including `e` itself) — the SymSpell neighborhood
+    * (github.com/wolfgarbe/SymSpell's delete-only candidate model). Pure
+    * SQL-expression arrays: per term of length L this is O(L^maxEdits)
+    * variants, generated inside codegen with no UDF.
+    */
+  private def deletionVariants(e: String, maxEdits: Int): String = {
+    require(maxEdits >= 1 && maxEdits <= 2, "maxEdits must be 1 or 2")
+    // one deletion, lambda var named so nesting can't capture the wrong i
+    def del1(s: String, v: String): String =
+      s"transform(sequence(1, length($s)), $v -> " +
+        s"concat(substring($s, 1, $v - 1), substring($s, $v + 1)))"
+    val d1 = del1(e, "i")
+    if (maxEdits == 1) s"array_distinct(concat(array($e), $d1))"
+    else {
+      // second round applies del1 to every first-round variant; a variant
+      // can reach "" (length-1 input) — sequence(1, 0) would DESCEND in
+      // Spark, so empty strings short-circuit to no further variants
+      val d2 = s"flatten(transform($d1, w0 -> CASE WHEN length(w0) = 0 " +
+        s"THEN CAST(array() AS ARRAY<STRING>) ELSE ${del1("w0", "j")} END))"
+      s"array_distinct(concat(array($e), $d1, $d2))"
+    }
+  }
+
+  /** Spelling suggestions for each query term against a (term, df)
+    * vocabulary, exact under Levenshtein distance ≤ `maxEdits`, ranked by
+    * (distance asc, df desc, term asc), top `topK` per query.
+    *
+    * Scale shape — the reason this is SymSpell and not a cross join: both
+    * sides explode into their deletion neighborhoods and meet in ONE
+    * equi-join on the delete key (narrow string keys, broadcastable query
+    * side), then only the candidate pairs pay the O(L²) `levenshtein`
+    * verify. A |vocab| × |queries| cross join at 100 TB vocab scale is the
+    * plan this avoids; the delete-key table is precomputable and reusable
+    * across queries (it is a pure function of the vocabulary). Exactness:
+    * lev(a,b) ≤ e ⟹ deleting the edited positions from each side meets in
+    * a common variant, so the equi-join loses no true candidate; the
+    * verify step discards the false ones.
+    */
+  def spellSuggest(vocab: DataFrame, termCol: String, dfCol: String,
+                   queries: DataFrame, qCol: String,
+                   maxEdits: Int = 2, topK: Int = 3): DataFrame = {
+    val vv = vocab.where(length(col(termCol)) > 0)
+      .select(col(termCol).as("_term"), col(dfCol).as("_df"))
+      .withColumn("_delkey",
+        explode(expr(deletionVariants("_term", maxEdits))))
+    val qv = queries.where(length(col(qCol)) > 0)
+      .select(col(qCol).as("_q"))
+      .withColumn("_delkey", explode(expr(deletionVariants("_q", maxEdits))))
+    val candidates = qv.join(vv, Seq("_delkey"))
+      .select(col("_q"), col("_term"), col("_df")).distinct()
+      .where(levenshtein(col("_q"), col("_term")) <= maxEdits)
+      .withColumn("dist", levenshtein(col("_q"), col("_term")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_q"))
+      .orderBy(col("dist").asc, col("_df").desc, col("_term").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("_q").as(qCol), col("_term").as("suggestion"),
+        col("dist").cast("long").as("dist"), col("_df").as("term_df"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Top-`k` completions of `prefix` from a (term, df) vocabulary, by
+    * (df desc, term asc). One `startsWith` filter + one top-k: on a
+    * term-sorted parquet vocabulary the prefix predicate prunes row groups
+    * via min/max footer stats, so the scan is ~the matching range, not the
+    * vocabulary.
+    */
+  def autocomplete(vocab: DataFrame, termCol: String, dfCol: String,
+                   prefix: String, k: Int): DataFrame =
+    vocab.where(col(termCol).startsWith(prefix))
+      .orderBy(col(dfCol).desc, col(termCol).asc)
+      .limit(k)
+      .select(col(termCol).as("suggestion"), col(dfCol).as("term_df"))
+
+  /** Best-window snippet per document: slide a `window`-word window over the
+    * whitespace-tokenized text, count query-term hits per window
+    * (case-insensitive), keep the EARLIEST window with the maximum count.
+    * Returns (id, snippet, n_hits) for documents with ≥ 1 hit. All per-row
+    * array expressions (transform/aggregate/slice) — embarrassingly
+    * parallel, no shuffle, whole-stage codegen.
+    */
+  def highlightSnippet(docs: DataFrame, idCol: String, textCol: String,
+                       queryTerms: Seq[String], window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val qArr = s"array(${queryTerms.map(t => s"'${t.toLowerCase}'").mkString(", ")})"
+    val scored = docs
+      .withColumn("_ws", expr(s"filter(split($textCol, ' '), x -> x <> '')"))
+      .withColumn("_scores", expr(
+        s"""transform(sequence(0, greatest(size(_ws) - $window, 0)),
+           |  i -> aggregate(slice(_ws, i + 1, $window), 0,
+           |         (a, x) -> a + IF(array_contains($qArr, lower(x)), 1, 0)))""".stripMargin))
+      .withColumn("n_hits", expr("array_max(_scores)"))
+      .where(col("n_hits") > 0)
+    scored.select(col(idCol),
+        expr(s"array_join(slice(_ws, array_position(_scores, n_hits), $window), ' ')")
+          .as("snippet"),
+        col("n_hits").cast("long").as("n_hits"))
+  }
+
+  /** Faceted counts over a hit frame — the per-dimension value histogram a
+    * search UI renders next to results. For EACH facet column: top-`topK`
+    * values by (count desc, value asc). One groupBy per facet over the SAME
+    * (typically small: top-N hits) input, unioned; each is a partial-agg
+    * map-side shape.
+    */
+  def facetCounts(hits: DataFrame, facetCols: Seq[String], topK: Int = 10): DataFrame = {
+    require(facetCols.nonEmpty, "need at least one facet column")
+    val perFacet = facetCols.map { f =>
+      val counted = hits.groupBy(col(f).cast("string").as("value"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("value").asc)
+      counted.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= topK)
+        .select(lit(f).as("facet"), col("value"), col("n"),
+          col("rank").cast("long").as("rank"))
+    }
+    perFacet.reduce(_.unionByName(_))
+  }
+}

@@ -58,6 +58,19 @@ class CliSpec extends AnyFunSuite with SparkSuite {
       "--data-dir", dataDir, "--chunk-size", "60", "--chunk-overlap", "10",
       "--format", "json")
     assert(afterUpdate.contains("new.txt"))
+
+    // did-you-mean + autocomplete from the collection's own BM25 vocabulary —
+    // "indexing" arrived via the UPDATE above, so suggestions read the LSM
+    // termDf view, not just the create-time base
+    val suggested = captured("suggest", "--collection", "docs",
+      "--terms", "indxing,brodcast", "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10", "--top", "1")
+    assert(suggested.contains("\"indexing\""))
+    assert(suggested.contains("\"broadcast\""))
+    val completed = captured("complete", "--collection", "docs",
+      "--prefix", "dep", "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10")
+    assert(completed.contains("\"deploy"))
   }
 
   test("curate: parquet in → configured pipeline → parquet out + summary") {

@@ -295,6 +295,99 @@ class SuffixArraySpec extends AnyFunSuite with SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  // ---- sharded runs: exact equality with the global functions ------------
+
+  private def spanSet(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+    d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("shardedDuplicateSpans: planted CROSS-SHARD long duplicates equal the global rank path") {
+    // 200-char duplicated block (> DirectWindowMaxLen forces the rank path
+    // and real sharding) planted into six docs; with nShards = 3 the copies
+    // provably straddle shards (asserted, not assumed). Plus a within-doc
+    // repeat and unique filler docs.
+    val block = (0 until 200).map(i => "abcd".charAt((i * 7 + i / 9) % 4)).mkString
+    val filler = (id: Long) => s"unique filler for document $id " * 12
+    val rows: Seq[(Long, String)] =
+      (1L to 6L).map(i => i -> (filler(i).take(30 + 7 * i.toInt) + block + filler(i + 100))) ++
+      Seq(7L -> (block.take(180) + "ZZZ" + block.take(180)), // within-doc repeat < minLen of others
+          8L -> filler(8), 9L -> filler(9), 10L -> filler(10))
+    val d = df(rows: _*)
+    val nShards = 3
+    val shards = d.select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("doc_id")),
+        lit(nShards)).as("s"))
+      .where(col("doc_id").isNotNull).distinct().collect().map(_.getInt(0)).toSet
+    // the fixture must actually exercise the cross-shard seam
+    assert(shards.size >= 2, s"fixture docs all hashed to one shard: $shards")
+    for (cross <- Seq(false, true)) {
+      val global = spanSet(SuffixArray.duplicateSpans(
+        d, "doc_id", "text", minLen = 160, crossDocOnly = cross))
+      val sharded = spanSet(SuffixArray.shardedDuplicateSpans(
+        d, "doc_id", "text", minLen = 160, crossDocOnly = cross, nShards = nShards))
+      assert(sharded === global, s"crossDocOnly=$cross")
+      assert(global.nonEmpty)
+    }
+  }
+
+  test("shardedDuplicateSpans equals global on repeat-dense random corpora (forced small seed)") {
+    // 2-letter alphabet, minLen 12 > directMaxLen 4: every per-shard run is
+    // a rank run, the seed pass is width-4 (seeds everywhere → the auxiliary
+    // group degenerates toward the full corpus — exactness must hold there too)
+    for (seed <- Seq(23L, 57L)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 25).map { i =>
+        i.toLong -> Seq.fill(30 + rnd.nextInt(40))("ab".charAt(rnd.nextInt(2))).mkString
+      }
+      val d = df(rows: _*)
+      for (cross <- Seq(false, true)) {
+        val global = spanSet(SuffixArray.duplicateSpans(
+          d, "doc_id", "text", minLen = 12, crossDocOnly = cross))
+        val sharded = spanSet(SuffixArray.shardedDuplicateSpans(
+          d, "doc_id", "text", minLen = 12, crossDocOnly = cross,
+          nShards = 3, directMaxLen = 4))
+        assert(sharded === global, s"seed=$seed crossDocOnly=$cross")
+        assert(global.nonEmpty)
+      }
+    }
+  }
+
+  test("shardedContaminatedSpans equals global (train shards × whole bench)") {
+    val rnd = new scala.util.Random(23L)
+    val rows = (0 until 25).map { i =>
+      i.toLong -> Seq.fill(30 + rnd.nextInt(40))("ab".charAt(rnd.nextInt(2))).mkString
+    }
+    val train = df(rows.take(15): _*); val bench = df(rows.drop(15): _*)
+    val global = spanSet(SuffixArray.contaminatedSpans(
+      train, bench, "doc_id", "text", minLen = 12, directMaxLen = 4))
+    val sharded = spanSet(SuffixArray.shardedContaminatedSpans(
+      train, bench, "doc_id", "text", minLen = 12, nShards = 4, directMaxLen = 4))
+    assert(sharded === global)
+    assert(global.nonEmpty)
+    // long planted contamination through the DEFAULT seed width (128)
+    val block = (0 until 300).map(i => "wxyz".charAt((i * 5 + i / 7) % 4)).mkString
+    val tr2 = df(1L -> ("prefix " + block + " suffix"), 2L -> ("clean doc " * 30))
+    val be2 = df(9L -> ("bench carries " + block))
+    val g2 = spanSet(SuffixArray.contaminatedSpans(tr2, be2, "doc_id", "text", minLen = 200))
+    val s2 = spanSet(SuffixArray.shardedContaminatedSpans(
+      tr2, be2, "doc_id", "text", minLen = 200, nShards = 3))
+    assert(s2 === g2)
+    assert(g2.nonEmpty)
+  }
+
+  test("sharded runs delegate when sharding cannot help (nShards=1, direct-path minLen)") {
+    val d = df(1L -> ("dup dup dup shared segment here " * 4),
+               2L -> ("shared segment here also in two " * 4))
+    val g = spanSet(SuffixArray.duplicateSpans(d, "doc_id", "text", minLen = 16))
+    assert(spanSet(SuffixArray.shardedDuplicateSpans(
+      d, "doc_id", "text", minLen = 16, nShards = 1)) === g)
+    assert(spanSet(SuffixArray.shardedDuplicateSpans(
+      d, "doc_id", "text", minLen = 16, nShards = 5)) === g) // minLen ≤ direct → global direct
+    val g2 = spanSet(SuffixArray.contaminatedSpans(
+      d.limit(1), d, "doc_id", "text", minLen = 16))
+    assert(spanSet(SuffixArray.shardedContaminatedSpans(
+      d.limit(1), d, "doc_id", "text", minLen = 16, nShards = 5)) === g2)
+  }
+
   test("partition invariance: ranks identical regardless of input partitioning") {
     val rnd = new scala.util.Random(41L)
     val rows = (0 until 25).map { i =>

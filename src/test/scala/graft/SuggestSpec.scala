@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.Suggest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Query-assist operators: SymSpell spelling suggestion (exactness vs the
+  * brute-force cross join — the claim the delete-key join must earn),
+  * prefix autocomplete, best-window snippet highlighting (earliest-max
+  * hand-checks), and faceted counts.
+  */
+class SuggestSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def vocabDf(terms: (String, Long)*) = terms.toSeq.toDF("term", "term_df")
+
+  test("spellSuggest: hand-checked ranking — distance first, then df, then term") {
+    val vocab = vocabDf(("table", 50L), ("cable", 80L), ("tale", 10L), ("tab", 5L),
+      ("label", 30L), ("zzzz", 99L))
+    val out = Suggest.spellSuggest(vocab, "term", "term_df",
+        Seq("tabel").toDF("q"), "q", maxEdits = 2, topK = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(4)))
+    // plain Levenshtein from "tabel": label=1 (t→l); table=2 (the el swap is
+    // 2 substitutions), tale=2, tab=2; cable=3 and zzzz are out of range.
+    // dist first, then df desc: table(50) > tale(10) > tab(5).
+    assert(out.map(_._1).toSeq === Seq("label", "table", "tale", "tab"))
+    assert(out.map(_._2).toSeq === Seq(1L, 2L, 2L, 2L))
+    assert(out.map(_._3).toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("spellSuggest equals the brute-force cross join on random short vocab (maxEdits 1 and 2)") {
+    val rnd = new scala.util.Random(7L)
+    def word() = Seq.fill(2 + rnd.nextInt(6))("abcde".charAt(rnd.nextInt(5))).mkString
+    val vocab = (0 until 120).map(_ => word()).distinct.zipWithIndex
+      .map { case (w, i) => (w, (i % 9 + 1).toLong) }
+    val queries = (0 until 25).map(_ => word()).distinct
+    val vDf = vocab.toDF("term", "term_df")
+    val qDf = queries.toDF("q")
+    for (e <- Seq(1, 2)) {
+      val fast = Suggest.spellSuggest(vDf, "term", "term_df", qDf, "q",
+          maxEdits = e, topK = 1000)
+        .select("q", "suggestion", "dist").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // brute force: every (q, term) pair within distance e
+      val brute = (for {
+        q <- queries; (t, _) <- vocab
+        d = {
+          val dp = Array.tabulate(q.length + 1, t.length + 1) { (i, j) =>
+            if (i == 0) j else if (j == 0) i else 0 }
+          for (i <- 1 to q.length; j <- 1 to t.length)
+            dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+              dp(i - 1)(j - 1) + (if (q(i - 1) == t(j - 1)) 0 else 1))
+          dp(q.length)(t.length)
+        }
+        if d <= e
+      } yield (q, t, d.toLong)).toSet
+      assert(fast === brute, s"maxEdits=$e")
+      assert(brute.nonEmpty)
+    }
+  }
+
+  test("autocomplete: prefix filter + (df desc, term asc) top-k") {
+    val vocab = vocabDf(("spark", 9L), ("spill", 9L), ("span", 3L), ("scan", 20L),
+      ("join", 50L))
+    val out = Suggest.autocomplete(vocab, "term", "term_df", "sp", 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("spark", "spill")) // df tie → term asc; span cut by k
+  }
+
+  test("highlightSnippet: earliest max window, window clamp on short docs, no-hit docs dropped") {
+    val docs = Seq(
+      (1L, "x x spark y y y spark join z z z"), // best window covers both terms
+      (2L, "nothing relevant here at all"),
+      (3L, "join end")) // doc shorter than the window
+      .toDF("doc_id", "text")
+    val out = Suggest.highlightSnippet(docs, "doc_id", "text",
+        Seq("spark", "join"), window = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(1L, 3L)) // doc 2 has no hits
+    val d1 = out.head
+    assert(d1._3 === 2L)
+    // earliest window with 2 hits: words 7..10? windows: idx 4 = "y y spark join"
+    assert(d1._2 === "y y spark join")
+    assert(out(1) === ((3L, "join end", 1L))) // clamp: whole short doc is the window
+  }
+
+  test("collection-level suggestions serve from the BM25 termDf LSM view (deltas included)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-suggest").toString
+    val cm = new graft.core.CollectionManager(spark, tmp,
+      new graft.functions.HashingEmbedder(dim = 16),
+      new graft.functions.TextSplitter(50, 10))
+    def docs(rows: (String, String)*) = rows.toSeq
+      .map { case (id, t) => (id, s"u/$id", Map("lastModifiedAt" -> "2026-01-01T00:00:00"), t) }
+      .toDF("id", "url", "metadata", "text")
+    cm.create("c", docs("d1" -> "zeppelin cluster running smoothly"))
+    // the word "quantized" arrives only via the INCREMENTAL update — its df
+    // lives in a termDf_delta segment until compaction
+    cm.update("c", docs("d2" -> "quantized vectors quantized index"))
+    val sug = cm.suggestTerms("c", Seq("quantzed", "zepelin"), maxEdits = 2, topK = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(sug("quantzed") === "quantized")
+    assert(sug("zepelin") === "zeppelin")
+    val ac = cm.autocompleteTerms("c", "qu", k = 5)
+      .collect().map(_.getString(0)).toSeq
+    assert(ac.contains("quantized"))
+  }
+
+  test("facetCounts: per-facet top values by (count desc, value asc)") {
+    val hits = Seq(("en", "a"), ("en", "b"), ("de", "a"), ("en", "a"), ("fr", "c"))
+      .toDF("lang", "source")
+    val out = Suggest.facetCounts(hits, Seq("lang", "source"), topK = 2)
+      .orderBy("facet", "rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("lang", "en", 3L, 1L), ("lang", "de", 1L, 2L), // de beats fr on value asc
+      ("source", "a", 3L, 1L), ("source", "b", 1L, 2L)))
+  }
+}
