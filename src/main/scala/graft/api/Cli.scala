@@ -385,13 +385,28 @@ object Cli {
         val partitioned = fsys.listStatus(new org.apache.hadoop.fs.Path(path))
           .exists(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
             !s.getPath.getName.startsWith("."))
+        // a table dir INSIDE a collection (ancestor manifest.json) compacts
+        // under that collection's writer lock — maintenance racing a live
+        // update would otherwise interleave with the staged bucket swaps
+        val collectionDir = Iterator.iterate(fsys.makeQualified(
+            new org.apache.hadoop.fs.Path(path)).getParent)(_.getParent)
+          .takeWhile(_ != null).take(3)
+          .find(d => fsys.exists(new org.apache.hadoop.fs.Path(d, "manifest.json")))
+        def locked[T](body: => T): T = collectionDir match {
+          case Some(d) => graft.core.WriterLock.withLock(fsys,
+            new org.apache.hadoop.fs.Path(d, "_writer.lock"),
+            holder = s"cli-compact-${java.util.UUID.randomUUID()}",
+            leaseMs = spark.conf.get("graft.writer.leaseMs", "900000").toLong,
+            waitMs = spark.conf.get("graft.writer.waitMs", "10000").toLong)(body)
+          case None => body
+        }
         if (partitioned) {
           val (nParts, files) =
-            Maintenance.compactPartitioned(spark, path, target, minAvg)
+            locked(Maintenance.compactPartitioned(spark, path, target, minAvg))
           println(s"""{"path":"$path","partitionsCompacted":$nParts,"filesAfter":$files}""")
         } else {
           val (n0, bytes, _) = Maintenance.fileStats(spark, path)
-          val n1 = Maintenance.compact(spark, path, target, minAvg)
+          val n1 = locked(Maintenance.compact(spark, path, target, minAvg))
           println(s"""{"path":"$path","filesBefore":$n0,"filesAfter":$n1,"bytes":$bytes}""")
         }
       case other => sys.error(s"unknown subcommand $other")

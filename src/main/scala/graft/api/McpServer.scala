@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 
 /** MCP (Model Context Protocol) stdio adapter over [[CollectionManager]] — the
   * reference's primary AI-agent surface, re-expressed:
-  * search/fetch tools, collection discovery + allowlist validation, default 50 /
+  * search/fetch/suggest tools, collection discovery + allowlist validation, default 50 /
   * cap 100 chunks (collection_search_unified_mcp_adapter.py:21-22,193-227 and
   * collection_search_mcp_stdio_adapter.py), json / json_with_indent / toon output.
   *
@@ -110,6 +110,22 @@ final class McpServer(
       "numberOfChunks" -> ("integer",
         s"Number of best matched document chunks to return. Default: $defaultNumberOfChunks. Max allowed: $maxNumberOfChunks.")))
 
+    // extension beyond the reference's search/fetch pair: did-you-mean over
+    // the collection's own BM25 vocabulary, for agents to self-correct a
+    // query that returned nothing before giving up
+    val suggest = tools.addObject()
+    suggest.put("name", "suggest_terms")
+    suggest.put("description",
+      """Suggest correctly-spelled terms from a collection's own vocabulary.
+        |
+        |# Typical use cases
+        |- search_in_collection returned no results: check the query terms for
+        |  typos against what the collection actually contains, then retry the
+        |  search with the suggested spellings.""".stripMargin)
+    suggest.set[JsonNode]("inputSchema", schema(Seq("collection", "terms"),
+      "collection" -> ("string", collectionFieldDescription),
+      "terms" -> ("string", "Comma-separated terms to check/correct.")))
+
     val fetch = tools.addObject()
     fetch.put("name", "fetch_from_collection")
     fetch.put("description", fetchDescription)
@@ -141,6 +157,15 @@ final class McpServer(
       maxChunks = numberOfChunks, maxDocs = numberOfChunks,
       metadataFilter = filter, includeMatchedChunkContent = true,
       rrfK = rrfK), "documents")
+  }
+
+  private[api] def suggestTool(collection: String, terms: String): String = {
+    if (!available.contains(collection))
+      return s"Error: collection '$collection' is not available. Available: $availableList"
+    val ts = terms.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    if (ts.isEmpty) return "Error: 'terms' must contain at least one term."
+    formatted(manager.suggestTerms(collection, ts).orderBy("q", "rank"),
+      "suggestions")
   }
 
   private[api] def fetchTool(collection: String, id: String,
@@ -180,6 +205,10 @@ final class McpServer(
           textResult(fetchTool(
             str("collection").getOrElse(""), str("id").getOrElse(""),
             int("startLine", 1), int("endLine", 250)), isError = false)
+        case "suggest_terms" =>
+          textResult(suggestTool(
+            str("collection").getOrElse(""), str("terms").getOrElse("")),
+            isError = false)
         case other =>
           textResult(s"Error: unknown tool '$other'", isError = true)
       }

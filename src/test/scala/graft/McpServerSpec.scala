@@ -51,12 +51,12 @@ class McpServerSpec extends AnyFunSuite with SparkSuite {
     assert(server.handleLine("""{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
   }
 
-  test("tools/list exposes search and fetch with schemas") {
+  test("tools/list exposes search, suggest, and fetch with schemas") {
     val resp = call("""{"jsonrpc":"2.0","id":2,"method":"tools/list"}""")
     val tools = resp.path("result").path("tools")
-    assert(tools.size === 2)
+    assert(tools.size === 3)
     val names = (0 until tools.size).map(tools.get(_).path("name").asText).toSet
-    assert(names === Set("search_in_collection", "fetch_from_collection"))
+    assert(names === Set("search_in_collection", "suggest_terms", "fetch_from_collection"))
     val search = (0 until tools.size).map(tools.get)
       .find(_.path("name").asText == "search_in_collection").get
     assert(search.path("inputSchema").path("properties").has("numberOfChunks"))
@@ -89,6 +89,17 @@ class McpServerSpec extends AnyFunSuite with SparkSuite {
     val text = toolText(resp)
     assert(text.contains("with vector search"))
     assert(!text.contains("bm25 ranking"))
+  }
+
+  test("suggest tool: did-you-mean from the collection vocabulary, allowlist + empty-terms errors") {
+    val resp = call("""{"jsonrpc":"2.0","id":14,"method":"tools/call","params":{"name":"suggest_terms","arguments":{"collection":"wiki","terms":"vecotr, depoly"}}}""")
+    val text = toolText(resp)
+    assert(text.contains("\"vector\""))
+    assert(text.contains("\"deploy\""))
+    assert(toolText(call("""{"jsonrpc":"2.0","id":15,"method":"tools/call","params":{"name":"suggest_terms","arguments":{"collection":"nope","terms":"x"}}}"""))
+      .startsWith("Error: collection 'nope' is not available"))
+    assert(toolText(call("""{"jsonrpc":"2.0","id":16,"method":"tools/call","params":{"name":"suggest_terms","arguments":{"collection":"wiki","terms":" , "}}}"""))
+      .startsWith("Error: 'terms'"))
   }
 
   test("protocol errors: parse error, unknown method, unknown tool") {

@@ -129,6 +129,27 @@ class WriterLockSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.unset("graft.writer.waitMs")
   }
 
+  test("CLI compact on a collection table dir takes the collection's writer lock") {
+    val tmp = Files.createTempDirectory("graft-lock").toString
+    val cm = mkManager(tmp)
+    cm.create("c", rawDocs(docs))
+    val lock = new Path(s"$tmp/c/_writer.lock")
+    // a LIVE foreign writer: compact must refuse rather than interleave
+    writeLockFile(lock, "other-writer", System.currentTimeMillis(), 60000L)
+    spark.conf.set("graft.writer.waitMs", "300")
+    val e = try intercept[WriterLock.WriterLockTimeout] {
+      graft.api.Cli.run(Array("compact", "--path", s"$tmp/c/documents",
+        "--target-mb", "64"), spark)
+    } finally spark.conf.unset("graft.writer.waitMs")
+    assert(e.getMessage.contains("other-writer"))
+    fs.delete(lock, false)
+    // lock gone → compact proceeds and releases (no residue)
+    graft.api.Cli.run(Array("compact", "--path", s"$tmp/c/documents",
+      "--target-mb", "64"), spark)
+    assert(!fs.exists(lock))
+    assert(cm.documents("c").count() === 2L)
+  }
+
   test("nested mutators reenter the lock instead of deadlocking") {
     val tmp = Files.createTempDirectory("graft-lock").toString
     val cm = mkManager(tmp)
