@@ -52,6 +52,18 @@ class SuffixArraySpec extends AnyFunSuite with SparkSuite {
         .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
       assert(got === bruteRanks(rows, len), s"width $len")
     }
+    // widths past the packed-seed tiers: 20/90 seed AT the literal width
+    // (zero rounds), 160/200 seed at 128 then one overlapping exact round —
+    // the round-11 wide-literal-seed path, pinned against brute force on
+    // docs long enough (up to ~300 chars) that full-width windows exist
+    val longRows = (0 until 12).map { i =>
+      i.toLong -> Seq.fill(30 + rnd.nextInt(280))("ab".charAt(rnd.nextInt(2))).mkString
+    }
+    for (len <- Seq(20, 90, 160, 200)) {
+      val got = SuffixArray.prefixRanks(df(longRows: _*), "doc_id", "text", len)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got === bruteRanks(longRows, len), s"width $len")
+    }
   }
 
   test("duplicateSpans: planted cross-doc substring found, merged, exact bounds") {
