@@ -3,6 +3,7 @@ package graft
 import graft.core.{CollectionManager, WriterLock}
 import graft.functions.{HashingEmbedder, TextSplitter}
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions.{lit, map}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 import java.nio.charset.StandardCharsets
@@ -148,6 +149,54 @@ class WriterLockSpec extends AnyFunSuite with SparkSuite {
       "--target-mb", "64"), spark)
     assert(!fs.exists(lock))
     assert(cm.documents("c").count() === 2L)
+  }
+
+  test("streaming ticks racing an out-of-band deleter serialize to a consistent collection") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-lock-race").toString
+    val cm = mkManager(s"$tmp/coll")
+    // seed: one keeper + four delete targets; every racing operation touches
+    // DISJOINT ids, so any serialization order converges to the same state —
+    // what the test pins is that the lock yields SOME serialization (no
+    // interleaved staged swaps, no lost index updates), audited by fsck
+    cm.create("c", rawDocs(Seq(
+      ("a0", "u0", Map("lastModifiedAt" -> "2026-01-01T00:00:00"), "keeper document zero")) ++
+      (1 to 4).map(i => (s"b$i", s"ub$i",
+        Map("lastModifiedAt" -> "2026-01-01T00:00:00"), s"victim document number $i"))))
+    spark.conf.set("graft.writer.waitMs", "120000") // queue, never conflict-fail
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val deleter = Future {
+        val cmD = mkManager(s"$tmp/coll") // its own holder id, like a second process
+        (1 to 4).foreach(i => cmD.delete("c", Seq(s"b$i")))
+      }
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, String)]
+      val docs = stream.toDF().toDF("id", "url", "text")
+        .withColumn("metadata", map(lit("lastModifiedAt"), lit("2026-02-01T00:00:00")))
+        .select("id", "url", "metadata", "text")
+      (1 to 4).foreach { i =>
+        stream.addData((s"s$i", s"us$i", s"streamed document number $i arrives"))
+        val q = graft.streaming.StreamingUpdate
+          .collectionUpdateWriter(docs, cm, "c", s"$tmp/ckpt").start()
+        q.awaitTermination(120000)
+      }
+      Await.result(deleter, 120.seconds)
+      val ids = cm.documents("c").select("id").collect().map(_.getString(0)).toSet
+      assert(ids === Set("a0", "s1", "s2", "s3", "s4"))
+      // serialized history: create + 4 stream updates + 4 deletes, no lost
+      // mutation (ticks may split into extra batches, hence >=)
+      assert(cm.readManifest("c").version >= 9L)
+      val badRows = cm.fsck("c").filter("not ok").collect()
+      assert(badRows.isEmpty, badRows.mkString(", "))
+      // BM25 consistent with the survivors: victims gone, stream content live
+      val hits = cm.search("c", "streamed document", indexNames = Some(Seq("bm25")))
+        .collect().map(_.getString(0))
+      assert(hits.nonEmpty && hits.forall(_.startsWith("s")))
+      assert(cm.search("c", "victim", indexNames = Some(Seq("bm25"))).isEmpty)
+    } finally spark.conf.unset("graft.writer.waitMs")
   }
 
   test("nested mutators reenter the lock instead of deadlocking") {
