@@ -1182,6 +1182,50 @@ object Queries {
       tieBreak = """(CASE WHEN doc_id % 7 = 0 THEN doc_id + 10000000 ELSE doc_id END)""")
       + " ORDER BY score DESC, doc_id"))
 
+  /** The suggest-key artifact's full lifecycle, gated cross-engine: index,
+    * build the delete-key artifact, then ONE incremental merge that deletes
+    * (%13) and replaces (%7, appending a token that EXISTS NOWHERE before the
+    * update). The suggestions must come from the artifact ∪ on-the-fly delta
+    * keys ∩ live termDf: a missing delta union drops the new token's
+    * suggestion, a stale-key resurrection re-ranks by dead terms — either
+    * flips the hash. Oracle = brute-force levenshtein over the
+    * post-lifecycle vocabulary.
+    */
+  private val suggestLifecycle = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_suggest_lsm_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused")
+      idx.index(docs)
+      idx.buildSuggestKeys() // over the PRE-update vocabulary — deliberately stale
+      val removed = docs.filter(col("chunkId") % 13 === 0 || col("chunkId") % 7 === 0)
+        .select(col("chunkId").as("docId"), col("indexedData"))
+      val replacement = docs
+        .filter(col("chunkId") % 7 === 0 && col("chunkId") % 13 =!= 0)
+        .select((col("chunkId") + 10000000L).as("chunkId"),
+          concat(col("indexedData"), lit(" qqnewterm")).as("indexedData"))
+      idx.updateIncremental(removed, replacement)
+      idx.suggest(Seq("tabel", "qurey", "qqnewtrm"), maxEdits = 2, topK = 3)
+        .orderBy("q", "rank")
+    },
+    Some("""WITH corpus AS (SELECT doc_id,
+           |    text || CASE WHEN doc_id % 7 = 0 THEN ' qqnewterm' ELSE '' END AS text
+           |  FROM documents WHERE doc_id % 13 <> 0),
+           |toks AS (SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+           |  FROM corpus),
+           |vocab AS (SELECT term, count(DISTINCT doc_id) AS term_df FROM toks GROUP BY term),
+           |qs AS (SELECT unnest(['tabel','qurey','qqnewtrm']) AS q),
+           |cand AS (SELECT q, term AS suggestion,
+           |    CAST(levenshtein(q, term) AS BIGINT) AS dist, term_df
+           |  FROM qs CROSS JOIN vocab WHERE levenshtein(q, term) <= 2),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY q
+           |    ORDER BY dist, term_df DESC, suggestion) AS rn FROM cand)
+           |SELECT q, suggestion, dist, term_df, CAST(rn AS BIGINT) AS rank
+           |FROM rk WHERE rn <= 3 ORDER BY q, rank""".stripMargin))
+
   // ----------------------------------------------------------------------- RRF
 
   private val a1RrfFusion = Q(
@@ -5431,6 +5475,7 @@ object Queries {
     "shard_dup_spans" -> shardDupSpans,
     "shard_decontam" -> shardDecontam,
     "spell_suggest" -> spellSuggest,
+    "suggest_lifecycle" -> suggestLifecycle,
     "autocomplete_prefix" -> autocompletePrefix,
     "search_highlight" -> searchHighlight,
     "facet_counts" -> facetCountsQ,

@@ -851,12 +851,17 @@ final class CollectionManager(
     * df ranking makes the engine prefer the corpus's own frequent spelling.
     */
   def suggestTerms(name: String, queryTerms: Seq[String], maxEdits: Int = 2,
-                   topK: Int = 3): DataFrame = {
-    import spark.implicits._
-    graft.operators.Suggest.spellSuggest(
-      bm25Indexer(name).termDfTable(), "term", "df",
-      queryTerms.toDF("q"), "q", maxEdits, topK)
-  }
+                   topK: Int = 3): DataFrame =
+    bm25Indexer(name).suggest(queryTerms, maxEdits, topK)
+
+  /** Persist the SymSpell delete-key artifact next to the BM25 index — the
+    * per-query neighborhood explode of the vocabulary becomes a build-time
+    * cost; terms arriving via later incremental updates still suggest (the
+    * indexer unions on-the-fly keys for the delta vocabulary). Re-run with
+    * [[compactBm25]] to fold the on-the-fly share back to zero.
+    */
+  def buildSuggestIndex(name: String, maxEdits: Int = 2): Unit =
+    withWriterLock(name) { bm25Indexer(name).buildSuggestKeys(maxEdits) }
 
   /** Top completions of `prefix` from this collection's BM25 vocabulary
     * (same LSM termDf view as [[suggestTerms]]).

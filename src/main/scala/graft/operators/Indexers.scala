@@ -346,6 +346,60 @@ final class Bm25Indexer(
         else 0L
       }.sum
 
+  // ------------------------------------------------------------ suggest keys
+  //
+  // SymSpell delete-key artifact (round 11): (term, delkey) is a pure
+  // function of the vocabulary, so it persists next to the postings and the
+  // O(|vocab| × L²) neighborhood explode is paid at BUILD time, not per
+  // suggest query. LSM-composable without its own delta machinery: at query
+  // time, terms the LIVE termDf view has that the artifact lacks (arrived
+  // via updateIncremental since the build) get their keys computed on the
+  // fly and unioned — O(delta vocab), the same ∝-changed contract as the
+  // index itself — while deleted/stale terms die at the final inner join
+  // against the live df (keys only NOMINATE; existence and rank come from
+  // the live table). Rebuild whenever compact() runs to fold the on-the-fly
+  // share back to zero.
+
+  /** Persist the delete-key artifact for the CURRENT logical vocabulary. */
+  def buildSuggestKeys(maxEdits: Int = 2): Unit = {
+    require(maxEdits >= 1 && maxEdits <= 2, "maxEdits must be 1 or 2")
+    Suggest.deletionKeys(termDfTable(), "term", maxEdits)
+      .withColumn("max_edits", lit(maxEdits))
+      .repartitionByRange(col("delkey"))
+      .sortWithinPartitions("delkey")
+      .write.mode(SaveMode.Overwrite).parquet(p("suggest_keys") + "__staging")
+    swapDir(p("suggest_keys") + "__staging", p("suggest_keys"))
+  }
+
+  /** Spelling suggestions for `queryTerms` against the index vocabulary,
+    * via the artifact when one exists (built at ≥ the requested edit
+    * distance — a 1-edit artifact cannot nominate 2-edit candidates, so a
+    * wider request falls back to on-the-fly), else fully on the fly.
+    */
+  def suggest(queryTerms: Seq[String], maxEdits: Int = 2, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val queries = queryTerms.toDF("q")
+    val live = termDfTable()
+    val artifact = new org.apache.hadoop.fs.Path(p("suggest_keys"))
+    val baseKeys =
+      if (fsys.exists(artifact)) {
+        val k = spark.read.parquet(p("suggest_keys"))
+        if (k.agg(min(col("max_edits"))).head.getInt(0) >= maxEdits)
+          Some(k.select("term", "delkey"))
+        else None
+      } else None
+    baseKeys match {
+      case Some(keys) =>
+        val missing = live.select("term")
+          .join(keys.select("term").distinct(), Seq("term"), "left_anti")
+        val deltaKeys = Suggest.deletionKeys(missing, "term", maxEdits)
+        Suggest.spellSuggestFromKeys(keys.unionByName(deltaKeys), live,
+          queries, "q", maxEdits, topK)
+      case None =>
+        Suggest.spellSuggest(live, "term", "df", queries, "q", maxEdits, topK)
+    }
+  }
+
   def search(query: String, k: Int, metadataFilter: Option[Column]): DataFrame = {
     val terms = Search.tokenize(query).distinct
     if (terms.isEmpty) return Search.emptyScored(spark, "chunkId")

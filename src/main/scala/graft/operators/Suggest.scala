@@ -54,18 +54,39 @@ object Suggest {
     */
   def spellSuggest(vocab: DataFrame, termCol: String, dfCol: String,
                    queries: DataFrame, qCol: String,
-                   maxEdits: Int = 2, topK: Int = 3): DataFrame = {
-    val vv = vocab.where(length(col(termCol)) > 0)
-      .select(col(termCol).as("_term"), col(dfCol).as("_df"))
-      .withColumn("_delkey",
-        explode(expr(deletionVariants("_term", maxEdits))))
+                   maxEdits: Int = 2, topK: Int = 3): DataFrame =
+    spellSuggestFromKeys(deletionKeys(vocab, termCol, maxEdits),
+      vocab.select(col(termCol).as("term"), col(dfCol).as("df")),
+      queries, qCol, maxEdits, topK)
+
+  /** The vocabulary half of the SymSpell join as a standalone (term, delkey)
+    * frame — the PRECOMPUTABLE artifact: it is a pure function of the term
+    * set, so an engine persists it next to the index and pays the O(|vocab|
+    * × L^maxEdits) explode once instead of per query
+    * ([[graft.operators.Bm25Indexer.buildSuggestKeys]] is that seam).
+    */
+  def deletionKeys(vocab: DataFrame, termCol: String, maxEdits: Int): DataFrame =
+    vocab.where(length(col(termCol)) > 0)
+      .select(col(termCol).as("term")).distinct()
+      .withColumn("delkey", explode(expr(deletionVariants("term", maxEdits))))
+
+  /** [[spellSuggest]] against a prebuilt (term, delkey) frame. `termDf`
+    * supplies df ranking AT QUERY TIME (inner join), so a stale key artifact
+    * can never resurrect a deleted term or serve a stale frequency — keys
+    * only nominate candidates; df and existence come from the live table.
+    */
+  def spellSuggestFromKeys(vocabKeys: DataFrame, termDf: DataFrame,
+                           queries: DataFrame, qCol: String,
+                           maxEdits: Int, topK: Int): DataFrame = {
+    val vv = vocabKeys.select(col("term").as("_term"), col("delkey").as("_delkey"))
     val qv = queries.where(length(col(qCol)) > 0)
       .select(col(qCol).as("_q"))
       .withColumn("_delkey", explode(expr(deletionVariants("_q", maxEdits))))
     val candidates = qv.join(vv, Seq("_delkey"))
-      .select(col("_q"), col("_term"), col("_df")).distinct()
+      .select(col("_q"), col("_term")).distinct()
       .where(levenshtein(col("_q"), col("_term")) <= maxEdits)
       .withColumn("dist", levenshtein(col("_q"), col("_term")))
+      .join(termDf.select(col("term").as("_term"), col("df").as("_df")), Seq("_term"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_q"))
       .orderBy(col("dist").asc, col("_df").desc, col("_term").asc)
     candidates.withColumn("rank", row_number().over(w))

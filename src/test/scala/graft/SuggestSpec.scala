@@ -107,6 +107,44 @@ class SuggestSpec extends AnyFunSuite with SparkSuite {
     assert(ac.contains("quantized"))
   }
 
+  test("suggest-key artifact: equals on-the-fly, serves delta terms, never resurrects deleted ones") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-suggest-art").toString
+    val cm = new graft.core.CollectionManager(spark, tmp,
+      new graft.functions.HashingEmbedder(dim = 16),
+      new graft.functions.TextSplitter(50, 10))
+    def docs(rows: (String, String)*) = rows.toSeq
+      .map { case (id, t) => (id, s"u/$id", Map("lastModifiedAt" -> "2026-01-01T00:00:00"), t) }
+      .toDF("id", "url", "metadata", "text")
+    cm.create("c", docs("d1" -> "zeppelin cluster running smoothly",
+      "d2" -> "quantized vectors quantized index"))
+    cm.buildSuggestIndex("c")
+    val probes = Seq("zepelin", "quantzed", "gyroscpe")
+    def collect() = cm.suggestTerms("c", probes, topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSet
+    val withArtifact = collect()
+    // artifact path == on-the-fly path, bit for bit
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val keysDir = new org.apache.hadoop.fs.Path(s"$tmp/c/indexes/bm25/suggest_keys")
+    assert(fs.exists(keysDir))
+    fs.rename(keysDir, new org.apache.hadoop.fs.Path(s"$tmp/c/indexes/bm25/.keys_hidden"))
+    assert(collect() === withArtifact)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/c/indexes/bm25/.keys_hidden"), keysDir)
+    // a term arriving AFTER the build suggests via the on-the-fly delta union
+    cm.update("c", docs("d3" -> "gyroscope calibration notes gyroscope"))
+    val afterUpdate = collect()
+    assert(afterUpdate.exists { case (q, s, _) => q == "gyroscpe" && s == "gyroscope" })
+    // a deleted doc's unique terms die at the live-df join, stale keys or not
+    cm.delete("c", Seq("d2"))
+    val afterDelete = collect()
+    assert(!afterDelete.exists(_._2 == "quantized"))
+    assert(afterDelete.exists { case (q, s, _) => q == "zepelin" && s == "zeppelin" })
+    // a 1-edit artifact cannot nominate 2-edit candidates: falls back whole
+    cm.buildSuggestIndex("c", maxEdits = 1)
+    val wideReq = cm.suggestTerms("c", Seq("zepelinn"), maxEdits = 2, topK = 1)
+      .collect().map(_.getString(1)).toSeq
+    assert(wideReq === Seq("zeppelin")) // distance 2, only reachable on the fallback
+  }
+
   test("facetCounts: per-facet top values by (count desc, value asc)") {
     val hits = Seq(("en", "a"), ("en", "b"), ("de", "a"), ("en", "a"), ("fr", "c"))
       .toDF("lang", "source")
