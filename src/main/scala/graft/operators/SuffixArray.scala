@@ -280,9 +280,14 @@ object SuffixArray {
     //   - the open-ended suffix-array path (exact = false) keeps the 9-char
     //     packed seed — its rows and 100× posture are measured and pinned
     //     (SCALE.md); don't move them as a side effect.
+    // GRAFT_WIDE_SA_SEED=1 extends the wide literal seed to the open-ended
+    // SA path too — an A/B toggle only (default off: the packed-seed SA
+    // rows and their 100× posture are pinned in SCALE.md; flipping the
+    // default requires a measured win at the stress scales).
+    val wideSa = sys.env.get("GRAFT_WIDE_SA_SEED").contains("1")
     val seedWidth =
       if (targetLen > 1 && asciiSeedSafe(docs, textCol)) {
-        if (exact && targetLen > 18) math.min(targetLen, 128)
+        if ((exact || wideSa) && targetLen > 18) math.min(targetLen, 128)
         else math.min(9, targetLen)
       } else 1
     var current = globalDenseRank(
