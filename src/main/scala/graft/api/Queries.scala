@@ -2422,7 +2422,10 @@ object Queries {
   private val shardDupSpans = Q(
     (s, d) => graft.operators.SuffixArray.shardedDuplicateSpans(
         D.documents(s, d).select("doc_id", "text"), "doc_id", "text",
-        minLen = 160, crossDocOnly = true, nShards = 2)
+        minLen = 160, crossDocOnly = true, nShards = 2,
+        // explicit opt-in: toy-scale gate on local[32] has the headroom for
+        // concurrent shard runs; the bounded-peak-state default is 1
+        shardParallelism = 4)
       .orderBy("doc_id", "span_start"),
     Some("""WITH pos AS (SELECT doc_id, text,
            |    unnest(generate_series(0, length(text) - 160)) AS off
@@ -2461,7 +2464,10 @@ object Queries {
         docs.filter(col("doc_id") % 41 =!= 0 && col("doc_id") % 3 === 0)
           .select("doc_id", "text"),
         docs.filter(col("doc_id") % 41 === 0).select("doc_id", "text"),
-        "doc_id", "text", minLen = 16, nShards = 3, directMaxLen = 8)
+        "doc_id", "text", minLen = 16, nShards = 3, directMaxLen = 8,
+        // explicit opt-in as in shard_dup_spans: concurrency for the toy
+        // gate, while the library default stays bounded-peak-state (1)
+        shardParallelism = 4)
         .orderBy("doc_id", "span_start")
     },
     Some("""WITH be AS (SELECT text FROM documents WHERE doc_id % 41 = 0),

@@ -732,7 +732,13 @@ final class CollectionManager(
           val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
           val until = root.path("acquiredAtMs").asLong(0L) + root.path("leaseMs").asLong(0L)
           if (until <= System.currentTimeMillis()) 1L else 0L
-        } catch { case _: java.io.IOException => 1L } // unreadable = residue
+        } catch {
+          // a live writer releasing between exists() and open() is a healthy
+          // no-lock state, not residue — only a genuinely unreadable/partial
+          // lock file counts
+          case _: java.io.FileNotFoundException => 0L
+          case _: java.io.IOException => 1L // unreadable = residue
+        }
       Seq(("expired_writer_lock", 0L, expired))
     }
     (base ++ bm25 ++ buckets ++ ivf ++ sigs ++ lock)

@@ -44,6 +44,13 @@ final class WriterLock(
 
   import WriterLock._
 
+  // The stamped holder is unique PER ACQUISITION, not per writer: two
+  // threads of one manager share a writerId, and if thread A overruns its
+  // lease, thread B (same manager) may break it and re-acquire — a
+  // holder-only stamp would let A's late release() delete B's live lock.
+  // The human-readable writerId stays as the prefix for timeout messages.
+  @volatile private var stamp: String = holder
+
   private def nowMs: Long = System.currentTimeMillis()
 
   private def isLocal: Boolean = {
@@ -103,7 +110,7 @@ final class WriterLock(
   private def payload(at: Long): Array[Byte] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
-    root.put("holder", holder)
+    root.put("holder", stamp)
     root.put("acquiredAtMs", at)
     root.put("leaseMs", leaseMs)
     mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8)
@@ -111,6 +118,7 @@ final class WriterLock(
 
   /** Acquire or throw [[WriterLockTimeout]] after `waitMs`. */
   def acquire(): Unit = {
+    stamp = s"$holder#${java.util.UUID.randomUUID().toString.take(8)}"
     val deadline = nowMs + waitMs
     while (true) {
       if (tryCreate(payload(nowMs))) return
@@ -133,10 +141,12 @@ final class WriterLock(
     }
   }
 
-  /** Release if still ours; a broken-then-retaken lock is left alone. */
+  /** Release if still ours (exact acquisition stamp — a broken-then-retaken
+    * lock, even by the SAME writerId on another thread, is left alone).
+    */
   def release(): Unit =
     readState() match {
-      case Some(s) if s.holder == holder => fs.delete(lockPath, false)
+      case Some(s) if s.holder == stamp => fs.delete(lockPath, false)
       case _ => ()
     }
 }

@@ -384,7 +384,11 @@ final class Bm25Indexer(
     val baseKeys =
       if (fsys.exists(artifact)) {
         val k = spark.read.parquet(p("suggest_keys"))
-        if (k.agg(min(col("max_edits"))).head.getInt(0) >= maxEdits)
+        // min over an EMPTY artifact (built from an empty vocabulary, e.g. a
+        // fully-deleted collection) is null — treat as "no usable artifact"
+        // and fall through to on-the-fly, instead of NPEing on getInt
+        val minEdits = k.agg(min(col("max_edits"))).head
+        if (!minEdits.isNullAt(0) && minEdits.getInt(0) >= maxEdits)
           Some(k.select("term", "delkey"))
         else None
       } else None

@@ -566,16 +566,19 @@ object SuffixArray {
     * each checked against the WHOLE benchmark. Exactly the global result —
     * contamination is a per-train-position predicate against all of bench,
     * so sharding train loses nothing — while each doubling run holds
-    * |train|/K + |bench| positions instead of |train| + |bench|. Shards run
-    * sequentially (prefixRanks materializes eagerly), so peak cluster state
-    * is one shard's run: the knob that lets a fixed cluster decontaminate an
-    * arbitrarily large train corpus against a (small) eval suite.
+    * |train|/K + |bench| positions instead of |train| + |bench|. At the
+    * default `shardParallelism = 1` shards run strictly sequentially
+    * (prefixRanks materializes eagerly), so peak cluster state is ONE
+    * shard's run — the bounded-memory setting that lets a fixed cluster
+    * decontaminate an arbitrarily large train corpus against a (small) eval
+    * suite. Callers with executor headroom opt into concurrent shard runs
+    * by raising it, accepting that many runs' state live at once.
     */
   def shardedContaminatedSpans(train: DataFrame, bench: DataFrame,
                                idCol: String, textCol: String, minLen: Int,
                                nShards: Int,
                                directMaxLen: Int = DirectWindowMaxLen,
-                               shardParallelism: Int = 4): DataFrame = {
+                               shardParallelism: Int = 1): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     if (nShards == 1 || minLen <= directMaxLen)
@@ -622,10 +625,11 @@ object SuffixArray {
     * Each sub-run materializes eagerly (prefixRanks localCheckpoints), so a
     * sequential loop leaves the cluster idle between a run's barrier jobs;
     * concurrent submission lets the scheduler interleave them. The knob IS
-    * the peak-state dial: parallelism 1 restores strictly-sequential runs
-    * (one shard's doubling state live at a time — the 100 TB setting);
-    * higher values trade peak executor state for wall-clock on clusters
-    * with headroom. Spark job submission is thread-safe by design.
+    * the peak-state dial: parallelism 1 (the DEFAULT of both sharded entry
+    * points) keeps runs strictly sequential — one shard's doubling state
+    * live at a time, the 100 TB setting; higher values are an explicit
+    * opt-in trading peak executor state for wall-clock on clusters with
+    * headroom. Spark job submission is thread-safe by design.
     */
   private def runConcurrently(parallelism: Int,
                               thunks: Seq[() => DataFrame]): Seq[DataFrame] = {
@@ -669,7 +673,7 @@ object SuffixArray {
                             minLen: Int, crossDocOnly: Boolean = false,
                             nShards: Int = 1,
                             directMaxLen: Int = DirectWindowMaxLen,
-                            shardParallelism: Int = 4): DataFrame = {
+                            shardParallelism: Int = 1): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     require(directMaxLen >= 2, s"directMaxLen must be >= 2, got $directMaxLen")

@@ -119,13 +119,17 @@ object Suggest {
   def highlightSnippet(docs: DataFrame, idCol: String, textCol: String,
                        queryTerms: Seq[String], window: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val qArr = s"array(${queryTerms.map(t => s"'${t.toLowerCase}'").mkString(", ")})"
+    // Terms enter the plan as literal Columns, never spliced into SQL text —
+    // a term like "don't" (or anything adversarial from a user query) can't
+    // break the expression parse or inject expressions.
+    val qArr = array(queryTerms.map(t => lit(t.toLowerCase)): _*)
     val scored = docs
+      .withColumn("_q", qArr)
       .withColumn("_ws", expr(s"filter(split($textCol, ' '), x -> x <> '')"))
       .withColumn("_scores", expr(
         s"""transform(sequence(0, greatest(size(_ws) - $window, 0)),
            |  i -> aggregate(slice(_ws, i + 1, $window), 0,
-           |         (a, x) -> a + IF(array_contains($qArr, lower(x)), 1, 0)))""".stripMargin))
+           |         (a, x) -> a + IF(array_contains(_q, lower(x)), 1, 0)))""".stripMargin))
       .withColumn("n_hits", expr("array_max(_scores)"))
       .where(col("n_hits") > 0)
     scored.select(col(idCol),

@@ -335,7 +335,8 @@ class SuffixArraySpec extends AnyFunSuite with SparkSuite {
       val global = spanSet(SuffixArray.duplicateSpans(
         d, "doc_id", "text", minLen = 160, crossDocOnly = cross))
       val sharded = spanSet(SuffixArray.shardedDuplicateSpans(
-        d, "doc_id", "text", minLen = 160, crossDocOnly = cross, nShards = nShards))
+        d, "doc_id", "text", minLen = 160, crossDocOnly = cross, nShards = nShards,
+        shardParallelism = 4)) // keep the opt-in concurrent path covered
       assert(sharded === global, s"crossDocOnly=$cross")
       assert(global.nonEmpty)
     }
@@ -372,7 +373,8 @@ class SuffixArraySpec extends AnyFunSuite with SparkSuite {
     val global = spanSet(SuffixArray.contaminatedSpans(
       train, bench, "doc_id", "text", minLen = 12, directMaxLen = 4))
     val sharded = spanSet(SuffixArray.shardedContaminatedSpans(
-      train, bench, "doc_id", "text", minLen = 12, nShards = 4, directMaxLen = 4))
+      train, bench, "doc_id", "text", minLen = 12, nShards = 4, directMaxLen = 4,
+      shardParallelism = 4)) // keep the opt-in concurrent path covered
     assert(sharded === global)
     assert(global.nonEmpty)
     // long planted contamination through the DEFAULT seed width (128)

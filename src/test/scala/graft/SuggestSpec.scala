@@ -145,6 +145,29 @@ class SuggestSpec extends AnyFunSuite with SparkSuite {
     assert(wideReq === Seq("zeppelin")) // distance 2, only reachable on the fallback
   }
 
+  test("highlightSnippet: query terms with quotes are literals, not SQL splices") {
+    val docs = Seq((1L, "she said don't stop now"), (2L, "unrelated words"))
+      .toDF("doc_id", "text")
+    val out = Suggest.highlightSnippet(docs, "doc_id", "text",
+        Seq("don't", "o'brien\\"), window = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, "she said don't", 1L))) // earliest max window
+  }
+
+  test("an EMPTY suggest-key artifact (fully-deleted vocabulary) falls back, no NPE") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-suggest-empty").toString
+    val cm = new graft.core.CollectionManager(spark, tmp,
+      new graft.functions.HashingEmbedder(dim = 16),
+      new graft.functions.TextSplitter(50, 10))
+    cm.create("c", Seq(("d1", "u/d1", Map("lastModifiedAt" -> "2026-01-01T00:00:00"),
+      "zeppelin cluster")).toDF("id", "url", "metadata", "text"))
+    cm.delete("c", Seq("d1"))
+    cm.buildSuggestIndex("c") // vocabulary is empty → empty artifact
+    // min(max_edits) over the empty artifact is null — must fall through to
+    // the on-the-fly path (itself empty here), not throw
+    assert(cm.suggestTerms("c", Seq("zepelin")).count() === 0L)
+  }
+
   test("facetCounts: per-facet top values by (count desc, value asc)") {
     val hits = Seq(("en", "a"), ("en", "b"), ("de", "a"), ("en", "a"), ("fr", "c"))
       .toDF("lang", "source")

@@ -101,6 +101,25 @@ class WriterLockSpec extends AnyFunSuite with SparkSuite {
     fs.delete(lock, false)
   }
 
+  test("a zombie release (same writerId, lease overrun) cannot delete a re-taken lock") {
+    // Two threads of ONE manager share a writerId: if thread A overruns its
+    // lease, a breaker re-acquires under the SAME writerId (thread B), and
+    // A's late release() must NOT delete B's live lock — the stamp is
+    // per-acquisition, not per-writer.
+    val tmp = Files.createTempDirectory("graft-lock").toString
+    val path = new Path(s"$tmp/_writer.lock")
+    val a = new WriterLock(fs, path, "mgr", leaseMs = 60000L, waitMs = 1000L)
+    a.acquire()
+    // a breaker observes A expired (simulate: delete) and B re-acquires
+    fs.delete(path, false)
+    val b = new WriterLock(fs, path, "mgr", leaseMs = 60000L, waitMs = 1000L)
+    b.acquire()
+    a.release() // zombie: must be a no-op
+    assert(fs.exists(path), "zombie release deleted the re-taken lock")
+    b.release() // the live holder's release still works
+    assert(!fs.exists(path))
+  }
+
   test("racing writers serialize: N concurrent updates land as N versions") {
     val tmp = Files.createTempDirectory("graft-lock").toString
     val cm = mkManager(tmp)
