@@ -21,6 +21,18 @@ object SparkEntry {
     // at 100 TB the scan is IO-bound — smaller files ARE the speedup (plus
     // object-store egress). DuckDB (the oracle) reads zstd parquet natively.
     spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+    // local-mode only: LocalFileSystem writes a `.crc` sidecar per file and
+    // verifies it on every read — on this container's slow-metadata /tmp
+    // (≈10-25 ms per file op, measured in Profile) the sidecars DOUBLE the
+    // file count of every table and every listing, dominating mutation-path
+    // wall time (manifest footer stats, staged-swap commits). Durability here
+    // comes from the staged-swap protocol + parquet's own page checksums, not
+    // sidecar files; a real cluster runs hdfs:// or s3:// where this cached
+    // `file:` FileSystem instance is never consulted.
+    val localFs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
+    localFs.setWriteChecksum(false)
+    localFs.setVerifyChecksum(false)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

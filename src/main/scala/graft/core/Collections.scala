@@ -371,10 +371,13 @@ final class CollectionManager(
     */
   private[graft] def manifestStats(name: String): (Long, Long, Long) = {
     val conf = spark.sessionState.newHadoopConf()
-    val nChunks = ParquetMeta.rowCount(conf, chunksPath(name))
+    // one listing + one footer sweep yields BOTH chunk facts — on
+    // slow-metadata filesystems the listing dominates the whole refresh
+    val (nChunks, footerMax) =
+      ParquetMeta.rowCountAndMaxLong(conf, chunksPath(name), "chunkId")
     val maxId =
       if (nChunks == 0L) -1L
-      else ParquetMeta.columnMaxLong(conf, chunksPath(name), "chunkId").getOrElse(
+      else footerMax.getOrElse(
         spark.read.parquet(chunksPath(name))
           .agg(coalesce(max("chunkId"), lit(-1L))).head().getLong(0))
     val nDocs = ParquetMeta.rowCount(conf, docsPath(name))
@@ -406,12 +409,26 @@ final class CollectionManager(
     // updating with a mismatched embedder would interleave incompatible
     // vectors with the kept chunks — same guard as search, before any write
     requireMatchingEmbedder(name)
-    val changed = withChunks(changedRawDocs)
+    val changedPlain = withChunks(changedRawDocs)
+    // watermark bookkeeping piggybacks on the batch's FIRST pass as an
+    // observed metric instead of its own max() action — one fewer full-batch
+    // job per update tick (the mutation path's job count is budget-spec'd)
+    val hasMeta = changedPlain.columns.contains("metadata")
+    val obs = if (hasMeta) Some(org.apache.spark.sql.Observation()) else None
+    val changed = obs match {
+      case Some(o) => changedPlain.observe(o,
+        max(element_at(col("metadata"), "lastModifiedAt")).as("lm"))
+      case None => changedPlain
+    }
 
     val removedAndChanged = if (old.bucketCount > 0) {
       // ---- bucketed layout: touch only the buckets holding changed docs ----
       val n = old.bucketCount
-      val changedIds = changed.select(col("id")).distinct()
+      // the changed-id set is bounded by the UPDATE BATCH (the caller feeds
+      // reader batches, reference contract ≤500k docs), never by the corpus —
+      // broadcast it so every merge join below is a broadcast hash join
+      // against the (huge) stored tables instead of shuffling them
+      val changedIds = broadcast(changed.select(col("id")).distinct())
       val dirty = dirtyBuckets(changedIds, "id", n)
 
       // docs: merge WITHIN the dirty buckets only; every other bucket dir is
@@ -456,19 +473,22 @@ final class CollectionManager(
 
       (removedChunkIds, changedDocIds)
     } else {
+      // same batch-bounded broadcast as the bucketed branch: the stored
+      // tables are the big side, the changed-id set never is
+      val changedIds = broadcast(changed.select(col("id")).distinct())
       val oldDocs = spark.read.parquet(docsPath(name))
       val mergedDocs = oldDocs
-        .join(changed.select(col("id")), Seq("id"), "left_anti")
+        .join(changedIds, Seq("id"), "left_anti")
         .unionByName(changed)
       // Parquet is immutable — stage the merged table, then swap in.
       val docsStaging = s"${docsPath(name)}__staging"
       mergedDocs.write.mode(SaveMode.Overwrite).parquet(docsStaging)
       swap(docsStaging, docsPath(name))
 
-      val changedDocIds = changed.select(col("id").as("documentId")).distinct()
+      val changedDocIds = changedIds.select(col("id").as("documentId"))
       val newChunks = Indexing.buildChunks(
         spark.read.parquet(docsPath(name))
-          .join(changed.select(col("id")), Seq("id"), "left_semi"),
+          .join(changedIds, Seq("id"), "left_semi"),
         embedder, startId = old.lastIndexItemId + 1)
       val removedChunkIds = spark.read.parquet(chunksPath(name))
         .join(changedDocIds, Seq("documentId"), "left_semi")
@@ -515,8 +535,26 @@ final class CollectionManager(
     // strings order lexicographically, same comparison the old scan used.
     val m = old.copy(
       updatedTime = nowIso,
-      lastModifiedDocumentTime =
-        Seq(old.lastModifiedDocumentTime, latestModified(changed)).max,
+      lastModifiedDocumentTime = {
+        // usually populated by the batch's first action above (dirty-bucket
+        // collect / staging write) — no extra job. Inside foreachBatch the
+        // micro-batch runs on a CLONED session whose listener never reaches
+        // this Observation (measured: Observation.get deadlocks there), so
+        // an unreported observation falls back to the explicit max() job.
+        def reported(o: org.apache.spark.sql.Observation): Option[String] =
+          o.future.value match {
+            case Some(scala.util.Success(row)) =>
+              Some(Option(row.get(0)).map(_.toString).getOrElse(""))
+            case _ => None
+          }
+        val batchMax = obs.map { o =>
+          reported(o).getOrElse {
+            Thread.sleep(100) // listener reports async; one grace beat
+            reported(o).getOrElse(latestModified(changed))
+          }
+        }.getOrElse("")
+        Seq(old.lastModifiedDocumentTime, batchMax).max
+      },
       numberOfDocuments = nDocs, numberOfChunks = nChunks,
       // HWM never recedes (same guard as delete): an update whose docs carry
       // explicitly-empty chunks arrays can REMOVE the highest chunk ids while
@@ -764,6 +802,11 @@ final class CollectionManager(
     * (listing only, no data read).
     */
   def bm25TailBytes(name: String): Long = bm25Indexer(name).tailBytes
+
+  /** FILE count of the BM25 tail — the read-amplification twin of
+    * [[bm25TailBytes]]; see Bm25Indexer.tailSegments for why both bound.
+    */
+  def bm25TailSegments(name: String): Long = bm25Indexer(name).tailSegments
 
   /** Centroid-drift signal of the collection's IVF index (None when no index
     * or a pre-signal index) — total-variation distance between the current

@@ -346,6 +346,31 @@ final class Bm25Indexer(
         else 0L
       }.sum
 
+  /** FILE count of the delta/tombstone/stat-delta tail — the second
+    * compact-or-not signal, orthogonal to [[tailBytes]]: a long run of tiny
+    * updates (streaming ticks) can stay under any byte budget forever while
+    * the tail's file count grows one-plus-per-tick — and every BM25 query
+    * pays per FILE (footer read + row-group pruning per segment), not per
+    * byte. Bytes bound the fold's rewrite cost; segments bound the read
+    * amplification between folds. Maintenance loops should trigger on
+    * either (see StreamingUpdate's compactTailSegments).
+    */
+  def tailSegments: Long =
+    Seq(p("postings_delta"), p("tombstones"), p("termDf_delta"), p("corpus_delta"))
+      .map { d =>
+        val path = new org.apache.hadoop.fs.Path(d)
+        if (!fsys.exists(path)) 0L
+        else {
+          var n = 0L
+          val it = fsys.listFiles(path, true)
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet")) n += 1L
+          }
+          n
+        }
+      }.sum
+
   // ------------------------------------------------------------ suggest keys
   //
   // SymSpell delete-key artifact (round 11): (term, delkey) is a pure

@@ -68,6 +68,7 @@ object StreamingUpdate {
       dedupOnArrival: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow(),
       compactTailBytes: Long = 64L << 20,
+      compactTailSegments: Long = 64L,
       retrainIvfDriftAbove: Double = 0.0,
       createBuckets: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] = {
     // once per stream start: heal documents that have no signature (a crash
@@ -138,11 +139,14 @@ object StreamingUpdate {
               }
               // each update appends a BM25 delta segment + tombstones (LSM);
               // a long-running watcher would grow the tail without bound —
-              // fold it back once it outweighs a batch-churn budget. The
-              // listing is two getContentSummary calls; compaction itself
-              // only triggers ∝ accumulated churn, so the amortized cost per
-              // batch stays proportional to the batch.
-              if (cm.bm25TailBytes(collectionName) > compactTailBytes)
+              // fold it back once it outweighs a batch-churn budget. Two
+              // orthogonal triggers: BYTES (rewrite cost ∝ accumulated
+              // churn — tiny next to data-proportional work) and SEGMENT
+              // COUNT (a stream of tiny ticks stays under any byte budget
+              // forever while queries pay per-FILE footer opens — the
+              // round-11 creep vector). The listing is metadata-only.
+              if (cm.bm25TailBytes(collectionName) > compactTailBytes ||
+                  cm.bm25TailSegments(collectionName) > compactTailSegments)
                 cm.compactBm25(collectionName)
               // the signature table folds when it has roughly DOUBLED since
               // the last fold (floored by compactTailBytes so tiny tables

@@ -145,9 +145,10 @@ class SoakSpec extends AnyFunSuite with SparkSuite {
         s"bm25 ranking diverged for '$q'")
       assert(docsFor("soak", q, None) === docsFor("ref", q, None),
         s"hybrid RRF ranking diverged for '$q'")
-      // the IVF view (refreshed + compacted + possibly retrained across the
-      // soak) is EXACT at nProbe == nLists: it must agree with the flat scan
-      // over the same collection, chunk ids and all
+      // the IVF view (refreshed + compacted across the soak; the retrain
+      // trigger itself is ASSERTED in StreamingSpec's drift-retrain e2e) is
+      // EXACT at nProbe == nLists: it must agree with the flat scan over the
+      // same collection, chunk ids and all
       assert(docsFor("soak", q, Some(Seq("vector_ivf"))) ===
              docsFor("soak", q, Some(Seq("vector_exact_l2"))),
         s"IVF view diverged from the flat truth for '$q'")

@@ -18,6 +18,13 @@ object SparkSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // same local-mode setting as SparkEntry.configure: no `.crc` sidecars —
+    // this container's tmp filesystem pays ~10-25 ms per file op, and the
+    // sidecars double every collection table's file count
+    val localFs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create("file:///"), s.sparkContext.hadoopConfiguration)
+    localFs.setWriteChecksum(false)
+    localFs.setVerifyChecksum(false)
     s
   }
 }

@@ -50,6 +50,96 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(hits.map(_.getString(0)).contains("s1"))
   }
 
+  test("segment-count fold trigger fires when tiny ticks stay under the byte budget") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the round-11 creep vector: per-tick deltas are tiny in BYTES, so an
+    // infinite byte budget never folds — the FILE count must trigger instead
+    def run(segBudget: Long): Long = {
+      val tmp = Files.createTempDirectory("graft-segfold").toString
+      val cm = new CollectionManager(spark, s"$tmp/coll",
+        new HashingEmbedder(dim = 16), new TextSplitter(50, 10))
+      val stream = MemoryStream[(String, String, String)]
+      val docs = stream.toDF().toDF("id", "url", "text")
+        .withColumn("metadata", map(lit("source"), lit("stream")))
+        .select("id", "url", "metadata", "text")
+      def tick(rows: (String, String, String)*): Unit = {
+        stream.addData(rows: _*)
+        val q = StreamingUpdate.collectionUpdateWriter(docs, cm, "seg", s"$tmp/ckpt",
+          compactTailBytes = Long.MaxValue, compactTailSegments = segBudget).start()
+        q.awaitTermination(60000)
+      }
+      tick(("d1", "u1", "alpha document about spark shuffles"))
+      tick(("d1", "u1", "alpha document rewritten with partitions"),
+           ("d2", "u2", "beta document about broadcast joins"))
+      tick(("d2", "u2", "beta document rewritten about salting"))
+      // whatever the layout, the index still serves the latest content
+      val hits = cm.search("seg", "salting", indexNames = Some(Seq("bm25")))
+        .collect().map(_.getString(0))
+      assert(hits.contains("d2"))
+      cm.bm25TailSegments("seg")
+    }
+    val unbounded = run(Long.MaxValue)
+    assert(unbounded > 2L,
+      s"control: with both budgets infinite the tail must accumulate, got $unbounded")
+    val bounded = run(2L)
+    assert(bounded <= 2L,
+      s"segment budget 2 must have folded the tail, got $bounded files")
+  }
+
+  test("drift-evidenced IVF retrain fires mid-stream and resets the signal (asserted e2e)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-retrain").toString
+    val cm = new CollectionManager(spark, s"$tmp/coll",
+      new HashingEmbedder(dim = 16), new TextSplitter(50, 10))
+    val stream = MemoryStream[(String, String, String)]
+    val docs = stream.toDF().toDF("id", "url", "text")
+      .withColumn("metadata", map(lit("source"), lit("stream")))
+      .select("id", "url", "metadata", "text")
+    def tick(rows: (String, String, String)*): Unit = {
+      stream.addData(rows: _*)
+      val q = StreamingUpdate.collectionUpdateWriter(docs, cm, "r", s"$tmp/ckpt",
+        retrainIvfDriftAbove = 0.06).start()
+      q.awaitTermination(60000)
+    }
+    tick(("a1", "u1", "alpha notes on shuffle hash exchange"),
+         ("a2", "u2", "beta pages about quantization codebooks"),
+         ("a3", "u3", "gamma story of postings compression"),
+         ("a4", "u4", "delta words on watermark semantics"))
+    cm.buildIvfIndex("r", nLists = 2, nProbe = 2)
+    val statsFile = {
+      val d = new java.io.File(s"$tmp/coll/r/indexes/ivf/train_stats")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    }
+    def snapshot() = java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(statsFile)).toSeq
+    val trainedAt = snapshot()
+    // a geometry-shifted burst: identical text under many ids → every vector
+    // assigns to ONE frozen list, pushing the list-share TV distance past the
+    // threshold inside the tick (the asymptote when the burst joins the
+    // BIGGER list is 1 - that list's train share, so the threshold sits
+    // below it) — the tick itself must then pay one fresh k-means
+    // (retrainIvf is the ONLY writer of train_stats after the build, so a
+    // snapshot change IS the proof it fired)
+    tick((1 to 20).map(i =>
+      (s"z$i", s"uz$i", "identical drifted payload torrent")): _*)
+    val retrainedAt = {
+      val d = new java.io.File(s"$tmp/coll/r/indexes/ivf/train_stats")
+      java.nio.file.Files.readAllBytes(
+        d.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath).toSeq
+    }
+    assert(retrainedAt !== trainedAt,
+      "the drift trigger must have re-trained (train_stats snapshot unchanged)")
+    // the signal reset: the fresh snapshot matches the post-burst distribution
+    val drift = cm.ivfDrift("r").get
+    assert(drift < 0.06, s"post-retrain drift must read under the threshold: $drift")
+    // and the refreshed IVF view is still EXACT at nProbe == nLists
+    def ids(idx: String) = cm.search("r", "quantization codebooks",
+      indexNames = Some(Seq(idx))).collect().map(_.getString(0)).toSeq
+    assert(ids("vector_ivf") === ids("vector_exact_l2"))
+  }
+
   test("streaming × bucketed: dirty-bucket ticks, per-bucket compaction, fsck green") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
