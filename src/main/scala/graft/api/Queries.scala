@@ -2489,6 +2489,115 @@ object Queries {
            |SELECT doc_id, min(s) AS span_start, max(e) AS span_end, count(*) AS n_grams
            |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin))
 
+  /** Token n-gram overlap score ([[graft.operators.Dedup.ngramOverlap]]):
+    * per train document, the fraction of its 4-gram occurrences present
+    * verbatim in the benchmark slice — the scored decontamination companion
+    * to `decontam_substr`'s exact spans. Bench side broadcasts (eval suites
+    * are small by nature); train side is one pass.
+    */
+  private val decontamNgramOverlap = Q(
+    (s, d) => {
+      val docs = D.documents(s, d)
+      graft.operators.Dedup.ngramOverlap(
+        docs.filter(col("doc_id") % 41 =!= 0).select("doc_id", "text"),
+        docs.filter(col("doc_id") % 41 === 0).select("doc_id", "text"),
+        "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           |  FROM documents),
+           |g AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 3),
+           |        i -> array_to_string(w[i:i+3], ' ')) AS gs
+           |  FROM tok WHERE len(w) >= 4),
+           |be AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 41 = 0),
+           |tr AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM g
+           |  WHERE doc_id % 41 <> 0)
+           |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           |  CAST(count(*) AS BIGINT) AS n_hit,
+           |  round(count(*) / n_grams, 6) AS overlap_frac
+           |FROM tr JOIN be USING (g)
+           |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin))
+
+  /** Boolean text query ([[graft.operators.QueryLang.booleanSearch]]):
+    * AND/OR/NOT with parentheses compiled to ONE codegen'd predicate over
+    * the tokenized text — the FTS5 MATCH boolean surface the reference's
+    * conjunctive prep never exposes. Rank = (positive terms matched desc,
+    * their tf desc, id asc); scan-shaped, no shuffle before the top-k.
+    */
+  private val qlBooleanSearch = Q(
+    (s, d) => graft.operators.QueryLang.booleanSearch(
+      D.documents(s, d), "doc_id", "text",
+      "(join AND vector) OR (spark NOT hash)", k = 30),
+    Some("""WITH tok AS (SELECT doc_id,
+           |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(list_contains(w, 'join')::int + list_contains(w, 'spark')::int
+           |       + list_contains(w, 'vector')::int AS BIGINT) AS n_matched,
+           |  CAST(len(list_filter(w, x -> x IN ('join', 'spark', 'vector'))) AS BIGINT) AS tf_total
+           |FROM tok
+           |WHERE (list_contains(w, 'join') AND list_contains(w, 'vector'))
+           |   OR (list_contains(w, 'spark') AND NOT list_contains(w, 'hash'))
+           |ORDER BY n_matched DESC, tf_total DESC, doc_id LIMIT 30""".stripMargin))
+
+  /** Exact phrase search ([[graft.operators.QueryLang.phraseSearch]]):
+    * verbatim token-sequence occurrences with count + first position. The
+    * postings-backed twin (positionalPostings → ≤|phrase| term-pruned reads,
+    * the interactive-search plan at 100 TB) is spec-pinned equal to this
+    * scan in QueryLangSpec.
+    */
+  private val qlPhraseSearch = Q(
+    (s, d) => graft.operators.QueryLang.phraseSearch(
+      D.documents(s, d), "doc_id", "text", Seq("hash", "join"), k = 100),
+    Some("""WITH tok AS (SELECT doc_id,
+           |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           |  FROM documents),
+           |p AS (SELECT doc_id, list_filter(generate_series(1, len(w) - 1),
+           |        i -> w[i] = 'hash' AND w[i+1] = 'join') AS hits
+           |  FROM tok WHERE len(w) >= 2)
+           |SELECT doc_id, CAST(len(hits) AS BIGINT) AS phrase_tf,
+           |  CAST(hits[1] AS BIGINT) AS first_pos
+           |FROM p WHERE len(hits) > 0
+           |ORDER BY phrase_tf DESC, doc_id LIMIT 100""".stripMargin))
+
+  /** Proximity search ([[graft.operators.QueryLang.minSpanSearch]]): among
+    * docs holding EVERY query term, the smallest token window covering all
+    * of them — NEAR-style ranking. A minimal window starts at a term
+    * occurrence, so the per-row cost is occurrences × terms × tokens.
+    */
+  private val qlMinspanSearch = Q(
+    (s, d) => graft.operators.QueryLang.minSpanSearch(
+      D.documents(s, d), "doc_id", "text",
+      Seq("spark", "vector", "window"), k = 25),
+    Some("""WITH tok AS (SELECT doc_id,
+           |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           |  FROM documents),
+           |f AS (SELECT doc_id, w,
+           |    list_filter(generate_series(1, len(w)), i -> w[i] = 'spark') AS pa,
+           |    list_filter(generate_series(1, len(w)), i -> w[i] = 'vector') AS pb,
+           |    list_filter(generate_series(1, len(w)), i -> w[i] = 'window') AS pc
+           |  FROM tok
+           |  WHERE list_contains(w, 'spark') AND list_contains(w, 'vector')
+           |    AND list_contains(w, 'window')),
+           |c AS (SELECT doc_id, list_filter(
+           |    list_transform(generate_series(1, len(w)), s -> struct_pack(
+           |      e := greatest(list_min(list_filter(pa, p -> p >= s)),
+           |                    list_min(list_filter(pb, p -> p >= s)),
+           |                    list_min(list_filter(pc, p -> p >= s))),
+           |      st := s)),
+           |    x -> x.st <= least(list_max(pa), list_max(pb), list_max(pc))
+           |         AND (list_contains(pa, x.st) OR list_contains(pb, x.st)
+           |              OR list_contains(pc, x.st))) AS cand
+           |  FROM f),
+           |sel AS (SELECT doc_id, cand,
+           |    list_min(list_transform(cand, z -> z.e - z.st + 1)) AS span_len
+           |  FROM c WHERE len(cand) > 0)
+           |SELECT doc_id, CAST(span_len AS BIGINT) AS span_len,
+           |  CAST(list_min(list_transform(
+           |    list_filter(cand, z -> z.e - z.st + 1 = span_len), z -> z.st)) AS BIGINT)
+           |    AS span_start
+           |FROM sel ORDER BY span_len, doc_id LIMIT 25""".stripMargin))
+
   /** The (term, doc-frequency) vocabulary of the documents corpus — the
     * shared input of the query-assist operators below (and at engine scale,
     * a projection of the BM25 termDf table).
@@ -2712,6 +2821,74 @@ object Queries {
        |adc AS (SELECT e.vec_id, sum(l.qd) AS adc
        |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.cid = l.cid
        |  GROUP BY e.vec_id)""".stripMargin
+
+  /** Shared DuckDB CTE block replaying the SQ8 pipeline — per-dimension
+    * min/max fit over the corpus, uint8 encode (floor, 255-clamped),
+    * midpoint dequantization, and the L2 distance to the vec_id=0 query
+    * summed in dimension order (list_sum over an ordered comprehension, the
+    * float-parity rule) — ends with the `sqd` table (vec_id, dist).
+    */
+  private def sq8Ctes: String =
+    """WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+      |mm AS (SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS mn,
+      |    max(CAST(embedding[d] AS DOUBLE)) AS mx
+      |  FROM corp CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) GROUP BY d),
+      |mv AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM mm),
+      |q0 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+      |vh AS (SELECT c.vec_id,
+      |    list_transform(generate_series(1, 64), i ->
+      |      m.mns[i]
+      |      + ((CASE WHEN m.mxs[i] = m.mns[i] THEN 0
+      |          ELSE least(255, floor((CAST(c.embedding[i] AS DOUBLE) - m.mns[i])
+      |                                / ((m.mxs[i] - m.mns[i]) / 256))) END) + 0.5)
+      |        * ((m.mxs[i] - m.mns[i]) / 256)) AS vhat
+      |  FROM corp c CROSS JOIN mv m),
+      |sqd AS (SELECT v.vec_id, """.stripMargin +
+      l2Sql("v.vhat", "q.e") +
+      """ AS dist
+      |  FROM vh v CROSS JOIN q0 q)""".stripMargin
+
+  /** SQ8 scalar-quantized search ([[graft.operators.Sq]]): per-dimension
+    * min/max fit + uint8 encode + midpoint-dequantized L2 — 4× smaller scans
+    * than the flat path, hash-gated end to end (fit aggregates are exact,
+    * everything after is double math replayed bit-for-bit). Over-fetch then
+    * cut on the ROUNDED distance with an id tie-break, the PQ gate's recipe.
+    */
+  private val annSq8Topk = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val model = graft.operators.Sq.fit(corpus, "embedding")
+      val codes = graft.operators.Sq.encode(corpus, "vec_id", "embedding", model)
+      graft.operators.Sq.searchTopK(codes, "vec_id", "code", model, queryVec(s, d), 50)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+    },
+    Some(s"""$sq8Ctes
+            |SELECT vec_id, round(dist, 6) AS dist FROM sqd
+            |ORDER BY round(dist, 6), vec_id LIMIT 10""".stripMargin))
+
+  /** SQ8 shortlist → exact re-rank ([[graft.operators.Sq.rerankTopK]], the
+    * IndexRefineFlat pattern): quantized scan over-fetches 50, full-precision
+    * vectors re-score via a pushed-down IN-list lookup, true top-10 wins.
+    */
+  private val annSq8Rerank = Q(
+    (s, d) => {
+      val emb = D.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val model = graft.operators.Sq.fit(corpus, "embedding")
+      val codes = graft.operators.Sq.encode(corpus, "vec_id", "embedding", model)
+      graft.operators.Sq.rerankTopK(codes, corpus, "vec_id", "code", "embedding",
+          model, queryVec(s, d), k = 10, shortlist = 50)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    },
+    Some(s"""$sq8Ctes,
+            |short AS (SELECT vec_id FROM sqd ORDER BY dist ASC, vec_id LIMIT 50),
+            |rer AS (SELECT e.vec_id, ${l2Sql("e.embedding", "q.e")} AS dist
+            |  FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q0 q)
+            |SELECT vec_id, round(dist, 6) AS dist FROM rer
+            |ORDER BY round(dist, 6) ASC, vec_id LIMIT 10""".stripMargin))
 
   private val annPqAdc = Q(
     (s, d) => {
@@ -5480,14 +5657,20 @@ object Queries {
     "decontam_substr" -> decontamSubstr,
     "shard_dup_spans" -> shardDupSpans,
     "shard_decontam" -> shardDecontam,
+    "decontam_ngram_overlap" -> decontamNgramOverlap,
     "spell_suggest" -> spellSuggest,
     "suggest_lifecycle" -> suggestLifecycle,
     "autocomplete_prefix" -> autocompletePrefix,
     "search_highlight" -> searchHighlight,
     "facet_counts" -> facetCountsQ,
+    "ql_boolean_search" -> qlBooleanSearch,
+    "ql_phrase_search" -> qlPhraseSearch,
+    "ql_minspan_search" -> qlMinspanSearch,
     "decontam_report" -> decontamReport,
     "dedup_strip_spans" -> dedupStripSpans,
     "ann_pq_adc" -> annPqAdc,
+    "ann_sq8_topk" -> annSq8Topk,
+    "ann_sq8_rerank" -> annSq8Rerank,
     "ann_pq_rerank" -> annPqRerank,
     "t1c_maxsim" -> t1cMaxsim,
     "sample_epoch_shuffle" -> sampleEpochShuffle,

@@ -650,4 +650,38 @@ object Dedup {
       .join(dropped.withColumn("_drop", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("cluster_id"), col("_drop").isNull.as("kept"))
   }
+
+  /** Token n-gram overlap fraction against a benchmark — the SCORED
+    * companion to the span-level decontamination in SuffixArray: instead of
+    * exact contaminated character spans, each train document gets the share
+    * of its token n-gram OCCURRENCES that appear verbatim anywhere in the
+    * benchmark (the "what fraction of this document is eval data"
+    * leaderboard number; rank by it, then strip or drop the top).
+    *
+    * Shape at 100 TB: the benchmark side is an EVAL SUITE — megabytes by
+    * nature — so its distinct grams broadcast and the train side is one
+    * embarrassingly-parallel pass (tokenize → slide → hash-probe), no
+    * shuffle except the per-doc count aggregation. Documents with zero
+    * overlap never leave the semi-join.
+    */
+  def ngramOverlap(train: DataFrame, bench: DataFrame,
+                   idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("_w"))
+      .where(size(col("_w")) >= n)
+      .select(col("id"), expr(
+        s"transform(sequence(1, size(_w) - ${n - 1}), i -> array_join(slice(_w, i, $n), ' '))")
+        .as("_gs"))
+    val benchGrams = broadcast(
+      grams(bench).select(explode(col("_gs")).as("_g")).distinct())
+    grams(train)
+      .select(col("id"), size(col("_gs")).cast("long").as("n_grams"),
+        explode(col("_gs")).as("_g"))
+      .join(benchGrams, Seq("_g"), "left_semi")
+      .groupBy("id", "n_grams").agg(count(lit(1)).as("n_hit"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_hit"),
+        round(col("n_hit") / col("n_grams"), 6).as("overlap_frac"))
+  }
 }

@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Query-language extensions over tokenized text: boolean queries
+  * (AND/OR/NOT with parentheses), proximity (minimum token window holding
+  * every term), and exact phrase match — the FTS5 `MATCH` features the
+  * reference's conjunctive query prep never exposes
+  * (`main/indexes/indexers/sqllite_indexer.py:145-150` quotes words and
+  * joins with AND only; FTS5 itself understands phrases/NEAR/boolean).
+  *
+  * Two execution shapes, same semantics:
+  *   - SCAN: one embarrassingly-parallel pass evaluating a per-row Column
+  *     over the tokenized text — no shuffle until the top-k, whole-stage
+  *     codegen throughout. The right plan for batch classification ("tag
+  *     every matching document in the corpus").
+  *   - POSTINGS: [[positionalPostings]] is the (term, docId, positions)
+  *     table — the positional extension of the BM25 postings shape, written
+  *     and compacted the same way — and [[phraseSearchPostings]] answers a
+  *     phrase query from ≤ |phrase| narrow term-pruned reads instead of a
+  *     corpus scan: the right plan for interactive search at 100 TB.
+  *     Equality of the two paths is spec-pinned (QueryLangSpec).
+  */
+object QueryLang {
+
+  // --------------------------------------------------------------- boolean
+
+  /** Boolean query AST. */
+  sealed trait Node
+  final case class Term(word: String) extends Node
+  final case class And(l: Node, r: Node) extends Node
+  final case class Or(l: Node, r: Node) extends Node
+  final case class Not(child: Node) extends Node
+
+  /** Parse `spark AND (shuffle OR join) AND NOT python`. Keywords are
+    * case-insensitive; adjacency without a keyword is an implicit AND
+    * (`spark shuffle` ≡ `spark AND shuffle`), matching common search-box
+    * conventions. Precedence: NOT > AND > OR; parentheses group.
+    */
+  def parse(query: String): Node = {
+    val toks = query.replace("(", " ( ").replace(")", " ) ")
+      .split("\\s+").filter(_.nonEmpty).toList
+    def isKw(t: String, kw: String) = t.equalsIgnoreCase(kw)
+    // recursive descent; each level returns (node, rest)
+    def pOr(ts: List[String]): (Node, List[String]) = {
+      var (n, rest) = pAnd(ts)
+      while (rest.headOption.exists(isKw(_, "OR"))) {
+        val (r, rr) = pAnd(rest.tail); n = Or(n, r); rest = rr
+      }
+      (n, rest)
+    }
+    def pAnd(ts: List[String]): (Node, List[String]) = {
+      var (n, rest) = pNot(ts)
+      var continue = true
+      while (continue) rest.headOption match {
+        case Some(t) if isKw(t, "AND") =>
+          val (r, rr) = pNot(rest.tail); n = And(n, r); rest = rr
+        case Some(t) if !isKw(t, "OR") && t != ")" => // implicit AND
+          val (r, rr) = pNot(rest); n = And(n, r); rest = rr
+        case _ => continue = false
+      }
+      (n, rest)
+    }
+    def pNot(ts: List[String]): (Node, List[String]) = ts match {
+      case t :: tail if isKw(t, "NOT") =>
+        val (c, rest) = pNot(tail); (Not(c), rest)
+      case _ => pAtom(ts)
+    }
+    def pAtom(ts: List[String]): (Node, List[String]) = ts match {
+      case "(" :: tail =>
+        val (n, rest) = pOr(tail)
+        rest match {
+          case ")" :: rr => (n, rr)
+          case _ => throw new IllegalArgumentException(s"unclosed '(' in: $query")
+        }
+      case w :: tail if w != ")" && !isKw(w, "AND") && !isKw(w, "OR") =>
+        (Term(w.toLowerCase), tail)
+      case other =>
+        throw new IllegalArgumentException(s"expected a term at: $other in: $query")
+    }
+    val (node, rest) = pOr(toks)
+    require(rest.isEmpty, s"trailing tokens $rest in: $query")
+    node
+  }
+
+  /** Whitespace tokens of `textCol`, lowercased — the family's shared
+    * tokenization (matches the BM25 indexer's).
+    */
+  def tokens(textCol: String): Column =
+    expr(s"filter(split(lower($textCol), ' '), x -> x <> '')")
+
+  /** The AST as ONE codegen'd predicate over a token-array column. */
+  def matchColumn(node: Node, toksCol: Column): Column = node match {
+    case Term(w)   => array_contains(toksCol, w)
+    case And(l, r) => matchColumn(l, toksCol) && matchColumn(r, toksCol)
+    case Or(l, r)  => matchColumn(l, toksCol) || matchColumn(r, toksCol)
+    case Not(c)    => !matchColumn(c, toksCol)
+  }
+
+  private def positiveTerms(node: Node): Seq[String] = node match {
+    case Term(w)   => Seq(w)
+    case And(l, r) => positiveTerms(l) ++ positiveTerms(r)
+    case Or(l, r)  => positiveTerms(l) ++ positiveTerms(r)
+    case Not(_)    => Nil // negated terms don't score
+  }
+
+  /** Boolean search over the corpus: docs satisfying `query`, ranked by
+    * (matched positive terms desc, their total tf desc, id asc), top `k`.
+    */
+  def booleanSearch(docs: DataFrame, idCol: String, textCol: String,
+                    query: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val node = parse(query)
+    val pos = positiveTerms(node).distinct.sorted
+    docs
+      .withColumn("_q", array(pos.map(lit): _*))
+      .withColumn("_t", tokens(textCol))
+      .where(matchColumn(node, col("_t")))
+      .withColumn("n_matched",
+        expr("size(filter(_q, t -> array_contains(_t, t)))").cast("long"))
+      .withColumn("tf_total",
+        expr("aggregate(filter(_t, x -> array_contains(_q, x)), 0L, (a, x) -> a + 1L)"))
+      .select(col(idCol), col("n_matched"), col("tf_total"))
+      .orderBy(col("n_matched").desc, col("tf_total").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------- proximity
+
+  /** Minimum-span proximity search: among docs containing EVERY term, the
+    * smallest token window covering all of them (1-based start), ranked
+    * (span asc, id asc), top `k`. A candidate minimal window must START at
+    * an occurrence of one of the terms, so the scan is O(occurrences ×
+    * |terms| × tokens) per row — cheap for real queries, embarrassingly
+    * parallel, no shuffle before the top-k.
+    */
+  def minSpanSearch(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    require(k >= 1, "k must be >= 1")
+    val qArr = array(terms.map(_.toLowerCase).distinct.sorted.map(lit): _*)
+    docs
+      .withColumn("_q", qArr)
+      .withColumn("_t", tokens(textCol))
+      // all terms present, or no covering window exists at all
+      .where(expr("forall(_q, t -> array_contains(_t, t))"))
+      // A minimal covering window must START at an occurrence of a query
+      // term, so only those starts pay the inner aggregate (the IF guard is
+      // lazy): per start s, the window's END is the latest
+      // first-occurrence-at-or-after-s over all terms — NULL when some term
+      // never occurs again, which prunes that start.
+      .withColumn("_cand", expr(
+        """filter(transform(sequence(1, CAST(size(_t) AS INT)), s -> named_struct(
+          |  'e', IF(array_contains(_q, element_at(_t, s)),
+          |         aggregate(_q, s, (mx, t) -> IF(mx IS NULL, mx,
+          |           IF(array_min(filter(sequence(s, CAST(size(_t) AS INT)),
+          |                               i -> element_at(_t, i) = t)) IS NULL,
+          |              CAST(NULL AS INT),
+          |              greatest(mx, array_min(filter(sequence(s, CAST(size(_t) AS INT)),
+          |                                            i -> element_at(_t, i) = t)))))),
+          |         CAST(NULL AS INT)),
+          |  'st', s)),
+          |x -> x.e IS NOT NULL)""".stripMargin))
+      .withColumn("span_len",
+        expr("array_min(transform(_cand, c -> c.e - c.st + 1))").cast("long"))
+      .withColumn("span_start",
+        expr("array_min(transform(filter(_cand, c -> c.e - c.st + 1 = span_len), c -> c.st))")
+          .cast("long"))
+      .select(col(idCol), col("span_len"), col("span_start"))
+      .orderBy(col("span_len"), col(idCol))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------- phrase
+
+  /** Exact phrase occurrences by direct scan: docs where the token sequence
+    * `phrase` occurs verbatim, with occurrence count and first position
+    * (1-based), ranked (tf desc, id asc), top `k`.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "need a non-empty phrase")
+    require(k >= 1, "k must be >= 1")
+    val n = phrase.size
+    val pArr = array(phrase.map(t => lit(t.toLowerCase)): _*)
+    docs
+      .withColumn("_p", pArr)
+      .withColumn("_t", tokens(textCol))
+      .withColumn("_pos", expr(
+        s"""CASE WHEN size(_t) >= $n THEN
+           |  filter(sequence(1, size(_t) - ${n - 1}),
+           |         i -> slice(_t, i, $n) = _p)
+           |ELSE array() END""".stripMargin))
+      .where(size(col("_pos")) > 0)
+      .select(col(idCol),
+        size(col("_pos")).cast("long").as("phrase_tf"),
+        element_at(col("_pos"), 1).cast("long").as("first_pos"))
+      .orderBy(col("phrase_tf").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The (term, docId, positions) positional postings table — one tokenize +
+    * posexplode + groupBy, range-partitioned by term like the BM25 base
+    * segment so term lookups prune by row-group stats. The LSM treatment
+    * (delta segments, tombstones, folds) applies unchanged: positions are
+    * per-(term, doc) facts exactly like tf.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("docId"), posexplode(tokens(textCol)).as(Seq("p", "term")))
+      .groupBy("term", "docId")
+      .agg(sort_array(collect_list(col("p") + 1)).as("positions"))
+
+  /** Phrase search answered from [[positionalPostings]]: read ≤ |phrase|
+    * term slices, shift each term's positions back by its offset in the
+    * phrase, and intersect — surviving positions are exactly the phrase's
+    * start positions. Joins key on docId after per-term filters; the first
+    * (ideally rarest) term's list anchors. Results equal [[phraseSearch]]
+    * bit-for-bit (spec-pinned).
+    */
+  def phraseSearchPostings(postings: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "need a non-empty phrase")
+    require(k >= 1, "k must be >= 1")
+    val terms = phrase.map(_.toLowerCase)
+    // one shifted frame per UNIQUE term (a repeated word contributes every
+    // offset it occupies), then an inner-join chain on docId
+    val shifted = terms.zipWithIndex.map { case (t, j) =>
+      postings.where(col("term") === t)
+        .select(col("docId"),
+          expr(s"transform(positions, p -> p - $j)").as(s"_s$j"))
+    }
+    val joined = shifted.reduceLeft { (a, b) => a.join(b, Seq("docId")) }
+    val inter = (1 until terms.size).foldLeft(col("_s0")) { (acc, j) =>
+      array_intersect(acc, col(s"_s$j"))
+    }
+    joined
+      .withColumn("_pos", sort_array(inter))
+      .where(size(col("_pos")) > 0)
+      .select(col("docId"),
+        size(col("_pos")).cast("long").as("phrase_tf"),
+        element_at(col("_pos"), 1).cast("long").as("first_pos"))
+      .orderBy(col("phrase_tf").desc, col("docId"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.QueryLang
+import graft.operators.QueryLang._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QueryLangSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark shuffle spark join python tips"),
+    (2L, "spark shuffle only here"),
+    (3L, "join heavy join text join"),
+    (4L, "nothing relevant"),
+    (5L, "SPARK Join mixed CASE")).toDF("doc_id", "text")
+
+  // ---------------------------------------------------------------- parser
+
+  test("parser: precedence NOT > AND > OR, parens, implicit AND, case-insensitive keywords") {
+    assert(parse("a AND b OR c") === Or(And(Term("a"), Term("b")), Term("c")))
+    assert(parse("a OR b AND c") === Or(Term("a"), And(Term("b"), Term("c"))))
+    assert(parse("a AND (b OR c)") === And(Term("a"), Or(Term("b"), Term("c"))))
+    assert(parse("NOT a AND b") === And(Not(Term("a")), Term("b")))
+    assert(parse("a b") === And(Term("a"), Term("b"))) // implicit AND
+    assert(parse("a and not b") === And(Term("a"), Not(Term("b"))))
+    assert(parse("A") === Term("a")) // terms lowercase
+    intercept[IllegalArgumentException](parse("a AND (b"))
+    intercept[IllegalArgumentException](parse("AND a"))
+  }
+
+  test("booleanSearch: nested query with NOT; rank by matches then tf") {
+    val out = QueryLang.booleanSearch(docs, "doc_id", "text",
+        "(spark AND join) OR (join NOT python)", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // positive terms = {join, spark} (python only occurs negated). doc1:
+    // clause1 matches despite python (OR); tf = spark×2 + join×1. doc5:
+    // case-folded spark+join. doc3: join NOT python. doc2: no join → out.
+    assert(out.toSeq === Seq((1L, 2L, 3L), (5L, 2L, 2L), (3L, 1L, 3L)))
+  }
+
+  test("minSpanSearch: smallest window covering all terms, earliest on ties") {
+    val d = Seq(
+      (1L, "a x x b y a b"),   // windows: [1..4]=4, [6..7]=2 → 2 @ 6
+      (2L, "b a"),             // 2 @ 1
+      (3L, "a only here"),     // missing b → dropped
+      (4L, "x a b x a x x b")) // min 2 @ 2
+      .toDF("doc_id", "text")
+    val out = QueryLang.minSpanSearch(d, "doc_id", "text", Seq("a", "b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 6L), (2L, 2L, 1L), (4L, 2L, 2L)))
+  }
+
+  test("phraseSearch: occurrence count + first position; scan == postings path") {
+    val d = Seq(
+      (1L, "the quick brown fox and the quick brown cat"),
+      (2L, "quick brown quick brown quick brown"),
+      (3L, "the brown quick fox"),
+      (4L, "quick Brown")) // case-insensitive
+      .toDF("doc_id", "text")
+    val phrase = Seq("quick", "brown")
+    val scan = QueryLang.phraseSearch(d, "doc_id", "text", phrase, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(scan.toSeq === Seq((2L, 3L, 1L), (1L, 2L, 2L), (4L, 1L, 1L)))
+    val postings = QueryLang.positionalPostings(d, "doc_id", "text")
+    val viaIdx = QueryLang.phraseSearchPostings(postings, phrase, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaIdx.toSeq === scan.toSeq, "postings path must equal the scan path")
+  }
+
+  test("phrase with a REPEATED word intersects every offset it occupies") {
+    val d = Seq(
+      (1L, "go go go stop"),   // "go go" at 1,2
+      (2L, "go stop go")).toDF("doc_id", "text")
+    val phrase = Seq("go", "go")
+    val scan = QueryLang.phraseSearch(d, "doc_id", "text", phrase, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(scan.toSeq === Seq((1L, 2L, 1L)))
+    val postings = QueryLang.positionalPostings(d, "doc_id", "text")
+    val viaIdx = QueryLang.phraseSearchPostings(postings, phrase, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaIdx.toSeq === scan.toSeq)
+  }
+
+  test("phrase/boolean plans stay scan-shaped: no shuffle before the top-k") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = QueryLang.phraseSearch(real, "doc_id", "text", Seq("the", "data"), 5)
+    q.collect() // finalize the adaptive plan
+    val plan = q.queryExecution.executedPlan.toString
+    // a TakeOrderedAndProject directly over the scan/filter/project chain
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected mid-plan shuffle:\n$plan")
+  }
+}
