@@ -220,6 +220,14 @@ object Cli {
       case "complete" =>
         println(Formatting.jsonIndent(cm.autocompleteTerms(req("collection"),
           req("prefix"), opt("top").map(_.toInt).getOrElse(8))))
+      case "phrase-index" =>
+        cm.buildPhraseIndex(req("collection"))
+        println(s"""{"built": "positions", "collection": "${req("collection")}"}""")
+      case "phrase" =>
+        // exact-phrase document search from the positional artifact
+        println(Formatting.jsonIndent(cm.phraseSearch(req("collection"),
+          req("query").split("\\s+").toSeq,
+          opt("top").map(_.toInt).getOrElse(15))))
       case "list" =>
         println(cm.list().mkString("[\"", "\", \"", "\"]"))
       case "curate" =>
@@ -333,6 +341,8 @@ object Cli {
             |  suggest --name N --terms a,b [--max-edits 2] [--top 3]
             |          did-you-mean from the collection's BM25 vocabulary
             |  complete --name N --prefix P [--top 8]   prefix autocomplete, df-ranked
+            |  phrase-index --name N      build the positional artifact (LSM member)
+            |  phrase --name N --query "exact words" [--top 15]   exact-phrase search
             |  list
             |  delete --name N --ids a,b,c
             |  curate --in P --out P [--min-tokens N] [--min-quality Q] [--redact-pii]

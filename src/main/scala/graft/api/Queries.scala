@@ -1226,6 +1226,48 @@ object Queries {
            |SELECT q, suggestion, dist, term_df, CAST(rn AS BIGINT) AS rank
            |FROM rk WHERE rn <= 3 ORDER BY q, rank""".stripMargin))
 
+  /** Positional-index lifecycle ([[graft.operators.Bm25Indexer.phrase]]):
+    * index → build the positional artifact → incremental delete+replace
+    * APPENDING two fresh "hash join" occurrences per replaced doc → phrase
+    * query. Replaced docs' occurrences are only reachable through the
+    * positions_delta union and deleted docs must die via the shared
+    * tombstones, so the hash gates the artifact's whole LSM contract.
+    */
+  private val phraseLifecycle = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_phrase_lsm_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused")
+      idx.index(docs)
+      idx.buildPhraseIndex(docs)
+      val removed = docs.filter(col("chunkId") % 13 === 0 || col("chunkId") % 7 === 0)
+        .select(col("chunkId").as("docId"), col("indexedData"))
+      val replacement = docs
+        .filter(col("chunkId") % 7 === 0 && col("chunkId") % 13 =!= 0)
+        .select((col("chunkId") + 10000000L).as("chunkId"),
+          concat(col("indexedData"), lit(" hash join hash join")).as("indexedData"))
+      idx.updateIncremental(removed, replacement)
+      idx.phrase(Seq("hash", "join"), k = 200)
+        .select(col("docId").as("doc_id"), col("phrase_tf"), col("first_pos"))
+        .orderBy(col("phrase_tf").desc, col("doc_id"))
+    },
+    Some("""WITH corpus AS (SELECT
+           |    CASE WHEN doc_id % 7 = 0 THEN doc_id + 10000000 ELSE doc_id END AS doc_id,
+           |    text || CASE WHEN doc_id % 7 = 0 THEN ' hash join hash join' ELSE '' END AS text
+           |  FROM documents WHERE doc_id % 13 <> 0),
+           |tok AS (SELECT doc_id, list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+           |  FROM corpus),
+           |p AS (SELECT doc_id, list_filter(generate_series(1, len(w) - 1),
+           |        i -> w[i] = 'hash' AND w[i+1] = 'join') AS hits
+           |  FROM tok WHERE len(w) >= 2)
+           |SELECT doc_id, CAST(len(hits) AS BIGINT) AS phrase_tf,
+           |  CAST(hits[1] AS BIGINT) AS first_pos
+           |FROM p WHERE len(hits) > 0
+           |ORDER BY phrase_tf DESC, doc_id LIMIT 200""".stripMargin))
+
   // ----------------------------------------------------------------------- RRF
 
   private val a1RrfFusion = Q(
@@ -5660,6 +5702,7 @@ object Queries {
     "decontam_ngram_overlap" -> decontamNgramOverlap,
     "spell_suggest" -> spellSuggest,
     "suggest_lifecycle" -> suggestLifecycle,
+    "phrase_lifecycle" -> phraseLifecycle,
     "autocomplete_prefix" -> autocompletePrefix,
     "search_highlight" -> searchHighlight,
     "facet_counts" -> facetCountsQ,

@@ -919,6 +919,28 @@ final class CollectionManager(
     graft.operators.Suggest.autocomplete(
       bm25Indexer(name).termDfTable(), "term", "df", prefix, k)
 
+  /** Persist the positional-postings artifact — exact-phrase queries then
+    * answer from ≤ |phrase| term-pruned reads. A full LSM member: later
+    * incremental updates append its deltas automatically (∝ changed docs),
+    * deletes act through the shared tombstones, [[compactBm25]] folds it.
+    */
+  def buildPhraseIndex(name: String): Unit =
+    withWriterLock(name) { bm25Indexer(name).buildPhraseIndex(chunks(name)) }
+
+  /** Exact phrase search over this collection, DOCUMENT level: chunk hits
+    * from the positional view aggregate per document (occurrences summed,
+    * earliest position kept), ranked (tf desc, documentId asc).
+    */
+  def phraseSearch(name: String, phrase: Seq[String], k: Int = 15): DataFrame = {
+    val chunkHits = bm25Indexer(name).phraseHits(phrase)
+    chunkHits.join(chunks(name).select(col("chunkId").as("docId"), col("documentId")),
+        Seq("docId"))
+      .groupBy("documentId")
+      .agg(sum("phrase_tf").as("phrase_tf"), min("first_pos").as("first_pos"))
+      .orderBy(col("phrase_tf").desc, col("documentId"))
+      .limit(k)
+  }
+
   def search(
       name: String, query: String,
       maxChunks: Int = 15, maxDocs: Int = 5,

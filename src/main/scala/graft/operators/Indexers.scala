@@ -132,6 +132,67 @@ final class Bm25Indexer(
       .getOrElse(all)
   }
 
+  // ------------------------------------------------------------ phrase index
+  //
+  // Positional postings (round 12): (term, docId, positions) — the artifact
+  // that answers exact-phrase queries from ≤ |phrase| term-pruned reads
+  // instead of a corpus scan. A full LSM member, not a sidecar: it shares
+  // the tombstone table, gets its own delta segments appended by
+  // updateIncremental (∝ changed docs, only when the artifact exists — a
+  // non-phrase collection pays nothing), and compact() folds it with the
+  // rest. Same tokenize as the postings, so "phrase then rank by BM25"
+  // composes over one vocabulary.
+
+  /** (term, docId, positions[1-based]) of a chunk set. */
+  private def positionsOf(chunks: DataFrame): DataFrame =
+    chunks.select(col("chunkId").as("docId"),
+        posexplode(Search.tokensCol(col("indexedData"))).as(Seq("p", "term")))
+      .groupBy("term", "docId")
+      .agg(sort_array(collect_list(col("p") + 1)).as("positions"))
+
+  /** Build (or rebuild) the positional artifact from the CURRENT chunks. */
+  def buildPhraseIndex(chunks: DataFrame): Unit = {
+    positionsOf(chunks)
+      .repartitionByRange(col("term"), col("docId"))
+      .sortWithinPartitions("term", "docId")
+      .write.mode(SaveMode.Overwrite).parquet(p("positions") + "__staging")
+    swapDir(p("positions") + "__staging", p("positions"))
+    fsys.delete(new org.apache.hadoop.fs.Path(p("positions_delta")), true)
+  }
+
+  /** The LOGICAL positional table: base ∪ delta ⊖ (shared) tombstones. */
+  def positionsTable(pre: DataFrame => DataFrame = identity): DataFrame = {
+    val base = pre(spark.read.parquet(p("positions")))
+    val all = readIf(p("positions_delta"))
+      .map(d => base.unionByName(pre(d))).getOrElse(base)
+    readIf(p("tombstones"))
+      .map(t => all.join(t.select("docId"), Seq("docId"), "left_anti"))
+      .getOrElse(all)
+  }
+
+  /** Exact phrase top-k from the positional view: read the phrase's term
+    * slices (pushed-down IN filter prunes base and delta alike), shift each
+    * term's positions by its phrase offset, intersect — survivors are the
+    * phrase's start positions. Requires [[buildPhraseIndex]] to have run;
+    * the delta union serves docs that arrived since.
+    */
+  def phrase(terms: Seq[String], k: Int): DataFrame =
+    QueryLang.phraseSearchPostings(phraseView(terms)._1, phraseView(terms)._2, k)
+
+  /** Unranked phrase hits — the document-level roll-up's input. */
+  def phraseHits(terms: Seq[String]): DataFrame = {
+    val (view, toks) = phraseView(terms)
+    QueryLang.phraseHitsPostings(view, toks)
+  }
+
+  private def phraseView(terms: Seq[String]): (DataFrame, Seq[String]) = {
+    require(fsys.exists(new org.apache.hadoop.fs.Path(p("positions"))),
+      "no positional artifact — run buildPhraseIndex() first")
+    val toks = terms.flatMap(Search.tokenize)
+    require(toks.nonEmpty, "phrase has no indexable tokens")
+    (positionsTable(_.filter(col("term").isin(toks.distinct: _*))), toks)
+  }
+
   /** The LOGICAL term→df table: base ⊕ signed delta segments, summed per
     * term. `pre` (a term filter) applies to base and every delta BEFORE the
     * union so it pushes into each segment's pruned parquet scan — a query
@@ -233,6 +294,10 @@ final class Bm25Indexer(
   def index(chunks: DataFrame): Unit = {
     writeBase(postingsOf(chunks))
     deriveStats()
+    // a full rebuild re-keys every chunk — an existing positional artifact
+    // would be wholly stale, so it rebuilds from the same chunks in hand
+    if (fsys.exists(new org.apache.hadoop.fs.Path(p("positions"))))
+      buildPhraseIndex(chunks)
   }
 
   /** Incremental postings merge for an update that replaced a known doc
@@ -274,6 +339,15 @@ final class Bm25Indexer(
       .repartitionByRange(col("term"), col("docId"))
       .sortWithinPartitions("term", "docId")
       .write.mode(SaveMode.Append).parquet(p("postings_delta"))
+    // positional artifact (when built): its delta appends alongside the
+    // postings delta — same ∝-changed contract, same shared tombstones.
+    // Lands BEFORE tombstones so a crash leaves over-visibility (healable),
+    // never a doc whose old postings died without its replacement arriving.
+    if (fsys.exists(new org.apache.hadoop.fs.Path(p("positions"))))
+      positionsOf(newChunks)
+        .repartitionByRange(col("term"), col("docId"))
+        .sortWithinPartitions("term", "docId")
+        .write.mode(SaveMode.Append).parquet(p("positions_delta"))
     removedChunks.select(col("docId"))
       .write.mode(SaveMode.Append).parquet(p("tombstones"))
     val deltaCapable = removedChunks.columns.contains("indexedData") &&
@@ -322,9 +396,22 @@ final class Bm25Indexer(
     * permanently; with it, the re-run IS the repair.
     */
   def compact(): Unit = {
-    val hasTail = Seq("postings_delta", "tombstones", "termDf_delta", "corpus_delta")
+    val hasTail = Seq("postings_delta", "tombstones", "termDf_delta",
+        "corpus_delta", "positions_delta")
       .exists(d => fsys.exists(new org.apache.hadoop.fs.Path(p(d))))
     if (!hasTail) return
+    // the positional artifact folds FIRST: its logical view reads the shared
+    // tombstone table, which writeBase clears below
+    if (fsys.exists(new org.apache.hadoop.fs.Path(p("positions")))) {
+      val foldedPos = positionsTable().dropDuplicates("term", "docId").persist()
+      foldedPos.count() // materialize before the swap invalidates the source
+      foldedPos.repartitionByRange(col("term"), col("docId"))
+        .sortWithinPartitions("term", "docId")
+        .write.mode(SaveMode.Overwrite).parquet(p("positions") + "__staging")
+      swapDir(p("positions") + "__staging", p("positions"))
+      fsys.delete(new org.apache.hadoop.fs.Path(p("positions_delta")), true)
+      foldedPos.unpersist()
+    }
     val folded = postingsTable()
       .dropDuplicates("term", "docId", "docLen", "tf").persist()
     folded.count() // materialize before the base swap invalidates the plan's source
@@ -337,14 +424,17 @@ final class Bm25Indexer(
     * compact-or-not signal for maintenance loops (compare against base bytes
     * or an absolute budget).
     */
+  private def tailDirs =
+    Seq(p("postings_delta"), p("tombstones"), p("termDf_delta"),
+      p("corpus_delta"), p("positions_delta"))
+
   def tailBytes: Long =
-    Seq(p("postings_delta"), p("tombstones"), p("termDf_delta"), p("corpus_delta"))
-      .map { d =>
-        val path = new org.apache.hadoop.fs.Path(d)
-        if (fsys.exists(path))
-          fsys.getContentSummary(path).getLength
-        else 0L
-      }.sum
+    tailDirs.map { d =>
+      val path = new org.apache.hadoop.fs.Path(d)
+      if (fsys.exists(path))
+        fsys.getContentSummary(path).getLength
+      else 0L
+    }.sum
 
   /** FILE count of the delta/tombstone/stat-delta tail — the second
     * compact-or-not signal, orthogonal to [[tailBytes]]: a long run of tiny
@@ -356,20 +446,19 @@ final class Bm25Indexer(
     * either (see StreamingUpdate's compactTailSegments).
     */
   def tailSegments: Long =
-    Seq(p("postings_delta"), p("tombstones"), p("termDf_delta"), p("corpus_delta"))
-      .map { d =>
-        val path = new org.apache.hadoop.fs.Path(d)
-        if (!fsys.exists(path)) 0L
-        else {
-          var n = 0L
-          val it = fsys.listFiles(path, true)
-          while (it.hasNext) {
-            val f = it.next()
-            if (f.getPath.getName.endsWith(".parquet")) n += 1L
-          }
-          n
+    tailDirs.map { d =>
+      val path = new org.apache.hadoop.fs.Path(d)
+      if (!fsys.exists(path)) 0L
+      else {
+        var n = 0L
+        val it = fsys.listFiles(path, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) n += 1L
         }
-      }.sum
+        n
+      }
+    }.sum
 
   // ------------------------------------------------------------ suggest keys
   //

@@ -219,10 +219,19 @@ object QueryLang {
     * bit-for-bit (spec-pinned).
     */
   def phraseSearchPostings(postings: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
-    require(phrase.nonEmpty, "need a non-empty phrase")
     require(k >= 1, "k must be >= 1")
+    phraseHitsPostings(postings, phrase)
+      .orderBy(col("phrase_tf").desc, col("docId"))
+      .limit(k)
+  }
+
+  /** The UNRANKED phrase hits (docId, phrase_tf, first_pos) — callers that
+    * aggregate further (e.g. chunk → document roll-up) skip the top-k sort.
+    */
+  def phraseHitsPostings(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "need a non-empty phrase")
     val terms = phrase.map(_.toLowerCase)
-    // one shifted frame per UNIQUE term (a repeated word contributes every
+    // one shifted frame per phrase SLOT (a repeated word contributes every
     // offset it occupies), then an inner-join chain on docId
     val shifted = terms.zipWithIndex.map { case (t, j) =>
       postings.where(col("term") === t)
@@ -239,7 +248,5 @@ object QueryLang {
       .select(col("docId"),
         size(col("_pos")).cast("long").as("phrase_tf"),
         element_at(col("_pos"), 1).cast("long").as("first_pos"))
-      .orderBy(col("phrase_tf").desc, col("docId"))
-      .limit(k)
   }
 }

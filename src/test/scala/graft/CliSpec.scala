@@ -71,6 +71,14 @@ class CliSpec extends AnyFunSuite with SparkSuite {
       "--prefix", "dep", "--data-dir", dataDir,
       "--chunk-size", "60", "--chunk-overlap", "10")
     assert(completed.contains("\"deploy"))
+
+    // positional artifact + exact-phrase search over it
+    captured("phrase-index", "--collection", "docs", "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10")
+    val phrased = captured("phrase", "--collection", "docs",
+      "--query", "brand new", "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10")
+    assert(phrased.contains("new.txt"), phrased)
   }
 
   test("curate: parquet in → configured pipeline → parquet out + summary") {

@@ -82,6 +82,36 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
     assert(viaIdx.toSeq === scan.toSeq)
   }
 
+  test("collection phrase search: artifact serves, delta arrives, tombstones kill, compact folds") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+    val cm = new graft.core.CollectionManager(spark, tmp,
+      new graft.functions.HashingEmbedder(dim = 16),
+      new graft.functions.TextSplitter(80, 10))
+    def mk(rows: (String, String)*) = rows.toSeq
+      .map { case (id, t) => (id, s"u/$id", Map("lastModifiedAt" -> "2026-01-01T00:00:00"), t) }
+      .toDF("id", "url", "metadata", "text")
+    cm.create("c", mk(
+      "d1" -> "tuning a hash join under skew",
+      "d2" -> "broadcast beats hash join twice: hash join wins",
+      "d3" -> "unrelated text entirely"))
+    cm.buildPhraseIndex("c")
+    def hits() = cm.phraseSearch("c", Seq("hash", "join"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hits() === Seq(("d2", 2L), ("d1", 1L)))
+    // a doc arriving AFTER the build serves through the positions delta
+    cm.update("c", mk("d4" -> "the new hash join arrival"))
+    assert(hits() === Seq(("d2", 2L), ("d1", 1L), ("d4", 1L)))
+    // deletes act through the shared tombstones
+    cm.delete("c", Seq("d2"))
+    assert(hits() === Seq(("d1", 1L), ("d4", 1L)))
+    // compaction folds the positional delta too; results are unchanged
+    assert(cm.bm25TailSegments("c") > 0L)
+    cm.compactBm25("c")
+    assert(cm.bm25TailSegments("c") === 0L)
+    assert(!new java.io.File(s"$tmp/c/indexes/bm25/positions_delta").exists)
+    assert(hits() === Seq(("d1", 1L), ("d4", 1L)))
+  }
+
   test("phrase/boolean plans stay scan-shaped: no shuffle before the top-k") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = QueryLang.phraseSearch(real, "doc_id", "text", Seq("the", "data"), 5)
