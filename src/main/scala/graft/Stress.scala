@@ -151,7 +151,11 @@ object Stress {
     // round-11: the sharded suffix shape — K sequential per-shard rank runs
     // + the global seed pass + auxiliary-group run (shard_dup_spans), and
     // train-shards × replicated-bench decontamination (shard_decontam)
-    "shard_dup_spans", "shard_decontam")
+    "shard_dup_spans", "shard_decontam",
+    // round-12: the token n-gram broadcast semi-join + per-doc count agg
+    // (overlap scoring), the heavy per-row min-window scan (occurrences ×
+    // terms × tokens per doc), and the phrase slice-equality scan
+    "decontam_ngram_overlap", "ql_minspan_search", "ql_phrase_search")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "stress"

@@ -1226,6 +1226,51 @@ object Queries {
            |SELECT q, suggestion, dist, term_df, CAST(rn AS BIGINT) AS rank
            |FROM rk WHERE rn <= 3 ORDER BY q, rank""".stripMargin))
 
+  /** Boolean MATCH over the PREBUILT index
+    * ([[graft.operators.Bm25Indexer.booleanSearch]]): candidates from set
+    * algebra on per-term posting id sets (NOT carried symbolically as a
+    * complement — no universe scan), ranked by BM25 over the positive
+    * terms. Same semantics as the scan-path `ql_boolean_search`, served
+    * from term-pruned postings reads.
+    */
+  private val qlBooleanIndex = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bool_idx_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
+      idx.index(docs)
+      idx.booleanSearch("(join AND vector) OR (spark NOT hash)", 20)
+        .select(col("chunkId").as("doc_id"), round(col("score"), 5).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+           |  FROM documents),
+           |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+           |corpus AS (SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |  WHERE term IN ('join', 'spark', 'vector') GROUP BY doc_id, term),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    sum( ln(1 + (corpus.n - df.df + 0.5)/(df.df + 0.5))
+           |         * (tf.tf*(1.2+1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dlen/corpus.avgdl)) ) AS score
+           |  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN corpus
+           |  GROUP BY tf.doc_id),
+           |wl AS (SELECT doc_id, list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+           |  FROM documents),
+           |cand AS (SELECT doc_id FROM wl
+           |  WHERE (list_contains(w, 'join') AND list_contains(w, 'vector'))
+           |     OR (list_contains(w, 'spark') AND NOT list_contains(w, 'hash'))),
+           |topk AS (SELECT s.doc_id, s.score FROM scored s JOIN cand USING (doc_id)
+           |  ORDER BY round(s.score, 5) DESC, s.doc_id LIMIT 20)
+           |SELECT doc_id, round(score, 5) AS score FROM topk
+           |ORDER BY score DESC, doc_id""".stripMargin))
+
   /** Positional-index lifecycle ([[graft.operators.Bm25Indexer.phrase]]):
     * index → build the positional artifact → incremental delete+replace
     * APPENDING two fresh "hash join" occurrences per replaced doc → phrase
@@ -5703,6 +5748,7 @@ object Queries {
     "spell_suggest" -> spellSuggest,
     "suggest_lifecycle" -> suggestLifecycle,
     "phrase_lifecycle" -> phraseLifecycle,
+    "ql_boolean_index" -> qlBooleanIndex,
     "autocomplete_prefix" -> autocompletePrefix,
     "search_highlight" -> searchHighlight,
     "facet_counts" -> facetCountsQ,

@@ -919,6 +919,13 @@ final class CollectionManager(
     graft.operators.Suggest.autocomplete(
       bm25Indexer(name).termDfTable(), "term", "df", prefix, k)
 
+  /** Boolean MATCH (AND/OR/NOT + parens) over this collection's BM25
+    * index, CHUNK level — candidates from posting-set algebra, ranked by
+    * BM25 on the positive terms.
+    */
+  def booleanSearch(name: String, query: String, k: Int = 15): DataFrame =
+    bm25Indexer(name).booleanSearch(query, k)
+
   /** Persist the positional-postings artifact — exact-phrase queries then
     * answer from ≤ |phrase| term-pruned reads. A full LSM member: later
     * incremental updates append its deltas automatically (∝ changed docs),

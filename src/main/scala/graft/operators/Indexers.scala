@@ -555,6 +555,90 @@ final class Bm25Indexer(
   }
 
   def size: Long = corpusStats().head().getLong(0)
+
+  /** Boolean MATCH over the INDEX (the FTS5 surface the reference's
+    * conjunctive prep hides): candidate docs come from set algebra over
+    * per-term posting id sets — AND = semi-join, NOT = anti-join, OR =
+    * union — with complemented sets carried SYMBOLICALLY (¬A ∧ ¬B folds to
+    * ¬(A ∪ B) etc.), so no NOT ever scans the corpus universe; a query
+    * whose result IS a complement (pure negation) is rejected with a clear
+    * error, FTS5-style. Candidates then rank by BM25 summed over the
+    * query's POSITIVE terms (every candidate holds at least one: a
+    * non-complemented result is always built inside some positive set).
+    * Reads stay ∝ query-term selectivity: every posting scan is term-pruned.
+    */
+  def booleanSearch(query: String, k: Int): DataFrame = {
+    import QueryLang.{And, Node, Not, Or, Term}
+    // normalize AST words through THIS index's tokenizer (a word that
+    // splits, e.g. "hash-join", becomes an implicit AND of its tokens)
+    def norm(n: Node): Node = n match {
+      case Term(w) => Search.tokenize(w) match {
+        case Seq(t)             => Term(t)
+        case ts if ts.nonEmpty  => ts.map(Term(_): Node).reduceLeft(And(_, _))
+        case _ => throw new IllegalArgumentException(s"term '$w' has no indexable tokens")
+      }
+      case And(l, r) => And(norm(l), norm(r))
+      case Or(l, r)  => Or(norm(l), norm(r))
+      case Not(c)    => Not(norm(c))
+    }
+    val ast = norm(QueryLang.parse(query))
+    def termIds(t: String): DataFrame =
+      postingsTable(_.filter(col("term") === t)).select("docId").distinct()
+    // (ids, complemented): the set, or symbolically its complement
+    def eval(n: Node): (DataFrame, Boolean) = n match {
+      case Term(t)   => (termIds(t), false)
+      case Not(c)    => val (d, comp) = eval(c); (d, !comp)
+      case And(l, r) => combine(eval(l), eval(r), and = true)
+      case Or(l, r)  => combine(eval(l), eval(r), and = false)
+    }
+    def combine(a: (DataFrame, Boolean), b: (DataFrame, Boolean),
+                and: Boolean): (DataFrame, Boolean) = (a, b) match {
+      case ((da, false), (db, false)) =>
+        if (and) (da.join(db, Seq("docId"), "left_semi"), false)
+        else (da.unionByName(db).distinct(), false)
+      case ((da, false), (db, true)) =>
+        if (and) (da.join(db, Seq("docId"), "left_anti"), false) // A ∧ ¬B
+        else (db.join(da, Seq("docId"), "left_anti"), true)      // A ∨ ¬B = ¬(B∖A)
+      case ((da, true), (db, false)) => combine(b, a, and)
+      case ((da, true), (db, true)) =>
+        if (and) (da.unionByName(db).distinct(), true)           // ¬A ∧ ¬B = ¬(A∪B)
+        else (da.join(db, Seq("docId"), "left_semi"), true)      // ¬A ∨ ¬B = ¬(A∩B)
+    }
+    val (cand, complemented) = eval(ast)
+    require(!complemented,
+      s"boolean query '$query' matches the complement of an indexable set — " +
+        "add a positive term (FTS5 rejects pure-NOT queries for the same reason)")
+    def positives(n: Node): Seq[String] = n match {
+      case Term(t)   => Seq(t)
+      case And(l, r) => positives(l) ++ positives(r)
+      case Or(l, r)  => positives(l) ++ positives(r)
+      case Not(_)    => Nil
+    }
+    val pos = positives(ast).distinct
+    if (pos.isEmpty) return Search.emptyScored(spark, "chunkId")
+    // BM25 over the positive terms, restricted to the boolean candidates —
+    // the same scoring pipeline as search(), minus the conjunctive gate
+    // (the boolean predicate replaced it)
+    val postings = postingsTable(_.filter(col("term").isin(pos: _*)))
+      .join(cand, Seq("docId"), "left_semi")
+    val stats = corpusStats()
+    val df = termDfTable(_.filter(col("term").isin(pos: _*)))
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("docLen") / col("avgdl")))
+    val scored = postings
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("termScore", idf * tfNorm)
+      .groupBy("docId")
+      .agg(sum("termScore").as("score"))
+    val ord = selectByRounded match {
+      case Some(n) => Seq(round(col("score"), n).desc, col("docId").asc)
+      case None    => Seq(col("score").desc, col("docId").asc)
+    }
+    scored.select(col("docId").as("chunkId"), col("score"))
+      .orderBy(ord: _*).limit(k)
+  }
 }
 
 /** IVF vector index persisted with the inverted lists as PARTITION directories:

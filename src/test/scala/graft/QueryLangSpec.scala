@@ -82,6 +82,29 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
     assert(viaIdx.toSeq === scan.toSeq)
   }
 
+  test("index boolean MATCH: candidate sets equal the scan path; pure negation rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bool").toString
+    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
+    idx.index(docs.select(col("doc_id").as("chunkId"), col("text").as("indexedData")))
+    // queries chosen to walk every combine() branch, incl. the symbolic
+    // De Morgan folds (¬A∧¬B, A∨¬B) that avoid any universe scan
+    for (q <- Seq(
+        "(spark AND join) OR (join NOT python)",
+        "spark AND NOT (join OR python)",
+        "join AND (python OR NOT spark)",
+        "spark AND NOT (NOT join AND NOT python)")) {
+      val viaIndex = idx.booleanSearch(q, 100)
+        .collect().map(_.getLong(0)).toSet
+      val viaScan = docs.withColumn("_t", QueryLang.tokens("text"))
+        .where(QueryLang.matchColumn(QueryLang.parse(q), col("_t")))
+        .collect().map(_.getLong(0)).toSet
+      assert(viaIndex === viaScan, s"query: $q")
+    }
+    // a result that IS a complement cannot be served from an index
+    intercept[IllegalArgumentException](idx.booleanSearch("NOT spark", 10))
+    intercept[IllegalArgumentException](idx.booleanSearch("NOT spark AND NOT join", 10))
+  }
+
   test("collection phrase search: artifact serves, delta arrives, tombstones kill, compact folds") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-phrase").toString
     val cm = new graft.core.CollectionManager(spark, tmp,
