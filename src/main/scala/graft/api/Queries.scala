@@ -1271,6 +1271,55 @@ object Queries {
            |SELECT doc_id, round(score, 5) AS score FROM topk
            |ORDER BY score DESC, doc_id""".stripMargin))
 
+  /** NEAR over the positional index ([[graft.operators.Bm25Indexer.near]],
+    * FTS5 `NEAR(a b c, n)`): all terms within a ≤12-token window, ranked by
+    * the minimal span — evaluated from ≤3 term-pruned position reads, never
+    * the token stream. Oracle = the scan-semantics replay with the window
+    * cut (same candidate/window logic as `ql_minspan_search`).
+    */
+  private val qlNearIndex = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_near_idx_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused")
+      idx.index(docs)
+      idx.buildPhraseIndex(docs)
+      idx.near(Seq("spark", "vector", "window"), window = 12, k = 25)
+        .select(col("docId").as("doc_id"), col("span_len"), col("span_start"))
+        .orderBy(col("span_len"), col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+           |  FROM documents),
+           |f AS (SELECT doc_id, w,
+           |    list_filter(generate_series(1, len(w)), i -> w[i] = 'spark') AS pa,
+           |    list_filter(generate_series(1, len(w)), i -> w[i] = 'vector') AS pb,
+           |    list_filter(generate_series(1, len(w)), i -> w[i] = 'window') AS pc
+           |  FROM tok
+           |  WHERE list_contains(w, 'spark') AND list_contains(w, 'vector')
+           |    AND list_contains(w, 'window')),
+           |c AS (SELECT doc_id, list_filter(
+           |    list_transform(generate_series(1, len(w)), s -> struct_pack(
+           |      e := greatest(list_min(list_filter(pa, p -> p >= s)),
+           |                    list_min(list_filter(pb, p -> p >= s)),
+           |                    list_min(list_filter(pc, p -> p >= s))),
+           |      st := s)),
+           |    x -> x.st <= least(list_max(pa), list_max(pb), list_max(pc))
+           |         AND (list_contains(pa, x.st) OR list_contains(pb, x.st)
+           |              OR list_contains(pc, x.st))) AS cand
+           |  FROM f),
+           |sel AS (SELECT doc_id, cand,
+           |    list_min(list_transform(cand, z -> z.e - z.st + 1)) AS span_len
+           |  FROM c WHERE len(cand) > 0)
+           |SELECT doc_id, CAST(span_len AS BIGINT) AS span_len,
+           |  CAST(list_min(list_transform(
+           |    list_filter(cand, z -> z.e - z.st + 1 = span_len), z -> z.st)) AS BIGINT)
+           |    AS span_start
+           |FROM sel WHERE span_len <= 12
+           |ORDER BY span_len, doc_id LIMIT 25""".stripMargin))
+
   /** Positional-index lifecycle ([[graft.operators.Bm25Indexer.phrase]]):
     * index → build the positional artifact → incremental delete+replace
     * APPENDING two fresh "hash join" occurrences per replaced doc → phrase
@@ -5749,6 +5798,7 @@ object Queries {
     "suggest_lifecycle" -> suggestLifecycle,
     "phrase_lifecycle" -> phraseLifecycle,
     "ql_boolean_index" -> qlBooleanIndex,
+    "ql_near_index" -> qlNearIndex,
     "autocomplete_prefix" -> autocompletePrefix,
     "search_highlight" -> searchHighlight,
     "facet_counts" -> facetCountsQ,

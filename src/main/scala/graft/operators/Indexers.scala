@@ -179,6 +179,15 @@ final class Bm25Indexer(
   def phrase(terms: Seq[String], k: Int): DataFrame =
     QueryLang.phraseSearchPostings(phraseView(terms)._1, phraseView(terms)._2, k)
 
+  /** NEAR over the positional artifact (FTS5 `NEAR(a b, n)`): every term
+    * within some ≤`window`-token span, ranked by that minimal span. Same
+    * artifact + delta + tombstone view as [[phrase]].
+    */
+  def near(terms: Seq[String], window: Int, k: Int): DataFrame = {
+    val (view, toks) = phraseView(terms)
+    QueryLang.nearSearchPostings(view, toks.distinct, window, k)
+  }
+
   /** Unranked phrase hits — the document-level roll-up's input. */
   def phraseHits(terms: Seq[String]): DataFrame = {
     val (view, toks) = phraseView(terms)

@@ -200,6 +200,49 @@ object QueryLang {
       .limit(k)
   }
 
+  /** NEAR from positional postings: docs where SOME token window of at most
+    * `window` tokens holds every term, with that minimal span. Same
+    * candidate rule as [[minSpanSearch]] — a minimal covering window starts
+    * at a term occurrence — but evaluated over the terms' POSITION ARRAYS
+    * (≤ |terms| term-pruned reads), never the token stream: per doc the
+    * cost is occurrences² × terms, independent of document length.
+    * Returns (docId, span_len, span_start) ranked (span asc, id asc).
+    */
+  def nearSearchPostings(postings: DataFrame, terms: Seq[String],
+                         window: Int, k: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    require(window >= terms.size, "window can't be smaller than the term count")
+    require(k >= 1, "k must be >= 1")
+    val ts = terms.map(_.toLowerCase).distinct
+    val frames = ts.zipWithIndex.map { case (t, j) =>
+      postings.where(col("term") === t)
+        .select(col("docId"), col("positions").as(s"_p$j"))
+    }
+    val joined = frames.reduceLeft(_.join(_, Seq("docId")))
+    val arrs = ts.indices.map(j => s"_p$j")
+    // starts = every occurrence of any term, capped at the least last
+    // occurrence so every first-at-or-after lookup below is non-null
+    // (greatest() ignores nulls, so the cap is what makes it safe)
+    val sMax = s"least(${arrs.map(a => s"array_max($a)").mkString(", ")})"
+    val endAt = (s: String) =>
+      s"greatest(${arrs.map(a => s"array_min(filter($a, q -> q >= $s))").mkString(", ")})"
+    joined
+      .withColumn("_cand", expr(
+        s"""transform(filter(array_sort(flatten(array(${arrs.mkString(", ")}))),
+           |                 s -> s <= $sMax),
+           |  s -> named_struct('e', ${endAt("s")}, 'st', s))""".stripMargin))
+      .where(size(col("_cand")) > 0)
+      .withColumn("span_len",
+        expr("array_min(transform(_cand, c -> c.e - c.st + 1))").cast("long"))
+      .where(col("span_len") <= window)
+      .withColumn("span_start",
+        expr("array_min(transform(filter(_cand, c -> c.e - c.st + 1 = span_len), c -> c.st))")
+          .cast("long"))
+      .select(col("docId"), col("span_len"), col("span_start"))
+      .orderBy(col("span_len"), col("docId"))
+      .limit(k)
+  }
+
   /** The (term, docId, positions) positional postings table — one tokenize +
     * posexplode + groupBy, range-partitioned by term like the BM25 base
     * segment so term lookups prune by row-group stats. The LSM treatment

@@ -51,6 +51,23 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
     assert(out.toSeq === Seq((1L, 2L, 6L), (2L, 2L, 1L), (4L, 2L, 2L)))
   }
 
+  test("NEAR from postings equals the min-span scan, window cut applied") {
+    val d = Seq(
+      (1L, "a x x b y a b"),
+      (2L, "b a"),
+      (3L, "a only here"),
+      (4L, "x a z z z z b x")) // min span 6 > window
+      .toDF("doc_id", "text")
+    val postings = QueryLang.positionalPostings(d, "doc_id", "text")
+    val near = QueryLang.nearSearchPostings(postings, Seq("a", "b"), window = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val scan = QueryLang.minSpanSearch(d, "doc_id", "text", Seq("a", "b"), k = 10)
+      .where(col("span_len") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(near.toSeq === scan.toSeq)
+    assert(near.toSeq === Seq((1L, 2L, 6L), (2L, 2L, 1L))) // doc 4 cut by the window
+  }
+
   test("phraseSearch: occurrence count + first position; scan == postings path") {
     val d = Seq(
       (1L, "the quick brown fox and the quick brown cat"),
