@@ -220,6 +220,15 @@ object Cli {
       case "complete" =>
         println(Formatting.jsonIndent(cm.autocompleteTerms(req("collection"),
           req("prefix"), opt("top").map(_.toInt).getOrElse(8))))
+      case "match" =>
+        // boolean MATCH (AND/OR/NOT, parens, quoted phrases) over the index
+        println(Formatting.jsonIndent(cm.booleanSearch(req("collection"),
+          req("query"), opt("top").map(_.toInt).getOrElse(15))))
+      case "near" =>
+        println(Formatting.jsonIndent(cm.nearSearch(req("collection"),
+          req("query").split("\\s+").toSeq,
+          opt("window").map(_.toInt).getOrElse(10),
+          opt("top").map(_.toInt).getOrElse(15))))
       case "phrase-index" =>
         cm.buildPhraseIndex(req("collection"))
         println(s"""{"built": "positions", "collection": "${req("collection")}"}""")
@@ -343,6 +352,9 @@ object Cli {
             |  complete --name N --prefix P [--top 8]   prefix autocomplete, df-ranked
             |  phrase-index --name N      build the positional artifact (LSM member)
             |  phrase --name N --query "exact words" [--top 15]   exact-phrase search
+            |  match --name N --query 'a AND (b OR "c d") NOT e' [--top 15]
+            |        boolean MATCH over the index (quoted segments = phrases)
+            |  near --name N --query "a b c" [--window 10] [--top 15]   proximity
             |  list
             |  delete --name N --ids a,b,c
             |  curate --in P --out P [--min-tokens N] [--min-quality Q] [--redact-pii]

@@ -1271,6 +1271,53 @@ object Queries {
            |SELECT doc_id, round(score, 5) AS score FROM topk
            |ORDER BY score DESC, doc_id""".stripMargin))
 
+  /** Quoted-phrase atoms inside the boolean MATCH, served from the index
+    * ([[graft.operators.Bm25Indexer.booleanSearch]] + the positional
+    * artifact): `"hash join" OR (spark NOT vector)` — the phrase atom's
+    * candidate ids come from ≤2 term-pruned POSITION reads, the boolean
+    * algebra and BM25 ranking compose unchanged. The full FTS5 MATCH
+    * grammar (terms, phrases, NEAR, boolean) now answers from the index.
+    */
+  private val qlBooleanPhraseIndex = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_boolph_idx_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
+      idx.index(docs)
+      idx.buildPhraseIndex(docs)
+      idx.booleanSearch("\"hash join\" OR (spark NOT vector)", 20)
+        .select(col("chunkId").as("doc_id"), round(col("score"), 5).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+           |  FROM documents),
+           |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+           |corpus AS (SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |  WHERE term IN ('hash', 'join', 'spark') GROUP BY doc_id, term),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    sum( ln(1 + (corpus.n - df.df + 0.5)/(df.df + 0.5))
+           |         * (tf.tf*(1.2+1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dlen/corpus.avgdl)) ) AS score
+           |  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN corpus
+           |  GROUP BY tf.doc_id),
+           |wl AS (SELECT doc_id, list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+           |  FROM documents),
+           |cand AS (SELECT doc_id FROM wl
+           |  WHERE (len(w) >= 2 AND len(list_filter(generate_series(1, len(w) - 1),
+           |           i -> w[i] = 'hash' AND w[i+1] = 'join')) > 0)
+           |     OR (list_contains(w, 'spark') AND NOT list_contains(w, 'vector'))),
+           |topk AS (SELECT s.doc_id, s.score FROM scored s JOIN cand USING (doc_id)
+           |  ORDER BY round(s.score, 5) DESC, s.doc_id LIMIT 20)
+           |SELECT doc_id, round(score, 5) AS score FROM topk
+           |ORDER BY score DESC, doc_id""".stripMargin))
+
   /** NEAR over the positional index ([[graft.operators.Bm25Indexer.near]],
     * FTS5 `NEAR(a b c, n)`): all terms within a ≤12-token window, ranked by
     * the minimal span — evaluated from ≤3 term-pruned position reads, never
@@ -5799,6 +5846,7 @@ object Queries {
     "phrase_lifecycle" -> phraseLifecycle,
     "ql_boolean_index" -> qlBooleanIndex,
     "ql_near_index" -> qlNearIndex,
+    "ql_boolean_phrase_index" -> qlBooleanPhraseIndex,
     "autocomplete_prefix" -> autocompletePrefix,
     "search_highlight" -> searchHighlight,
     "facet_counts" -> facetCountsQ,

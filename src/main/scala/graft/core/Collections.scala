@@ -926,6 +926,13 @@ final class CollectionManager(
   def booleanSearch(name: String, query: String, k: Int = 15): DataFrame =
     bm25Indexer(name).booleanSearch(query, k)
 
+  /** NEAR over the positional artifact (build it first): every term within
+    * a ≤`window`-token span, ranked by the minimal span. CHUNK level.
+    */
+  def nearSearch(name: String, terms: Seq[String], window: Int,
+                 k: Int = 15): DataFrame =
+    bm25Indexer(name).near(terms, window, k)
+
   /** Persist the positional-postings artifact — exact-phrase queries then
     * answer from ≤ |phrase| term-pruned reads. A full LSM member: later
     * incremental updates append its deltas automatically (∝ changed docs),

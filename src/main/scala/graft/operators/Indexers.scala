@@ -577,7 +577,7 @@ final class Bm25Indexer(
     * Reads stay ∝ query-term selectivity: every posting scan is term-pruned.
     */
   def booleanSearch(query: String, k: Int): DataFrame = {
-    import QueryLang.{And, Node, Not, Or, Term}
+    import QueryLang.{And, Node, Not, Or, Phrase, Term}
     // normalize AST words through THIS index's tokenizer (a word that
     // splits, e.g. "hash-join", becomes an implicit AND of its tokens)
     def norm(n: Node): Node = n match {
@@ -585,6 +585,11 @@ final class Bm25Indexer(
         case Seq(t)             => Term(t)
         case ts if ts.nonEmpty  => ts.map(Term(_): Node).reduceLeft(And(_, _))
         case _ => throw new IllegalArgumentException(s"term '$w' has no indexable tokens")
+      }
+      case Phrase(ws) => ws.flatMap(Search.tokenize) match {
+        case Seq(t) => Term(t)
+        case ts if ts.nonEmpty => Phrase(ts)
+        case _ => throw new IllegalArgumentException(s"phrase '${ws.mkString(" ")}' has no indexable tokens")
       }
       case And(l, r) => And(norm(l), norm(r))
       case Or(l, r)  => Or(norm(l), norm(r))
@@ -596,6 +601,8 @@ final class Bm25Indexer(
     // (ids, complemented): the set, or symbolically its complement
     def eval(n: Node): (DataFrame, Boolean) = n match {
       case Term(t)   => (termIds(t), false)
+      case Phrase(ws) => // exact-phrase atom: ids from the positional artifact
+        (QueryLang.phraseHitsPostings(phraseView(ws)._1, ws).select("docId"), false)
       case Not(c)    => val (d, comp) = eval(c); (d, !comp)
       case And(l, r) => combine(eval(l), eval(r), and = true)
       case Or(l, r)  => combine(eval(l), eval(r), and = false)
@@ -617,13 +624,7 @@ final class Bm25Indexer(
     require(!complemented,
       s"boolean query '$query' matches the complement of an indexable set — " +
         "add a positive term (FTS5 rejects pure-NOT queries for the same reason)")
-    def positives(n: Node): Seq[String] = n match {
-      case Term(t)   => Seq(t)
-      case And(l, r) => positives(l) ++ positives(r)
-      case Or(l, r)  => positives(l) ++ positives(r)
-      case Not(_)    => Nil
-    }
-    val pos = positives(ast).distinct
+    val pos = QueryLang.positiveTerms(ast).distinct
     if (pos.isEmpty) return Search.emptyScored(spark, "chunkId")
     // BM25 over the positive terms, restricted to the boolean candidates —
     // the same scoring pipeline as search(), minus the conjunctive gate

@@ -29,18 +29,44 @@ object QueryLang {
   /** Boolean query AST. */
   sealed trait Node
   final case class Term(word: String) extends Node
+  final case class Phrase(words: Seq[String]) extends Node
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
   final case class Not(child: Node) extends Node
 
-  /** Parse `spark AND (shuffle OR join) AND NOT python`. Keywords are
+  /** Parse `spark AND (shuffle OR "hash join") AND NOT python`. Keywords are
     * case-insensitive; adjacency without a keyword is an implicit AND
     * (`spark shuffle` ≡ `spark AND shuffle`), matching common search-box
-    * conventions. Precedence: NOT > AND > OR; parentheses group.
+    * conventions; a double-quoted segment is an exact-phrase atom.
+    * Precedence: NOT > AND > OR; parentheses group.
     */
   def parse(query: String): Node = {
-    val toks = query.replace("(", " ( ").replace(")", " ) ")
-      .split("\\s+").filter(_.nonEmpty).toList
+    // lex: quoted segments become single phrase tokens (marked with a NUL
+    // prefix no user token can carry), everything else splits on whitespace
+    val lexed = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < query.length) {
+        query.charAt(i) match {
+          case '"' =>
+            val end = query.indexOf('"', i + 1)
+            require(end > i, s"unclosed quote in: $query")
+            out += "\u0000" + query.substring(i + 1, end)
+            i = end + 1
+          case '(' => out += "("; i += 1
+          case ')' => out += ")"; i += 1
+          case c if c.isWhitespace => i += 1
+          case _ =>
+            val end = query.indexWhere(
+              c => c.isWhitespace || c == '(' || c == ')' || c == '"', i)
+            val stop = if (end < 0) query.length else end
+            out += query.substring(i, stop)
+            i = stop
+        }
+      }
+      out.toList
+    }
+    val toks = lexed
     def isKw(t: String, kw: String) = t.equalsIgnoreCase(kw)
     // recursive descent; each level returns (node, rest)
     def pOr(ts: List[String]): (Node, List[String]) = {
@@ -74,6 +100,10 @@ object QueryLang {
           case ")" :: rr => (n, rr)
           case _ => throw new IllegalArgumentException(s"unclosed '(' in: $query")
         }
+      case w :: tail if w.startsWith("\u0000") => // quoted phrase atom (lexer mark)
+        val words = w.drop(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        require(words.nonEmpty, s"empty phrase in: $query")
+        (if (words.size == 1) Term(words.head) else Phrase(words), tail)
       case w :: tail if w != ")" && !isKw(w, "AND") && !isKw(w, "OR") =>
         (Term(w.toLowerCase), tail)
       case other =>
@@ -93,16 +123,24 @@ object QueryLang {
   /** The AST as ONE codegen'd predicate over a token-array column. */
   def matchColumn(node: Node, toksCol: Column): Column = node match {
     case Term(w)   => array_contains(toksCol, w)
+    case Phrase(ws) =>
+      val n = ws.size
+      val pArr = array(ws.map(lit): _*)
+      when(size(toksCol) >= n,
+        exists(sequence(lit(1), size(toksCol) - lit(n - 1)),
+          i => slice(toksCol, i, lit(n)) === pArr))
+        .otherwise(lit(false))
     case And(l, r) => matchColumn(l, toksCol) && matchColumn(r, toksCol)
     case Or(l, r)  => matchColumn(l, toksCol) || matchColumn(r, toksCol)
     case Not(c)    => !matchColumn(c, toksCol)
   }
 
-  private def positiveTerms(node: Node): Seq[String] = node match {
-    case Term(w)   => Seq(w)
-    case And(l, r) => positiveTerms(l) ++ positiveTerms(r)
-    case Or(l, r)  => positiveTerms(l) ++ positiveTerms(r)
-    case Not(_)    => Nil // negated terms don't score
+  private[operators] def positiveTerms(node: Node): Seq[String] = node match {
+    case Term(w)    => Seq(w)
+    case Phrase(ws) => ws // phrase members score as terms
+    case And(l, r)  => positiveTerms(l) ++ positiveTerms(r)
+    case Or(l, r)   => positiveTerms(l) ++ positiveTerms(r)
+    case Not(_)     => Nil // negated terms don't score
   }
 
   /** Boolean search over the corpus: docs satisfying `query`, ranked by

@@ -79,6 +79,15 @@ class CliSpec extends AnyFunSuite with SparkSuite {
       "--query", "brand new", "--data-dir", dataDir,
       "--chunk-size", "60", "--chunk-overlap", "10")
     assert(phrased.contains("new.txt"), phrased)
+    // boolean MATCH with a quoted-phrase atom + proximity, from the index
+    val matched = captured("match", "--collection", "docs",
+      "--query", "\"brand new\" NOT deployment", "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10")
+    assert(matched.contains("chunkId"), matched)
+    val neared = captured("near", "--collection", "docs",
+      "--query", "brand indexing", "--window", "8", "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10")
+    assert(neared.contains("span_len"), neared)
   }
 
   test("curate: parquet in → configured pipeline → parquet out + summary") {

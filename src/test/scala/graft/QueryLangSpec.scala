@@ -99,17 +99,31 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
     assert(viaIdx.toSeq === scan.toSeq)
   }
 
+  test("parser: quoted phrase atoms") {
+    assert(parse("\"hash join\" OR spark") ===
+      Or(Phrase(Seq("hash", "join")), Term("spark")))
+    assert(parse("a AND NOT \"b c d\"") ===
+      And(Term("a"), Not(Phrase(Seq("b", "c", "d")))))
+    assert(parse("\"single\"") === Term("single")) // 1-word phrase is a term
+    intercept[IllegalArgumentException](parse("\"unclosed"))
+  }
+
   test("index boolean MATCH: candidate sets equal the scan path; pure negation rejected") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bool").toString
     val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
-    idx.index(docs.select(col("doc_id").as("chunkId"), col("text").as("indexedData")))
+    val asChunks = docs.select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+    idx.index(asChunks)
+    idx.buildPhraseIndex(asChunks) // phrase atoms resolve via the artifact
     // queries chosen to walk every combine() branch, incl. the symbolic
-    // De Morgan folds (¬A∧¬B, A∨¬B) that avoid any universe scan
+    // De Morgan folds (¬A∧¬B, A∨¬B) that avoid any universe scan, plus
+    // quoted-phrase atoms positive AND negated
     for (q <- Seq(
         "(spark AND join) OR (join NOT python)",
         "spark AND NOT (join OR python)",
         "join AND (python OR NOT spark)",
-        "spark AND NOT (NOT join AND NOT python)")) {
+        "spark AND NOT (NOT join AND NOT python)",
+        "\"spark shuffle\" OR (join NOT python)",
+        "join AND NOT \"spark shuffle\"")) {
       val viaIndex = idx.booleanSearch(q, 100)
         .collect().map(_.getLong(0)).toSet
       val viaScan = docs.withColumn("_t", QueryLang.tokens("text"))
