@@ -126,6 +126,22 @@ final class McpServer(
       "collection" -> ("string", collectionFieldDescription),
       "terms" -> ("string", "Comma-separated terms to check/correct.")))
 
+    // extension: precise boolean retrieval for agents that know exactly
+    // which terms must (not) co-occur — complements the ranked hybrid search
+    val matchT = tools.addObject()
+    matchT.put("name", "match_in_collection")
+    matchT.put("description",
+      """Boolean keyword MATCH over a collection's text index.
+        |
+        |Query grammar: terms combine with AND / OR / NOT (NOT binds
+        |tightest, then AND, then OR), parentheses group, adjacency is an
+        |implicit AND, and a double-quoted segment matches as an exact
+        |phrase — e.g.: spark AND ("hash join" OR broadcast) NOT python.
+        |At least one positive term is required. Results are BM25-ranked.""".stripMargin)
+    matchT.set[JsonNode]("inputSchema", schema(Seq("collection", "query"),
+      "collection" -> ("string", collectionFieldDescription),
+      "query" -> ("string", "Boolean query (AND/OR/NOT, parens, quoted phrases).")))
+
     val fetch = tools.addObject()
     fetch.put("name", "fetch_from_collection")
     fetch.put("description", fetchDescription)
@@ -168,6 +184,13 @@ final class McpServer(
       "suggestions")
   }
 
+  private[api] def matchTool(collection: String, query: String): String = {
+    if (!available.contains(collection))
+      return s"Error: collection '$collection' is not available. Available: $availableList"
+    if (query.trim.isEmpty) return "Error: 'query' must be non-empty."
+    formatted(manager.booleanSearch(collection, query), "matches")
+  }
+
   private[api] def fetchTool(collection: String, id: String,
                              startLine: Int, endLine: Int): String = {
     if (!available.contains(collection))
@@ -208,6 +231,10 @@ final class McpServer(
         case "suggest_terms" =>
           textResult(suggestTool(
             str("collection").getOrElse(""), str("terms").getOrElse("")),
+            isError = false)
+        case "match_in_collection" =>
+          textResult(matchTool(
+            str("collection").getOrElse(""), str("query").getOrElse("")),
             isError = false)
         case other =>
           textResult(s"Error: unknown tool '$other'", isError = true)

@@ -26,6 +26,7 @@ class McpServerSpec extends AnyFunSuite with SparkSuite {
       ("d2", "https://wiki/d2", Map("space" -> "OPS"),
         "deployment guide for the ops team\nrun the deploy script"))
       .toDF("id", "url", "metadata", "text"))
+    cm.buildPhraseIndex("wiki") // match_in_collection's quoted atoms need it
     new McpServer(cm, format = "json")
   }
 
@@ -51,12 +52,13 @@ class McpServerSpec extends AnyFunSuite with SparkSuite {
     assert(server.handleLine("""{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
   }
 
-  test("tools/list exposes search, suggest, and fetch with schemas") {
+  test("tools/list exposes search, suggest, match, and fetch with schemas") {
     val resp = call("""{"jsonrpc":"2.0","id":2,"method":"tools/list"}""")
     val tools = resp.path("result").path("tools")
-    assert(tools.size === 3)
+    assert(tools.size === 4)
     val names = (0 until tools.size).map(tools.get(_).path("name").asText).toSet
-    assert(names === Set("search_in_collection", "suggest_terms", "fetch_from_collection"))
+    assert(names === Set("search_in_collection", "suggest_terms",
+      "match_in_collection", "fetch_from_collection"))
     val search = (0 until tools.size).map(tools.get)
       .find(_.path("name").asText == "search_in_collection").get
     assert(search.path("inputSchema").path("properties").has("numberOfChunks"))
@@ -100,6 +102,16 @@ class McpServerSpec extends AnyFunSuite with SparkSuite {
       .startsWith("Error: collection 'nope' is not available"))
     assert(toolText(call("""{"jsonrpc":"2.0","id":16,"method":"tools/call","params":{"name":"suggest_terms","arguments":{"collection":"wiki","terms":" , "}}}"""))
       .startsWith("Error: 'terms'"))
+  }
+
+  test("match tool: boolean MATCH with a quoted phrase, allowlist + empty-query errors") {
+    val resp = call("""{"jsonrpc":"2.0","id":17,"method":"tools/call","params":{"name":"match_in_collection","arguments":{"collection":"wiki","query":"\"vector search\" NOT bm25"}}}""")
+    val text = toolText(resp)
+    assert(text.contains("chunkId"), text)
+    assert(toolText(call("""{"jsonrpc":"2.0","id":18,"method":"tools/call","params":{"name":"match_in_collection","arguments":{"collection":"nope","query":"x"}}}"""))
+      .startsWith("Error: collection 'nope' is not available"))
+    assert(toolText(call("""{"jsonrpc":"2.0","id":19,"method":"tools/call","params":{"name":"match_in_collection","arguments":{"collection":"wiki","query":"  "}}}"""))
+      .startsWith("Error: 'query'"))
   }
 
   test("protocol errors: parse error, unknown method, unknown tool") {
