@@ -822,6 +822,23 @@ final class IvfVectorIndexer(
     if (fsys.exists(p)) fsys.getContentSummary(p).getLength else 0L
   }
 
+  /** FILE count of the tombstone tail — the read-amplification twin of
+    * [[tailBytes]] (the Bm25Indexer.tailSegments rationale: tiny per-tick
+    * appends dodge any byte budget while the anti-join pays per file).
+    */
+  def tailSegments: Long = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath)
+    if (!fsys.exists(p)) 0L
+    else {
+      var n = 0L
+      val it = fsys.listFiles(p, true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1L
+      }
+      n
+    }
+  }
+
   private def writeAssigned(chunks: DataFrame, mode: SaveMode): Unit = {
     val cents = centroids().sortBy(_._1).map(_._2)
     Ann.assignLists(chunks, "embedding", cents)

@@ -163,10 +163,11 @@ object StreamingUpdate {
                 }
               }
               // IVF tombstones (replaced docs' old vectors) under the same
-              // budget — the append-only streaming path accretes them per
-              // batch of re-ingested documents
+              // two budgets — the append-only streaming path accretes one
+              // tiny file per batch of re-ingested documents
               cm.ivfIndex(collectionName).foreach { ivf =>
-                if (ivf.tailBytes > compactTailBytes) ivf.compact()
+                if (ivf.tailBytes > compactTailBytes ||
+                    ivf.tailSegments > compactTailSegments) ivf.compact()
               }
               // drift-evidenced IVF re-train (opt-in, retrainIvfDriftAbove
               // in (0,1]): appends assign against frozen centroids; once the

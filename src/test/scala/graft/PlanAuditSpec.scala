@@ -126,7 +126,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     //     the ≤25-row query-vector batches, the labeled eval query set, search
     //     query stats): t2_bm25_topk, t2b_bm25_postings, t2c_bm25_lsm_search
     //     (same one-row corpus-stats cross join as t2b, served from the LSM
-    //     view), t1b_vector_batch,
+    //     view), ql_boolean_index + ql_boolean_phrase_index (booleanSearch's
+    //     BM25 ranking stage — the identical one-row corpus-stats cross
+    //     join), t1b_vector_batch,
     //     ann_recall_eval, eval_mrr, a1_rrf_fusion, a1b_weighted_rrf,
     //     a2_group_docs, text_collocations, text_keywords
     // A NEW name below means a non-equi join may be broadcasting an unbounded
@@ -134,7 +136,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     val bnljAllowed = Set(
       "a1_rrf_fusion", "a1b_weighted_rrf", "a2_group_docs", "ann_recall_eval",
       "eval_mrr", "events_funnel", "pca_top_component", "q11_important_stock",
-      "q15_top_supplier", "q22_no_orders", "sketch_quantile_hist",
+      "q15_top_supplier", "q22_no_orders", "ql_boolean_index",
+      "ql_boolean_phrase_index", "sketch_quantile_hist",
       "t1b_vector_batch", "t2_bm25_topk", "t2b_bm25_postings",
       "t2c_bm25_lsm_search", "text_collocations", "text_js_divergence",
       "text_keywords")
