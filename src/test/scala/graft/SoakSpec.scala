@@ -57,6 +57,10 @@ class SoakSpec extends AnyFunSuite with SparkSuite {
       put("a4", "delta survey of watermark semantics in stream processing"))
     assert(cm.readManifest("soak").bucketCount === 8)
     cm.buildIvfIndex("soak", nLists = 2, nProbe = 2)
+    // the positional artifact rides the whole soak from here: every later
+    // tick appends its deltas, deletes tombstone it, folds fold it — the
+    // end-state phrase results must equal a fresh build's (asserted below)
+    cm.buildPhraseIndex("soak")
 
     // t2 — growth + a replacement (IVF now refreshes incrementally per tick)
     tick(
@@ -159,5 +163,16 @@ class SoakSpec extends AnyFunSuite with SparkSuite {
     val reborn = cm.search("soak", "positional delta trees",
       indexNames = Some(Seq("bm25"))).collect().map(_.getString(0))
     assert(reborn.contains("a3"))
+
+    // the positional artifact, maintained incrementally across every tick,
+    // delete and fold since t1, answers phrases exactly like a fresh build
+    cm.buildPhraseIndex("ref")
+    def phrases(name: String, ws: String*) = cm.phraseSearch(name, ws)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(phrases("soak", "delta", "trees") === phrases("ref", "delta", "trees"))
+    assert(phrases("soak", "delta", "trees").map(_._1) === Seq("a3")) // via t6's resurrection
+    // a phrase only the DELETED b2 carried must be dead on both sides
+    assert(phrases("soak", "salting", "skewed").isEmpty)
+    assert(phrases("ref", "salting", "skewed").isEmpty)
   }
 }
