@@ -2701,6 +2701,33 @@ object Queries {
            |FROM tr JOIN be USING (g)
            |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin))
 
+  /** Table profiling ([[graft.operators.Profiling.profile]]): per-column
+    * completeness + exact cardinality in ONE aggregation pass — the report
+    * a pipeline runs before trusting a corpus drop.
+    */
+  private val profileColumns = Q(
+    (s, d) => graft.operators.Profiling.profile(
+      D.orders(s, d),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy("column"),
+    Some("""WITH n AS (SELECT count(*) AS n FROM orders)
+           |SELECT 'o_orderkey' AS "column", CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+           |  CAST((SELECT n FROM n) - count(o_orderkey) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+           |UNION ALL
+           |SELECT 'o_custkey', CAST(count(o_custkey) AS BIGINT),
+           |  CAST((SELECT n FROM n) - count(o_custkey) AS BIGINT),
+           |  CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+           |UNION ALL
+           |SELECT 'o_orderstatus', CAST(count(o_orderstatus) AS BIGINT),
+           |  CAST((SELECT n FROM n) - count(o_orderstatus) AS BIGINT),
+           |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+           |UNION ALL
+           |SELECT 'o_orderpriority', CAST(count(o_orderpriority) AS BIGINT),
+           |  CAST((SELECT n FROM n) - count(o_orderpriority) AS BIGINT),
+           |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+           |ORDER BY "column"""".stripMargin))
+
   /** Boolean text query ([[graft.operators.QueryLang.booleanSearch]]):
     * AND/OR/NOT with parentheses compiled to ONE codegen'd predicate over
     * the tokenized text — the FTS5 MATCH boolean surface the reference's
@@ -5841,6 +5868,7 @@ object Queries {
     "shard_dup_spans" -> shardDupSpans,
     "shard_decontam" -> shardDecontam,
     "decontam_ngram_overlap" -> decontamNgramOverlap,
+    "profile_columns" -> profileColumns,
     "spell_suggest" -> spellSuggest,
     "suggest_lifecycle" -> suggestLifecycle,
     "phrase_lifecycle" -> phraseLifecycle,
