@@ -239,6 +239,15 @@ object Cli {
           opt("top").map(_.toInt).getOrElse(15))))
       case "list" =>
         println(cm.list().mkString("[\"", "\", \"", "\"]"))
+      case "profile" =>
+        // per-column completeness + exact cardinality of a parquet corpus —
+        // the trust report before ingesting a new drop (one aggregation pass)
+        val in = req("in")
+        val df = spark.read.parquet(in)
+        val cols = opt("columns").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(df.columns.toSeq)
+        println(Formatting.jsonIndent(
+          graft.operators.Profiling.profile(df, cols)))
       case "curate" =>
         // Training-data curation over a parquet corpus (an extension beyond
         // the reference's adapters): parquet in → Pipeline.curate → parquet
@@ -355,6 +364,7 @@ object Cli {
             |  match --name N --query 'a AND (b OR "c d") NOT e' [--top 15]
             |        boolean MATCH over the index (quoted segments = phrases)
             |  near --name N --query "a b c" [--window 10] [--top 15]   proximity
+            |  profile --in corpus.parquet [--columns a,b,c]   per-column null/distinct report
             |  list
             |  delete --name N --ids a,b,c
             |  curate --in P --out P [--min-tokens N] [--min-quality Q] [--redact-pii]

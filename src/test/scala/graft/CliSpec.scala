@@ -90,6 +90,16 @@ class CliSpec extends AnyFunSuite with SparkSuite {
     assert(neared.contains("span_len"), neared)
   }
 
+  test("profile: per-column null/distinct report over a parquet corpus") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-cli-profile")
+    Seq((Some(1L), "a"), (None, "b"), (Some(2L), "a"))
+      .toDF("k", "v").write.parquet(s"$work/in")
+    val out = captured("profile", "--in", s"$work/in", "--columns", "k,v")
+    assert(out.contains("\"n_null\":1"), out)
+    assert(out.contains("\"n_distinct\":2"), out)
+  }
+
   test("curate: parquet in → configured pipeline → parquet out + summary") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
