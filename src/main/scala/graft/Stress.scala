@@ -157,6 +157,39 @@ object Stress {
     // terms × tokens per doc), and the phrase slice-equality scan
     "decontam_ngram_overlap", "ql_minspan_search", "ql_phrase_search")
 
+  /** Round-13: the positional-index family's QUERY paths (phrase / NEAR /
+    * boolean MATCH served from the artifact). The artifact builds ONCE per
+    * scale, untimed — steady-state interactive cost is the row, matching how
+    * the family is used at 100 TB (builds amortize across queries; the bench
+    * rows `ql_*_index` price build+query together). Query terms are each
+    * scale's own top-df terms, so the rows measure the WORST-case posting
+    * sizes and selectivity tracks the corpus shape at every scale.
+    */
+  private val posIndexNames =
+    Seq("posidx_phrase_query", "posidx_near_query", "posidx_boolean_query")
+
+  private def posIndexRows(spark: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
+    val idxDir = s"$dir/posidx"
+    val marker = new java.io.File(s"$dir/posidx_BUILT_V1")
+    val idx = new graft.operators.Bm25Indexer(spark, idxDir,
+      chunksPath = s"$dir/posidx_unused")
+    if (!marker.exists()) {
+      println(s"[stress] building positional index under $idxDir")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      idx.index(docs)
+      idx.buildPhraseIndex(docs)
+      java.nio.file.Files.writeString(marker.toPath, "")
+    }
+    val top = idx.termDfTable().orderBy(col("df").desc, col("term").asc)
+      .limit(3).collect().map(_.getString(0))
+    Seq(
+      "posidx_phrase_query" -> (() => idx.phrase(Seq(top(0), top(1)), 20)),
+      "posidx_near_query" -> (() => idx.near(Seq(top(0), top(1), top(2)), 12, 20)),
+      "posidx_boolean_query" -> (() =>
+        idx.booleanSearch(s"(${top(0)} AND ${top(1)}) OR (${top(2)} NOT ${top(0)})", 20)))
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "stress"
     // Optional second arg: regex over query names — rerun one row of the
@@ -171,6 +204,7 @@ object Stress {
         scales.sliding(2).forall { case Seq(a, b) => a < b; case _ => true },
       "scales must be >= 2 strictly ascending multipliers")
     val active = stressQueries.filter(q => nameFilter.matches(q))
+    val activePos = posIndexNames.filter(q => nameFilter.matches(q))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -201,11 +235,16 @@ object Stress {
       consume(spark.read.parquet(s"$dir/lineitem.parquet"))
       consume(spark.read.parquet(s"$dir/part.parquet"))
       consume(spark.read.parquet(s"$dir/supplier.parquet"))
-      m -> active.map { q =>
-        consume(SparkEntry.queries(q)(spark, dir)) // warm
+      val rows: Seq[(String, () => DataFrame)] =
+        active.map(q => q -> (() => SparkEntry.queries(q)(spark, dir))) ++
+          (if (activePos.nonEmpty)
+            posIndexRows(spark, dir).filter(r => activePos.contains(r._1))
+          else Nil)
+      m -> rows.map { case (q, mk) =>
+        consume(mk()) // warm
         val sec = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          consume(SparkEntry.queries(q)(spark, dir))
+          consume(mk())
           (System.nanoTime() - t0) / 1e9
         }.min // min-of-3: the stable estimator under GC/scheduler noise
         println(f"[stress] x$m $q: $sec%.2f s")
@@ -216,7 +255,7 @@ object Stress {
     scales.sliding(2).foreach { case Seq(lo, hi) =>
       val step = hi.toDouble / lo
       println(s"query,t_x${lo}_s,t_x${hi}_s,ratio,exponent (x$lo -> x$hi)")
-      active.foreach { q =>
+      (active ++ activePos).foreach { q =>
         val tl = results(lo)(q); val th = results(hi)(q)
         val ratio = th / tl
         println(f"$q,$tl%.2f,$th%.2f,$ratio%.2f,${math.log(ratio) / math.log(step)}%.2f")

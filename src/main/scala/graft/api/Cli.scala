@@ -221,14 +221,24 @@ object Cli {
         println(Formatting.jsonIndent(cm.autocompleteTerms(req("collection"),
           req("prefix"), opt("top").map(_.toInt).getOrElse(8))))
       case "match" =>
-        // boolean MATCH (AND/OR/NOT, parens, quoted phrases) over the index
-        println(Formatting.jsonIndent(cm.booleanSearch(req("collection"),
-          req("query"), opt("top").map(_.toInt).getOrElse(15))))
+        // boolean MATCH (AND/OR/NOT, parens, quoted phrases) over the index;
+        // --filter composes the metadata-filter DSL (the reference gates every
+        // FTS5 MATCH the same way); --docs rolls chunk hits up to documents
+        println(Formatting.jsonIndent(
+          if (flags.contains("docs"))
+            cm.booleanSearchDocs(req("collection"), req("query"),
+              opt("top").map(_.toInt).getOrElse(5), opt("filter"))
+          else cm.booleanSearch(req("collection"), req("query"),
+            opt("top").map(_.toInt).getOrElse(15), opt("filter"))))
       case "near" =>
-        println(Formatting.jsonIndent(cm.nearSearch(req("collection"),
-          req("query").split("\\s+").toSeq,
-          opt("window").map(_.toInt).getOrElse(10),
-          opt("top").map(_.toInt).getOrElse(15))))
+        println(Formatting.jsonIndent(
+          if (flags.contains("docs"))
+            cm.nearSearchDocs(req("collection"), req("query").split("\\s+").toSeq,
+              opt("window").map(_.toInt).getOrElse(10),
+              opt("top").map(_.toInt).getOrElse(5), opt("filter"))
+          else cm.nearSearch(req("collection"), req("query").split("\\s+").toSeq,
+            opt("window").map(_.toInt).getOrElse(10),
+            opt("top").map(_.toInt).getOrElse(15), opt("filter"))))
       case "phrase-index" =>
         cm.buildPhraseIndex(req("collection"))
         println(s"""{"built": "positions", "collection": "${req("collection")}"}""")
@@ -236,7 +246,7 @@ object Cli {
         // exact-phrase document search from the positional artifact
         println(Formatting.jsonIndent(cm.phraseSearch(req("collection"),
           req("query").split("\\s+").toSeq,
-          opt("top").map(_.toInt).getOrElse(15))))
+          opt("top").map(_.toInt).getOrElse(15), opt("filter"))))
       case "list" =>
         println(cm.list().mkString("[\"", "\", \"", "\"]"))
       case "profile" =>
@@ -360,10 +370,13 @@ object Cli {
             |          did-you-mean from the collection's BM25 vocabulary
             |  complete --name N --prefix P [--top 8]   prefix autocomplete, df-ranked
             |  phrase-index --name N      build the positional artifact (LSM member)
-            |  phrase --name N --query "exact words" [--top 15]   exact-phrase search
+            |  phrase --name N --query "exact words" [--top 15] [--filter DSL]
+            |        exact-phrase document search
             |  match --name N --query 'a AND (b OR "c d") NOT e' [--top 15]
-            |        boolean MATCH over the index (quoted segments = phrases)
-            |  near --name N --query "a b c" [--window 10] [--top 15]   proximity
+            |        [--filter DSL] [--docs]  boolean MATCH over the index
+            |        (quoted segments = phrases; --docs rolls up to documents)
+            |  near --name N --query "a b c" [--window 10] [--top 15]
+            |       [--filter DSL] [--docs]   proximity
             |  profile --in corpus.parquet [--columns a,b,c]   per-column null/distinct report
             |  list
             |  delete --name N --ids a,b,c

@@ -140,7 +140,13 @@ final class McpServer(
         |At least one positive term is required. Results are BM25-ranked.""".stripMargin)
     matchT.set[JsonNode]("inputSchema", schema(Seq("collection", "query"),
       "collection" -> ("string", collectionFieldDescription),
-      "query" -> ("string", "Boolean query (AND/OR/NOT, parens, quoted phrases).")))
+      "query" -> ("string", "Boolean query (AND/OR/NOT, parens, quoted phrases)."),
+      "filter" -> ("string",
+        "Optional metadata filter, same DSL as search_in_collection — only " +
+          "documents passing the filter can match."),
+      "group_documents" -> ("boolean",
+        "If true, roll chunk matches up to documents (each document ranked " +
+          "by its best chunk). Default: false (chunk-level results).")))
 
     val fetch = tools.addObject()
     fetch.put("name", "fetch_from_collection")
@@ -184,11 +190,17 @@ final class McpServer(
       "suggestions")
   }
 
-  private[api] def matchTool(collection: String, query: String): String = {
+  private[api] def matchTool(collection: String, query: String,
+                             filter: Option[String] = None,
+                             groupDocuments: Boolean = false): String = {
     if (!available.contains(collection))
       return s"Error: collection '$collection' is not available. Available: $availableList"
     if (query.trim.isEmpty) return "Error: 'query' must be non-empty."
-    formatted(manager.booleanSearch(collection, query), "matches")
+    if (groupDocuments)
+      formatted(manager.booleanSearchDocs(collection, query,
+        metadataFilter = filter), "documents")
+    else formatted(manager.booleanSearch(collection, query,
+      metadataFilter = filter), "matches")
   }
 
   private[api] def fetchTool(collection: String, id: String,
@@ -234,7 +246,9 @@ final class McpServer(
             isError = false)
         case "match_in_collection" =>
           textResult(matchTool(
-            str("collection").getOrElse(""), str("query").getOrElse("")),
+            str("collection").getOrElse(""), str("query").getOrElse(""),
+            str("filter").filter(_.nonEmpty),
+            Option(args.get("group_documents")).exists(_.asBoolean(false))),
             isError = false)
         case other =>
           textResult(s"Error: unknown tool '$other'", isError = true)

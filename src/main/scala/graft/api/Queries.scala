@@ -1318,6 +1318,59 @@ object Queries {
            |SELECT doc_id, round(score, 5) AS score FROM topk
            |ORDER BY score DESC, doc_id""".stripMargin))
 
+  /** Boolean MATCH × metadata filter
+    * ([[graft.operators.Bm25Indexer.booleanSearch]] + the filter DSL): the
+    * reference gates every FTS5 MATCH behind
+    * `doc_id IN (SELECT ... WHERE <filter>)` (sqllite_indexer.py:64-74); we
+    * replay that as ONE id semi-join against the FINAL candidate set — the
+    * boolean algebra (including the NOT) evaluates over the FULL corpus
+    * first, then the filter gates, and BM25 stats stay corpus-global exactly
+    * like the filtered ranked search. The oracle re-derives candidates from
+    * re-tokenized text and applies the same late conjunction.
+    */
+  private val qlBooleanFiltered = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_boolf_idx_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"),
+          col("lang"), col("n_chars"))
+      docs.write.mode("overwrite").parquet(s"$dir/chunks")
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/chunks", selectByRounded = Some(5))
+      idx.index(docs)
+      val f = FilterDsl.filterColumn("""lang = "en" and n_chars > "200"""",
+        s.read.parquet(s"$dir/chunks").schema)
+      idx.booleanSearch("(join AND vector) OR (spark NOT hash)", 20, Some(f))
+        .select(col("chunkId").as("doc_id"), round(col("score"), 5).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+           |  FROM documents),
+           |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+           |corpus AS (SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |  WHERE term IN ('join', 'spark', 'vector') GROUP BY doc_id, term),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    sum( ln(1 + (corpus.n - df.df + 0.5)/(df.df + 0.5))
+           |         * (tf.tf*(1.2+1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dlen/corpus.avgdl)) ) AS score
+           |  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN corpus
+           |  GROUP BY tf.doc_id),
+           |wl AS (SELECT doc_id, lang, n_chars, list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+           |  FROM documents),
+           |cand AS (SELECT doc_id FROM wl
+           |  WHERE ((list_contains(w, 'join') AND list_contains(w, 'vector'))
+           |     OR (list_contains(w, 'spark') AND NOT list_contains(w, 'hash')))
+           |    AND lang = 'en' AND n_chars > 200),
+           |topk AS (SELECT s.doc_id, s.score FROM scored s JOIN cand USING (doc_id)
+           |  ORDER BY round(s.score, 5) DESC, s.doc_id LIMIT 20)
+           |SELECT doc_id, round(score, 5) AS score FROM topk
+           |ORDER BY score DESC, doc_id""".stripMargin))
+
   /** NEAR over the positional index ([[graft.operators.Bm25Indexer.near]],
     * FTS5 `NEAR(a b c, n)`): all terms within a ≤12-token window, ranked by
     * the minimal span — evaluated from ≤3 term-pruned position reads, never
@@ -5873,6 +5926,7 @@ object Queries {
     "suggest_lifecycle" -> suggestLifecycle,
     "phrase_lifecycle" -> phraseLifecycle,
     "ql_boolean_index" -> qlBooleanIndex,
+    "ql_boolean_filtered" -> qlBooleanFiltered,
     "ql_near_index" -> qlNearIndex,
     "ql_boolean_phrase_index" -> qlBooleanPhraseIndex,
     "autocomplete_prefix" -> autocompletePrefix,

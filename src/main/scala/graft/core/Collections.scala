@@ -2,7 +2,7 @@ package graft.core
 
 import graft.functions.{Embedder, FilterDsl, TextSplitter}
 import graft.operators.{Indexing, Search}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.{FileSystem, Path}
 import java.nio.charset.StandardCharsets
@@ -919,19 +919,59 @@ final class CollectionManager(
     graft.operators.Suggest.autocomplete(
       bm25Indexer(name).termDfTable(), "term", "df", prefix, k)
 
+  /** Metadata-filter DSL → the one Column every search path pushes into the
+    * chunks scan (same compile as [[search]]).
+    */
+  private def compiledFilter(metadataFilter: Option[String]): Option[Column] =
+    metadataFilter.map(f =>
+      graft.functions.FilterDsl.metadataFilterColumn(f, col("metadata")))
+
   /** Boolean MATCH (AND/OR/NOT + parens) over this collection's BM25
     * index, CHUNK level — candidates from posting-set algebra, ranked by
-    * BM25 on the positive terms.
+    * BM25 on the positive terms. `metadataFilter` (the filter DSL) gates
+    * candidates exactly as the reference gates FTS5 MATCH
+    * (sqllite_indexer.py:64-74) — an id semi-join on the filtered chunks.
     */
-  def booleanSearch(name: String, query: String, k: Int = 15): DataFrame =
-    bm25Indexer(name).booleanSearch(query, k)
+  def booleanSearch(name: String, query: String, k: Int = 15,
+                    metadataFilter: Option[String] = None): DataFrame =
+    bm25Indexer(name).booleanSearch(query, k, compiledFilter(metadataFilter))
+
+  /** [[booleanSearch]] rolled up to DOCUMENTS: each document ranks by its
+    * best-matching chunk's BM25 score (the W2 doc-rank convention the
+    * hybrid search uses), ties broken by documentId.
+    */
+  def booleanSearchDocs(name: String, query: String, k: Int = 5,
+                        metadataFilter: Option[String] = None): DataFrame =
+    bm25Indexer(name).booleanHits(query, compiledFilter(metadataFilter))
+      .join(chunks(name).select(col("chunkId").as("docId"), col("documentId")),
+        Seq("docId"))
+      .groupBy("documentId").agg(max("score").as("score"))
+      .orderBy(col("score").desc, col("documentId"))
+      .limit(k)
 
   /** NEAR over the positional artifact (build it first): every term within
-    * a ≤`window`-token span, ranked by the minimal span. CHUNK level.
+    * a ≤`window`-token span, ranked by the minimal span. CHUNK level; the
+    * filter DSL composes as in [[booleanSearch]].
     */
   def nearSearch(name: String, terms: Seq[String], window: Int,
-                 k: Int = 15): DataFrame =
-    bm25Indexer(name).near(terms, window, k)
+                 k: Int = 15, metadataFilter: Option[String] = None): DataFrame =
+    bm25Indexer(name).near(terms, window, k, compiledFilter(metadataFilter))
+
+  /** [[nearSearch]] rolled up to DOCUMENTS: each document ranks by its
+    * tightest chunk span (earliest start breaks span ties within the doc).
+    */
+  def nearSearchDocs(name: String, terms: Seq[String], window: Int,
+                     k: Int = 5, metadataFilter: Option[String] = None): DataFrame =
+    bm25Indexer(name).nearHits(terms, window, compiledFilter(metadataFilter))
+      .join(chunks(name).select(col("chunkId").as("docId"), col("documentId")),
+        Seq("docId"))
+      .groupBy("documentId")
+      .agg(min(struct(col("span_len"), col("span_start"))).as("best"))
+      .select(col("documentId"),
+        col("best.span_len").as("span_len"),
+        col("best.span_start").as("span_start"))
+      .orderBy(col("span_len"), col("documentId"))
+      .limit(k)
 
   /** Persist the positional-postings artifact — exact-phrase queries then
     * answer from ≤ |phrase| term-pruned reads. A full LSM member: later
@@ -943,10 +983,12 @@ final class CollectionManager(
 
   /** Exact phrase search over this collection, DOCUMENT level: chunk hits
     * from the positional view aggregate per document (occurrences summed,
-    * earliest position kept), ranked (tf desc, documentId asc).
+    * earliest position kept), ranked (tf desc, documentId asc). The filter
+    * DSL composes as in [[booleanSearch]].
     */
-  def phraseSearch(name: String, phrase: Seq[String], k: Int = 15): DataFrame = {
-    val chunkHits = bm25Indexer(name).phraseHits(phrase)
+  def phraseSearch(name: String, phrase: Seq[String], k: Int = 15,
+                   metadataFilter: Option[String] = None): DataFrame = {
+    val chunkHits = bm25Indexer(name).phraseHits(phrase, compiledFilter(metadataFilter))
     chunkHits.join(chunks(name).select(col("chunkId").as("docId"), col("documentId")),
         Seq("docId"))
       .groupBy("documentId")

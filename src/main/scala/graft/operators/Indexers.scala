@@ -170,28 +170,58 @@ final class Bm25Indexer(
       .getOrElse(all)
   }
 
+  /** Id set of chunks passing a metadata filter — the reference's
+    * pre-filtered MATCH (`doc_id IN (SELECT ... WHERE <filter>)`,
+    * sqllite_indexer.py:64-74) as one semi-join input, shared by [[search]]
+    * and the whole MATCH family. The filter pushes into the chunks scan;
+    * only ids come back.
+    */
+  private def filteredIds(f: Column): DataFrame =
+    spark.read.parquet(chunksPath).filter(f).select(col("chunkId").as("docId"))
+
+  private def applyFilter(hits: DataFrame, f: Option[Column]): DataFrame =
+    f.map(c => hits.join(filteredIds(c), Seq("docId"), "left_semi")).getOrElse(hits)
+
   /** Exact phrase top-k from the positional view: read the phrase's term
     * slices (pushed-down IN filter prunes base and delta alike), shift each
     * term's positions by its phrase offset, intersect — survivors are the
     * phrase's start positions. Requires [[buildPhraseIndex]] to have run;
-    * the delta union serves docs that arrived since.
+    * the delta union serves docs that arrived since. `metadataFilter`
+    * composes as the id semi-join [[search]] uses — applied to the
+    * term-pruned view, so the filter never widens the position reads.
     */
-  def phrase(terms: Seq[String], k: Int): DataFrame =
-    QueryLang.phraseSearchPostings(phraseView(terms)._1, phraseView(terms)._2, k)
+  def phrase(terms: Seq[String], k: Int,
+             metadataFilter: Option[Column] = None): DataFrame = {
+    val (view, toks) = phraseView(terms)
+    QueryLang.phraseSearchPostings(applyFilter(view, metadataFilter), toks, k)
+  }
 
   /** NEAR over the positional artifact (FTS5 `NEAR(a b, n)`): every term
     * within some ≤`window`-token span, ranked by that minimal span. Same
-    * artifact + delta + tombstone view as [[phrase]].
+    * artifact + delta + tombstone view as [[phrase]], same filter semi-join.
     */
-  def near(terms: Seq[String], window: Int, k: Int): DataFrame = {
+  def near(terms: Seq[String], window: Int, k: Int,
+           metadataFilter: Option[Column] = None): DataFrame =
+    nearHits(terms, window, metadataFilter)
+      .orderBy(col("span_len"), col("docId"))
+      .limit(k)
+
+  /** Unranked NEAR hits (docId, span_len, span_start) — the document-level
+    * roll-up's input (rankings re-derive after the roll-up, so the top-k
+    * sort would be wasted here).
+    */
+  def nearHits(terms: Seq[String], window: Int,
+               metadataFilter: Option[Column] = None): DataFrame = {
     val (view, toks) = phraseView(terms)
-    QueryLang.nearSearchPostings(view, toks.distinct, window, k)
+    QueryLang.nearHitsPostings(applyFilter(view, metadataFilter),
+      toks.distinct, window)
   }
 
   /** Unranked phrase hits — the document-level roll-up's input. */
-  def phraseHits(terms: Seq[String]): DataFrame = {
+  def phraseHits(terms: Seq[String],
+                 metadataFilter: Option[Column] = None): DataFrame = {
     val (view, toks) = phraseView(terms)
-    QueryLang.phraseHitsPostings(view, toks)
+    QueryLang.phraseHitsPostings(applyFilter(view, metadataFilter), toks)
   }
 
   private def phraseView(terms: Seq[String]): (DataFrame, Seq[String]) = {
@@ -483,11 +513,39 @@ final class Bm25Indexer(
   // the live table). Rebuild whenever compact() runs to fold the on-the-fly
   // share back to zero.
 
-  /** Persist the delete-key artifact for the CURRENT logical vocabulary. */
+  /** Fingerprint of the LIVE vocabulary state: (name, length, mtime) of
+    * every file under the termDf base and delta dirs, order-independent.
+    * Any mutation that can change the termDf view — an incremental update's
+    * delta append, a compact's base rewrite — lands new files (parquet part
+    * names carry fresh UUIDs), so stamp equality proves the artifact saw
+    * exactly this vocabulary. Pure file metadata: no scan job.
+    */
+  private def vocabStamp: String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    Seq(p("termDf"), p("termDf_delta")).foreach { d =>
+      val path = new org.apache.hadoop.fs.Path(d)
+      if (fsys.exists(path)) {
+        val it = fsys.listFiles(path, true)
+        while (it.hasNext) {
+          val f = it.next()
+          parts += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+        }
+      }
+    }
+    java.util.UUID.nameUUIDFromBytes(
+      parts.sorted.mkString("\n").getBytes("UTF-8")).toString
+  }
+
+  /** Persist the delete-key artifact for the CURRENT logical vocabulary,
+    * stamped with [[vocabStamp]] so [[suggest]] can prove freshness and skip
+    * the vocab-sized live-vs-artifact anti-join entirely.
+    */
   def buildSuggestKeys(maxEdits: Int = 2): Unit = {
     require(maxEdits >= 1 && maxEdits <= 2, "maxEdits must be 1 or 2")
+    val stamp = vocabStamp
     Suggest.deletionKeys(termDfTable(), "term", maxEdits)
       .withColumn("max_edits", lit(maxEdits))
+      .withColumn("vocab_stamp", lit(stamp))
       .repartitionByRange(col("delkey"))
       .sortWithinPartitions("delkey")
       .write.mode(SaveMode.Overwrite).parquet(p("suggest_keys") + "__staging")
@@ -498,6 +556,12 @@ final class Bm25Indexer(
     * via the artifact when one exists (built at ≥ the requested edit
     * distance — a 1-edit artifact cannot nominate 2-edit candidates, so a
     * wider request falls back to on-the-fly), else fully on the fly.
+    *
+    * Freshness fast path: when the artifact's [[vocabStamp]] matches the
+    * live termDf state (no update since [[buildSuggestKeys]] — the common
+    * case on a maintained index), the artifact's keys ARE the vocabulary's
+    * keys and the vocab-sized live-vs-artifact anti-join + on-the-fly delta
+    * keys are skipped outright (spec-pinned: the fresh plan has no LeftAnti).
     */
   def suggest(queryTerms: Seq[String], maxEdits: Int = 2, topK: Int = 3): DataFrame = {
     import spark.implicits._
@@ -510,13 +574,18 @@ final class Bm25Indexer(
         // min over an EMPTY artifact (built from an empty vocabulary, e.g. a
         // fully-deleted collection) is null — treat as "no usable artifact"
         // and fall through to on-the-fly, instead of NPEing on getInt
-        val minEdits = k.agg(min(col("max_edits"))).head
-        if (!minEdits.isNullAt(0) && minEdits.getInt(0) >= maxEdits)
-          Some(k.select("term", "delkey"))
+        val hasStamp = k.columns.contains("vocab_stamp")
+        val meta = k.agg(min(col("max_edits")),
+          if (hasStamp) min(col("vocab_stamp")) else lit(null).cast("string")).head
+        if (!meta.isNullAt(0) && meta.getInt(0) >= maxEdits)
+          Some((k.select("term", "delkey"),
+            !meta.isNullAt(1) && meta.getString(1) == vocabStamp))
         else None
       } else None
     baseKeys match {
-      case Some(keys) =>
+      case Some((keys, fresh)) if fresh =>
+        Suggest.spellSuggestFromKeys(keys, live, queries, "q", maxEdits, topK)
+      case Some((keys, _)) =>
         val missing = live.select("term")
           .join(keys.select("term").distinct(), Seq("term"), "left_anti")
         val deltaKeys = Suggest.deletionKeys(missing, "term", maxEdits)
@@ -575,8 +644,29 @@ final class Bm25Indexer(
     * query's POSITIVE terms (every candidate holds at least one: a
     * non-complemented result is always built inside some positive set).
     * Reads stay ∝ query-term selectivity: every posting scan is term-pruned.
+    *
+    * `metadataFilter` composes exactly as the reference gates FTS5 MATCH
+    * (`doc_id IN (SELECT ... WHERE <filter>)`, sqllite_indexer.py:64-74): ONE
+    * id semi-join against the FINAL candidate set, never one per operand —
+    * operands can be symbolically-complemented sets (where "filtered" has no
+    * direct meaning), and the single late join reads the chunks table once.
     */
-  def booleanSearch(query: String, k: Int): DataFrame = {
+  def booleanSearch(query: String, k: Int,
+                    metadataFilter: Option[Column] = None): DataFrame = {
+    val hits = booleanHits(query, metadataFilter)
+    val ord = selectByRounded match {
+      case Some(n) => Seq(round(col("score"), n).desc, col("docId").asc)
+      case None    => Seq(col("score").desc, col("docId").asc)
+    }
+    hits.select(col("docId").as("chunkId"), col("score"))
+      .orderBy(ord: _*).limit(k)
+  }
+
+  /** Unranked boolean-MATCH hits (docId, score) — the document-level
+    * roll-up's input; [[booleanSearch]] is this plus the top-k cut.
+    */
+  def booleanHits(query: String,
+                  metadataFilter: Option[Column] = None): DataFrame = {
     import QueryLang.{And, Node, Not, Or, Phrase, Term}
     // normalize AST words through THIS index's tokenizer (a word that
     // splits, e.g. "hash-join", becomes an implicit AND of its tokens)
@@ -620,12 +710,17 @@ final class Bm25Indexer(
         if (and) (da.unionByName(db).distinct(), true)           // ¬A ∧ ¬B = ¬(A∪B)
         else (da.join(db, Seq("docId"), "left_semi"), true)      // ¬A ∨ ¬B = ¬(A∩B)
     }
-    val (cand, complemented) = eval(ast)
+    val (cand0, complemented) = eval(ast)
     require(!complemented,
       s"boolean query '$query' matches the complement of an indexable set — " +
         "add a positive term (FTS5 rejects pure-NOT queries for the same reason)")
+    // metadata filter gates the FINAL candidate set — one semi-join, the
+    // reference's doc_id IN (...) shape (see booleanSearch's scaladoc)
+    val cand = applyFilter(cand0, metadataFilter)
     val pos = QueryLang.positiveTerms(ast).distinct
-    if (pos.isEmpty) return Search.emptyScored(spark, "chunkId")
+    if (pos.isEmpty)
+      return Search.emptyScored(spark, "chunkId")
+        .select(col("chunkId").as("docId"), col("score"))
     // BM25 over the positive terms, restricted to the boolean candidates —
     // the same scoring pipeline as search(), minus the conjunctive gate
     // (the boolean predicate replaced it)
@@ -636,18 +731,12 @@ final class Bm25Indexer(
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("docLen") / col("avgdl")))
-    val scored = postings
+    postings
       .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .withColumn("termScore", idf * tfNorm)
       .groupBy("docId")
       .agg(sum("termScore").as("score"))
-    val ord = selectByRounded match {
-      case Some(n) => Seq(round(col("score"), n).desc, col("docId").asc)
-      case None    => Seq(col("score").desc, col("docId").asc)
-    }
-    scored.select(col("docId").as("chunkId"), col("score"))
-      .orderBy(ord: _*).limit(k)
   }
 }
 

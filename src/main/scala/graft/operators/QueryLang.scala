@@ -114,11 +114,23 @@ object QueryLang {
     node
   }
 
-  /** Whitespace tokens of `textCol`, lowercased — the family's shared
-    * tokenization (matches the BM25 indexer's).
+  /** Single-space tokens of `textCol`, lowercased — the SCAN path's default
+    * tokenization. NOTE: this is NOT the BM25 indexer's tokenizer — the
+    * index family (postings, positional artifact) splits on `[^a-z0-9]+`
+    * ([[Search.tokenize]]), so on punctuated text the two paths of the same
+    * grammar disagree ("hash-join" matches `hash` on the index path, stays
+    * one token here). Each path is oracle-gated against its own tokenizer;
+    * callers that need scan/index agreement pass [[Search.tokensCol]] as the
+    * scan functions' `tokenizer` parameter (QueryLangSpec pins both facts).
     */
   def tokens(textCol: String): Column =
-    expr(s"filter(split(lower($textCol), ' '), x -> x <> '')")
+    tokensOf(col(textCol))
+
+  /** Column-typed form of [[tokens]] — the default `tokenizer` of the scan
+    * functions below.
+    */
+  def tokensOf(text: Column): Column =
+    filter(split(lower(text), " "), x => x =!= "")
 
   /** The AST as ONE codegen'd predicate over a token-array column. */
   def matchColumn(node: Node, toksCol: Column): Column = node match {
@@ -147,13 +159,14 @@ object QueryLang {
     * (matched positive terms desc, their total tf desc, id asc), top `k`.
     */
   def booleanSearch(docs: DataFrame, idCol: String, textCol: String,
-                    query: String, k: Int): DataFrame = {
+                    query: String, k: Int,
+                    tokenizer: Column => Column = tokensOf): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val node = parse(query)
     val pos = positiveTerms(node).distinct.sorted
     docs
       .withColumn("_q", array(pos.map(lit): _*))
-      .withColumn("_t", tokens(textCol))
+      .withColumn("_t", tokenizer(col(textCol)))
       .where(matchColumn(node, col("_t")))
       .withColumn("n_matched",
         expr("size(filter(_q, t -> array_contains(_t, t)))").cast("long"))
@@ -171,16 +184,22 @@ object QueryLang {
     * (span asc, id asc), top `k`. A candidate minimal window must START at
     * an occurrence of one of the terms, so the scan is O(occurrences ×
     * |terms| × tokens) per row — cheap for real queries, embarrassingly
-    * parallel, no shuffle before the top-k.
+    * parallel, no shuffle before the top-k. For HIGH-FREQUENCY terms the
+    * per-row cost degrades to O(tokens² × terms): fine at chunk granularity
+    * (chunks are ≤1000 chars by construction), but don't point this scan at
+    * unchunked book-length rows — [[nearSearchPostings]] over the positional
+    * artifact is the scale path (per-doc cost occurrences² × terms,
+    * independent of document length).
     */
   def minSpanSearch(docs: DataFrame, idCol: String, textCol: String,
-                    terms: Seq[String], k: Int): DataFrame = {
+                    terms: Seq[String], k: Int,
+                    tokenizer: Column => Column = tokensOf): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
     require(k >= 1, "k must be >= 1")
     val qArr = array(terms.map(_.toLowerCase).distinct.sorted.map(lit): _*)
     docs
       .withColumn("_q", qArr)
-      .withColumn("_t", tokens(textCol))
+      .withColumn("_t", tokenizer(col(textCol)))
       // all terms present, or no covering window exists at all
       .where(expr("forall(_q, t -> array_contains(_t, t))"))
       // A minimal covering window must START at an occurrence of a query
@@ -217,14 +236,15 @@ object QueryLang {
     * (1-based), ranked (tf desc, id asc), top `k`.
     */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
-                   phrase: Seq[String], k: Int): DataFrame = {
+                   phrase: Seq[String], k: Int,
+                   tokenizer: Column => Column = tokensOf): DataFrame = {
     require(phrase.nonEmpty, "need a non-empty phrase")
     require(k >= 1, "k must be >= 1")
     val n = phrase.size
     val pArr = array(phrase.map(t => lit(t.toLowerCase)): _*)
     docs
       .withColumn("_p", pArr)
-      .withColumn("_t", tokens(textCol))
+      .withColumn("_t", tokenizer(col(textCol)))
       .withColumn("_pos", expr(
         s"""CASE WHEN size(_t) >= $n THEN
            |  filter(sequence(1, size(_t) - ${n - 1}),
@@ -248,9 +268,19 @@ object QueryLang {
     */
   def nearSearchPostings(postings: DataFrame, terms: Seq[String],
                          window: Int, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    nearHitsPostings(postings, terms, window)
+      .orderBy(col("span_len"), col("docId"))
+      .limit(k)
+  }
+
+  /** The UNRANKED NEAR hits (docId, span_len, span_start) — callers that
+    * aggregate further (e.g. chunk → document roll-up) skip the top-k sort.
+    */
+  def nearHitsPostings(postings: DataFrame, terms: Seq[String],
+                       window: Int): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
     require(window >= terms.size, "window can't be smaller than the term count")
-    require(k >= 1, "k must be >= 1")
     val ts = terms.map(_.toLowerCase).distinct
     val frames = ts.zipWithIndex.map { case (t, j) =>
       postings.where(col("term") === t)
@@ -277,8 +307,6 @@ object QueryLang {
         expr("array_min(transform(filter(_cand, c -> c.e - c.st + 1 = span_len), c -> c.st))")
           .cast("long"))
       .select(col("docId"), col("span_len"), col("span_start"))
-      .orderBy(col("span_len"), col("docId"))
-      .limit(k)
   }
 
   /** The (term, docId, positions) positional postings table — one tokenize +

@@ -88,6 +88,19 @@ class CliSpec extends AnyFunSuite with SparkSuite {
       "--query", "brand indexing", "--window", "8", "--data-dir", dataDir,
       "--chunk-size", "60", "--chunk-overlap", "10")
     assert(neared.contains("span_len"), neared)
+    // --filter composes the metadata DSL with MATCH; --docs rolls up to
+    // documents (documentId rows instead of chunk ids)
+    val matchedDocs = captured("match", "--collection", "docs",
+      "--query", "\"brand new\" NOT deployment", "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10",
+      "--filter", "lastModifiedAt > \"2000-01-01\"", "--docs")
+    assert(matchedDocs.contains("documentId") && matchedDocs.contains("new.txt"),
+      matchedDocs)
+    val nearedDocs = captured("near", "--collection", "docs",
+      "--query", "brand indexing", "--window", "8", "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10", "--docs")
+    assert(nearedDocs.contains("documentId") && nearedDocs.contains("new.txt"),
+      nearedDocs)
   }
 
   test("profile: per-column null/distinct report over a parquet corpus") {

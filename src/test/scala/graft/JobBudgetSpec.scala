@@ -31,7 +31,10 @@ class JobBudgetSpec extends AnyFunSuite with SparkSuite {
       override def onJobStart(j: SparkListenerJobStart): Unit = n.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
-    try { body; Thread.sleep(500) /* async listener bus drain */ }
+    // deterministic drain: a fixed sleep can under-count on a loaded host
+    // (budgets would pass too easily); waitUntilEmpty blocks until every
+    // queued listener event has been delivered
+    try { body; org.apache.spark.GraftListenerBus.waitUntilEmpty(spark.sparkContext) }
     finally spark.sparkContext.removeSparkListener(listener)
     n.get()
   }

@@ -15,10 +15,13 @@ class McpServerSpec extends AnyFunSuite with SparkSuite {
 
   private val mapper = new ObjectMapper()
 
-  private lazy val server: McpServer = {
+  private lazy val cm: CollectionManager = {
     val tmp = Files.createTempDirectory("graft-mcp").toString
-    val cm = new CollectionManager(
+    new CollectionManager(
       spark, tmp, new HashingEmbedder(dim = 16), new TextSplitter(50, 10))
+  }
+
+  private lazy val server: McpServer = {
     import spark.implicits._
     cm.create("wiki", Seq(
       ("d1", "https://wiki/d1", Map("space" -> "ENG"),
@@ -112,6 +115,24 @@ class McpServerSpec extends AnyFunSuite with SparkSuite {
       .startsWith("Error: collection 'nope' is not available"))
     assert(toolText(call("""{"jsonrpc":"2.0","id":19,"method":"tools/call","params":{"name":"match_in_collection","arguments":{"collection":"wiki","query":"  "}}}"""))
       .startsWith("Error: 'query'"))
+  }
+
+  test("match tool: filter DSL gates candidates; group_documents rolls up to documents") {
+    // "search OR deploy" matches both docs; the OPS filter keeps d2's chunks only
+    val filtered = toolText(call("""{"jsonrpc":"2.0","id":20,"method":"tools/call","params":{"name":"match_in_collection","arguments":{"collection":"wiki","query":"search OR deploy","filter":"space = \"OPS\""}}}"""))
+    assert(filtered.contains("chunkId"), filtered)
+    val opsChunks = cm.chunks("wiki")
+      .filter(org.apache.spark.sql.functions.col("documentId") === "d2")
+      .collect().map(_.getAs[Long]("chunkId")).toSet
+    val ids = mapper.readTree(filtered)
+    assert(ids.size > 0, filtered)
+    (0 until ids.size).foreach { i =>
+      assert(opsChunks.contains(ids.get(i).path("chunkId").asLong), filtered)
+    }
+    // doc-level roll-up returns documentId rows, best chunk carries the doc
+    val docs = toolText(call("""{"jsonrpc":"2.0","id":21,"method":"tools/call","params":{"name":"match_in_collection","arguments":{"collection":"wiki","query":"search OR deploy","group_documents":true}}}"""))
+    assert(docs.contains("documentId"), docs)
+    assert(docs.contains("d1") && docs.contains("d2"), docs)
   }
 
   test("protocol errors: parse error, unknown method, unknown tool") {

@@ -166,6 +166,69 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
     assert(hits() === Seq(("d1", 1L), ("d4", 1L)))
   }
 
+  test("MATCH family composes with the metadata-filter DSL; doc-level roll-ups") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-matchf").toString
+    val cm = new graft.core.CollectionManager(spark, tmp,
+      new graft.functions.HashingEmbedder(dim = 16),
+      new graft.functions.TextSplitter(80, 10))
+    def mk(rows: (String, String, String)*) = rows.toSeq
+      .map { case (id, sp, t) =>
+        (id, s"u/$id", Map("space" -> sp, "lastModifiedAt" -> "2026-01-01T00:00:00"), t) }
+      .toDF("id", "url", "metadata", "text")
+    cm.create("f", mk(
+      ("d1", "ENG", "alpha hash join python"),
+      ("d2", "ENG", "alpha hash join clean"),
+      ("d3", "OPS", "alpha hash join other"),
+      ("d4", "ENG", "nothing to see")))
+    cm.buildPhraseIndex("f")
+    val idOf = cm.chunks("f").select("chunkId", "documentId").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // boolean MATCH: candidates evaluate over the FULL corpus, THEN the
+    // filter gates them (the reference's doc_id IN (...) composition) —
+    // "alpha NOT python" = {d2,d3}; space=ENG keeps d2 only
+    assert(cm.booleanSearch("f", "alpha NOT python", 10).collect()
+      .map(r => idOf(r.getLong(0))).toSet === Set("d2", "d3"))
+    assert(cm.booleanSearch("f", "alpha NOT python", 10, Some("space = \"ENG\""))
+      .collect().map(r => idOf(r.getLong(0))).toSet === Set("d2"))
+
+    // NEAR and phrase compose with the same gate
+    assert(cm.nearSearch("f", Seq("hash", "join"), 3, 10, Some("space = \"ENG\""))
+      .collect().map(r => idOf(r.getLong(0))).toSet === Set("d1", "d2"))
+    assert(cm.phraseSearch("f", Seq("hash", "join"), 10, Some("space = \"ENG\""))
+      .collect().map(_.getString(0)).toSet === Set("d1", "d2"))
+
+    // document-level roll-ups: best chunk carries the doc (score for MATCH,
+    // tightest span for NEAR); filters compose unchanged
+    val bd = cm.booleanSearchDocs("f", "alpha", 10)
+    assert(bd.columns.toSeq === Seq("documentId", "score"))
+    assert(bd.collect().map(_.getString(0)).toSet === Set("d1", "d2", "d3"))
+    assert(cm.booleanSearchDocs("f", "alpha", 10, Some("space = \"ENG\""))
+      .collect().map(_.getString(0)).toSet === Set("d1", "d2"))
+    assert(cm.nearSearchDocs("f", Seq("hash", "join"), 3, 10, Some("space = \"ENG\""))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("d1", 2L), ("d2", 2L)))
+  }
+
+  test("tokenization ownership: scan is space-split, index is [^a-z0-9]+; tokenizer param aligns them") {
+    val d = Seq(
+      (1L, "hash-join beats sort"),
+      (2L, "hash join beats sort")).toDF("doc_id", "text")
+    // scan default: "hash-join" stays ONE token — doc 1 does not match `hash`
+    assert(QueryLang.booleanSearch(d, "doc_id", "text", "hash", 10)
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+    // index path: the BM25 tokenizer splits on [^a-z0-9]+ — doc 1 DOES match
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
+    idx.index(d.select(col("doc_id").as("chunkId"), col("text").as("indexedData")))
+    assert(idx.booleanSearch("hash", 10).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L))
+    // passing the index tokenizer into the scan aligns the two paths
+    assert(QueryLang.booleanSearch(d, "doc_id", "text", "hash", 10,
+        tokenizer = graft.operators.Search.tokensCol)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("phrase/boolean plans stay scan-shaped: no shuffle before the top-k") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = QueryLang.phraseSearch(real, "doc_id", "text", Seq("the", "data"), 5)

@@ -145,6 +145,37 @@ class SuggestSpec extends AnyFunSuite with SparkSuite {
     assert(wideReq === Seq("zeppelin")) // distance 2, only reachable on the fallback
   }
 
+  test("suggest freshness stamp: a fresh artifact skips the vocab anti-join; updates reopen it") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-suggest-stamp").toString
+    val cm = new graft.core.CollectionManager(spark, tmp,
+      new graft.functions.HashingEmbedder(dim = 16),
+      new graft.functions.TextSplitter(50, 10))
+    def docs(rows: (String, String)*) = rows.toSeq
+      .map { case (id, t) => (id, s"u/$id", Map("lastModifiedAt" -> "2026-01-01T00:00:00"), t) }
+      .toDF("id", "url", "metadata", "text")
+    cm.create("c", docs("d1" -> "zeppelin cluster running smoothly"))
+    cm.buildSuggestIndex("c")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.optimizedPlan.toString
+    // fresh artifact (vocab stamp matches the live termDf state): the keys
+    // ARE the vocabulary's keys — no vocab-sized live-vs-artifact anti-join
+    val fresh = cm.suggestTerms("c", Seq("zepelin"), topK = 1)
+    assert(!plan(fresh).contains("LeftAnti"),
+      s"fresh artifact must skip the anti-join:\n${plan(fresh)}")
+    assert(fresh.collect().map(_.getString(1)).toSeq === Seq("zeppelin"))
+    // an incremental update changes the vocabulary → stamp mismatch → the
+    // delta path (anti-join + on-the-fly keys) reopens and serves new terms
+    cm.update("c", docs("d2" -> "gyroscope calibration notes"))
+    val stale = cm.suggestTerms("c", Seq("gyroscpe"), topK = 1)
+    assert(plan(stale).contains("LeftAnti"),
+      s"stale artifact must take the delta path:\n${plan(stale)}")
+    assert(stale.collect().map(_.getString(1)).toSeq === Seq("gyroscope"))
+    // rebuilding the artifact restores the fast path, new vocab included
+    cm.buildSuggestIndex("c")
+    val fresh2 = cm.suggestTerms("c", Seq("gyroscpe"), topK = 1)
+    assert(!plan(fresh2).contains("LeftAnti"))
+    assert(fresh2.collect().map(_.getString(1)).toSeq === Seq("gyroscope"))
+  }
+
   test("highlightSnippet: query terms with quotes are literals, not SQL splices") {
     val docs = Seq((1L, "she said don't stop now"), (2L, "unrelated words"))
       .toDF("doc_id", "text")
