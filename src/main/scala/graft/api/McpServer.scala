@@ -135,9 +135,11 @@ final class McpServer(
         |
         |Query grammar: terms combine with AND / OR / NOT (NOT binds
         |tightest, then AND, then OR), parentheses group, adjacency is an
-        |implicit AND, and a double-quoted segment matches as an exact
-        |phrase — e.g.: spark AND ("hash join" OR broadcast) NOT python.
-        |At least one positive term is required. Results are BM25-ranked.""".stripMargin)
+        |implicit AND, a double-quoted segment matches as an exact phrase,
+        |and NEAR(a b, n) matches terms within an n-token window (default
+        |10) — e.g.: spark AND ("hash join" OR NEAR(broadcast join, 5))
+        |NOT python. At least one positive term is required. Results are
+        |BM25-ranked.""".stripMargin)
     matchT.set[JsonNode]("inputSchema", schema(Seq("collection", "query"),
       "collection" -> ("string", collectionFieldDescription),
       "query" -> ("string", "Boolean query (AND/OR/NOT, parens, quoted phrases)."),

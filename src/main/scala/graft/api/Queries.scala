@@ -1226,6 +1226,40 @@ object Queries {
            |SELECT q, suggestion, dist, term_df, CAST(rn AS BIGINT) AS rank
            |FROM rk WHERE rn <= 3 ORDER BY q, rank""".stripMargin))
 
+  /** FRESH-artifact suggest ([[graft.operators.Bm25Indexer.suggest]] with a
+    * matching vocab stamp): the artifact was built from exactly this termDf
+    * state, so the vocab-sized live-vs-artifact anti-join and on-the-fly
+    * delta keys are SKIPPED outright (plan shape spec-pinned in SuggestSpec)
+    * — this oracle gates that the shortcut loses no candidate: results must
+    * equal DuckDB's brute-force cross-join levenshtein over the full
+    * vocabulary. Complements `suggest_lifecycle`, which deliberately
+    * exercises the STALE path (update after build).
+    */
+  private val suggestFresh = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_suggest_fresh_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused")
+      idx.index(docs)
+      idx.buildSuggestKeys()
+      idx.suggest(Seq("tabel", "qurey", "custmer"), maxEdits = 2, topK = 3)
+        .orderBy("q", "rank")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+           |  FROM documents),
+           |vocab AS (SELECT term, count(DISTINCT doc_id) AS term_df FROM toks GROUP BY term),
+           |qs AS (SELECT unnest(['tabel','qurey','custmer']) AS q),
+           |cand AS (SELECT q, term AS suggestion,
+           |    CAST(levenshtein(q, term) AS BIGINT) AS dist, term_df
+           |  FROM qs CROSS JOIN vocab WHERE levenshtein(q, term) <= 2),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY q
+           |    ORDER BY dist, term_df DESC, suggestion) AS rn FROM cand)
+           |SELECT q, suggestion, dist, term_df, CAST(rn AS BIGINT) AS rank
+           |FROM rk WHERE rn <= 3 ORDER BY q, rank""".stripMargin))
+
   /** Boolean MATCH over the PREBUILT index
     * ([[graft.operators.Bm25Indexer.booleanSearch]]): candidates from set
     * algebra on per-term posting id sets (NOT carried symbolically as a
@@ -1366,6 +1400,73 @@ object Queries {
            |  WHERE ((list_contains(w, 'join') AND list_contains(w, 'vector'))
            |     OR (list_contains(w, 'spark') AND NOT list_contains(w, 'hash')))
            |    AND lang = 'en' AND n_chars > 200),
+           |topk AS (SELECT s.doc_id, s.score FROM scored s JOIN cand USING (doc_id)
+           |  ORDER BY round(s.score, 5) DESC, s.doc_id LIMIT 20)
+           |SELECT doc_id, round(score, 5) AS score FROM topk
+           |ORDER BY score DESC, doc_id""".stripMargin))
+
+  /** NEAR atoms INSIDE the boolean MATCH grammar, served from the index
+    * ([[graft.operators.QueryLang.Near]] +
+    * [[graft.operators.Bm25Indexer.booleanSearch]]): FTS5's MATCH embeds
+    * `NEAR(...)` as an atom of the boolean algebra — here
+    * `NEAR(spark vector, 8) OR (join NOT hash)`. The NEAR atom's candidate
+    * ids come from ≤2 term-pruned POSITION reads (window = span length ≤ 8),
+    * union/anti compose them with the term sets, BM25 ranks over the
+    * positive terms. The oracle re-derives the NEAR window from re-tokenized
+    * text with the same start-at-an-occurrence span logic as
+    * `ql_near_index`, then replays the boolean and the scoring in SQL.
+    */
+  private val qlBooleanNearIndex = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_boolnear_idx_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
+      idx.index(docs)
+      idx.buildPhraseIndex(docs)
+      idx.booleanSearch("NEAR(spark vector, 8) OR (join NOT hash)", 20)
+        .select(col("chunkId").as("doc_id"), round(col("score"), 5).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+           |  FROM documents),
+           |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+           |corpus AS (SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |  WHERE term IN ('join', 'spark', 'vector') GROUP BY doc_id, term),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    sum( ln(1 + (corpus.n - df.df + 0.5)/(df.df + 0.5))
+           |         * (tf.tf*(1.2+1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dlen/corpus.avgdl)) ) AS score
+           |  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN corpus
+           |  GROUP BY tf.doc_id),
+           |wl AS (SELECT doc_id, list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+           |  FROM documents),
+           |f AS (SELECT doc_id, w,
+           |    list_filter(generate_series(1, len(w)), i -> w[i] = 'spark') AS pa,
+           |    list_filter(generate_series(1, len(w)), i -> w[i] = 'vector') AS pb
+           |  FROM wl
+           |  WHERE list_contains(w, 'spark') AND list_contains(w, 'vector')),
+           |spans AS (SELECT doc_id,
+           |    list_min(list_transform(
+           |      list_filter(
+           |        list_transform(generate_series(1, len(w)), s -> struct_pack(
+           |          e := greatest(list_min(list_filter(pa, p -> p >= s)),
+           |                        list_min(list_filter(pb, p -> p >= s))),
+           |          st := s)),
+           |        x -> x.st <= least(list_max(pa), list_max(pb))
+           |             AND (list_contains(pa, x.st) OR list_contains(pb, x.st))),
+           |      z -> z.e - z.st + 1)) AS span_len
+           |  FROM f),
+           |nearc AS (SELECT doc_id FROM spans WHERE span_len <= 8),
+           |boolc AS (SELECT doc_id FROM wl
+           |  WHERE list_contains(w, 'join') AND NOT list_contains(w, 'hash')),
+           |cand AS (SELECT doc_id FROM nearc UNION SELECT doc_id FROM boolc),
            |topk AS (SELECT s.doc_id, s.score FROM scored s JOIN cand USING (doc_id)
            |  ORDER BY round(s.score, 5) DESC, s.doc_id LIMIT 20)
            |SELECT doc_id, round(score, 5) AS score FROM topk
@@ -5924,11 +6025,13 @@ object Queries {
     "profile_columns" -> profileColumns,
     "spell_suggest" -> spellSuggest,
     "suggest_lifecycle" -> suggestLifecycle,
+    "suggest_fresh" -> suggestFresh,
     "phrase_lifecycle" -> phraseLifecycle,
     "ql_boolean_index" -> qlBooleanIndex,
     "ql_boolean_filtered" -> qlBooleanFiltered,
     "ql_near_index" -> qlNearIndex,
     "ql_boolean_phrase_index" -> qlBooleanPhraseIndex,
+    "ql_boolean_near_index" -> qlBooleanNearIndex,
     "autocomplete_prefix" -> autocompletePrefix,
     "search_highlight" -> searchHighlight,
     "facet_counts" -> facetCountsQ,

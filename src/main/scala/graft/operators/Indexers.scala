@@ -667,7 +667,7 @@ final class Bm25Indexer(
     */
   def booleanHits(query: String,
                   metadataFilter: Option[Column] = None): DataFrame = {
-    import QueryLang.{And, Node, Not, Or, Phrase, Term}
+    import QueryLang.{And, Near, Node, Not, Or, Phrase, Term}
     // normalize AST words through THIS index's tokenizer (a word that
     // splits, e.g. "hash-join", becomes an implicit AND of its tokens)
     def norm(n: Node): Node = n match {
@@ -681,6 +681,12 @@ final class Bm25Indexer(
         case ts if ts.nonEmpty => Phrase(ts)
         case _ => throw new IllegalArgumentException(s"phrase '${ws.mkString(" ")}' has no indexable tokens")
       }
+      case Near(ws, w) => ws.flatMap(Search.tokenize) match {
+        // the window is in index-tokenizer tokens; a word that splits widens
+        // the term set but keeps the user's window
+        case ts if ts.nonEmpty => Near(ts, math.max(w, ts.size))
+        case _ => throw new IllegalArgumentException(s"NEAR(${ws.mkString(" ")}) has no indexable tokens")
+      }
       case And(l, r) => And(norm(l), norm(r))
       case Or(l, r)  => Or(norm(l), norm(r))
       case Not(c)    => Not(norm(c))
@@ -693,6 +699,9 @@ final class Bm25Indexer(
       case Term(t)   => (termIds(t), false)
       case Phrase(ws) => // exact-phrase atom: ids from the positional artifact
         (QueryLang.phraseHitsPostings(phraseView(ws)._1, ws).select("docId"), false)
+      case Near(ts, w) => // proximity atom: ids from the positional artifact
+        val (view, toks) = phraseView(ts)
+        (QueryLang.nearHitsPostings(view, toks.distinct, w).select("docId"), false)
       case Not(c)    => val (d, comp) = eval(c); (d, !comp)
       case And(l, r) => combine(eval(l), eval(r), and = true)
       case Or(l, r)  => combine(eval(l), eval(r), and = false)

@@ -30,6 +30,13 @@ object QueryLang {
   sealed trait Node
   final case class Term(word: String) extends Node
   final case class Phrase(words: Seq[String]) extends Node
+  /** `NEAR(a b c, n)` atom (FTS5's MATCH-embedded proximity): every term
+    * inside some ≤`window`-token span. NOTE on the window: this engine's
+    * NEAR convention everywhere is SPAN LENGTH (first-to-last inclusive),
+    * not FTS5's between-token gap count — `NEAR(a b, 3)` here means a and b
+    * within a 3-token window. Default window 10, like FTS5.
+    */
+  final case class Near(terms: Seq[String], window: Int = 10) extends Node
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
   final case class Not(child: Node) extends Node
@@ -37,7 +44,9 @@ object QueryLang {
   /** Parse `spark AND (shuffle OR "hash join") AND NOT python`. Keywords are
     * case-insensitive; adjacency without a keyword is an implicit AND
     * (`spark shuffle` ≡ `spark AND shuffle`), matching common search-box
-    * conventions; a double-quoted segment is an exact-phrase atom.
+    * conventions; a double-quoted segment is an exact-phrase atom, and
+    * `NEAR(a b c, n)` (window optional, default 10) is a proximity atom —
+    * both compose with the boolean algebra like any term.
     * Precedence: NOT > AND > OR; parentheses group.
     */
   def parse(query: String): Node = {
@@ -55,10 +64,11 @@ object QueryLang {
             i = end + 1
           case '(' => out += "("; i += 1
           case ')' => out += ")"; i += 1
+          case ',' => out += ","; i += 1
           case c if c.isWhitespace => i += 1
           case _ =>
             val end = query.indexWhere(
-              c => c.isWhitespace || c == '(' || c == ')' || c == '"', i)
+              c => c.isWhitespace || c == '(' || c == ')' || c == '"' || c == ',', i)
             val stop = if (end < 0) query.length else end
             out += query.substring(i, stop)
             i = stop
@@ -94,6 +104,22 @@ object QueryLang {
       case _ => pAtom(ts)
     }
     def pAtom(ts: List[String]): (Node, List[String]) = ts match {
+      case t :: "(" :: tail if isKw(t, "NEAR") =>
+        // NEAR(a b c[, n]) — terms until ',' or ')'; window literal optional
+        val (words, afterWords) = tail.span(w => w != "," && w != ")")
+        val terms = words.map(_.toLowerCase)
+        require(terms.nonEmpty && terms.forall(w =>
+            w != "(" && !w.startsWith("\u0000")),
+          s"NEAR needs plain terms in: $query")
+        afterWords match {
+          case "," :: n :: ")" :: rr =>
+            val w = try n.toInt catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"NEAR window must be an integer in: $query") }
+            require(w >= terms.size, s"NEAR window $w smaller than term count in: $query")
+            (Near(terms, w), rr)
+          case ")" :: rr => (Near(terms), rr)
+          case _ => throw new IllegalArgumentException(s"malformed NEAR(...) in: $query")
+        }
       case "(" :: tail =>
         val (n, rest) = pOr(tail)
         rest match {
@@ -104,7 +130,7 @@ object QueryLang {
         val words = w.drop(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
         require(words.nonEmpty, s"empty phrase in: $query")
         (if (words.size == 1) Term(words.head) else Phrase(words), tail)
-      case w :: tail if w != ")" && !isKw(w, "AND") && !isKw(w, "OR") =>
+      case w :: tail if w != ")" && w != "," && !isKw(w, "AND") && !isKw(w, "OR") =>
         (Term(w.toLowerCase), tail)
       case other =>
         throw new IllegalArgumentException(s"expected a term at: $other in: $query")
@@ -142,6 +168,18 @@ object QueryLang {
         exists(sequence(lit(1), size(toksCol) - lit(n - 1)),
           i => slice(toksCol, i, lit(n)) === pArr))
         .otherwise(lit(false))
+    case Near(ts, w) =>
+      // exists a start s where EVERY term occurs inside [s, s+w-1]; starts
+      // beyond size-w+1 add nothing (their window is a suffix of an earlier
+      // one), and the inner window end clamps to the doc so the generated
+      // sequences stay ascending
+      val tArr = array(ts.distinct.map(lit): _*)
+      when(size(toksCol) >= ts.distinct.size,
+        exists(sequence(lit(1), greatest(size(toksCol) - lit(w - 1), lit(1))),
+          s => forall(tArr, t =>
+            exists(sequence(s, least(s + lit(w - 1), size(toksCol))),
+              j => element_at(toksCol, j) === t))))
+        .otherwise(lit(false))
     case And(l, r) => matchColumn(l, toksCol) && matchColumn(r, toksCol)
     case Or(l, r)  => matchColumn(l, toksCol) || matchColumn(r, toksCol)
     case Not(c)    => !matchColumn(c, toksCol)
@@ -150,6 +188,7 @@ object QueryLang {
   private[operators] def positiveTerms(node: Node): Seq[String] = node match {
     case Term(w)    => Seq(w)
     case Phrase(ws) => ws // phrase members score as terms
+    case Near(ts, _) => ts // NEAR members score as terms
     case And(l, r)  => positiveTerms(l) ++ positiveTerms(r)
     case Or(l, r)   => positiveTerms(l) ++ positiveTerms(r)
     case Not(_)     => Nil // negated terms don't score
