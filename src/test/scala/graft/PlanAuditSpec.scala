@@ -30,6 +30,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("GreaterThan(n_chars,200)"))
   }
 
+  test("filtered boolean MATCH pushes the DSL predicates into the chunks scan") {
+    val p = plan("ql_boolean_filtered")
+    // the metadata gate reads the chunks table ONCE with the compiled filter
+    // pushed into parquet, and applies as a semi-join — never per operand
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("EqualTo(lang,en)"))
+    assert(p.contains("GreaterThan(n_chars,200)"))
+    assert(p.contains("LeftSemi"))
+  }
+
   test("vector top-k runs as TakeOrderedAndProject with pushed id filter") {
     val p = plan("t1_vector_topk")
     assert(p.contains("TakeOrderedAndProject"))
@@ -126,7 +136,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     //     the ≤25-row query-vector batches, the labeled eval query set, search
     //     query stats): t2_bm25_topk, t2b_bm25_postings, t2c_bm25_lsm_search
     //     (same one-row corpus-stats cross join as t2b, served from the LSM
-    //     view), ql_boolean_index + ql_boolean_phrase_index (booleanSearch's
+    //     view), ql_boolean_index + ql_boolean_phrase_index +
+    //     ql_boolean_near_index + ql_boolean_filtered (booleanSearch's
     //     BM25 ranking stage — the identical one-row corpus-stats cross
     //     join), t1b_vector_batch,
     //     ann_recall_eval, eval_mrr, a1_rrf_fusion, a1b_weighted_rrf,
@@ -137,7 +148,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       "a1_rrf_fusion", "a1b_weighted_rrf", "a2_group_docs", "ann_recall_eval",
       "eval_mrr", "events_funnel", "pca_top_component", "q11_important_stock",
       "q15_top_supplier", "q22_no_orders", "ql_boolean_index",
-      "ql_boolean_phrase_index", "sketch_quantile_hist",
+      "ql_boolean_phrase_index", "ql_boolean_near_index", "ql_boolean_filtered",
+      "sketch_quantile_hist",
       "t1b_vector_batch", "t2_bm25_topk", "t2b_bm25_postings",
       "t2c_bm25_lsm_search", "text_collocations", "text_js_divergence",
       "text_keywords")
