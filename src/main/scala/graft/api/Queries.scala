@@ -1184,12 +1184,13 @@ object Queries {
 
   /** The suggest-key artifact's full lifecycle, gated cross-engine: index,
     * build the delete-key artifact, then ONE incremental merge that deletes
-    * (%13) and replaces (%7, appending a token that EXISTS NOWHERE before the
-    * update). The suggestions must come from the artifact ∪ on-the-fly delta
-    * keys ∩ live termDf: a missing delta union drops the new token's
-    * suggestion, a stale-key resurrection re-ranks by dead terms — either
-    * flips the hash. Oracle = brute-force levenshtein over the
-    * post-lifecycle vocabulary.
+    * (%13) and replaces (%7, appending a token that EXISTS NOWHERE before
+    * the update). Since round 13 the update MAINTAINS the artifact (batch
+    * keys appended, sidecar restamped), so the suggestions come from the
+    * maintained artifact ∩ live termDf on the no-anti-join fast path: a
+    * missed key append drops the new token's suggestion, a stale-key
+    * resurrection re-ranks by dead terms — either flips the hash. Oracle =
+    * brute-force levenshtein over the post-lifecycle vocabulary.
     */
   private val suggestLifecycle = Q(
     (s, d) => {

@@ -905,9 +905,10 @@ final class CollectionManager(
 
   /** Persist the SymSpell delete-key artifact next to the BM25 index — the
     * per-query neighborhood explode of the vocabulary becomes a build-time
-    * cost; terms arriving via later incremental updates still suggest (the
-    * indexer unions on-the-fly keys for the delta vocabulary). Re-run with
-    * [[compactBm25]] to fold the on-the-fly share back to zero.
+    * cost. From then on the artifact is MAINTAINED: incremental updates
+    * append the batch vocabulary's keys and restamp (suggest stays on the
+    * no-anti-join fast path), and [[compactBm25]] rebuilds it against the
+    * folded vocabulary.
     */
   def buildSuggestIndex(name: String, maxEdits: Int = 2): Unit =
     withWriterLock(name) { bm25Indexer(name).buildSuggestKeys(maxEdits) }

@@ -334,9 +334,11 @@ final class Bm25Indexer(
     writeBase(postingsOf(chunks))
     deriveStats()
     // a full rebuild re-keys every chunk — an existing positional artifact
-    // would be wholly stale, so it rebuilds from the same chunks in hand
+    // would be wholly stale, so it rebuilds from the same chunks in hand;
+    // a stamped suggest artifact rebuilds against the new vocabulary too
     if (fsys.exists(new org.apache.hadoop.fs.Path(p("positions"))))
       buildPhraseIndex(chunks)
+    readSuggestMeta().foreach { case (me, _) => buildSuggestKeys(me) }
   }
 
   /** Incremental postings merge for an update that replaced a known doc
@@ -416,6 +418,18 @@ final class Bm25Indexer(
         .write.mode(SaveMode.Append).parquet(p("corpus_delta"))
       signed.unpersist()
     }
+    // suggest-key maintenance (when a stamped artifact exists): append the
+    // batch vocabulary's delete keys — ∝ changed docs like every other delta
+    // this method writes — and restamp, so suggest() stays on the fast path
+    // across updates. Re-keyed known terms just add duplicate (term, delkey)
+    // rows (deduped at candidate time; compact's rebuild folds them away);
+    // deleted terms' keys die at the live-df join, keys only NOMINATE.
+    readSuggestMeta().foreach { case (me, _) =>
+      Suggest.deletionKeys(newPostings.select("term").distinct(), "term", me)
+        .withColumn("max_edits", lit(me))
+        .write.mode(SaveMode.Append).parquet(p("suggest_keys"))
+      writeSuggestMeta(me) // stamp AFTER the keys land (crash → stale, never false-fresh)
+    }
     newPostings.unpersist()
     ()
   }
@@ -457,6 +471,10 @@ final class Bm25Indexer(
     writeBase(folded)
     folded.unpersist()
     deriveStats()
+    // a stamped suggest artifact rebuilds against the folded vocabulary:
+    // update-appended duplicate keys fold away and the fast path stays live
+    // (deriveStats rewrote termDf, so the old stamp just went stale)
+    readSuggestMeta().foreach { case (me, _) => buildSuggestKeys(me) }
   }
 
   /** Bytes in the delta/tombstone/stat-delta tail vs the base segments — the
@@ -501,17 +519,18 @@ final class Bm25Indexer(
 
   // ------------------------------------------------------------ suggest keys
   //
-  // SymSpell delete-key artifact (round 11): (term, delkey) is a pure
-  // function of the vocabulary, so it persists next to the postings and the
-  // O(|vocab| × L²) neighborhood explode is paid at BUILD time, not per
-  // suggest query. LSM-composable without its own delta machinery: at query
-  // time, terms the LIVE termDf view has that the artifact lacks (arrived
-  // via updateIncremental since the build) get their keys computed on the
-  // fly and unioned — O(delta vocab), the same ∝-changed contract as the
-  // index itself — while deleted/stale terms die at the final inner join
-  // against the live df (keys only NOMINATE; existence and rank come from
-  // the live table). Rebuild whenever compact() runs to fold the on-the-fly
-  // share back to zero.
+  // SymSpell delete-key artifact (round 11; a maintained LSM member since
+  // round 13): (term, delkey) is a pure function of the vocabulary, so it
+  // persists next to the postings and the O(|vocab| × L²) neighborhood
+  // explode is paid at BUILD time, not per suggest query. Maintenance is
+  // write-side like every other artifact here: updateIncremental APPENDS the
+  // batch vocabulary's keys (∝ changed docs) and restamps the sidecar, so a
+  // maintained index answers suggest queries from the artifact alone — no
+  // per-query anti-join, no on-the-fly keys; compact() rebuilds the artifact
+  // against the folded vocabulary, folding duplicate keys away. Deleted /
+  // stale terms die at the final inner join against the live df (keys only
+  // NOMINATE; existence and rank come from the live table). The on-the-fly
+  // delta path remains as the fallback for sidecar-less (legacy) artifacts.
 
   /** Fingerprint of the LIVE vocabulary state: (name, length, mtime) of
     * every file under the termDf base and delta dirs, order-independent.
@@ -536,20 +555,48 @@ final class Bm25Indexer(
       parts.sorted.mkString("\n").getBytes("UTF-8")).toString
   }
 
-  /** Persist the delete-key artifact for the CURRENT logical vocabulary,
-    * stamped with [[vocabStamp]] so [[suggest]] can prove freshness and skip
-    * the vocab-sized live-vs-artifact anti-join entirely.
+  /** The artifact's one-row metadata sidecar (max_edits + the vocab stamp
+    * it was built/maintained against) — a tiny text file, read and written
+    * with pure file IO so freshness checks and update-time maintenance cost
+    * zero Spark jobs. Written AFTER the keys land (crash between the two
+    * leaves a stale stamp → the delta path, never a false "fresh").
+    */
+  private def suggestMetaPath = new org.apache.hadoop.fs.Path(p("suggest_meta"))
+
+  private def writeSuggestMeta(maxEdits: Int): Unit = {
+    val out = fsys.create(suggestMetaPath, true)
+    out.write(s"$maxEdits\n$vocabStamp\n".getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readSuggestMeta(): Option[(Int, String)] =
+    if (!fsys.exists(suggestMetaPath)) None
+    else {
+      val in = fsys.open(suggestMetaPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.split("\n").toList match {
+        case me :: stamp :: _ => me.toIntOption.map(m => (m, stamp))
+        case _ => None
+      }
+    }
+
+  /** Persist the delete-key artifact for the CURRENT logical vocabulary and
+    * stamp the sidecar, so [[suggest]] can prove freshness and skip the
+    * vocab-sized live-vs-artifact anti-join entirely. After this,
+    * [[updateIncremental]] MAINTAINS the artifact (appends the batch
+    * vocabulary's keys, restamps) and [[compact]] rebuilds it — the fast
+    * path survives the whole lifecycle.
     */
   def buildSuggestKeys(maxEdits: Int = 2): Unit = {
     require(maxEdits >= 1 && maxEdits <= 2, "maxEdits must be 1 or 2")
-    val stamp = vocabStamp
     Suggest.deletionKeys(termDfTable(), "term", maxEdits)
       .withColumn("max_edits", lit(maxEdits))
-      .withColumn("vocab_stamp", lit(stamp))
       .repartitionByRange(col("delkey"))
       .sortWithinPartitions("delkey")
       .write.mode(SaveMode.Overwrite).parquet(p("suggest_keys") + "__staging")
     swapDir(p("suggest_keys") + "__staging", p("suggest_keys"))
+    writeSuggestMeta(maxEdits)
   }
 
   /** Spelling suggestions for `queryTerms` against the index vocabulary,
@@ -557,31 +604,36 @@ final class Bm25Indexer(
     * distance — a 1-edit artifact cannot nominate 2-edit candidates, so a
     * wider request falls back to on-the-fly), else fully on the fly.
     *
-    * Freshness fast path: when the artifact's [[vocabStamp]] matches the
-    * live termDf state (no update since [[buildSuggestKeys]] — the common
-    * case on a maintained index), the artifact's keys ARE the vocabulary's
-    * keys and the vocab-sized live-vs-artifact anti-join + on-the-fly delta
-    * keys are skipped outright (spec-pinned: the fresh plan has no LeftAnti).
+    * Freshness fast path: when the sidecar's stamp matches the live termDf
+    * state ([[vocabStamp]]) — true right after a build AND after every
+    * [[updateIncremental]], which maintains the artifact — the artifact's
+    * keys ARE the vocabulary's keys and the vocab-sized live-vs-artifact
+    * anti-join + on-the-fly delta keys are skipped outright (spec-pinned:
+    * the fresh plan has no LeftAnti). An artifact without a sidecar
+    * (legacy, or a lost file) is usable but never fresh — correct, slower.
     */
   def suggest(queryTerms: Seq[String], maxEdits: Int = 2, topK: Int = 3): DataFrame = {
     import spark.implicits._
     val queries = queryTerms.toDF("q")
     val live = termDfTable()
     val artifact = new org.apache.hadoop.fs.Path(p("suggest_keys"))
-    val baseKeys =
-      if (fsys.exists(artifact)) {
-        val k = spark.read.parquet(p("suggest_keys"))
-        // min over an EMPTY artifact (built from an empty vocabulary, e.g. a
-        // fully-deleted collection) is null — treat as "no usable artifact"
-        // and fall through to on-the-fly, instead of NPEing on getInt
-        val hasStamp = k.columns.contains("vocab_stamp")
-        val meta = k.agg(min(col("max_edits")),
-          if (hasStamp) min(col("vocab_stamp")) else lit(null).cast("string")).head
-        if (!meta.isNullAt(0) && meta.getInt(0) >= maxEdits)
-          Some((k.select("term", "delkey"),
-            !meta.isNullAt(1) && meta.getString(1) == vocabStamp))
-        else None
-      } else None
+    val baseKeys: Option[(DataFrame, Boolean)] =
+      if (!fsys.exists(artifact)) None
+      else readSuggestMeta() match {
+        case Some((me, stamp)) if me >= maxEdits =>
+          Some((spark.read.parquet(p("suggest_keys")).select("term", "delkey"),
+            stamp == vocabStamp))
+        case Some(_) => None // built narrower than the request: fall back whole
+        case None => // legacy sidecar-less artifact: usable if wide enough, never fresh
+          val k = spark.read.parquet(p("suggest_keys"))
+          // min over an EMPTY artifact (built from an empty vocabulary, e.g. a
+          // fully-deleted collection) is null — treat as "no usable artifact"
+          // and fall through to on-the-fly, instead of NPEing on getInt
+          val minEdits = k.agg(min(col("max_edits"))).head
+          if (!minEdits.isNullAt(0) && minEdits.getInt(0) >= maxEdits)
+            Some((k.select("term", "delkey"), false))
+          else None
+      }
     baseKeys match {
       case Some((keys, fresh)) if fresh =>
         Suggest.spellSuggestFromKeys(keys, live, queries, "q", maxEdits, topK)

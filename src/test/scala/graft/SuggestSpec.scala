@@ -145,7 +145,7 @@ class SuggestSpec extends AnyFunSuite with SparkSuite {
     assert(wideReq === Seq("zeppelin")) // distance 2, only reachable on the fallback
   }
 
-  test("suggest freshness stamp: a fresh artifact skips the vocab anti-join; updates reopen it") {
+  test("suggest freshness stamp: maintained across the lifecycle; sidecar loss degrades, never breaks") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-suggest-stamp").toString
     val cm = new graft.core.CollectionManager(spark, tmp,
       new graft.functions.HashingEmbedder(dim = 16),
@@ -156,24 +156,36 @@ class SuggestSpec extends AnyFunSuite with SparkSuite {
     cm.create("c", docs("d1" -> "zeppelin cluster running smoothly"))
     cm.buildSuggestIndex("c")
     def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.optimizedPlan.toString
-    // fresh artifact (vocab stamp matches the live termDf state): the keys
+    // fresh artifact (sidecar stamp matches the live termDf state): the keys
     // ARE the vocabulary's keys — no vocab-sized live-vs-artifact anti-join
     val fresh = cm.suggestTerms("c", Seq("zepelin"), topK = 1)
     assert(!plan(fresh).contains("LeftAnti"),
       s"fresh artifact must skip the anti-join:\n${plan(fresh)}")
     assert(fresh.collect().map(_.getString(1)).toSeq === Seq("zeppelin"))
-    // an incremental update changes the vocabulary → stamp mismatch → the
-    // delta path (anti-join + on-the-fly keys) reopens and serves new terms
+    // an incremental update MAINTAINS the artifact (batch keys appended,
+    // sidecar restamped): still no anti-join, and the new term serves from
+    // the appended keys alone
     cm.update("c", docs("d2" -> "gyroscope calibration notes"))
-    val stale = cm.suggestTerms("c", Seq("gyroscpe"), topK = 1)
-    assert(plan(stale).contains("LeftAnti"),
-      s"stale artifact must take the delta path:\n${plan(stale)}")
-    assert(stale.collect().map(_.getString(1)).toSeq === Seq("gyroscope"))
-    // rebuilding the artifact restores the fast path, new vocab included
-    cm.buildSuggestIndex("c")
-    val fresh2 = cm.suggestTerms("c", Seq("gyroscpe"), topK = 1)
-    assert(!plan(fresh2).contains("LeftAnti"))
-    assert(fresh2.collect().map(_.getString(1)).toSeq === Seq("gyroscope"))
+    val maintained = cm.suggestTerms("c", Seq("gyroscpe"), topK = 1)
+    assert(!plan(maintained).contains("LeftAnti"),
+      s"maintained artifact must stay on the fast path:\n${plan(maintained)}")
+    assert(maintained.collect().map(_.getString(1)).toSeq === Seq("gyroscope"))
+    // compaction rebuilds the artifact against the folded vocabulary:
+    // duplicate update-appended keys fold, the fast path stays live
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(s"$tmp/c/indexes/bm25/suggest_meta")
+    cm.compactBm25("c")
+    assert(fs.exists(meta))
+    val afterCompact = cm.suggestTerms("c", Seq("gyroscpe", "zepelin"), topK = 1)
+    assert(!plan(afterCompact).contains("LeftAnti"))
+    assert(afterCompact.collect().map(_.getString(1)).toSet === Set("gyroscope", "zeppelin"))
+    // a lost/legacy sidecar degrades to the delta path (anti-join + on-the-fly
+    // keys) — slower, never wrong
+    assert(fs.delete(meta, false))
+    val legacy = cm.suggestTerms("c", Seq("gyroscpe"), topK = 1)
+    assert(plan(legacy).contains("LeftAnti"),
+      s"sidecar-less artifact must take the delta path:\n${plan(legacy)}")
+    assert(legacy.collect().map(_.getString(1)).toSeq === Seq("gyroscope"))
   }
 
   test("highlightSnippet: query terms with quotes are literals, not SQL splices") {
