@@ -733,12 +733,14 @@ final class Bm25Indexer(
         case ts if ts.nonEmpty => Phrase(ts)
         case _ => throw new IllegalArgumentException(s"phrase '${ws.mkString(" ")}' has no indexable tokens")
       }
-      case Near(ws, w) => ws.flatMap(Search.tokenize) match {
-        // the window is in index-tokenizer tokens; a word that splits widens
-        // the term set but keeps the user's window
-        case ts if ts.nonEmpty => Near(ts, math.max(w, ts.size))
-        case _ => throw new IllegalArgumentException(s"NEAR(${ws.mkString(" ")}) has no indexable tokens")
-      }
+      case Near(ops, w) =>
+        // each operand re-tokenizes through THIS index's tokenizer (a word
+        // that splits widens its operand); the user's window is kept but
+        // never below what the operands physically need
+        val normed = ops.map(_.flatMap(Search.tokenize)).filter(_.nonEmpty)
+        if (normed.isEmpty) throw new IllegalArgumentException(
+          s"NEAR(${ops.map(_.mkString(" ")).mkString(", ")}) has no indexable tokens")
+        Near(normed, math.max(w, normed.map(_.size).sum))
       case And(l, r) => And(norm(l), norm(r))
       case Or(l, r)  => Or(norm(l), norm(r))
       case Not(c)    => Not(norm(c))
@@ -751,9 +753,14 @@ final class Bm25Indexer(
       case Term(t)   => (termIds(t), false)
       case Phrase(ws) => // exact-phrase atom: ids from the positional artifact
         (QueryLang.phraseHitsPostings(phraseView(ws)._1, ws).select("docId"), false)
-      case Near(ts, w) => // proximity atom: ids from the positional artifact
-        val (view, toks) = phraseView(ts)
-        (QueryLang.nearHitsPostings(view, toks.distinct, w).select("docId"), false)
+      case Near(ops, w) => // proximity atom: ids from the positional artifact;
+        // each operand contributes its occurrence-START positions (a phrase
+        // operand's starts come from the same intersected-shift machinery as
+        // phrase atoms), window holds every operand FULLY
+        val frames = ops.distinct.map { op =>
+          (QueryLang.phraseStartsPostings(phraseView(op)._1, op), op.size)
+        }
+        (QueryLang.nearHitsOperands(frames, w).select("docId"), false)
       case Not(c)    => val (d, comp) = eval(c); (d, !comp)
       case And(l, r) => combine(eval(l), eval(r), and = true)
       case Or(l, r)  => combine(eval(l), eval(r), and = false)

@@ -30,13 +30,15 @@ object QueryLang {
   sealed trait Node
   final case class Term(word: String) extends Node
   final case class Phrase(words: Seq[String]) extends Node
-  /** `NEAR(a b c, n)` atom (FTS5's MATCH-embedded proximity): every term
-    * inside some ≤`window`-token span. NOTE on the window: this engine's
-    * NEAR convention everywhere is SPAN LENGTH (first-to-last inclusive),
-    * not FTS5's between-token gap count — `NEAR(a b, 3)` here means a and b
-    * within a 3-token window. Default window 10, like FTS5.
+  /** `NEAR(a "b c" d, n)` atom (FTS5's MATCH-embedded proximity): every
+    * OPERAND — a term or a quoted exact phrase, exactly like FTS5's NEAR
+    * over phrases — occurs fully inside some ≤`window`-token span. NOTE on
+    * the window: this engine's NEAR convention everywhere is SPAN LENGTH
+    * (first token of the earliest operand to last token of the latest,
+    * inclusive), not FTS5's between-token gap count — `NEAR(a b, 3)` here
+    * means a and b within a 3-token window. Default window 10, like FTS5.
     */
-  final case class Near(terms: Seq[String], window: Int = 10) extends Node
+  final case class Near(operands: Seq[Seq[String]], window: Int = 10) extends Node
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
   final case class Not(child: Node) extends Node
@@ -105,19 +107,25 @@ object QueryLang {
     }
     def pAtom(ts: List[String]): (Node, List[String]) = ts match {
       case t :: "(" :: tail if isKw(t, "NEAR") =>
-        // NEAR(a b c[, n]) — terms until ',' or ')'; window literal optional
+        // NEAR(a "b c" d[, n]) — operands (terms or quoted phrases, like
+        // FTS5's NEAR over phrases) until ',' or ')'; window literal optional
         val (words, afterWords) = tail.span(w => w != "," && w != ")")
-        val terms = words.map(_.toLowerCase)
-        require(terms.nonEmpty && terms.forall(w =>
-            w != "(" && !w.startsWith("\u0000")),
-          s"NEAR needs plain terms in: $query")
+        require(words.nonEmpty && words.forall(_ != "("),
+          s"NEAR needs term/phrase operands (no nesting) in: $query")
+        val operands = words.map { w =>
+          if (w.startsWith("\u0000"))
+            w.drop(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+          else Seq(w.toLowerCase)
+        }
+        require(operands.forall(_.nonEmpty), s"empty NEAR operand in: $query")
         afterWords match {
           case "," :: n :: ")" :: rr =>
             val w = try n.toInt catch { case _: NumberFormatException =>
               throw new IllegalArgumentException(s"NEAR window must be an integer in: $query") }
-            require(w >= terms.size, s"NEAR window $w smaller than term count in: $query")
-            (Near(terms, w), rr)
-          case ")" :: rr => (Near(terms), rr)
+            require(w >= operands.map(_.size).sum,
+              s"NEAR window $w cannot hold the operands in: $query")
+            (Near(operands, w), rr)
+          case ")" :: rr => (Near(operands), rr)
           case _ => throw new IllegalArgumentException(s"malformed NEAR(...) in: $query")
         }
       case "(" :: tail =>
@@ -168,18 +176,24 @@ object QueryLang {
         exists(sequence(lit(1), size(toksCol) - lit(n - 1)),
           i => slice(toksCol, i, lit(n)) === pArr))
         .otherwise(lit(false))
-    case Near(ts, w) =>
-      // exists a start s where EVERY term occurs inside [s, s+w-1]; starts
-      // beyond size-w+1 add nothing (their window is a suffix of an earlier
-      // one), and the inner window end clamps to the doc so the generated
-      // sequences stay ascending
-      val tArr = array(ts.distinct.map(lit): _*)
-      when(size(toksCol) >= ts.distinct.size,
-        exists(sequence(lit(1), greatest(size(toksCol) - lit(w - 1), lit(1))),
-          s => forall(tArr, t =>
-            exists(sequence(s, least(s + lit(w - 1), size(toksCol))),
-              j => element_at(toksCol, j) === t))))
-        .otherwise(lit(false))
+    case Near(ops, w) =>
+      // per-operand occurrence START positions (a single term is a length-1
+      // phrase); then: exists a start s — necessarily an operand occurrence
+      // start — where every operand occurs FULLY inside [s, s+w-1]
+      val opsD = ops.distinct
+      def startsOf(op: Seq[String]): Column = {
+        val l = op.size
+        val pArr = array(op.map(lit): _*)
+        when(size(toksCol) >= l,
+          filter(sequence(lit(1), size(toksCol) - lit(l - 1)),
+            p => slice(toksCol, p, lit(l)) === pArr))
+          .otherwise(array().cast("array<int>"))
+      }
+      val starts = opsD.map(startsOf)
+      exists(array_sort(flatten(array(starts: _*))),
+        s => opsD.zip(starts).map { case (op, st) =>
+          exists(st, p => p >= s && p + lit(op.size - 1) <= s + lit(w - 1))
+        }.reduce(_ && _))
     case And(l, r) => matchColumn(l, toksCol) && matchColumn(r, toksCol)
     case Or(l, r)  => matchColumn(l, toksCol) || matchColumn(r, toksCol)
     case Not(c)    => !matchColumn(c, toksCol)
@@ -188,7 +202,7 @@ object QueryLang {
   private[operators] def positiveTerms(node: Node): Seq[String] = node match {
     case Term(w)    => Seq(w)
     case Phrase(ws) => ws // phrase members score as terms
-    case Near(ts, _) => ts // NEAR members score as terms
+    case Near(ops, _) => ops.flatten // NEAR operand words score as terms
     case And(l, r)  => positiveTerms(l) ++ positiveTerms(r)
     case Or(l, r)   => positiveTerms(l) ++ positiveTerms(r)
     case Not(_)     => Nil // negated terms don't score
@@ -321,21 +335,35 @@ object QueryLang {
     require(terms.nonEmpty, "need at least one term")
     require(window >= terms.size, "window can't be smaller than the term count")
     val ts = terms.map(_.toLowerCase).distinct
-    val frames = ts.zipWithIndex.map { case (t, j) =>
-      postings.where(col("term") === t)
-        .select(col("docId"), col("positions").as(s"_p$j"))
+    nearHitsOperands(ts.map(t =>
+      (postings.where(col("term") === t)
+        .select(col("docId"), col("positions").as("starts")), 1)), window)
+  }
+
+  /** NEAR over OPERANDS — each a (docId, starts) frame of occurrence start
+    * positions plus the operand's token length (1 for a term, |phrase| for a
+    * phrase operand from [[phraseStartsPostings]]) — generalizing
+    * [[nearHitsPostings]] to FTS5's NEAR-over-phrases: the minimal window
+    * must hold every operand FULLY, so each operand's window end is its
+    * first-start-at-or-after-s plus (length − 1). Candidate starts are
+    * operand occurrence starts, capped at the least last start so the
+    * first-at-or-after lookups stay non-null (greatest() ignores nulls —
+    * the cap is what makes it safe).
+    */
+  def nearHitsOperands(frames: Seq[(DataFrame, Int)], window: Int): DataFrame = {
+    require(frames.nonEmpty, "need at least one operand")
+    require(window >= 1, "window must be >= 1")
+    val named = frames.zipWithIndex.map { case ((df, len), j) =>
+      (df.select(col("docId"), col("starts").as(s"_p$j")), len, j)
     }
-    val joined = frames.reduceLeft(_.join(_, Seq("docId")))
-    val arrs = ts.indices.map(j => s"_p$j")
-    // starts = every occurrence of any term, capped at the least last
-    // occurrence so every first-at-or-after lookup below is non-null
-    // (greatest() ignores nulls, so the cap is what makes it safe)
-    val sMax = s"least(${arrs.map(a => s"array_max($a)").mkString(", ")})"
-    val endAt = (s: String) =>
-      s"greatest(${arrs.map(a => s"array_min(filter($a, q -> q >= $s))").mkString(", ")})"
+    val joined = named.map(_._1).reduceLeft(_.join(_, Seq("docId")))
+    val arrs = named.map { case (_, len, j) => (s"_p$j", len) }
+    val sMax = s"least(${arrs.map { case (a, _) => s"array_max($a)" }.mkString(", ")})"
+    val endAt = (s: String) => s"greatest(${arrs.map { case (a, len) =>
+      s"array_min(filter($a, q -> q >= $s)) + ${len - 1}" }.mkString(", ")})"
     joined
       .withColumn("_cand", expr(
-        s"""transform(filter(array_sort(flatten(array(${arrs.mkString(", ")}))),
+        s"""transform(filter(array_sort(flatten(array(${arrs.map(_._1).mkString(", ")}))),
            |                 s -> s <= $sMax),
            |  s -> named_struct('e', ${endAt("s")}, 'st', s))""".stripMargin))
       .where(size(col("_cand")) > 0)
@@ -376,7 +404,17 @@ object QueryLang {
   /** The UNRANKED phrase hits (docId, phrase_tf, first_pos) — callers that
     * aggregate further (e.g. chunk → document roll-up) skip the top-k sort.
     */
-  def phraseHitsPostings(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+  def phraseHitsPostings(postings: DataFrame, phrase: Seq[String]): DataFrame =
+    phraseStartsPostings(postings, phrase)
+      .select(col("docId"),
+        size(col("starts")).cast("long").as("phrase_tf"),
+        element_at(col("starts"), 1).cast("long").as("first_pos"))
+
+  /** The phrase's occurrence START positions per doc (docId, starts sorted
+    * ascending, non-empty) — the shared core of [[phraseHitsPostings]] and
+    * the phrase OPERANDS of NEAR ([[nearHitsOperands]]).
+    */
+  def phraseStartsPostings(postings: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "need a non-empty phrase")
     val terms = phrase.map(_.toLowerCase)
     // one shifted frame per phrase SLOT (a repeated word contributes every
@@ -391,10 +429,8 @@ object QueryLang {
       array_intersect(acc, col(s"_s$j"))
     }
     joined
-      .withColumn("_pos", sort_array(inter))
-      .where(size(col("_pos")) > 0)
-      .select(col("docId"),
-        size(col("_pos")).cast("long").as("phrase_tf"),
-        element_at(col("_pos"), 1).cast("long").as("first_pos"))
+      .withColumn("starts", sort_array(inter))
+      .where(size(col("starts")) > 0)
+      .select(col("docId"), col("starts"))
   }
 }

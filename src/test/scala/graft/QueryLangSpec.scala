@@ -108,16 +108,18 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](parse("\"unclosed"))
   }
 
-  test("parser: NEAR atoms with optional window") {
-    assert(parse("NEAR(a b, 5)") === Near(Seq("a", "b"), 5))
-    assert(parse("NEAR(a b c)") === Near(Seq("a", "b", "c"), 10)) // FTS5 default
-    assert(parse("NEAR(a b, 5) AND c") === And(Near(Seq("a", "b"), 5), Term("c")))
-    assert(parse("near(A B, 3)") === Near(Seq("a", "b"), 3)) // case-insensitive kw
+  test("parser: NEAR atoms with optional window and phrase operands") {
+    assert(parse("NEAR(a b, 5)") === Near(Seq(Seq("a"), Seq("b")), 5))
+    assert(parse("NEAR(a b c)") === Near(Seq(Seq("a"), Seq("b"), Seq("c")), 10)) // FTS5 default
+    assert(parse("NEAR(a b, 5) AND c") === And(Near(Seq(Seq("a"), Seq("b")), 5), Term("c")))
+    assert(parse("near(A B, 3)") === Near(Seq(Seq("a"), Seq("b")), 3)) // case-insensitive kw
     assert(parse("near spark") === And(Term("near"), Term("spark"))) // bare word stays a term
-    intercept[IllegalArgumentException](parse("NEAR(a b, 1)"))  // window < |terms|
+    // quoted phrases are operands, exactly like FTS5's NEAR over phrases
+    assert(parse("NEAR(\"a b\" c, 4)") === Near(Seq(Seq("a", "b"), Seq("c")), 4))
+    intercept[IllegalArgumentException](parse("NEAR(a b, 1)"))  // window can't hold operands
+    intercept[IllegalArgumentException](parse("NEAR(\"a b\" c, 2)")) // ditto with a phrase
     intercept[IllegalArgumentException](parse("NEAR(a b, x)"))  // non-integer window
     intercept[IllegalArgumentException](parse("NEAR(a b"))      // unclosed
-    intercept[IllegalArgumentException](parse("NEAR(\"a b\" c, 4)")) // no phrase atoms inside
   }
 
   test("NEAR atoms inside boolean MATCH: scan and index paths agree") {
@@ -142,6 +144,32 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
     // therefore keeps the spark doc without the adjacency — doc 2
     assert(idx.booleanSearch("NOT NEAR(spark join, 2) AND spark", 100)
       .collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
+  test("NEAR with PHRASE operands: the window must hold each operand fully") {
+    val d = Seq(
+      (1L, "x hash join y y broadcast"), // "hash join" starts 2, ends 3; broadcast 6 → span 5
+      (2L, "hash join broadcast"),       // span 3
+      (3L, "hash y join broadcast"),     // phrase never occurs
+      (4L, "broadcast z z z hash join")) // span 7
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nearph").toString
+    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
+    val asChunks = d.select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+    idx.index(asChunks)
+    idx.buildPhraseIndex(asChunks)
+    def ids(q: String) = idx.booleanSearch(q, 100).collect().map(_.getLong(0)).toSet
+    def scanIds(q: String) = d.withColumn("_t", QueryLang.tokens("text"))
+      .where(QueryLang.matchColumn(QueryLang.parse(q), col("_t")))
+      .collect().map(_.getLong(0)).toSet
+    for (q <- Seq("NEAR(\"hash join\" broadcast, 5)",
+                  "NEAR(\"hash join\" broadcast, 3)",
+                  "NEAR(\"hash join\" broadcast, 7)")) {
+      assert(ids(q) === scanIds(q), s"query: $q")
+    }
+    assert(ids("NEAR(\"hash join\" broadcast, 5)") === Set(1L, 2L))
+    assert(ids("NEAR(\"hash join\" broadcast, 3)") === Set(2L))
+    assert(ids("NEAR(\"hash join\" broadcast, 7)") === Set(1L, 2L, 4L))
   }
 
   test("index boolean MATCH: candidate sets equal the scan path; pure negation rejected") {
