@@ -424,10 +424,14 @@ final class Bm25Indexer(
     // across updates. Re-keyed known terms just add duplicate (term, delkey)
     // rows (deduped at candidate time; compact's rebuild folds them away);
     // deleted terms' keys die at the live-df join, keys only NOMINATE.
+    // Keys append as DELTA SEGMENTS (not into the base dir) so the fold
+    // triggers see their growth: tailBytes/tailSegments count the dir, and a
+    // long run of tiny ticks trips the segment-count trigger before suggest
+    // queries pay per-file read amplification forever.
     readSuggestMeta().foreach { case (me, _) =>
       Suggest.deletionKeys(newPostings.select("term").distinct(), "term", me)
         .withColumn("max_edits", lit(me))
-        .write.mode(SaveMode.Append).parquet(p("suggest_keys"))
+        .write.mode(SaveMode.Append).parquet(p("suggest_keys_delta"))
       writeSuggestMeta(me) // stamp AFTER the keys land (crash → stale, never false-fresh)
     }
     newPostings.unpersist()
@@ -450,7 +454,7 @@ final class Bm25Indexer(
     */
   def compact(): Unit = {
     val hasTail = Seq("postings_delta", "tombstones", "termDf_delta",
-        "corpus_delta", "positions_delta")
+        "corpus_delta", "positions_delta", "suggest_keys_delta")
       .exists(d => fsys.exists(new org.apache.hadoop.fs.Path(p(d))))
     if (!hasTail) return
     // the positional artifact folds FIRST: its logical view reads the shared
@@ -483,7 +487,7 @@ final class Bm25Indexer(
     */
   private def tailDirs =
     Seq(p("postings_delta"), p("tombstones"), p("termDf_delta"),
-      p("corpus_delta"), p("positions_delta"))
+      p("corpus_delta"), p("positions_delta"), p("suggest_keys_delta"))
 
   def tailBytes: Long =
     tailDirs.map { d =>
@@ -596,7 +600,14 @@ final class Bm25Indexer(
       .sortWithinPartitions("delkey")
       .write.mode(SaveMode.Overwrite).parquet(p("suggest_keys") + "__staging")
     swapDir(p("suggest_keys") + "__staging", p("suggest_keys"))
+    fsys.delete(new org.apache.hadoop.fs.Path(p("suggest_keys_delta")), true)
     writeSuggestMeta(maxEdits)
+  }
+
+  /** The LOGICAL delete-key table: base ∪ update-appended delta segments. */
+  private def suggestKeysTable(): DataFrame = {
+    val base = spark.read.parquet(p("suggest_keys"))
+    readIf(p("suggest_keys_delta")).map(base.unionByName(_)).getOrElse(base)
   }
 
   /** Spelling suggestions for `queryTerms` against the index vocabulary,
@@ -621,11 +632,11 @@ final class Bm25Indexer(
       if (!fsys.exists(artifact)) None
       else readSuggestMeta() match {
         case Some((me, stamp)) if me >= maxEdits =>
-          Some((spark.read.parquet(p("suggest_keys")).select("term", "delkey"),
+          Some((suggestKeysTable().select("term", "delkey"),
             stamp == vocabStamp))
         case Some(_) => None // built narrower than the request: fall back whole
         case None => // legacy sidecar-less artifact: usable if wide enough, never fresh
-          val k = spark.read.parquet(p("suggest_keys"))
+          val k = suggestKeysTable()
           // min over an EMPTY artifact (built from an empty vocabulary, e.g. a
           // fully-deleted collection) is null — treat as "no usable artifact"
           // and fall through to on-the-fly, instead of NPEing on getInt

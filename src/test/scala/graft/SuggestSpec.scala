@@ -170,12 +170,17 @@ class SuggestSpec extends AnyFunSuite with SparkSuite {
     assert(!plan(maintained).contains("LeftAnti"),
       s"maintained artifact must stay on the fast path:\n${plan(maintained)}")
     assert(maintained.collect().map(_.getString(1)).toSeq === Seq("gyroscope"))
+    // appended keys land as DELTA segments the fold triggers can see
+    assert(new java.io.File(s"$tmp/c/indexes/bm25/suggest_keys_delta").isDirectory)
     // compaction rebuilds the artifact against the folded vocabulary:
     // duplicate update-appended keys fold, the fast path stays live
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val meta = new org.apache.hadoop.fs.Path(s"$tmp/c/indexes/bm25/suggest_meta")
     cm.compactBm25("c")
     assert(fs.exists(meta))
+    assert(!new java.io.File(s"$tmp/c/indexes/bm25/suggest_keys_delta").exists,
+      "compaction must fold the suggest-key delta tail")
+    assert(cm.bm25TailSegments("c") === 0L)
     val afterCompact = cm.suggestTerms("c", Seq("gyroscpe", "zepelin"), topK = 1)
     assert(!plan(afterCompact).contains("LeftAnti"))
     assert(afterCompact.collect().map(_.getString(1)).toSet === Set("gyroscope", "zeppelin"))
