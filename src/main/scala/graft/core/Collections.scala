@@ -736,6 +736,16 @@ final class CollectionManager(
           ("malformed_bucket_children_documents", 0L, malformedDocs),
           ("malformed_bucket_children_chunks", 0L, malformedChunks))
       } else Nil
+    // the positional artifact shares the postings' membership contract: a
+    // LOGICAL row (base ∪ delta ⊖ tombstones) whose chunk id is not a live
+    // chunk is crash residue that would serve phantom phrase/NEAR hits
+    val positions =
+      if (fs.exists(new Path(s"${bm25Dir(name)}/positions")))
+        Seq(("positions_stray", 0L,
+          bm25Indexer(name).positionsTable()
+            .select(col("docId").as("chunkId")).distinct()
+            .join(ch.select("chunkId"), Seq("chunkId"), "left_anti").count()))
+      else Nil
     val ivf = ivfIndex(name).map(ix =>
       ("ivf_size_matches_chunks", nChunks, ix.size)).toSeq
     val sigs =
@@ -779,7 +789,7 @@ final class CollectionManager(
         }
       Seq(("expired_writer_lock", 0L, expired))
     }
-    (base ++ bm25 ++ buckets ++ ivf ++ sigs ++ lock)
+    (base ++ bm25 ++ positions ++ buckets ++ ivf ++ sigs ++ lock)
       .map { case (c, e, a) => (c, e, a, e == a) }
       .toDF("check", "expected", "actual", "ok")
   }

@@ -222,13 +222,28 @@ class CollectionsSpec extends AnyFunSuite with SparkSuite {
     val cm = mkManager(tmp)
     cm.create("fc", rawDocs(docsV1))
     cm.buildIvfIndex("fc", nLists = 2, nProbe = 2)
+    cm.buildPhraseIndex("fc")
 
     val healthy = cm.fsck("fc").collect()
     assert(healthy.nonEmpty && healthy.forall(_.getAs[Boolean]("ok")),
       s"healthy collection must pass every check:\n${healthy.mkString("\n")}")
     val checks = healthy.map(_.getAs[String]("check")).toSet
     assert(checks.contains("bm25_stray_postings") &&
+      checks.contains("positions_stray") &&
       checks.contains("ivf_size_matches_chunks"))
+
+    // a positional row whose chunk id is not a live chunk (crash residue)
+    // would serve phantom phrase hits — fsck must flag it
+    val posDir = s"$tmp/fc/indexes/bm25/positions"
+    spark.read.parquet(posDir).limit(1)
+      .withColumn("docId", lit(99999999L))
+      .write.mode("append").parquet(posDir)
+    val posReport = cm.fsck("fc").collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Boolean]("ok")).toMap
+    assert(!posReport("positions_stray"))
+    cm.buildPhraseIndex("fc") // rebuild heals
+    assert(cm.fsck("fc").collect()
+      .find(_.getAs[String]("check") == "positions_stray").get.getAs[Boolean]("ok"))
 
     // plant corruption: an orphan chunk row (documentId with no document)
     // with a duplicated chunkId, appended straight into the chunks table
