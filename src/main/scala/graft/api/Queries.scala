@@ -1406,6 +1406,61 @@ object Queries {
            |SELECT doc_id, round(score, 5) AS score FROM topk
            |ORDER BY score DESC, doc_id""".stripMargin))
 
+  /** Document-level boolean MATCH roll-up
+    * ([[graft.operators.Bm25Indexer.booleanHits]] + the
+    * `CollectionManager.booleanSearchDocs` shape): chunks come from the
+    * SQL-replayable fan-out (m5), the index is built over CHUNKS, boolean
+    * candidates rank by BM25 per chunk, and each DOCUMENT ranks by its best
+    * chunk (the W2 doc-rank convention) — the oracle replays the fan-out,
+    * the per-chunk scoring, the boolean gate, and the max-per-doc roll-up.
+    */
+  private val qlMatchDocs = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_matchdocs_").toString
+      val chunks = chunkFanout(s, d)
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
+      idx.index(chunks.select(col("chunk_id").as("chunkId"),
+        col("chunk_text").as("indexedData")))
+      idx.booleanHits("(join AND vector) OR (spark NOT hash)")
+        .join(chunks.select(col("chunk_id").as("docId"), col("doc_id")), Seq("docId"))
+        .groupBy("doc_id").agg(max("score").as("score"))
+        .orderBy(round(col("score"), 5).desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), round(col("score"), 5).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
+    Some(s"""WITH chunks AS ($chunkFanoutSql),
+           |toks AS (
+           |  SELECT chunk_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(chunk_text), '[^a-z0-9]+'), x -> x <> '')) AS term
+           |  FROM chunks),
+           |dl AS (SELECT chunk_id, count(*) AS dlen FROM toks GROUP BY chunk_id),
+           |corpus AS (SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl),
+           |tf AS (SELECT chunk_id, term, count(*) AS tf FROM toks
+           |  WHERE term IN ('join', 'spark', 'vector') GROUP BY chunk_id, term),
+           |df AS (SELECT term, count(DISTINCT chunk_id) AS df FROM tf GROUP BY term),
+           |scored AS (
+           |  SELECT tf.chunk_id,
+           |    sum( ln(1 + (corpus.n - df.df + 0.5)/(df.df + 0.5))
+           |         * (tf.tf*(1.2+1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dlen/corpus.avgdl)) ) AS score
+           |  FROM tf JOIN df USING(term) JOIN dl USING(chunk_id) CROSS JOIN corpus
+           |  GROUP BY tf.chunk_id),
+           |wl AS (SELECT chunk_id, doc_id, list_filter(
+           |    regexp_split_to_array(lower(chunk_text), '[^a-z0-9]+'), x -> x <> '') AS w
+           |  FROM chunks),
+           |cand AS (SELECT chunk_id FROM wl
+           |  WHERE (list_contains(w, 'join') AND list_contains(w, 'vector'))
+           |     OR (list_contains(w, 'spark') AND NOT list_contains(w, 'hash'))),
+           |perdoc AS (SELECT c.doc_id, max(s.score) AS score
+           |  FROM scored s JOIN cand USING (chunk_id)
+           |  JOIN chunks c USING (chunk_id)
+           |  GROUP BY c.doc_id),
+           |topk AS (SELECT doc_id, score FROM perdoc
+           |  ORDER BY round(score, 5) DESC, doc_id LIMIT 20)
+           |SELECT doc_id, round(score, 5) AS score FROM topk
+           |ORDER BY score DESC, doc_id""".stripMargin))
+
   /** NEAR atoms INSIDE the boolean MATCH grammar, served from the index
     * ([[graft.operators.QueryLang.Near]] +
     * [[graft.operators.Bm25Indexer.booleanSearch]]): FTS5's MATCH embeds
@@ -6033,6 +6088,7 @@ object Queries {
     "ql_near_index" -> qlNearIndex,
     "ql_boolean_phrase_index" -> qlBooleanPhraseIndex,
     "ql_boolean_near_index" -> qlBooleanNearIndex,
+    "ql_match_docs" -> qlMatchDocs,
     "autocomplete_prefix" -> autocompletePrefix,
     "search_highlight" -> searchHighlight,
     "facet_counts" -> facetCountsQ,

@@ -110,9 +110,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     //     update segment sum into (n, avgdl) — bounded by the compaction
     //     budget, never corpus data)
     //   - metadata-sized control frames the surrounding plan broadcasts back:
-    //     m5_chunk_fanout's (doc_id, n) id window (m1_embed_pipeline reuses
-    //     the same fan-out, so the same narrow window — chunk text and
-    //     embeddings never cross it), the #buckets-row pack
+    //     m5_chunk_fanout's (doc_id, n) id window (m1_embed_pipeline and
+    //     ql_match_docs reuse the same fan-out, so the same narrow window —
+    //     chunk text and embeddings never cross it), the #buckets-row pack
     //     offset windows (sample_pack_sequences/shards), pca's fixed
     //     covariance buffer, the capped vocab/top-N tables of
     //     text_collocations / text_keywords.
@@ -123,7 +123,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       "a1_rrf_fusion", "a1b_weighted_rrf", "a2_group_docs", "a4_watermark_max",
       "events_funnel", "m1_embed_pipeline", "m5_chunk_fanout", "pca_top_component",
       "q11_important_stock", "q14_promo", "q15_top_supplier", "q19_disjunctive",
-      "q22_no_orders", "q6_forecast", "sample_pack_sequences",
+      "q22_no_orders", "q6_forecast", "ql_match_docs", "sample_pack_sequences",
       "sample_pack_shards", "t2_bm25_topk", "t2c_bm25_lsm_search",
       "text_collocations", "text_js_divergence", "text_keywords")
     // Non-equi joins plan BroadcastNestedLoopJoin; that's only safe when the
@@ -149,7 +149,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       "eval_mrr", "events_funnel", "pca_top_component", "q11_important_stock",
       "q15_top_supplier", "q22_no_orders", "ql_boolean_index",
       "ql_boolean_phrase_index", "ql_boolean_near_index", "ql_boolean_filtered",
-      "sketch_quantile_hist",
+      "ql_match_docs", "sketch_quantile_hist",
       "t1b_vector_batch", "t2_bm25_topk", "t2b_bm25_postings",
       "t2c_bm25_lsm_search", "text_collocations", "text_js_divergence",
       "text_keywords")
