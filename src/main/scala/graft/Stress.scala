@@ -166,13 +166,15 @@ object Stress {
     * sizes and selectivity tracks the corpus shape at every scale.
     */
   private val posIndexNames =
-    Seq("posidx_phrase_query", "posidx_near_query", "posidx_boolean_query")
+    Seq("posidx_phrase_query", "posidx_near_query", "posidx_boolean_query",
+      "posidx_boolean_filtered")
 
   private def posIndexRows(spark: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
     val idxDir = s"$dir/posidx"
     val marker = new java.io.File(s"$dir/posidx_BUILT_V1")
+    val chunksMarker = new java.io.File(s"$dir/posidx_chunks_BUILT_V1")
     val idx = new graft.operators.Bm25Indexer(spark, idxDir,
-      chunksPath = s"$dir/posidx_unused")
+      chunksPath = s"$dir/posidx_chunks")
     if (!marker.exists()) {
       println(s"[stress] building positional index under $idxDir")
       val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -181,13 +183,25 @@ object Stress {
       idx.buildPhraseIndex(docs)
       java.nio.file.Files.writeString(marker.toPath, "")
     }
+    if (!chunksMarker.exists()) {
+      // the filter gate's side: a chunks table carrying the metadata column
+      // (pushdown-able flat lang), id-matched to the index
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("chunkId"), col("lang"))
+        .write.mode("overwrite").parquet(s"$dir/posidx_chunks")
+      java.nio.file.Files.writeString(chunksMarker.toPath, "")
+    }
     val top = idx.termDfTable().orderBy(col("df").desc, col("term").asc)
       .limit(3).collect().map(_.getString(0))
+    val boolQ = s"(${top(0)} AND ${top(1)}) OR (${top(2)} NOT ${top(0)})"
     Seq(
       "posidx_phrase_query" -> (() => idx.phrase(Seq(top(0), top(1)), 20)),
       "posidx_near_query" -> (() => idx.near(Seq(top(0), top(1), top(2)), 12, 20)),
-      "posidx_boolean_query" -> (() =>
-        idx.booleanSearch(s"(${top(0)} AND ${top(1)}) OR (${top(2)} NOT ${top(0)})", 20)))
+      "posidx_boolean_query" -> (() => idx.booleanSearch(boolQ, 20)),
+      // the metadata gate adds one pushdown-filtered chunks scan + a
+      // broadcast semi-join to the same candidate algebra
+      "posidx_boolean_filtered" -> (() =>
+        idx.booleanSearch(boolQ, 20, Some(col("lang") === "en"))))
   }
 
   def main(args: Array[String]): Unit = {
