@@ -1406,6 +1406,55 @@ object Queries {
            |SELECT doc_id, round(score, 5) AS score FROM topk
            |ORDER BY score DESC, doc_id""".stripMargin))
 
+  /** Prefix atoms in boolean MATCH over the index
+    * ([[graft.operators.QueryLang.Prefix]] +
+    * [[graft.operators.Bm25Indexer.booleanSearch]]): FTS5's `tok*` prefix
+    * queries — candidates come from a RANGE-predicate postings read
+    * (`startsWith` prunes the term-sorted segments by row-group stats, same
+    * class as the exact-term reads), and the prefix scores as the SET of
+    * vocabulary terms it expands to, each with its own df/idf. The oracle
+    * replays the expansion with `LIKE 'vec%'` over re-tokenized text.
+    */
+  private val qlPrefixIndex = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_prefix_idx_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
+      idx.index(docs)
+      idx.booleanSearch("vec* AND (spark OR join) NOT hash", 20)
+        .select(col("chunkId").as("doc_id"), round(col("score"), 5).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+           |  FROM documents),
+           |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+           |corpus AS (SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |  WHERE term IN ('spark', 'join') OR term LIKE 'vec%'
+           |  GROUP BY doc_id, term),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    sum( ln(1 + (corpus.n - df.df + 0.5)/(df.df + 0.5))
+           |         * (tf.tf*(1.2+1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dlen/corpus.avgdl)) ) AS score
+           |  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN corpus
+           |  GROUP BY tf.doc_id),
+           |wl AS (SELECT doc_id, list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+           |  FROM documents),
+           |cand AS (SELECT doc_id FROM wl
+           |  WHERE len(list_filter(w, x -> x LIKE 'vec%')) > 0
+           |    AND (list_contains(w, 'spark') OR list_contains(w, 'join'))
+           |    AND NOT list_contains(w, 'hash')),
+           |topk AS (SELECT s.doc_id, s.score FROM scored s JOIN cand USING (doc_id)
+           |  ORDER BY round(s.score, 5) DESC, s.doc_id LIMIT 20)
+           |SELECT doc_id, round(score, 5) AS score FROM topk
+           |ORDER BY score DESC, doc_id""".stripMargin))
+
   /** Document-level boolean MATCH roll-up
     * ([[graft.operators.Bm25Indexer.booleanHits]] + the
     * `CollectionManager.booleanSearchDocs` shape): chunks come from the
@@ -6089,6 +6138,7 @@ object Queries {
     "ql_boolean_phrase_index" -> qlBooleanPhraseIndex,
     "ql_boolean_near_index" -> qlBooleanNearIndex,
     "ql_match_docs" -> qlMatchDocs,
+    "ql_prefix_index" -> qlPrefixIndex,
     "autocomplete_prefix" -> autocompletePrefix,
     "search_highlight" -> searchHighlight,
     "facet_counts" -> facetCountsQ,

@@ -730,7 +730,7 @@ final class Bm25Indexer(
     */
   def booleanHits(query: String,
                   metadataFilter: Option[Column] = None): DataFrame = {
-    import QueryLang.{And, Near, Node, Not, Or, Phrase, Term}
+    import QueryLang.{And, Near, Node, Not, Or, Phrase, Prefix, Term}
     // normalize AST words through THIS index's tokenizer (a word that
     // splits, e.g. "hash-join", becomes an implicit AND of its tokens)
     def norm(n: Node): Node = n match {
@@ -752,6 +752,11 @@ final class Bm25Indexer(
         if (normed.isEmpty) throw new IllegalArgumentException(
           s"NEAR(${ops.map(_.mkString(" ")).mkString(", ")}) has no indexable tokens")
         Near(normed, math.max(w, normed.map(_.size).sum))
+      case Prefix(s0) => Search.tokenize(s0) match {
+        case Seq(t) => Prefix(t)
+        case _ => throw new IllegalArgumentException(
+          s"prefix '$s0*' must be a single indexable token")
+      }
       case And(l, r) => And(norm(l), norm(r))
       case Or(l, r)  => Or(norm(l), norm(r))
       case Not(c)    => Not(norm(c))
@@ -762,6 +767,10 @@ final class Bm25Indexer(
     // (ids, complemented): the set, or symbolically its complement
     def eval(n: Node): (DataFrame, Boolean) = n match {
       case Term(t)   => (termIds(t), false)
+      case Prefix(s) => // range predicate on the term-sorted postings: a
+        // row-group skip, same pruning class as the exact-term reads
+        (postingsTable(_.filter(col("term").startsWith(s)))
+          .select("docId").distinct(), false)
       case Phrase(ws) => // exact-phrase atom: ids from the positional artifact
         (QueryLang.phraseHitsPostings(phraseView(ws)._1, ws).select("docId"), false)
       case Near(ops, w) => // proximity atom: ids from the positional artifact;
@@ -796,17 +805,27 @@ final class Bm25Indexer(
     // metadata filter gates the FINAL candidate set — one semi-join, the
     // reference's doc_id IN (...) shape (see booleanSearch's scaladoc)
     val cand = applyFilter(cand0, metadataFilter)
-    val pos = QueryLang.positiveTerms(ast).distinct
-    if (pos.isEmpty)
+    val (posT0, posP0) = QueryLang.positiveAtoms(ast)
+    val posT = posT0.distinct
+    val posP = posP0.distinct
+    if (posT.isEmpty && posP.isEmpty)
       return Search.emptyScored(spark, "chunkId")
         .select(col("chunkId").as("docId"), col("score"))
-    // BM25 over the positive terms, restricted to the boolean candidates —
+    // BM25 over the positive atoms, restricted to the boolean candidates —
     // the same scoring pipeline as search(), minus the conjunctive gate
-    // (the boolean predicate replaced it)
-    val postings = postingsTable(_.filter(col("term").isin(pos: _*)))
+    // (the boolean predicate replaced it). Prefix atoms score as the SET of
+    // vocabulary terms they expand to (each with its own df/idf) — the term
+    // filter stays pushdown-able (isin + startsWith are both row-group
+    // predicates on the term-sorted segments), and the broadcast df side is
+    // bounded by the matching vocabulary (a one-character prefix widens it;
+    // that is the query's cost to pay, never a corpus scan).
+    val pred: Column = (
+      (if (posT.nonEmpty) Seq(col("term").isin(posT: _*)) else Nil) ++
+        posP.map(s => col("term").startsWith(s))).reduce(_ || _)
+    val postings = postingsTable(_.filter(pred))
       .join(cand, Seq("docId"), "left_semi")
     val stats = corpusStats()
-    val df = termDfTable(_.filter(col("term").isin(pos: _*)))
+    val df = termDfTable(_.filter(pred))
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("docLen") / col("avgdl")))

@@ -39,6 +39,12 @@ object QueryLang {
     * means a and b within a 3-token window. Default window 10, like FTS5.
     */
   final case class Near(operands: Seq[Seq[String]], window: Int = 10) extends Node
+  /** `tok*` prefix atom (FTS5 prefix queries): matches any token starting
+    * with `stem`. Standalone atoms only — a `*` inside a quoted phrase or a
+    * NEAR operand is literal text (and dies at tokenization), like FTS5
+    * outside its phrase-prefix special case.
+    */
+  final case class Prefix(stem: String) extends Node
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
   final case class Not(child: Node) extends Node
@@ -139,7 +145,9 @@ object QueryLang {
         require(words.nonEmpty, s"empty phrase in: $query")
         (if (words.size == 1) Term(words.head) else Phrase(words), tail)
       case w :: tail if w != ")" && w != "," && !isKw(w, "AND") && !isKw(w, "OR") =>
-        (Term(w.toLowerCase), tail)
+        if (w.length > 1 && w.endsWith("*") && !w.init.contains("*"))
+          (Prefix(w.init.toLowerCase), tail)
+        else (Term(w.toLowerCase), tail)
       case other =>
         throw new IllegalArgumentException(s"expected a term at: $other in: $query")
     }
@@ -194,19 +202,28 @@ object QueryLang {
         s => opsD.zip(starts).map { case (op, st) =>
           exists(st, p => p >= s && p + lit(op.size - 1) <= s + lit(w - 1))
         }.reduce(_ && _))
+    case Prefix(s) => exists(toksCol, x => x.startsWith(s))
     case And(l, r) => matchColumn(l, toksCol) && matchColumn(r, toksCol)
     case Or(l, r)  => matchColumn(l, toksCol) || matchColumn(r, toksCol)
     case Not(c)    => !matchColumn(c, toksCol)
   }
 
-  private[operators] def positiveTerms(node: Node): Seq[String] = node match {
-    case Term(w)    => Seq(w)
-    case Phrase(ws) => ws // phrase members score as terms
-    case Near(ops, _) => ops.flatten // NEAR operand words score as terms
-    case And(l, r)  => positiveTerms(l) ++ positiveTerms(r)
-    case Or(l, r)   => positiveTerms(l) ++ positiveTerms(r)
-    case Not(_)     => Nil // negated terms don't score
+  /** The positive atoms of the AST: (exact terms, prefix stems). Negated
+    * atoms contribute nothing — they don't score.
+    */
+  private[operators] def positiveAtoms(node: Node): (Seq[String], Seq[String]) = node match {
+    case Term(w)    => (Seq(w), Nil)
+    case Prefix(s)  => (Nil, Seq(s))
+    case Phrase(ws) => (ws, Nil) // phrase members score as terms
+    case Near(ops, _) => (ops.flatten, Nil) // NEAR operand words score as terms
+    case And(l, r)  =>
+      val (a, b) = positiveAtoms(l); val (c, d) = positiveAtoms(r); (a ++ c, b ++ d)
+    case Or(l, r)   =>
+      val (a, b) = positiveAtoms(l); val (c, d) = positiveAtoms(r); (a ++ c, b ++ d)
+    case Not(_)     => (Nil, Nil)
   }
+
+  private[operators] def positiveTerms(node: Node): Seq[String] = positiveAtoms(node)._1
 
   /** Boolean search over the corpus: docs satisfying `query`, ranked by
     * (matched positive terms desc, their total tf desc, id asc), top `k`.
@@ -216,15 +233,26 @@ object QueryLang {
                     tokenizer: Column => Column = tokensOf): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val node = parse(query)
-    val pos = positiveTerms(node).distinct.sorted
+    val (posT, posP) = positiveAtoms(node)
+    val pos = posT.distinct.sorted
+    val stems = posP.distinct.sorted
+    // a token "counts" when it equals a positive term or carries a positive
+    // prefix; each prefix atom counts at most once toward n_matched (like a
+    // term), while tf_total counts every matching token occurrence
+    def tokMatches(x: Column): Column =
+      stems.foldLeft(array_contains(col("_q"), x))((acc, s) => acc || x.startsWith(s))
     docs
-      .withColumn("_q", array(pos.map(lit): _*))
+      // an empty literal array is NullType-element — cast so a pure-prefix
+      // query's _q still types as array<string>
+      .withColumn("_q", array(pos.map(lit): _*).cast("array<string>"))
       .withColumn("_t", tokenizer(col(textCol)))
       .where(matchColumn(node, col("_t")))
       .withColumn("n_matched",
-        expr("size(filter(_q, t -> array_contains(_t, t)))").cast("long"))
+        (expr("size(filter(_q, t -> array_contains(_t, t)))") +
+          stems.map(s => when(exists(col("_t"), x => x.startsWith(s)), 1).otherwise(0))
+            .foldLeft(lit(0): Column)(_ + _)).cast("long"))
       .withColumn("tf_total",
-        expr("aggregate(filter(_t, x -> array_contains(_q, x)), 0L, (a, x) -> a + 1L)"))
+        size(filter(col("_t"), x => tokMatches(x))).cast("long"))
       .select(col(idCol), col("n_matched"), col("tf_total"))
       .orderBy(col("n_matched").desc, col("tf_total").desc, col(idCol))
       .limit(k)

@@ -146,6 +146,34 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getLong(0)).toSet === Set(2L))
   }
 
+  test("prefix atoms (tok*): parse, scan and index paths agree, ranking counts them") {
+    assert(parse("vec* AND spark") === And(Prefix("vec"), Term("spark")))
+    assert(parse("NOT sh*") === Not(Prefix("sh")))
+    assert(parse("a*b") === Term("a*b")) // mid-word star is literal, not a prefix
+    assert(parse("*") === Term("*"))     // bare star is a literal token
+    val dir = java.nio.file.Files.createTempDirectory("graft-prefix").toString
+    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
+    val asChunks = docs.select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+    idx.index(asChunks)
+    for (q <- Seq("sh* AND spark", "jo* NOT python", "sh* OR jo*",
+                  "spark AND NOT sh*")) {
+      val viaIndex = idx.booleanSearch(q, 100).collect().map(_.getLong(0)).toSet
+      val viaScan = docs.withColumn("_t", QueryLang.tokens("text"))
+        .where(QueryLang.matchColumn(QueryLang.parse(q), col("_t")))
+        .collect().map(_.getLong(0)).toSet
+      assert(viaIndex === viaScan, s"query: $q")
+    }
+    // ground truth by hand: tokens starting "jo" = join (docs 1, 3, 5); NOT
+    // python drops doc 1
+    assert(idx.booleanSearch("jo* NOT python", 100)
+      .collect().map(_.getLong(0)).toSet === Set(3L, 5L))
+    // scan-path ranking counts a prefix atom once in n_matched and every
+    // matching occurrence in tf_total: doc 3 has join×3
+    val ranked = QueryLang.booleanSearch(docs, "doc_id", "text", "jo* NOT python", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ranked.toSeq === Seq((3L, 1L, 3L), (5L, 1L, 1L)))
+  }
+
   test("NEAR with PHRASE operands: the window must hold each operand fully") {
     val d = Seq(
       (1L, "x hash join y y broadcast"), // "hash join" starts 2, ends 3; broadcast 6 → span 5
