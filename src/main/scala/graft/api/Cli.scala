@@ -372,10 +372,10 @@ object Cli {
             |  phrase-index --name N      build the positional artifact (LSM member)
             |  phrase --name N --query "exact words" [--top 15] [--filter DSL]
             |        exact-phrase document search
-            |  match --name N --query 'a AND (b OR "c d" OR NEAR(e f, 5)) NOT g'
+            |  match --name N --query 'a* AND (b OR "c d" OR NEAR(e f, 5)) NOT g'
             |        [--top 15] [--filter DSL] [--docs]  boolean MATCH over the
             |        index (quoted segments = phrases, NEAR(…, n) = proximity
-            |        atoms; --docs rolls up to documents)
+            |        atoms, trailing * = prefix; --docs rolls up to documents)
             |  near --name N --query "a b c" [--window 10] [--top 15]
             |       [--filter DSL] [--docs]   proximity
             |  profile --in corpus.parquet [--columns a,b,c]   per-column null/distinct report

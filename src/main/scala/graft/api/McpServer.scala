@@ -136,8 +136,9 @@ final class McpServer(
         |Query grammar: terms combine with AND / OR / NOT (NOT binds
         |tightest, then AND, then OR), parentheses group, adjacency is an
         |implicit AND, a double-quoted segment matches as an exact phrase,
-        |and NEAR(a "b c", n) matches its operands (terms or quoted
-        |phrases) within an n-token window (default 10) — e.g.:
+        |a trailing star makes a prefix atom (vec* matches vector,
+        |vectors, ...), and NEAR(a "b c", n) matches its operands (terms
+        |or quoted phrases) within an n-token window (default 10) — e.g.:
         |spark AND ("hash join" OR NEAR(broadcast "sort merge", 6))
         |NOT python. At least one positive term is required. Results are
         |BM25-ranked.""".stripMargin)
