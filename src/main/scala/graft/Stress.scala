@@ -167,7 +167,8 @@ object Stress {
     */
   private val posIndexNames =
     Seq("posidx_phrase_query", "posidx_near_query", "posidx_boolean_query",
-      "posidx_boolean_filtered")
+      "posidx_boolean_filtered", "posidx_prefix_query",
+      "posidx_phrase_prefix_query")
 
   private def posIndexRows(spark: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
     val idxDir = s"$dir/posidx"
@@ -201,7 +202,17 @@ object Stress {
       // the metadata gate adds one pushdown-filtered chunks scan + a
       // broadcast semi-join to the same candidate algebra
       "posidx_boolean_filtered" -> (() =>
-        idx.booleanSearch(boolQ, 20, Some(col("lang") === "en"))))
+        idx.booleanSearch(boolQ, 20, Some(col("lang") === "en"))),
+      // prefix query path, WORST case: a one-character stem — the range
+      // postings read covers every term sharing the letter, the scoring
+      // df side is the whole matching vocabulary (broadcast hint dropped,
+      // AQE decides), candidates ≈ every doc carrying any such term
+      "posidx_prefix_query" -> (() =>
+        idx.booleanSearch(s"${top(0).take(1)}* AND ${top(1)}", 20)),
+      // phrase-prefix worst case: the last slot's POSITION arrays merge
+      // across every vocab term sharing the letter before the shift-intersect
+      "posidx_phrase_prefix_query" -> (() =>
+        idx.booleanSearch("\"" + top(0) + " " + top(1).take(1) + "\"*", 20)))
   }
 
   def main(args: Array[String]): Unit = {

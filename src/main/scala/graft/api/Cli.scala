@@ -25,6 +25,10 @@ import org.apache.spark.sql.SparkSession
   *   graft.api.Cli update        --collection c            (re-drives the manifest's stored reader)
   *   graft.api.Cli search        --collection c --query Q [--filter DSL] [--max-docs 5]
   *                               [--max-chunks 15] [--include-text] [--format json|json_indent|toon]
+  *                               [--match "MATCH Q"]  (boolean-MATCH candidate gate
+  *                                applied to every index before ranking/fusion)
+  *   graft.api.Cli match         --collection c --query "MATCH Q" [--filter DSL] [--top N]
+  *                               [--docs] [--snippet]
   *   graft.api.Cli fetch         --collection c --doc ID [--start 1] [--end 200]
   *   graft.api.Cli list
   * }}}
@@ -198,6 +202,9 @@ object Cli {
           // --indexes a,b or repeated --indexes; --rrfK (search_cmd_adapter:19-20)
           indexNames = opts.get("indexes").map(_.flatMap(_.split(',')).map(_.trim)),
           rrfK = opt("rrfK").map(_.toInt).getOrElse(60),
+          // --match "spark AND NOT legacy": boolean-MATCH candidate gate
+          // applied to every index before ranking/fusion
+          matchQuery = opt("match"),
           // --index-weights 2.0,1.0 (positional, matching --indexes order)
           indexWeights = opt("index-weights")
             .map(_.split(',').toSeq.map(_.trim.toDouble)).getOrElse(Nil))
@@ -221,15 +228,19 @@ object Cli {
         println(Formatting.jsonIndent(cm.autocompleteTerms(req("collection"),
           req("prefix"), opt("top").map(_.toInt).getOrElse(8))))
       case "match" =>
-        // boolean MATCH (AND/OR/NOT, parens, quoted phrases) over the index;
-        // --filter composes the metadata-filter DSL (the reference gates every
-        // FTS5 MATCH the same way); --docs rolls chunk hits up to documents
+        // boolean MATCH (AND/OR/NOT, parens, quoted phrases, NEAR, prefix)
+        // over the index; --filter composes the metadata-filter DSL (the
+        // reference gates every FTS5 MATCH the same way); --docs rolls chunk
+        // hits up to documents; --snippet adds the best highlight window of
+        // the hit's text for the query's positive atoms
         println(Formatting.jsonIndent(
           if (flags.contains("docs"))
             cm.booleanSearchDocs(req("collection"), req("query"),
-              opt("top").map(_.toInt).getOrElse(5), opt("filter"))
+              opt("top").map(_.toInt).getOrElse(5), opt("filter"),
+              includeSnippet = flags.contains("snippet"))
           else cm.booleanSearch(req("collection"), req("query"),
-            opt("top").map(_.toInt).getOrElse(15), opt("filter"))))
+            opt("top").map(_.toInt).getOrElse(15), opt("filter"),
+            includeSnippet = flags.contains("snippet"))))
       case "near" =>
         println(Formatting.jsonIndent(
           if (flags.contains("docs"))

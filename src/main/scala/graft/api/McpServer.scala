@@ -137,11 +137,14 @@ final class McpServer(
         |tightest, then AND, then OR), parentheses group, adjacency is an
         |implicit AND, a double-quoted segment matches as an exact phrase,
         |a trailing star makes a prefix atom (vec* matches vector,
-        |vectors, ...), and NEAR(a "b c", n) matches its operands (terms
-        |or quoted phrases) within an n-token window (default 10) — e.g.:
-        |spark AND ("hash join" OR NEAR(broadcast "sort merge", 6))
+        |vectors, ...; "vec sear"* prefixes the LAST phrase token), and
+        |NEAR(a "b c", n) matches its operands (terms, quoted phrases,
+        |either with a trailing-star prefix) within an n-token window
+        |(default 10) — e.g.:
+        |spark AND ("hash join" OR NEAR(broadcast "sort mer"*, 6))
         |NOT python. At least one positive term is required. Results are
-        |BM25-ranked.""".stripMargin)
+        |BM25-ranked and carry a highlight snippet of the matching
+        |text.""".stripMargin)
     matchT.set[JsonNode]("inputSchema", schema(Seq("collection", "query"),
       "collection" -> ("string", collectionFieldDescription),
       "query" -> ("string", "Boolean query (AND/OR/NOT, parens, quoted phrases)."),
@@ -200,11 +203,12 @@ final class McpServer(
     if (!available.contains(collection))
       return s"Error: collection '$collection' is not available. Available: $availableList"
     if (query.trim.isEmpty) return "Error: 'query' must be non-empty."
+    // snippets on by default: an MCP agent needs context next to the ids
     if (groupDocuments)
       formatted(manager.booleanSearchDocs(collection, query,
-        metadataFilter = filter), "documents")
+        metadataFilter = filter, includeSnippet = true), "documents")
     else formatted(manager.booleanSearch(collection, query,
-      metadataFilter = filter), "matches")
+      metadataFilter = filter, includeSnippet = true), "matches")
   }
 
   private[api] def fetchTool(collection: String, id: String,

@@ -1455,6 +1455,117 @@ object Queries {
            |SELECT doc_id, round(score, 5) AS score FROM topk
            |ORDER BY score DESC, doc_id""".stripMargin))
 
+  /** FTS5 phrase-prefix atoms in boolean MATCH over the index
+    * ([[graft.operators.QueryLang.Phrase]] `lastPrefix` /
+    * [[graft.operators.QueryLang.NearOp]] `lastPrefix` +
+    * [[graft.operators.Bm25Indexer.booleanSearch]]): SQLite FTS5 — the
+    * reference's text engine (sqllite_indexer.py:106-114) — accepts a
+    * trailing `*` on the LAST token of a quoted phrase (`"hash jo"*`) and on
+    * NEAR operands (`NEAR(spark vec*, 6)`). Here the prefix-marked last slot
+    * reads positions by a RANGE predicate on the term-sorted positional
+    * artifact (matching vocab terms' per-doc position arrays merge before
+    * the shift-intersect), and the stem scores as its vocabulary expansion.
+    * The oracle replays both atoms over re-tokenized text with
+    * `LIKE 'stem%'` on the prefix slots.
+    */
+  private val qlPhrasePrefixIndex = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_phpre_idx_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
+      idx.index(docs)
+      idx.buildPhraseIndex(docs)
+      idx.booleanSearch("\"hash jo\"* OR NEAR(spark vec*, 6)", 20)
+        .select(col("chunkId").as("doc_id"), round(col("score"), 5).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+           |  FROM documents),
+           |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+           |corpus AS (SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |  WHERE term IN ('hash', 'spark') OR term LIKE 'jo%' OR term LIKE 'vec%'
+           |  GROUP BY doc_id, term),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    sum( ln(1 + (corpus.n - df.df + 0.5)/(df.df + 0.5))
+           |         * (tf.tf*(1.2+1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dlen/corpus.avgdl)) ) AS score
+           |  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN corpus
+           |  GROUP BY tf.doc_id),
+           |wl AS (SELECT doc_id, list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+           |  FROM documents),
+           |pp AS (SELECT doc_id FROM wl
+           |  WHERE len(w) >= 2 AND len(list_filter(generate_series(1, len(w) - 1),
+           |        i -> w[i] = 'hash' AND w[i+1] LIKE 'jo%')) > 0),
+           |f AS (SELECT doc_id, w,
+           |    list_filter(generate_series(1, len(w)), i -> w[i] = 'spark') AS pa,
+           |    list_filter(generate_series(1, len(w)), i -> w[i] LIKE 'vec%') AS pb
+           |  FROM wl
+           |  WHERE list_contains(w, 'spark') AND len(list_filter(w, x -> x LIKE 'vec%')) > 0),
+           |spans AS (SELECT doc_id,
+           |    list_min(list_transform(
+           |      list_filter(
+           |        list_transform(generate_series(1, len(w)), s -> struct_pack(
+           |          e := greatest(list_min(list_filter(pa, p -> p >= s)),
+           |                        list_min(list_filter(pb, p -> p >= s))),
+           |          st := s)),
+           |        x -> x.st <= least(list_max(pa), list_max(pb))
+           |             AND (list_contains(pa, x.st) OR list_contains(pb, x.st))),
+           |      z -> z.e - z.st + 1)) AS span_len
+           |  FROM f),
+           |nearc AS (SELECT doc_id FROM spans WHERE span_len <= 6),
+           |cand AS (SELECT doc_id FROM pp UNION SELECT doc_id FROM nearc),
+           |topk AS (SELECT s.doc_id, s.score FROM scored s JOIN cand USING (doc_id)
+           |  ORDER BY round(s.score, 5) DESC, s.doc_id LIMIT 20)
+           |SELECT doc_id, round(score, 5) AS score FROM topk
+           |ORDER BY score DESC, doc_id""".stripMargin))
+
+  /** Boolean MATCH as a fusion participant
+    * ([[graft.operators.Bm25Indexer.booleanCandidates]] +
+    * [[graft.operators.Search.vectorTopK]]): the MATCH candidate set — pure
+    * posting-set algebra, no scoring — gates a VECTOR search's rows before
+    * its top-k cut, the way `CollectionManager.search(matchQuery = ...)`
+    * gates every index before RRF (and the reference composes MATCH with its
+    * metadata gate inside one indexer query, sqllite_indexer.py:64-74). The
+    * oracle re-derives the candidates from re-tokenized text and replays the
+    * gated cosine top-k.
+    */
+  private val qlMatchFused = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_matchfuse_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused")
+      idx.index(docs)
+      val gate = idx.booleanCandidates("(join AND vector) OR (spark NOT hash)")
+        .select(col("docId").as("vec_id"))
+      val emb = D.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .join(gate, Seq("vec_id"), "left_semi")
+      Search.vectorTopK(emb, "embedding", queryVec(s, d), 15, "cosine", idCol = "vec_id")
+        .select(col("vec_id"), round(-col("score"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+    },
+    Some(s"""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+            |wl AS (SELECT doc_id, list_filter(
+            |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+            |  FROM documents),
+            |cand AS (SELECT doc_id FROM wl
+            |  WHERE (list_contains(w, 'join') AND list_contains(w, 'vector'))
+            |     OR (list_contains(w, 'spark') AND NOT list_contains(w, 'hash'))),
+            |scored AS (
+            |  SELECT vec_id, ${cosSql("embedding", "(SELECT e FROM q)")} AS s
+            |  FROM embeddings JOIN cand ON vec_id = doc_id WHERE vec_id <> 0),
+            |topk AS (SELECT vec_id, s FROM scored ORDER BY s DESC, vec_id LIMIT 15)
+            |SELECT vec_id, round(s, 6) AS sim FROM topk
+            |ORDER BY round(s, 6) DESC, vec_id""".stripMargin))
+
   /** Document-level boolean MATCH roll-up
     * ([[graft.operators.Bm25Indexer.booleanHits]] + the
     * `CollectionManager.booleanSearchDocs` shape): chunks come from the
@@ -6139,6 +6250,8 @@ object Queries {
     "ql_boolean_near_index" -> qlBooleanNearIndex,
     "ql_match_docs" -> qlMatchDocs,
     "ql_prefix_index" -> qlPrefixIndex,
+    "ql_phrase_prefix_index" -> qlPhrasePrefixIndex,
+    "ql_match_fused" -> qlMatchFused,
     "autocomplete_prefix" -> autocompletePrefix,
     "search_highlight" -> searchHighlight,
     "facet_counts" -> facetCountsQ,

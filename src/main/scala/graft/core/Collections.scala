@@ -944,21 +944,54 @@ final class CollectionManager(
     * (sqllite_indexer.py:64-74) — an id semi-join on the filtered chunks.
     */
   def booleanSearch(name: String, query: String, k: Int = 15,
-                    metadataFilter: Option[String] = None): DataFrame =
-    bm25Indexer(name).booleanSearch(query, k, compiledFilter(metadataFilter))
+                    metadataFilter: Option[String] = None,
+                    includeSnippet: Boolean = false): DataFrame = {
+    val hits = bm25Indexer(name).booleanSearch(query, k, compiledFilter(metadataFilter))
+    if (!includeSnippet) hits
+    else attachSnippet(hits, "chunkId",
+      chunks(name).select(col("chunkId"), col("indexedData").as("_snipText")), query)
+  }
+
+  /** Best-window highlight snippet for the query's POSITIVE atoms (terms +
+    * prefix stems — negated atoms don't score, so they don't highlight),
+    * left-joined onto a ≤k-row hit frame: the k-row side broadcasts against
+    * the big text table (J2's shape), the window scan runs over k texts
+    * only. A hit whose snippet window finds no atom (tokenizer drift between
+    * the whitespace highlighter and the index tokenizer) keeps a null
+    * snippet rather than vanishing.
+    */
+  private def attachSnippet(hits: DataFrame, idCol: String,
+                            texts: DataFrame, query: String): DataFrame = {
+    val (terms, stems) = graft.operators.QueryLang.positiveAtomsOf(query)
+    val snips = graft.operators.Suggest.highlightSnippet(
+      broadcast(hits.select(col(idCol))).join(texts, Seq(idCol)),
+      idCol, "_snipText", terms, window = 12, stems = stems)
+      .select(col(idCol), col("snippet"))
+    // the join does not preserve the top-k sort — re-apply it
+    hits.join(snips, Seq(idCol), "left")
+      .orderBy(col("score").desc, col(idCol))
+  }
 
   /** [[booleanSearch]] rolled up to DOCUMENTS: each document ranks by its
     * best-matching chunk's BM25 score (the W2 doc-rank convention the
-    * hybrid search uses), ties broken by documentId.
+    * hybrid search uses), ties broken by documentId. `includeSnippet` adds
+    * the best highlight window of the DOCUMENT's text for the query's
+    * positive atoms — the context an MCP agent shows next to the id.
     */
   def booleanSearchDocs(name: String, query: String, k: Int = 5,
-                        metadataFilter: Option[String] = None): DataFrame =
-    bm25Indexer(name).booleanHits(query, compiledFilter(metadataFilter))
+                        metadataFilter: Option[String] = None,
+                        includeSnippet: Boolean = false): DataFrame = {
+    val hits = bm25Indexer(name).booleanHits(query, compiledFilter(metadataFilter))
       .join(chunks(name).select(col("chunkId").as("docId"), col("documentId")),
         Seq("docId"))
       .groupBy("documentId").agg(max("score").as("score"))
       .orderBy(col("score").desc, col("documentId"))
       .limit(k)
+    if (!includeSnippet) hits
+    else attachSnippet(hits, "documentId",
+      documents(name).select(col("id").as("documentId"), col("text").as("_snipText")),
+      query)
+  }
 
   /** NEAR over the positional artifact (build it first): every term within
     * a ≤`window`-token span, ranked by the minimal span. CHUNK level; the
@@ -1017,7 +1050,8 @@ final class CollectionManager(
       includeAllChunksContent: Boolean = false,
       indexNames: Option[Seq[String]] = None,
       rrfK: Int = 60,
-      indexWeights: Seq[Double] = Nil): DataFrame = {
+      indexWeights: Seq[Double] = Nil,
+      matchQuery: Option[String] = None): DataFrame = {
     requireMatchingEmbedder(name)
     val proj = Search.Projection(
       includeText, includeMatchedChunkContent, includeAllChunksContent,
@@ -1033,10 +1067,18 @@ final class CollectionManager(
         wanted.map(registry)
       case None => Seq(registry("vector_exact_l2"), registry("bm25"))
     }
+    // `matchQuery` (a boolean-MATCH restriction, FTS5 grammar) gates every
+    // index's candidates BEFORE ranking — the candidate set comes from the
+    // BM25 index's posting-set algebra, entering each search as one id
+    // semi-join (the metadataFilter composes separately inside each search,
+    // so the gate carries the pure MATCH set).
+    val gate = matchQuery.map(q => bm25Indexer(name).booleanCandidates(q)
+      .select(col("docId").as("chunkId")))
     // Multi-index search over the prebuilt indexes (vector scan + BM25 postings),
     // RRF-fused, then grouped into documents — searcher.py:31-65 on columnar state.
     val fused = graft.operators.Indexers.multiSearch(
-      selected, query, maxChunks, filterCol, rrfK, weights = indexWeights)
+      selected, query, maxChunks, filterCol, rrfK, weights = indexWeights,
+      matchGate = gate)
     // A single selected index returns its raw ranked list (chunkId, score)
     // with its own sort direction; fusion output ranks by rrfScore.
     val order =

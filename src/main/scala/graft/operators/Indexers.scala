@@ -22,6 +22,14 @@ trait Indexer extends Serializable {
   def ascendingScores: Boolean
   def index(chunks: DataFrame): Unit
   def search(query: String, k: Int, metadataFilter: Option[Column] = None): DataFrame
+  /** [[search]] restricted to a candidate id set (`chunkId` rows): the gate
+    * applies BEFORE the top-k cut, exactly like `metadataFilter` — the shape
+    * a boolean-MATCH restriction composes through ([[Indexers.multiSearch]]'s
+    * `matchGate`). Implementations apply it as one id semi-join on the
+    * pre-ranked rows.
+    */
+  def searchAmong(query: String, k: Int, candidates: DataFrame,
+                  metadataFilter: Option[Column] = None): DataFrame
   def size: Long
 
   protected def requireFilterSupport(f: Option[Column]): Unit =
@@ -46,6 +54,17 @@ final class VectorIndexer(
     requireFilterSupport(metadataFilter)
     Search.vectorTopK(spark.read.parquet(chunksPath), "embedding",
       embedder.embed(query), k, "l2", metadataFilter)
+      .select(col("chunkId"), col("score"))
+  }
+  def searchAmong(query: String, k: Int, candidates: DataFrame,
+                  metadataFilter: Option[Column]): DataFrame = {
+    requireFilterSupport(metadataFilter)
+    // the id semi-join lands before scoring: only gated rows pay the
+    // distance expression, and the top-k cuts the gated set
+    Search.vectorTopK(
+      spark.read.parquet(chunksPath)
+        .join(candidates.select("chunkId"), Seq("chunkId"), "left_semi"),
+      "embedding", embedder.embed(query), k, "l2", metadataFilter)
       .select(col("chunkId"), col("score"))
   }
   /** Footer-metadata count — no scan job per size call (see [[graft.core.ParquetMeta]]). */
@@ -224,12 +243,22 @@ final class Bm25Indexer(
     QueryLang.phraseHitsPostings(applyFilter(view, metadataFilter), toks)
   }
 
-  private def phraseView(terms: Seq[String]): (DataFrame, Seq[String]) = {
+  private def phraseView(terms: Seq[String],
+                         lastPrefix: Boolean = false): (DataFrame, Seq[String]) = {
     require(fsys.exists(new org.apache.hadoop.fs.Path(p("positions"))),
       "no positional artifact — run buildPhraseIndex() first")
     val toks = terms.flatMap(Search.tokenize)
     require(toks.nonEmpty, "phrase has no indexable tokens")
-    (positionsTable(_.filter(col("term").isin(toks.distinct: _*))), toks)
+    // a prefix-marked last slot widens the pre-filter to a range predicate —
+    // still a row-group-pruning read on the term-sorted segments
+    val pred: Column =
+      if (!lastPrefix) col("term").isin(toks.distinct: _*)
+      else {
+        val stemPred = col("term").startsWith(toks.last)
+        if (toks.init.nonEmpty) col("term").isin(toks.init.distinct: _*) || stemPred
+        else stemPred
+      }
+    (positionsTable(_.filter(pred)), toks)
   }
 
   /** The LOGICAL term→df table: base ⊕ signed delta segments, summed per
@@ -393,6 +422,10 @@ final class Bm25Indexer(
       .write.mode(SaveMode.Append).parquet(p("tombstones"))
     val deltaCapable = removedChunks.columns.contains("indexedData") &&
       spark.read.parquet(p("corpus")).columns.contains("totalLen")
+    // the batch's signed df delta, kept in hand when the delta path ran —
+    // the suggest-key maintenance below re-uses it instead of paying its own
+    // distinct over the batch postings
+    var dfDelta: Option[DataFrame] = None
     if (!deltaCapable) deriveStats()
     else {
       // One signed postings frame feeds BOTH stat deltas: the removed chunks
@@ -406,9 +439,10 @@ final class Bm25Indexer(
         .persist()
       // df: +1 per (term, doc) entering, -1 per (term, doc) leaving; net-zero
       // terms are dropped so the delta segment is bounded by the batch vocab
-      signed.groupBy("term").agg(sum("sign").as("df"))
+      val dfd = signed.groupBy("term").agg(sum("sign").as("df"))
         .filter(col("df") =!= 0)
-        .coalesce(1)
+        .persist()
+      dfd.coalesce(1)
         .write.mode(SaveMode.Append).parquet(p("termDf_delta"))
       // corpus: signed doc-count and token-length totals, one appended row
       signed.select("docId", "docLen", "sign").distinct()
@@ -417,23 +451,33 @@ final class Bm25Indexer(
         .coalesce(1)
         .write.mode(SaveMode.Append).parquet(p("corpus_delta"))
       signed.unpersist()
+      dfDelta = Some(dfd)
     }
     // suggest-key maintenance (when a stamped artifact exists): append the
-    // batch vocabulary's delete keys — ∝ changed docs like every other delta
-    // this method writes — and restamp, so suggest() stays on the fast path
-    // across updates. Re-keyed known terms just add duplicate (term, delkey)
-    // rows (deduped at candidate time; compact's rebuild folds them away);
-    // deleted terms' keys die at the live-df join, keys only NOMINATE.
+    // delete keys of the batch's GENUINELY-NEW vocabulary — ∝ changed docs
+    // like every other delta this method writes — and restamp, so suggest()
+    // stays on the fast path across updates. The term set rides the df delta
+    // already computed (and cached) above: a term with df delta > 0 is either
+    // new (keys must land) or pre-existing (its keys already live in the
+    // artifact — a duplicate append is harmless, deduped at candidate time
+    // and folded by compact); a term with df delta ≤ 0 NECESSARILY appeared
+    // in the removed chunks, so it was indexed — and keyed — before. Deleted
+    // terms' keys die at the live-df join; keys only NOMINATE.
     // Keys append as DELTA SEGMENTS (not into the base dir) so the fold
     // triggers see their growth: tailBytes/tailSegments count the dir, and a
     // long run of tiny ticks trips the segment-count trigger before suggest
     // queries pay per-file read amplification forever.
     readSuggestMeta().foreach { case (me, _) =>
-      Suggest.deletionKeys(newPostings.select("term").distinct(), "term", me)
+      val batchTerms = dfDelta match {
+        case Some(dfd) => dfd.filter(col("df") > 0).select("term")
+        case None => newPostings.select("term").distinct() // stats-fallback path
+      }
+      Suggest.deletionKeys(batchTerms, "term", me)
         .withColumn("max_edits", lit(me))
         .write.mode(SaveMode.Append).parquet(p("suggest_keys_delta"))
       writeSuggestMeta(me) // stamp AFTER the keys land (crash → stale, never false-fresh)
     }
+    dfDelta.foreach(_.unpersist())
     newPostings.unpersist()
     ()
   }
@@ -659,16 +703,31 @@ final class Bm25Indexer(
     }
   }
 
-  def search(query: String, k: Int, metadataFilter: Option[Column]): DataFrame = {
+  def search(query: String, k: Int, metadataFilter: Option[Column]): DataFrame =
+    searchImpl(query, k, metadataFilter, None)
+
+  def searchAmong(query: String, k: Int, candidates: DataFrame,
+                  metadataFilter: Option[Column]): DataFrame =
+    searchImpl(query, k, metadataFilter, Some(candidates))
+
+  private def searchImpl(query: String, k: Int, metadataFilter: Option[Column],
+                         candidates: Option[DataFrame]): DataFrame = {
     val terms = Search.tokenize(query).distinct
     if (terms.isEmpty) return Search.emptyScored(spark, "chunkId")
     val postings0 = postingsTable(
       _.filter(col("term").isin(terms: _*))) // pushed into each segment's pruned scan
-    val postings = metadataFilter match {
+    val postings1 = metadataFilter match {
       case Some(f) => postings0.join( // pre-filtered search via id semi-join
         spark.read.parquet(chunksPath).filter(f).select(col("chunkId").as("docId")),
         Seq("docId"), "left_semi")
       case None => postings0
+    }
+    // candidate gate (e.g. a boolean-MATCH restriction): one more id
+    // semi-join on the term-pruned rows, before scoring and the top-k cut
+    val postings = candidates match {
+      case Some(c) => postings1.join(
+        c.select(col("chunkId").as("docId")), Seq("docId"), "left_semi")
+      case None => postings1
     }
     val stats = corpusStats()
     val df = termDfTable(_.filter(col("term").isin(terms: _*)))
@@ -728,30 +787,47 @@ final class Bm25Indexer(
   /** Unranked boolean-MATCH hits (docId, score) — the document-level
     * roll-up's input; [[booleanSearch]] is this plus the top-k cut.
     */
-  def booleanHits(query: String,
-                  metadataFilter: Option[Column] = None): DataFrame = {
-    import QueryLang.{And, Near, Node, Not, Or, Phrase, Prefix, Term}
-    // normalize AST words through THIS index's tokenizer (a word that
-    // splits, e.g. "hash-join", becomes an implicit AND of its tokens)
+  /** The MATCH query's AST with every word re-tokenized through THIS index's
+    * tokenizer (a word that splits, e.g. "hash-join", becomes an implicit
+    * AND of its tokens / a wider phrase or NEAR operand). A prefix-marked
+    * last word keeps its prefix on the LAST resulting token. The user's NEAR
+    * window is kept EXACTLY as parsed — never silently widened: a window the
+    * re-tokenized operands can no longer fit together in simply matches
+    * nothing, the same empty result the scan path produces for an
+    * unsatisfiable window.
+    */
+  private def normalizedAst(query: String): QueryLang.Node = {
+    import QueryLang.{And, Near, NearOp, Node, Not, Or, Phrase, Prefix, Term}
+    def normWords(ws: Seq[String], lastPrefix: Boolean, what: String): Seq[String] = {
+      val ts =
+        if (!lastPrefix) ws.flatMap(Search.tokenize)
+        else {
+          val lastTs = Search.tokenize(ws.last)
+          require(lastTs.nonEmpty,
+            s"prefix stem '${ws.last}*' has no indexable tokens in: $query")
+          ws.init.flatMap(Search.tokenize) ++ lastTs
+        }
+      if (ts.isEmpty) throw new IllegalArgumentException(
+        s"$what '${ws.mkString(" ")}' has no indexable tokens in: $query")
+      ts
+    }
     def norm(n: Node): Node = n match {
       case Term(w) => Search.tokenize(w) match {
         case Seq(t)             => Term(t)
         case ts if ts.nonEmpty  => ts.map(Term(_): Node).reduceLeft(And(_, _))
         case _ => throw new IllegalArgumentException(s"term '$w' has no indexable tokens")
       }
-      case Phrase(ws) => ws.flatMap(Search.tokenize) match {
-        case Seq(t) => Term(t)
-        case ts if ts.nonEmpty => Phrase(ts)
-        case _ => throw new IllegalArgumentException(s"phrase '${ws.mkString(" ")}' has no indexable tokens")
+      case Phrase(ws, lp) => normWords(ws, lp, "phrase") match {
+        case Seq(t) => if (lp) Prefix(t) else Term(t)
+        case ts     => Phrase(ts, lp)
       }
       case Near(ops, w) =>
         // each operand re-tokenizes through THIS index's tokenizer (a word
-        // that splits widens its operand); the user's window is kept but
-        // never below what the operands physically need
-        val normed = ops.map(_.flatMap(Search.tokenize)).filter(_.nonEmpty)
-        if (normed.isEmpty) throw new IllegalArgumentException(
-          s"NEAR(${ops.map(_.mkString(" ")).mkString(", ")}) has no indexable tokens")
-        Near(normed, math.max(w, normed.map(_.size).sum))
+        // that splits widens its operand); an operand left with no indexable
+        // tokens is an error (same rule as phrase atoms — silently dropping
+        // an operand would change what the proximity means)
+        Near(ops.map(o =>
+          NearOp(normWords(o.words, o.lastPrefix, "NEAR operand"), o.lastPrefix)), w)
       case Prefix(s0) => Search.tokenize(s0) match {
         case Seq(t) => Prefix(t)
         case _ => throw new IllegalArgumentException(
@@ -761,7 +837,30 @@ final class Bm25Indexer(
       case Or(l, r)  => Or(norm(l), norm(r))
       case Not(c)    => Not(norm(c))
     }
-    val ast = norm(QueryLang.parse(query))
+    norm(QueryLang.parse(query))
+  }
+
+  /** Candidate doc ids of a boolean MATCH query — the posting-set algebra
+    * alone, no BM25 scoring: the candidate GATE other searches compose with
+    * ([[graft.core.CollectionManager]]'s hybrid search takes it as a
+    * pre-ranking restriction, the way the reference composes MATCH with its
+    * metadata gate inside one indexer query).
+    */
+  def booleanCandidates(query: String,
+                        metadataFilter: Option[Column] = None): DataFrame =
+    evalCandidates(normalizedAst(query), metadataFilter, query)
+
+  /** Set algebra over per-atom posting id sets — AND = semi-join, NOT =
+    * anti-join, OR = union — with complemented sets carried SYMBOLICALLY
+    * (¬A ∧ ¬B folds to ¬(A ∪ B) etc.), so no NOT ever scans the corpus
+    * universe; a query whose result IS a complement (pure negation) is
+    * rejected with a clear error, FTS5-style. The metadata filter gates the
+    * FINAL candidate set — one semi-join, the reference's doc_id IN (...)
+    * shape (see [[booleanSearch]]'s scaladoc).
+    */
+  private def evalCandidates(ast: QueryLang.Node, metadataFilter: Option[Column],
+                             query: String): DataFrame = {
+    import QueryLang.{And, Near, Node, Not, Or, Phrase, Prefix, Term}
     def termIds(t: String): DataFrame =
       postingsTable(_.filter(col("term") === t)).select("docId").distinct()
     // (ids, complemented): the set, or symbolically its complement
@@ -771,14 +870,19 @@ final class Bm25Indexer(
         // row-group skip, same pruning class as the exact-term reads
         (postingsTable(_.filter(col("term").startsWith(s)))
           .select("docId").distinct(), false)
-      case Phrase(ws) => // exact-phrase atom: ids from the positional artifact
-        (QueryLang.phraseHitsPostings(phraseView(ws)._1, ws).select("docId"), false)
+      case Phrase(ws, lp) => // exact-phrase atom: ids from the positional
+        // artifact; a prefix-marked last slot reads by range predicate
+        (QueryLang.phraseHitsPostings(phraseView(ws, lp)._1, ws, lp)
+          .select("docId"), false)
       case Near(ops, w) => // proximity atom: ids from the positional artifact;
         // each operand contributes its occurrence-START positions (a phrase
         // operand's starts come from the same intersected-shift machinery as
-        // phrase atoms), window holds every operand FULLY
+        // phrase atoms; a prefix-marked last word widens its slot to a range
+        // read), window holds every operand FULLY
         val frames = ops.distinct.map { op =>
-          (QueryLang.phraseStartsPostings(phraseView(op)._1, op), op.size)
+          (QueryLang.phraseStartsPostings(
+            phraseView(op.words, op.lastPrefix)._1, op.words, op.lastPrefix),
+            op.words.size)
         }
         (QueryLang.nearHitsOperands(frames, w).select("docId"), false)
       case Not(c)    => val (d, comp) = eval(c); (d, !comp)
@@ -802,9 +906,13 @@ final class Bm25Indexer(
     require(!complemented,
       s"boolean query '$query' matches the complement of an indexable set — " +
         "add a positive term (FTS5 rejects pure-NOT queries for the same reason)")
-    // metadata filter gates the FINAL candidate set — one semi-join, the
-    // reference's doc_id IN (...) shape (see booleanSearch's scaladoc)
-    val cand = applyFilter(cand0, metadataFilter)
+    applyFilter(cand0, metadataFilter)
+  }
+
+  def booleanHits(query: String,
+                  metadataFilter: Option[Column] = None): DataFrame = {
+    val ast = normalizedAst(query)
+    val cand = evalCandidates(ast, metadataFilter, query)
     val (posT0, posP0) = QueryLang.positiveAtoms(ast)
     val posT = posT0.distinct
     val posP = posP0.distinct
@@ -816,9 +924,7 @@ final class Bm25Indexer(
     // (the boolean predicate replaced it). Prefix atoms score as the SET of
     // vocabulary terms they expand to (each with its own df/idf) — the term
     // filter stays pushdown-able (isin + startsWith are both row-group
-    // predicates on the term-sorted segments), and the broadcast df side is
-    // bounded by the matching vocabulary (a one-character prefix widens it;
-    // that is the query's cost to pay, never a corpus scan).
+    // predicates on the term-sorted segments).
     val pred: Column = (
       (if (posT.nonEmpty) Seq(col("term").isin(posT: _*)) else Nil) ++
         posP.map(s => col("term").startsWith(s))).reduce(_ || _)
@@ -829,8 +935,15 @@ final class Bm25Indexer(
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("docLen") / col("avgdl")))
+    // For exact terms the stats side is ≤ |query terms| rows — always
+    // broadcast. A PREFIX atom expands it to every vocabulary term matching
+    // the stem, unbounded at 100-TB vocabulary scale — so the hint is
+    // DROPPED and the join left to AQE, which broadcasts when the measured
+    // expansion fits and falls back to shuffle when it doesn't (plan-pinned
+    // in QueryLangSpec).
+    val dfSide = if (posP.isEmpty) broadcast(df) else df
     postings
-      .join(broadcast(df), "term")
+      .join(dfSide, "term")
       .crossJoin(broadcast(stats))
       .withColumn("termScore", idf * tfNorm)
       .groupBy("docId")
@@ -1032,7 +1145,15 @@ final class IvfVectorIndexer(
       .write.mode(mode).partitionBy("listId").parquet(assignedPath)
   }
 
-  def search(query: String, k: Int, metadataFilter: Option[Column]): DataFrame = {
+  def search(query: String, k: Int, metadataFilter: Option[Column]): DataFrame =
+    searchImpl(query, k, metadataFilter, None)
+
+  def searchAmong(query: String, k: Int, candidates: DataFrame,
+                  metadataFilter: Option[Column]): DataFrame =
+    searchImpl(query, k, metadataFilter, Some(candidates))
+
+  private def searchImpl(query: String, k: Int, metadataFilter: Option[Column],
+                         candidates: Option[DataFrame]): DataFrame = {
     val q = embedder.embed(query)
     def l2(a: Array[Float]): Double = {
       var s = 0.0; var i = 0
@@ -1043,8 +1164,14 @@ final class IvfVectorIndexer(
     val probes = centroids().map { case (i, c) => (l2(c), i) }
       .sortBy(_._1).take(nProbe).map(_._2)
     // listId is a partition column: isin => PartitionFilters => file skip;
-    // the tombstone anti-join applies AFTER the pruned scan.
-    val scanned = assignedTable(_.filter(col("listId").isin(probes: _*)))
+    // the tombstone anti-join applies AFTER the pruned scan. A candidate
+    // gate (boolean-MATCH restriction) semi-joins the probed rows BEFORE
+    // scoring and the top-k cut — same pre-cut semantics as metadataFilter.
+    val scanned0 = assignedTable(_.filter(col("listId").isin(probes: _*)))
+    val scanned = candidates match {
+      case Some(c) => scanned0.join(c.select("chunkId"), Seq("chunkId"), "left_semi")
+      case None => scanned0
+    }
     Search.vectorTopK(scanned, "embedding", q, k, "l2", metadataFilter)
       .select(col("chunkId"), col("score"))
   }
@@ -1072,14 +1199,22 @@ object Indexers {
   def multiSearch(
       indexers: Seq[Indexer], query: String, k: Int,
       metadataFilter: Option[Column] = None, rrfK: Int = 60,
-      weights: Seq[Double] = Nil): DataFrame = {
+      weights: Seq[Double] = Nil,
+      matchGate: Option[DataFrame] = None): DataFrame = {
     require(indexers.nonEmpty)
     metadataFilter.foreach(_ => indexers.foreach(i =>
       if (!i.supportsMetadataFiltering) throw new UnsupportedOperationException(
         s"indexer ${i.name} does not support metadata filtering")))
-    if (indexers.size == 1)
-      return indexers.head.search(query, k, metadataFilter)
-    val lists = indexers.map(_.search(query, k, metadataFilter))
+    // `matchGate` (a chunkId candidate set, e.g. boolean-MATCH candidates)
+    // restricts EVERY index's ranked list before its top-k cut — the way the
+    // reference composes MATCH and filter inside one indexer query — so the
+    // fused ranking is over gated candidates only, never a post-fusion trim.
+    def one(i: Indexer): DataFrame = matchGate match {
+      case Some(g) => i.searchAmong(query, k, g, metadataFilter)
+      case None    => i.search(query, k, metadataFilter)
+    }
+    if (indexers.size == 1) return one(indexers.head)
+    val lists = indexers.map(one)
     Search.rrfFuse(lists, "chunkId", "score",
       indexers.map(_.ascendingScores), rrfK, k, weights = weights)
   }

@@ -29,7 +29,17 @@ object QueryLang {
   /** Boolean query AST. */
   sealed trait Node
   final case class Term(word: String) extends Node
-  final case class Phrase(words: Seq[String]) extends Node
+  /** Exact-phrase atom; with `lastPrefix` the LAST word is a prefix stem —
+    * FTS5's phrase-prefix special case (`"vec sear"*`,
+    * sqllite_indexer.py:106-114 is the engine it mirrors): the first n−1
+    * tokens match exactly, the n-th matches any token starting with the stem.
+    */
+  final case class Phrase(words: Seq[String], lastPrefix: Boolean = false) extends Node
+  /** One NEAR operand: a term (one word) or a quoted exact phrase, with
+    * FTS5's phrase-prefix on the LAST word when `lastPrefix` (`vec*` or
+    * `"hash jo"*` as an operand).
+    */
+  final case class NearOp(words: Seq[String], lastPrefix: Boolean = false)
   /** `NEAR(a "b c" d, n)` atom (FTS5's MATCH-embedded proximity): every
     * OPERAND — a term or a quoted exact phrase, exactly like FTS5's NEAR
     * over phrases — occurs fully inside some ≤`window`-token span. NOTE on
@@ -37,12 +47,19 @@ object QueryLang {
     * (first token of the earliest operand to last token of the latest,
     * inclusive), not FTS5's between-token gap count — `NEAR(a b, 3)` here
     * means a and b within a 3-token window. Default window 10, like FTS5.
+    * A window that cannot hold even the LONGEST single operand is rejected
+    * at parse (explicit and default windows alike — both paths of the
+    * grammar see the same rule); a window that holds each operand but is too
+    * small for all of them together simply matches nothing, on the scan and
+    * the index path equally.
     */
-  final case class Near(operands: Seq[Seq[String]], window: Int = 10) extends Node
+  final case class Near(operands: Seq[NearOp], window: Int = 10) extends Node
   /** `tok*` prefix atom (FTS5 prefix queries): matches any token starting
-    * with `stem`. Standalone atoms only — a `*` inside a quoted phrase or a
-    * NEAR operand is literal text (and dies at tokenization), like FTS5
-    * outside its phrase-prefix special case.
+    * with `stem`. A trailing `*` on the LAST word of a quoted phrase or of a
+    * NEAR operand is the phrase-prefix form ([[Phrase]]/[[NearOp]]
+    * `lastPrefix`); a `*` anywhere ELSE inside a phrase or operand stays
+    * literal text (and dies at tokenization), like FTS5 outside its
+    * phrase-prefix special case.
     */
   final case class Prefix(stem: String) extends Node
   final case class And(l: Node, r: Node) extends Node
@@ -68,8 +85,15 @@ object QueryLang {
           case '"' =>
             val end = query.indexOf('"', i + 1)
             require(end > i, s"unclosed quote in: $query")
-            out += "\u0000" + query.substring(i + 1, end)
-            i = end + 1
+            // `"..."*` (star immediately after the closing quote) is FTS5's
+            // phrase-prefix special case — marked \u0001 vs plain-phrase \u0000
+            if (end + 1 < query.length && query.charAt(end + 1) == '*') {
+              out += "\u0001" + query.substring(i + 1, end)
+              i = end + 2
+            } else {
+              out += "\u0000" + query.substring(i + 1, end)
+              i = end + 1
+            }
           case '(' => out += "("; i += 1
           case ')' => out += ")"; i += 1
           case ',' => out += ","; i += 1
@@ -119,19 +143,41 @@ object QueryLang {
         require(words.nonEmpty && words.forall(_ != "("),
           s"NEAR needs term/phrase operands (no nesting) in: $query")
         val operands = words.map { w =>
-          if (w.startsWith("\u0000"))
-            w.drop(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-          else Seq(w.toLowerCase)
+          val starred = w.startsWith("\u0001") // "..."* phrase-prefix operand
+          if (w.startsWith("\u0000") || starred)
+            NearOp(w.drop(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq,
+              lastPrefix = starred)
+          else {
+            // bare-word operand: boolean keywords are a syntax error (FTS5
+            // raises on NEAR(a AND b, 5) — accepting them would silently
+            // match the common corpus tokens 'and'/'or'/'not'); a trailing
+            // `*` is the prefix form, like a standalone atom
+            require(!Seq("and", "or", "not").contains(w.toLowerCase),
+              s"boolean keyword '$w' inside NEAR operands in: $query (FTS5 rejects this)")
+            if (w.length > 1 && w.endsWith("*") && !w.init.contains("*"))
+              NearOp(Seq(w.init.toLowerCase), lastPrefix = true)
+            else NearOp(Seq(w.toLowerCase))
+          }
         }
-        require(operands.forall(_.nonEmpty), s"empty NEAR operand in: $query")
+        require(operands.forall(_.words.nonEmpty), s"empty NEAR operand in: $query")
+        // One window rule for EXPLICIT and DEFAULT windows alike (the index
+        // path applies the same rule after its own re-tokenization): reject a
+        // window that cannot hold even the LONGEST single operand — a user
+        // error on any corpus — but let windows too small for all operands
+        // TOGETHER simply match nothing (scan and index agree on empty;
+        // overlapping operands can legitimately satisfy sub-sum windows).
+        def mkNear(w: Int): Near = {
+          val longest = operands.map(_.words.size).max
+          require(w >= longest,
+            s"NEAR window $w cannot hold the ${longest}-token operand in: $query")
+          Near(operands, w)
+        }
         afterWords match {
           case "," :: n :: ")" :: rr =>
             val w = try n.toInt catch { case _: NumberFormatException =>
               throw new IllegalArgumentException(s"NEAR window must be an integer in: $query") }
-            require(w >= operands.map(_.size).sum,
-              s"NEAR window $w cannot hold the operands in: $query")
-            (Near(operands, w), rr)
-          case ")" :: rr => (Near(operands), rr)
+            (mkNear(w), rr)
+          case ")" :: rr => (mkNear(10), rr)
           case _ => throw new IllegalArgumentException(s"malformed NEAR(...) in: $query")
         }
       case "(" :: tail =>
@@ -140,10 +186,13 @@ object QueryLang {
           case ")" :: rr => (n, rr)
           case _ => throw new IllegalArgumentException(s"unclosed '(' in: $query")
         }
-      case w :: tail if w.startsWith("\u0000") => // quoted phrase atom (lexer mark)
+      case w :: tail if w.startsWith("\u0000") || w.startsWith("\u0001") =>
+        // quoted phrase atom (lexer marks: \u0001 = trailing-star phrase-prefix)
+        val lp = w.startsWith("\u0001")
         val words = w.drop(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
         require(words.nonEmpty, s"empty phrase in: $query")
-        (if (words.size == 1) Term(words.head) else Phrase(words), tail)
+        if (words.size == 1) ((if (lp) Prefix(words.head) else Term(words.head)), tail)
+        else (Phrase(words, lp), tail)
       case w :: tail if w != ")" && w != "," && !isKw(w, "AND") && !isKw(w, "OR") =>
         if (w.length > 1 && w.endsWith("*") && !w.init.contains("*"))
           (Prefix(w.init.toLowerCase), tail)
@@ -174,33 +223,47 @@ object QueryLang {
   def tokensOf(text: Column): Column =
     filter(split(lower(text), " "), x => x =!= "")
 
+  /** Occurrence START positions (1-based) of a word sequence in `toksCol`;
+    * with `lastPrefix` the last word matches by `startsWith` (FTS5
+    * phrase-prefix) — the shared core of the scan path's phrase and NEAR
+    * evaluation. Pure array expressions, codegen-friendly.
+    */
+  private def occurrenceStarts(toksCol: Column, words: Seq[String],
+                               lastPrefix: Boolean): Column = {
+    val l = words.size
+    val matchAt: Column => Column =
+      if (!lastPrefix) {
+        val pArr = array(words.map(lit): _*)
+        p => slice(toksCol, p, lit(l)) === pArr
+      } else {
+        val initArr = array(words.init.map(lit): _*)
+        val stem = words.last
+        p => {
+          val lastTok = element_at(toksCol, (p + lit(l - 1)).cast("int"))
+          val head: Column =
+            if (l > 1) slice(toksCol, p, lit(l - 1)) === initArr else lit(true)
+          head && lastTok.startsWith(stem)
+        }
+      }
+    when(size(toksCol) >= l,
+      filter(sequence(lit(1), size(toksCol) - lit(l - 1)), matchAt))
+      .otherwise(array().cast("array<int>"))
+  }
+
   /** The AST as ONE codegen'd predicate over a token-array column. */
   def matchColumn(node: Node, toksCol: Column): Column = node match {
     case Term(w)   => array_contains(toksCol, w)
-    case Phrase(ws) =>
-      val n = ws.size
-      val pArr = array(ws.map(lit): _*)
-      when(size(toksCol) >= n,
-        exists(sequence(lit(1), size(toksCol) - lit(n - 1)),
-          i => slice(toksCol, i, lit(n)) === pArr))
-        .otherwise(lit(false))
+    case Phrase(ws, lp) =>
+      size(occurrenceStarts(toksCol, ws, lp)) > 0
     case Near(ops, w) =>
       // per-operand occurrence START positions (a single term is a length-1
       // phrase); then: exists a start s — necessarily an operand occurrence
       // start — where every operand occurs FULLY inside [s, s+w-1]
       val opsD = ops.distinct
-      def startsOf(op: Seq[String]): Column = {
-        val l = op.size
-        val pArr = array(op.map(lit): _*)
-        when(size(toksCol) >= l,
-          filter(sequence(lit(1), size(toksCol) - lit(l - 1)),
-            p => slice(toksCol, p, lit(l)) === pArr))
-          .otherwise(array().cast("array<int>"))
-      }
-      val starts = opsD.map(startsOf)
+      val starts = opsD.map(op => occurrenceStarts(toksCol, op.words, op.lastPrefix))
       exists(array_sort(flatten(array(starts: _*))),
         s => opsD.zip(starts).map { case (op, st) =>
-          exists(st, p => p >= s && p + lit(op.size - 1) <= s + lit(w - 1))
+          exists(st, p => p >= s && p + lit(op.words.size - 1) <= s + lit(w - 1))
         }.reduce(_ && _))
     case Prefix(s) => exists(toksCol, x => x.startsWith(s))
     case And(l, r) => matchColumn(l, toksCol) && matchColumn(r, toksCol)
@@ -214,13 +277,26 @@ object QueryLang {
   private[operators] def positiveAtoms(node: Node): (Seq[String], Seq[String]) = node match {
     case Term(w)    => (Seq(w), Nil)
     case Prefix(s)  => (Nil, Seq(s))
-    case Phrase(ws) => (ws, Nil) // phrase members score as terms
-    case Near(ops, _) => (ops.flatten, Nil) // NEAR operand words score as terms
+    // phrase members score as terms; a prefix-marked last word scores as a
+    // prefix stem (the vocabulary expansion it matches)
+    case Phrase(ws, lp) => if (lp) (ws.init, Seq(ws.last)) else (ws, Nil)
+    case Near(ops, _) => // NEAR operand words score as terms / prefix stems
+      (ops.flatMap(o => if (o.lastPrefix) o.words.init else o.words),
+        ops.collect { case o if o.lastPrefix => o.words.last })
     case And(l, r)  =>
       val (a, b) = positiveAtoms(l); val (c, d) = positiveAtoms(r); (a ++ c, b ++ d)
     case Or(l, r)   =>
       val (a, b) = positiveAtoms(l); val (c, d) = positiveAtoms(r); (a ++ c, b ++ d)
     case Not(_)     => (Nil, Nil)
+  }
+
+  /** Public view of [[positiveAtoms]] over a raw query string:
+    * (exact terms, prefix stems) that SCORE — what a highlighter should
+    * mark in result text.
+    */
+  def positiveAtomsOf(query: String): (Seq[String], Seq[String]) = {
+    val (t, p) = positiveAtoms(parse(query))
+    (t.distinct, p.distinct)
   }
 
   private[operators] def positiveTerms(node: Node): Seq[String] = positiveAtoms(node)._1
@@ -361,7 +437,11 @@ object QueryLang {
   def nearHitsPostings(postings: DataFrame, terms: Seq[String],
                        window: Int): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
-    require(window >= terms.size, "window can't be smaller than the term count")
+    // window rule matches the parser's: any window that holds one term
+    // (length 1) is VALID; one too small for all the distinct terms together
+    // just matches nothing (the span filter returns empty) — same semantics
+    // as the scan path.
+    require(window >= 1, "window must be >= 1")
     val ts = terms.map(_.toLowerCase).distinct
     nearHitsOperands(ts.map(t =>
       (postings.where(col("term") === t)
@@ -431,26 +511,42 @@ object QueryLang {
 
   /** The UNRANKED phrase hits (docId, phrase_tf, first_pos) — callers that
     * aggregate further (e.g. chunk → document roll-up) skip the top-k sort.
+    * `lastPrefix` = FTS5's phrase-prefix: the LAST slot's positions come from
+    * a `startsWith` (range-predicate) term read instead of an equality.
     */
-  def phraseHitsPostings(postings: DataFrame, phrase: Seq[String]): DataFrame =
-    phraseStartsPostings(postings, phrase)
+  def phraseHitsPostings(postings: DataFrame, phrase: Seq[String],
+                         lastPrefix: Boolean = false): DataFrame =
+    phraseStartsPostings(postings, phrase, lastPrefix)
       .select(col("docId"),
         size(col("starts")).cast("long").as("phrase_tf"),
         element_at(col("starts"), 1).cast("long").as("first_pos"))
 
   /** The phrase's occurrence START positions per doc (docId, starts sorted
     * ascending, non-empty) — the shared core of [[phraseHitsPostings]] and
-    * the phrase OPERANDS of NEAR ([[nearHitsOperands]]).
+    * the phrase OPERANDS of NEAR ([[nearHitsOperands]]). With `lastPrefix`
+    * the last slot matches any vocabulary term starting with the stem: its
+    * read is a range predicate on the term-sorted postings (the same
+    * row-group-pruning class as the equality reads), and the matching terms'
+    * per-doc position arrays merge before the shift-intersect — positions of
+    * DIFFERENT terms are disjoint, so the merge is a plain concatenation.
     */
-  def phraseStartsPostings(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+  def phraseStartsPostings(postings: DataFrame, phrase: Seq[String],
+                           lastPrefix: Boolean = false): DataFrame = {
     require(phrase.nonEmpty, "need a non-empty phrase")
     val terms = phrase.map(_.toLowerCase)
     // one shifted frame per phrase SLOT (a repeated word contributes every
     // offset it occupies), then an inner-join chain on docId
     val shifted = terms.zipWithIndex.map { case (t, j) =>
-      postings.where(col("term") === t)
-        .select(col("docId"),
-          expr(s"transform(positions, p -> p - $j)").as(s"_s$j"))
+      if (lastPrefix && j == terms.size - 1)
+        postings.where(col("term").startsWith(t))
+          .select(col("docId"),
+            expr(s"transform(positions, p -> p - $j)").as(s"_s$j"))
+          .groupBy("docId")
+          .agg(flatten(collect_list(col(s"_s$j"))).as(s"_s$j"))
+      else
+        postings.where(col("term") === t)
+          .select(col("docId"),
+            expr(s"transform(positions, p -> p - $j)").as(s"_s$j"))
     }
     val joined = shifted.reduceLeft { (a, b) => a.join(b, Seq("docId")) }
     val inter = (1 until terms.size).foldLeft(col("_s0")) { (acc, j) =>

@@ -117,19 +117,28 @@ object Suggest {
     * parallel, no shuffle, whole-stage codegen.
     */
   def highlightSnippet(docs: DataFrame, idCol: String, textCol: String,
-                       queryTerms: Seq[String], window: Int): DataFrame = {
+                       queryTerms: Seq[String], window: Int,
+                       stems: Seq[String] = Nil): DataFrame = {
     require(window >= 1, "window must be >= 1")
     // Terms enter the plan as literal Columns, never spliced into SQL text —
     // a term like "don't" (or anything adversarial from a user query) can't
-    // break the expression parse or inject expressions.
+    // break the expression parse or inject expressions. `stems` are prefix
+    // stems (the MATCH grammar's `tok*` / phrase-prefix atoms): a word
+    // counts as a hit when it starts with any of them.
     val qArr = array(queryTerms.map(t => lit(t.toLowerCase)): _*)
+      .cast("array<string>")
+    val pArr = array(stems.map(s => lit(s.toLowerCase)): _*)
+      .cast("array<string>")
     val scored = docs
       .withColumn("_q", qArr)
+      .withColumn("_qp", pArr)
       .withColumn("_ws", expr(s"filter(split($textCol, ' '), x -> x <> '')"))
       .withColumn("_scores", expr(
         s"""transform(sequence(0, greatest(size(_ws) - $window, 0)),
            |  i -> aggregate(slice(_ws, i + 1, $window), 0,
-           |         (a, x) -> a + IF(array_contains(_q, lower(x)), 1, 0)))""".stripMargin))
+           |         (a, x) -> a + IF(array_contains(_q, lower(x))
+           |                          OR exists(_qp, s -> startswith(lower(x), s)),
+           |                       1, 0)))""".stripMargin))
       .withColumn("n_hits", expr("array_max(_scores)"))
       .where(col("n_hits") > 0)
     scored.select(col(idCol),

@@ -129,10 +129,18 @@ class McpServerSpec extends AnyFunSuite with SparkSuite {
     (0 until ids.size).foreach { i =>
       assert(opsChunks.contains(ids.get(i).path("chunkId").asLong), filtered)
     }
+    // the MCP surface always carries a highlight snippet — the context an
+    // agent shows next to the id (positive atoms highlighted, so the
+    // snippet window contains one of them)
+    (0 until ids.size).foreach { i =>
+      val s = ids.get(i).path("snippet").asText("")
+      assert(s.contains("search") || s.contains("deploy"), filtered)
+    }
     // doc-level roll-up returns documentId rows, best chunk carries the doc
     val docs = toolText(call("""{"jsonrpc":"2.0","id":21,"method":"tools/call","params":{"name":"match_in_collection","arguments":{"collection":"wiki","query":"search OR deploy","group_documents":true}}}"""))
     assert(docs.contains("documentId"), docs)
     assert(docs.contains("d1") && docs.contains("d2"), docs)
+    assert(docs.contains("snippet"), docs)
   }
 
   test("protocol errors: parse error, unknown method, unknown tool") {

@@ -109,17 +109,58 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("parser: NEAR atoms with optional window and phrase operands") {
-    assert(parse("NEAR(a b, 5)") === Near(Seq(Seq("a"), Seq("b")), 5))
-    assert(parse("NEAR(a b c)") === Near(Seq(Seq("a"), Seq("b"), Seq("c")), 10)) // FTS5 default
-    assert(parse("NEAR(a b, 5) AND c") === And(Near(Seq(Seq("a"), Seq("b")), 5), Term("c")))
-    assert(parse("near(A B, 3)") === Near(Seq(Seq("a"), Seq("b")), 3)) // case-insensitive kw
+    assert(parse("NEAR(a b, 5)") === Near(Seq(NearOp(Seq("a")), NearOp(Seq("b"))), 5))
+    assert(parse("NEAR(a b c)") ===
+      Near(Seq(NearOp(Seq("a")), NearOp(Seq("b")), NearOp(Seq("c"))), 10)) // FTS5 default
+    assert(parse("NEAR(a b, 5) AND c") ===
+      And(Near(Seq(NearOp(Seq("a")), NearOp(Seq("b"))), 5), Term("c")))
+    assert(parse("near(A B, 3)") ===
+      Near(Seq(NearOp(Seq("a")), NearOp(Seq("b"))), 3)) // case-insensitive kw
     assert(parse("near spark") === And(Term("near"), Term("spark"))) // bare word stays a term
     // quoted phrases are operands, exactly like FTS5's NEAR over phrases
-    assert(parse("NEAR(\"a b\" c, 4)") === Near(Seq(Seq("a", "b"), Seq("c")), 4))
-    intercept[IllegalArgumentException](parse("NEAR(a b, 1)"))  // window can't hold operands
-    intercept[IllegalArgumentException](parse("NEAR(\"a b\" c, 2)")) // ditto with a phrase
+    assert(parse("NEAR(\"a b\" c, 4)") ===
+      Near(Seq(NearOp(Seq("a", "b")), NearOp(Seq("c"))), 4))
     intercept[IllegalArgumentException](parse("NEAR(a b, x)"))  // non-integer window
     intercept[IllegalArgumentException](parse("NEAR(a b"))      // unclosed
+    // boolean keywords inside the operand list are a syntax error (FTS5
+    // raises too) — NOT a proximity query over the tokens 'and'/'or'/'not'
+    intercept[IllegalArgumentException](parse("NEAR(a AND b, 5)"))
+    intercept[IllegalArgumentException](parse("NEAR(a or b)"))
+    intercept[IllegalArgumentException](parse("NEAR(not b, 5)"))
+  }
+
+  test("NEAR window rule: reject only windows below the longest operand; sub-sum windows just match nothing") {
+    // ONE rule for explicit and default windows: window >= longest operand
+    intercept[IllegalArgumentException](parse("NEAR(\"a b c\" d, 2)")) // 3-token operand, window 2
+    intercept[IllegalArgumentException](parse(
+      "NEAR(\"a b c d e f g h i j k\" x)")) // 11-token operand vs DEFAULT window 10
+    // windows >= longest operand but < the operand sum are VALID — overlapping
+    // operands can satisfy them (ADVICE r13): NEAR(a "a b", 2) holds where
+    // "a b" occurs (term a overlaps the phrase start)
+    assert(parse("NEAR(a \"a b\", 2)") ===
+      Near(Seq(NearOp(Seq("a")), NearOp(Seq("a", "b"))), 2))
+    val d = Seq(
+      (1L, "a b x"),   // overlap: both operands inside [1,2]
+      (2L, "b a x"),   // phrase "a b" never occurs
+      (3L, "x a y b")) // phrase "a b" never occurs
+      .toDF("doc_id", "text")
+    val node = parse("NEAR(a \"a b\", 2)")
+    assert(d.withColumn("_t", QueryLang.tokens("text"))
+      .where(QueryLang.matchColumn(node, col("_t")))
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    // non-overlapping operands in a sub-sum window: parse OK, matches nothing
+    // — on the scan AND the index path (no silent widening on either)
+    val none = parse("NEAR(a b, 1)")
+    assert(d.withColumn("_t", QueryLang.tokens("text"))
+      .where(QueryLang.matchColumn(none, col("_t"))).count() === 0L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nearwin").toString
+    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
+    val asChunks = d.select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+    idx.index(asChunks)
+    idx.buildPhraseIndex(asChunks)
+    assert(idx.booleanSearch("NEAR(a b, 1)", 10).count() === 0L)
+    assert(idx.booleanSearch("NEAR(a \"a b\", 2)", 10)
+      .collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
   test("NEAR atoms inside boolean MATCH: scan and index paths agree") {
@@ -300,6 +341,54 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
     assert(cm.nearSearchDocs("f", Seq("hash", "join"), 3, 10, Some("space = \"ENG\""))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
       Set(("d1", 2L), ("d2", 2L)))
+
+    // includeSnippet: the best highlight window of the hit's own text for
+    // the POSITIVE atoms — negated atoms don't highlight; prefix stems do
+    val snips = cm.booleanSearchDocs("f", "alpha NOT python", 10, None,
+      includeSnippet = true)
+    assert(snips.columns.toSeq === Seq("documentId", "score", "snippet"))
+    val byDoc = snips.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(byDoc.keySet === Set("d2", "d3"))
+    assert(byDoc.values.forall(s => s != null && s.contains("alpha")))
+    val chunkSnips = cm.booleanSearch("f", "al* AND NOT python", 10, None,
+      includeSnippet = true)
+    assert(chunkSnips.columns.toSeq === Seq("chunkId", "score", "snippet"))
+    assert(chunkSnips.collect().forall(_.getString(2).contains("alpha")))
+  }
+
+  test("MATCH as a fusion participant: matchQuery gates every index before RRF") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-matchfuse").toString
+    val cm = new graft.core.CollectionManager(spark, tmp,
+      new graft.functions.HashingEmbedder(dim = 16),
+      new graft.functions.TextSplitter(80, 10))
+    def mk(rows: (String, String)*) = rows.toSeq
+      .map { case (id, t) => (id, s"u/$id", Map("lastModifiedAt" -> "2026-01-01T00:00:00"), t) }
+      .toDF("id", "url", "metadata", "text")
+    cm.create("g", mk(
+      "d1" -> "alpha beta hash join plan",
+      "d2" -> "alpha beta vector search plan",
+      "d3" -> "alpha beta mixed content plan",
+      "d4" -> "unrelated entirely"))
+    // ungated: the hybrid search ranks from all docs; gated by a MATCH
+    // restriction, only candidate docs can appear — across BOTH indexes
+    val all = cm.search("g", "alpha beta plan", maxChunks = 20, maxDocs = 10)
+      .collect().map(_.getAs[String]("documentId")).toSet
+    assert(all.contains("d1") && all.contains("d2") && all.contains("d3"))
+    val gated = cm.search("g", "alpha beta plan", maxChunks = 20, maxDocs = 10,
+        matchQuery = Some("alpha NOT hash"))
+      .collect().map(_.getAs[String]("documentId")).toSet
+    assert(gated === Set("d2", "d3")) // d1 killed by NOT hash, d4 by alpha
+    // prefix atoms ride the same gate; metadataFilter still composes
+    val gatedPre = cm.search("g", "alpha beta plan", maxChunks = 20, maxDocs = 10,
+        matchQuery = Some("vec* OR mixed"))
+      .collect().map(_.getAs[String]("documentId")).toSet
+    assert(gatedPre === Set("d2", "d3"))
+    // the single-index path takes the gate too (searchAmong on the one index)
+    val vecOnly = cm.search("g", "alpha beta plan", maxChunks = 20, maxDocs = 10,
+        indexNames = Some(Seq("vector_exact_l2")),
+        matchQuery = Some("alpha NOT hash"))
+      .collect().map(_.getAs[String]("documentId")).toSet
+    assert(vecOnly === Set("d2", "d3"))
   }
 
   test("tokenization ownership: scan is space-split, index is [^a-z0-9]+; tokenizer param aligns them") {
@@ -319,6 +408,87 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
     assert(QueryLang.booleanSearch(d, "doc_id", "text", "hash", 10,
         tokenizer = graft.operators.Search.tokensCol)
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("parser: FTS5 phrase-prefix — trailing * after the closing quote and on NEAR operands") {
+    // `"vec sear"*` — prefix on the LAST token of a quoted phrase
+    assert(parse("\"vec sear\"*") === Phrase(Seq("vec", "sear"), lastPrefix = true))
+    assert(parse("\"vec sear\"* AND spark") ===
+      And(Phrase(Seq("vec", "sear"), lastPrefix = true), Term("spark")))
+    // a 1-word phrase-prefix IS a prefix atom
+    assert(parse("\"vec\"*") === Prefix("vec"))
+    // NEAR operands take both forms: bare `vec*` and quoted `"hash jo"*`
+    assert(parse("NEAR(spark vec*, 5)") ===
+      Near(Seq(NearOp(Seq("spark")), NearOp(Seq("vec"), lastPrefix = true)), 5))
+    assert(parse("NEAR(\"hash jo\"* x, 6)") ===
+      Near(Seq(NearOp(Seq("hash", "jo"), lastPrefix = true), NearOp(Seq("x"))), 6))
+    // a star INSIDE the quotes stays literal text (FTS5's special case is
+    // only the trailing position); mid-word stars in operands stay literal
+    assert(parse("\"a b* c\"") === Phrase(Seq("a", "b*", "c")))
+    assert(parse("NEAR(a*b c, 5)") ===
+      Near(Seq(NearOp(Seq("a*b")), NearOp(Seq("c"))), 5))
+  }
+
+  test("phrase-prefix: scan and index paths agree; ranking counts the expansion") {
+    val d = Seq(
+      (1L, "tuning vector search under skew"),
+      (2L, "vector searches and vector searching"),
+      (3L, "a vector seareverse here"),    // 'seareverse' carries the stem too
+      (4L, "search vector reversed order"), // wrong order — no phrase
+      (5L, "vector only no second word"),
+      (6L, "plain searching text")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-phpre").toString
+    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
+    val asChunks = d.select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+    idx.index(asChunks)
+    idx.buildPhraseIndex(asChunks)
+    for (q <- Seq(
+        "\"vector sear\"*",
+        "\"vector sear\"* AND NOT skew",
+        "\"vector sear\"* OR plain",
+        "NEAR(tuning sear*, 3)",
+        "NEAR(\"vector sear\"* skew, 5)",
+        "NEAR(order reve*, 3) OR \"vector sea\"*")) {
+      val viaIndex = idx.booleanSearch(q, 100).collect().map(_.getLong(0)).toSet
+      val viaScan = d.withColumn("_t", QueryLang.tokens("text"))
+        .where(QueryLang.matchColumn(QueryLang.parse(q), col("_t")))
+        .collect().map(_.getLong(0)).toSet
+      assert(viaIndex === viaScan, s"query: $q")
+    }
+    // ground truth by hand: "vector sear"* = vector followed by a sear-token
+    assert(idx.booleanSearch("\"vector sear\"*", 100)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // the phrase-prefix's last slot counts every matching VOCAB term in the
+    // scoring expansion: positive atoms = term 'vector' + stem 'sear'
+    val atoms = QueryLang.positiveAtomsOf("\"vector sear\"* AND NOT skew")
+    assert(atoms === (Seq("vector"), Seq("sear")))
+    // doc-level tf via phraseHitsPostings: doc 2 has TWO occurrences
+    // (searches, searching), doc 1 and 3 one each
+    val tf = QueryLang.phraseHitsPostings(
+        idx.positionsTable(), Seq("vector", "sear"), lastPrefix = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tf === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("prefix expansion drops the forced broadcast hint; exact-term queries keep it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bcast").toString
+    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
+    val asChunks = docs.select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+    idx.index(asChunks)
+    idx.buildPhraseIndex(asChunks) // the phrase-prefix case resolves via positions
+    def hintCount(q: String): Int =
+      "ResolvedHint".r.findAllIn(
+        idx.booleanSearch(q, 10).queryExecution.analyzed.toString).length
+    // exact terms: the term-stats side is ≤ |query terms| rows — the forced
+    // broadcast stays (stats crossJoin is hinted too, hence ≥ 2)
+    assert(hintCount("spark AND join") >= 2)
+    // a prefix atom expands the stats side to the matching VOCABULARY — the
+    // hint is dropped (only the 1-row corpus-stats hint remains) so AQE can
+    // fall back when a wide stem exceeds the broadcast threshold
+    assert(hintCount("sh* AND join") === 1)
+    assert(hintCount("\"spark sh\"*") === 1) // phrase-prefix counts as expansion
+    // results still correct with AQE deciding
+    assert(idx.booleanSearch("sh* AND join", 10).count() > 0)
   }
 
   test("phrase/boolean plans stay scan-shaped: no shuffle before the top-k") {
