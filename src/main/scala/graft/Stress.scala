@@ -168,7 +168,7 @@ object Stress {
   private val posIndexNames =
     Seq("posidx_phrase_query", "posidx_near_query", "posidx_boolean_query",
       "posidx_boolean_filtered", "posidx_prefix_query",
-      "posidx_phrase_prefix_query")
+      "posidx_phrase_prefix_query", "posidx_gated_search")
 
   private def posIndexRows(spark: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
     val idxDir = s"$dir/posidx"
@@ -212,7 +212,13 @@ object Stress {
       // phrase-prefix worst case: the last slot's POSITION arrays merge
       // across every vocab term sharing the letter before the shift-intersect
       "posidx_phrase_prefix_query" -> (() =>
-        idx.booleanSearch("\"" + top(0) + " " + top(1).take(1) + "\"*", 20)))
+        idx.booleanSearch("\"" + top(0) + " " + top(1).take(1) + "\"*", 20)),
+      // the fusion gate's shape at scale: a ranked BM25 search whose
+      // candidate rows are gated by a boolean-MATCH id set (searchAmong's
+      // one extra semi-join) — the matchQuery path of the hybrid search
+      "posidx_gated_search" -> (() =>
+        idx.searchAmong(s"${top(0)} ${top(1)}", 20, idx.booleanCandidates(boolQ)
+          .select(col("docId").as("chunkId")))))
   }
 
   def main(args: Array[String]): Unit = {

@@ -246,7 +246,8 @@ object Cli {
           if (flags.contains("docs"))
             cm.nearSearchDocs(req("collection"), req("query").split("\\s+").toSeq,
               opt("window").map(_.toInt).getOrElse(10),
-              opt("top").map(_.toInt).getOrElse(5), opt("filter"))
+              opt("top").map(_.toInt).getOrElse(5), opt("filter"),
+              includeSnippet = flags.contains("snippet"))
           else cm.nearSearch(req("collection"), req("query").split("\\s+").toSeq,
             opt("window").map(_.toInt).getOrElse(10),
             opt("top").map(_.toInt).getOrElse(15), opt("filter"))))
@@ -257,7 +258,8 @@ object Cli {
         // exact-phrase document search from the positional artifact
         println(Formatting.jsonIndent(cm.phraseSearch(req("collection"),
           req("query").split("\\s+").toSeq,
-          opt("top").map(_.toInt).getOrElse(15), opt("filter"))))
+          opt("top").map(_.toInt).getOrElse(15), opt("filter"),
+          includeSnippet = flags.contains("snippet"))))
       case "list" =>
         println(cm.list().mkString("[\"", "\", \"", "\"]"))
       case "profile" =>

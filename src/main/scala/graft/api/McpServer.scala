@@ -107,6 +107,9 @@ final class McpServer(
       "collection" -> ("string", collectionFieldDescription),
       "query" -> ("string", "Search query text for vector similarity and keyword search."),
       "filter" -> ("string", filterFieldDescription),
+      "match" -> ("string",
+        "Optional boolean-MATCH restriction (same grammar as " +
+          "match_in_collection): only chunks satisfying it can rank."),
       "numberOfChunks" -> ("integer",
         s"Number of best matched document chunks to return. Default: $defaultNumberOfChunks. Max allowed: $maxNumberOfChunks.")))
 
@@ -140,7 +143,8 @@ final class McpServer(
         |vectors, ...; "vec sear"* prefixes the LAST phrase token), and
         |NEAR(a "b c", n) matches its operands (terms, quoted phrases,
         |either with a trailing-star prefix) within an n-token window
-        |(default 10) — e.g.:
+        |(default 10); a leading caret anchors an atom to the first
+        |token of the text (^key, ^ta*, ^"the fast") — e.g.:
         |spark AND ("hash join" OR NEAR(broadcast "sort mer"*, 6))
         |NOT python. At least one positive term is required. Results are
         |BM25-ranked and carry a highlight snippet of the matching
@@ -175,7 +179,8 @@ final class McpServer(
 
   /** Validation order and messages mirror the unified adapter (:200-205). */
   private[api] def searchTool(collection: String, query: String,
-                              filter: Option[String], numberOfChunks: Int): String = {
+                              filter: Option[String], numberOfChunks: Int,
+                              matchQuery: Option[String] = None): String = {
     if (!available.contains(collection))
       return s"Error: collection '$collection' is not available. Available: $availableList"
     if (query.isEmpty && filter.isEmpty)
@@ -185,7 +190,7 @@ final class McpServer(
     formatted(manager.search(collection, query,
       maxChunks = numberOfChunks, maxDocs = numberOfChunks,
       metadataFilter = filter, includeMatchedChunkContent = true,
-      rrfK = rrfK), "documents")
+      rrfK = rrfK, matchQuery = matchQuery), "documents")
   }
 
   private[api] def suggestTool(collection: String, terms: String): String = {
@@ -243,7 +248,8 @@ final class McpServer(
           textResult(searchTool(
             str("collection").getOrElse(""), str("query").getOrElse(""),
             str("filter").filter(_.nonEmpty),
-            int("numberOfChunks", defaultNumberOfChunks)), isError = false)
+            int("numberOfChunks", defaultNumberOfChunks),
+            str("match").filter(_.nonEmpty)), isError = false)
         case "fetch_from_collection" =>
           textResult(fetchTool(
             str("collection").getOrElse(""), str("id").getOrElse(""),

@@ -1526,6 +1526,57 @@ object Queries {
            |SELECT doc_id, round(score, 5) AS score FROM topk
            |ORDER BY score DESC, doc_id""".stripMargin))
 
+  /** FTS5 initial-token anchors (`^`) in boolean MATCH over the index
+    * ([[graft.operators.QueryLang.First]] +
+    * [[graft.operators.Bm25Indexer.booleanSearch]]): FTS5's "a phrase
+    * beginning with ^ matches only when its first token is the first token
+    * in the column". Anchors wrap terms, prefixes, and (prefix-)phrases
+    * (`^key`, `^ta*`, `^"the fast"`); on the index path the anchor is a
+    * POSITION predicate — the atom's occurrence starts from the positional
+    * artifact, filtered to position 1. The oracle replays with `w[1]`
+    * predicates over re-tokenized text.
+    */
+  private val qlAnchorIndex = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_anchor_idx_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
+      idx.index(docs)
+      idx.buildPhraseIndex(docs)
+      idx.booleanSearch("(^key AND spark) OR ^ta* OR ^\"the fast\"", 20)
+        .select(col("chunkId").as("doc_id"), round(col("score"), 5).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+           |  FROM documents),
+           |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+           |corpus AS (SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |  WHERE term IN ('key', 'spark', 'the', 'fast') OR term LIKE 'ta%'
+           |  GROUP BY doc_id, term),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    sum( ln(1 + (corpus.n - df.df + 0.5)/(df.df + 0.5))
+           |         * (tf.tf*(1.2+1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dlen/corpus.avgdl)) ) AS score
+           |  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN corpus
+           |  GROUP BY tf.doc_id),
+           |wl AS (SELECT doc_id, list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+           |  FROM documents),
+           |cand AS (SELECT doc_id FROM wl
+           |  WHERE (w[1] = 'key' AND list_contains(w, 'spark'))
+           |     OR w[1] LIKE 'ta%'
+           |     OR (len(w) >= 2 AND w[1] = 'the' AND w[2] = 'fast')),
+           |topk AS (SELECT s.doc_id, s.score FROM scored s JOIN cand USING (doc_id)
+           |  ORDER BY round(s.score, 5) DESC, s.doc_id LIMIT 20)
+           |SELECT doc_id, round(score, 5) AS score FROM topk
+           |ORDER BY score DESC, doc_id""".stripMargin))
+
   /** Boolean MATCH as a fusion participant
     * ([[graft.operators.Bm25Indexer.booleanCandidates]] +
     * [[graft.operators.Search.vectorTopK]]): the MATCH candidate set — pure
@@ -6252,6 +6303,7 @@ object Queries {
     "ql_prefix_index" -> qlPrefixIndex,
     "ql_phrase_prefix_index" -> qlPhrasePrefixIndex,
     "ql_match_fused" -> qlMatchFused,
+    "ql_anchor_index" -> qlAnchorIndex,
     "autocomplete_prefix" -> autocompletePrefix,
     "search_highlight" -> searchHighlight,
     "facet_counts" -> facetCountsQ,

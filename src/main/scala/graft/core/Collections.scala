@@ -963,13 +963,21 @@ final class CollectionManager(
   private def attachSnippet(hits: DataFrame, idCol: String,
                             texts: DataFrame, query: String): DataFrame = {
     val (terms, stems) = graft.operators.QueryLang.positiveAtomsOf(query)
+    attachSnippetAtoms(hits, idCol, texts, terms, stems)
+  }
+
+  private def attachSnippetAtoms(hits: DataFrame, idCol: String,
+                                 texts: DataFrame, terms: Seq[String],
+                                 stems: Seq[String],
+                                 order: Seq[Column] = Nil): DataFrame = {
     val snips = graft.operators.Suggest.highlightSnippet(
       broadcast(hits.select(col(idCol))).join(texts, Seq(idCol)),
       idCol, "_snipText", terms, window = 12, stems = stems)
       .select(col(idCol), col("snippet"))
-    // the join does not preserve the top-k sort — re-apply it
-    hits.join(snips, Seq(idCol), "left")
-      .orderBy(col("score").desc, col(idCol))
+    // the join does not preserve the top-k sort — re-apply the caller's
+    // ranking (default: the score-ranked surfaces' order)
+    val ord = if (order.nonEmpty) order else Seq(col("score").desc, col(idCol))
+    hits.join(snips, Seq(idCol), "left").orderBy(ord: _*)
   }
 
   /** [[booleanSearch]] rolled up to DOCUMENTS: each document ranks by its
@@ -1005,8 +1013,9 @@ final class CollectionManager(
     * tightest chunk span (earliest start breaks span ties within the doc).
     */
   def nearSearchDocs(name: String, terms: Seq[String], window: Int,
-                     k: Int = 5, metadataFilter: Option[String] = None): DataFrame =
-    bm25Indexer(name).nearHits(terms, window, compiledFilter(metadataFilter))
+                     k: Int = 5, metadataFilter: Option[String] = None,
+                     includeSnippet: Boolean = false): DataFrame = {
+    val hits = bm25Indexer(name).nearHits(terms, window, compiledFilter(metadataFilter))
       .join(chunks(name).select(col("chunkId").as("docId"), col("documentId")),
         Seq("docId"))
       .groupBy("documentId")
@@ -1016,6 +1025,12 @@ final class CollectionManager(
         col("best.span_start").as("span_start"))
       .orderBy(col("span_len"), col("documentId"))
       .limit(k)
+    if (!includeSnippet) hits
+    else attachSnippetAtoms(hits, "documentId",
+      documents(name).select(col("id").as("documentId"), col("text").as("_snipText")),
+      terms.flatMap(graft.operators.Search.tokenize), Nil,
+      order = Seq(col("span_len"), col("documentId")))
+  }
 
   /** Persist the positional-postings artifact — exact-phrase queries then
     * answer from ≤ |phrase| term-pruned reads. A full LSM member: later
@@ -1031,14 +1046,21 @@ final class CollectionManager(
     * DSL composes as in [[booleanSearch]].
     */
   def phraseSearch(name: String, phrase: Seq[String], k: Int = 15,
-                   metadataFilter: Option[String] = None): DataFrame = {
+                   metadataFilter: Option[String] = None,
+                   includeSnippet: Boolean = false): DataFrame = {
     val chunkHits = bm25Indexer(name).phraseHits(phrase, compiledFilter(metadataFilter))
-    chunkHits.join(chunks(name).select(col("chunkId").as("docId"), col("documentId")),
+    val hits = chunkHits
+      .join(chunks(name).select(col("chunkId").as("docId"), col("documentId")),
         Seq("docId"))
       .groupBy("documentId")
       .agg(sum("phrase_tf").as("phrase_tf"), min("first_pos").as("first_pos"))
       .orderBy(col("phrase_tf").desc, col("documentId"))
       .limit(k)
+    if (!includeSnippet) hits
+    else attachSnippetAtoms(hits, "documentId",
+      documents(name).select(col("id").as("documentId"), col("text").as("_snipText")),
+      phrase.flatMap(graft.operators.Search.tokenize), Nil,
+      order = Seq(col("phrase_tf").desc, col("documentId")))
   }
 
   def search(

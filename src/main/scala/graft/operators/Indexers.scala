@@ -797,7 +797,7 @@ final class Bm25Indexer(
     * unsatisfiable window.
     */
   private def normalizedAst(query: String): QueryLang.Node = {
-    import QueryLang.{And, Near, NearOp, Node, Not, Or, Phrase, Prefix, Term}
+    import QueryLang.{And, First, Near, NearOp, Node, Not, Or, Phrase, Prefix, Term}
     def normWords(ws: Seq[String], lastPrefix: Boolean, what: String): Seq[String] = {
       val ts =
         if (!lastPrefix) ws.flatMap(Search.tokenize)
@@ -833,6 +833,25 @@ final class Bm25Indexer(
         case _ => throw new IllegalArgumentException(
           s"prefix '$s0*' must be a single indexable token")
       }
+      case First(atom) =>
+        // the anchor survives re-tokenization; a bare word that SPLITS
+        // anchors as a phrase of its tokens (FTS5 treats the consecutive
+        // tokens of one string as a phrase — an AND of two both-anchored
+        // terms could never match)
+        val inner = atom match {
+          case Term(w) => Search.tokenize(w) match {
+            case Seq(t) => Term(t)
+            case ts if ts.nonEmpty => Phrase(ts)
+            case _ => throw new IllegalArgumentException(
+              s"anchored term '$w' has no indexable tokens in: $query")
+          }
+          case other => norm(other) match {
+            case n @ (_: Term | _: Phrase | _: Prefix) => n
+            case n => throw new IllegalArgumentException(
+              s"^ anchors a term, phrase, or prefix atom — not $n")
+          }
+        }
+        First(inner)
       case And(l, r) => And(norm(l), norm(r))
       case Or(l, r)  => Or(norm(l), norm(r))
       case Not(c)    => Not(norm(c))
@@ -860,7 +879,7 @@ final class Bm25Indexer(
     */
   private def evalCandidates(ast: QueryLang.Node, metadataFilter: Option[Column],
                              query: String): DataFrame = {
-    import QueryLang.{And, Near, Node, Not, Or, Phrase, Prefix, Term}
+    import QueryLang.{And, First, Near, Node, Not, Or, Phrase, Prefix, Term}
     def termIds(t: String): DataFrame =
       postingsTable(_.filter(col("term") === t)).select("docId").distinct()
     // (ids, complemented): the set, or symbolically its complement
@@ -885,6 +904,12 @@ final class Bm25Indexer(
             op.words.size)
         }
         (QueryLang.nearHitsOperands(frames, w).select("docId"), false)
+      case First(atom) => // initial-token anchor: the atom's occurrence
+        // starts come from the positional artifact (even for a plain term —
+        // the anchor is a POSITION predicate), filtered to position 1
+        val (ws, lp) = QueryLang.firstWords(atom)
+        (QueryLang.phraseStartsPostings(phraseView(ws, lp)._1, ws, lp)
+          .where(array_contains(col("starts"), 1)).select("docId"), false)
       case Not(c)    => val (d, comp) = eval(c); (d, !comp)
       case And(l, r) => combine(eval(l), eval(r), and = true)
       case Or(l, r)  => combine(eval(l), eval(r), and = false)

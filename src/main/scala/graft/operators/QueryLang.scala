@@ -62,9 +62,27 @@ object QueryLang {
     * phrase-prefix special case.
     */
   final case class Prefix(stem: String) extends Node
+  /** `^atom` initial-token anchor (FTS5: "if a phrase begins with ^ it
+    * matches only when its first token is the first token in the column"):
+    * the wrapped atom — a term, quoted phrase, or prefix (`^key`,
+    * `^"the fast"`, `^ta*`) — must OCCUR AT POSITION 1. Standalone atoms
+    * only; `^` inside NEAR operands is rejected at parse.
+    */
+  final case class First(atom: Node) extends Node
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
   final case class Not(child: Node) extends Node
+
+  /** The (words, lastPrefix) occurrence pattern of an anchorable atom — the
+    * shared decoding [[matchColumn]] and the index path use for [[First]].
+    */
+  private[operators] def firstWords(atom: Node): (Seq[String], Boolean) = atom match {
+    case Term(w)        => (Seq(w), false)
+    case Prefix(s)      => (Seq(s), true)
+    case Phrase(ws, lp) => (ws, lp)
+    case other => throw new IllegalArgumentException(
+      s"^ anchors a term, phrase, or prefix atom — not $other")
+  }
 
   /** Parse `spark AND (shuffle OR "hash join") AND NOT python`. Keywords are
     * case-insensitive; adjacency without a keyword is an implicit AND
@@ -154,6 +172,8 @@ object QueryLang {
             // `*` is the prefix form, like a standalone atom
             require(!Seq("and", "or", "not").contains(w.toLowerCase),
               s"boolean keyword '$w' inside NEAR operands in: $query (FTS5 rejects this)")
+            require(!w.startsWith("^"),
+              s"'^' anchor inside NEAR operands in: $query (anchors are standalone atoms)")
             if (w.length > 1 && w.endsWith("*") && !w.init.contains("*"))
               NearOp(Seq(w.init.toLowerCase), lastPrefix = true)
             else NearOp(Seq(w.toLowerCase))
@@ -186,6 +206,11 @@ object QueryLang {
           case ")" :: rr => (n, rr)
           case _ => throw new IllegalArgumentException(s"unclosed '(' in: $query")
         }
+      case "^" :: w :: tail if w.startsWith("\u0000") || w.startsWith("\u0001") =>
+        // ^"a b"[*] — anchored quoted phrase (the recursive pAtom call
+        // returns a Term/Phrase/Prefix, all anchorable)
+        val (atom, rest) = pAtom(w :: tail)
+        (First(atom), rest)
       case w :: tail if w.startsWith("\u0000") || w.startsWith("\u0001") =>
         // quoted phrase atom (lexer marks: \u0001 = trailing-star phrase-prefix)
         val lp = w.startsWith("\u0001")
@@ -193,6 +218,14 @@ object QueryLang {
         require(words.nonEmpty, s"empty phrase in: $query")
         if (words.size == 1) ((if (lp) Prefix(words.head) else Term(words.head)), tail)
         else (Phrase(words, lp), tail)
+      case w :: tail if w.length > 1 && w.startsWith("^") =>
+        // ^tok / ^tok* — anchored bare atom (FTS5 initial-token match)
+        val body = w.drop(1)
+        val atom: Node =
+          if (body.length > 1 && body.endsWith("*") && !body.init.contains("*"))
+            Prefix(body.init.toLowerCase)
+          else Term(body.toLowerCase)
+        (First(atom), tail)
       case w :: tail if w != ")" && w != "," && !isKw(w, "AND") && !isKw(w, "OR") =>
         if (w.length > 1 && w.endsWith("*") && !w.init.contains("*"))
           (Prefix(w.init.toLowerCase), tail)
@@ -266,6 +299,9 @@ object QueryLang {
           exists(st, p => p >= s && p + lit(op.words.size - 1) <= s + lit(w - 1))
         }.reduce(_ && _))
     case Prefix(s) => exists(toksCol, x => x.startsWith(s))
+    case First(atom) => // initial-token anchor: the atom occurs AT position 1
+      val (ws, lp) = firstWords(atom)
+      array_contains(occurrenceStarts(toksCol, ws, lp), 1)
     case And(l, r) => matchColumn(l, toksCol) && matchColumn(r, toksCol)
     case Or(l, r)  => matchColumn(l, toksCol) || matchColumn(r, toksCol)
     case Not(c)    => !matchColumn(c, toksCol)
@@ -283,6 +319,7 @@ object QueryLang {
     case Near(ops, _) => // NEAR operand words score as terms / prefix stems
       (ops.flatMap(o => if (o.lastPrefix) o.words.init else o.words),
         ops.collect { case o if o.lastPrefix => o.words.last })
+    case First(atom) => positiveAtoms(atom) // the anchor doesn't change scoring
     case And(l, r)  =>
       val (a, b) = positiveAtoms(l); val (c, d) = positiveAtoms(r); (a ++ c, b ++ d)
     case Or(l, r)   =>

@@ -143,6 +143,14 @@ class McpServerSpec extends AnyFunSuite with SparkSuite {
     assert(docs.contains("snippet"), docs)
   }
 
+  test("search tool: optional boolean-MATCH restriction gates the hybrid ranking") {
+    // ungated: both docs rank; gated by MATCH "deploy": only d2 can appear
+    val all = toolText(call("""{"jsonrpc":"2.0","id":22,"method":"tools/call","params":{"name":"search_in_collection","arguments":{"collection":"wiki","query":"spark deploy"}}}"""))
+    assert(all.contains("d1") && all.contains("d2"), all)
+    val gated = toolText(call("""{"jsonrpc":"2.0","id":23,"method":"tools/call","params":{"name":"search_in_collection","arguments":{"collection":"wiki","query":"spark deploy","match":"deploy NOT spark"}}}"""))
+    assert(!gated.contains("\"d1\"") && gated.contains("d2"), gated)
+  }
+
   test("protocol errors: parse error, unknown method, unknown tool") {
     val bad = mapper.readTree(server.handleLine("{not json").get)
     assert(bad.path("error").path("code").asInt === -32700)

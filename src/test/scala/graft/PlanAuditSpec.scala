@@ -149,8 +149,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       "eval_mrr", "events_funnel", "pca_top_component", "q11_important_stock",
       "q15_top_supplier", "q22_no_orders", "ql_boolean_index",
       "ql_boolean_phrase_index", "ql_boolean_near_index", "ql_boolean_filtered",
-      "ql_match_docs", "ql_prefix_index", "ql_phrase_prefix_index",
-      "sketch_quantile_hist",
+      "ql_anchor_index", "ql_match_docs", "ql_prefix_index",
+      "ql_phrase_prefix_index", "sketch_quantile_hist",
       "t1b_vector_batch", "t2_bm25_topk", "t2b_bm25_postings",
       "t2c_bm25_lsm_search", "text_collocations", "text_js_divergence",
       "text_keywords")

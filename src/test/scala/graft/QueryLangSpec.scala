@@ -354,6 +354,15 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
       includeSnippet = true)
     assert(chunkSnips.columns.toSeq === Seq("chunkId", "score", "snippet"))
     assert(chunkSnips.collect().forall(_.getString(2).contains("alpha")))
+    // near/phrase doc roll-ups carry snippets too (terms = the query words),
+    // keeping their own ranking order (span asc / tf desc)
+    val ns = cm.nearSearchDocs("f", Seq("hash", "join"), 3, 10, None,
+      includeSnippet = true).collect()
+    assert(ns.forall(r => r.getString(3).contains("hash")))
+    assert(ns.map(_.getLong(1)).toSeq === ns.map(_.getLong(1)).toSeq.sorted)
+    val ps = cm.phraseSearch("f", Seq("hash", "join"), 10, None,
+      includeSnippet = true).collect()
+    assert(ps.forall(r => r.getString(3).contains("join")))
   }
 
   test("MATCH as a fusion participant: matchQuery gates every index before RRF") {
@@ -468,6 +477,49 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
         idx.positionsTable(), Seq("vector", "sear"), lastPrefix = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(tf === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("initial-token anchor (^): parse, scan and index paths agree") {
+    // parse forms: bare term, prefix, quoted phrase, phrase-prefix
+    assert(parse("^spark") === First(Term("spark")))
+    assert(parse("^sp*") === First(Prefix("sp")))
+    assert(parse("^\"hash join\"") === First(Phrase(Seq("hash", "join"))))
+    assert(parse("^\"hash jo\"*") === First(Phrase(Seq("hash", "jo"), lastPrefix = true)))
+    assert(parse("^a AND b") === And(First(Term("a")), Term("b")))
+    intercept[IllegalArgumentException](parse("NEAR(^a b, 5)")) // no anchors in NEAR
+    val d = Seq(
+      (1L, "spark shuffle hash join done"),  // starts with spark; "hash join" at 3
+      (2L, "hash join spark follows"),       // starts with the phrase
+      (3L, "shuffle spark hash join"),       // spark present, not first
+      (4L, "sparkle dust")).toDF("doc_id", "text") // first token carries sp-stem
+    val dir = java.nio.file.Files.createTempDirectory("graft-anchor").toString
+    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
+    val asChunks = d.select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+    idx.index(asChunks)
+    idx.buildPhraseIndex(asChunks) // anchors are POSITION predicates
+    for (q <- Seq("^spark", "^sp*", "^\"hash join\"", "^\"hash jo\"*",
+                  "^spark OR ^\"hash join\"", "hash AND NOT ^spark")) {
+      val viaIndex = idx.booleanSearch(q, 100).collect().map(_.getLong(0)).toSet
+      val viaScan = d.withColumn("_t", QueryLang.tokens("text"))
+        .where(QueryLang.matchColumn(QueryLang.parse(q), col("_t")))
+        .collect().map(_.getLong(0)).toSet
+      assert(viaIndex === viaScan, s"query: $q")
+    }
+    // ground truth: ^spark only doc 1 (doc 3 has it mid-text, doc 4 is a
+    // different token); ^sp* adds doc 4; the anchored phrase only doc 2
+    assert(idx.booleanSearch("^spark", 100).collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(idx.booleanSearch("^sp*", 100).collect().map(_.getLong(0)).toSet === Set(1L, 4L))
+    assert(idx.booleanSearch("^\"hash join\"", 100)
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+    // a bare anchored word that SPLITS under the index tokenizer anchors as
+    // a phrase of its tokens (never an unsatisfiable AND of two anchors)
+    val d2 = Seq((1L, "hash join first"), (2L, "join hash first")).toDF("doc_id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-anchor2").toString
+    val idx2 = new graft.operators.Bm25Indexer(spark, dir2, chunksPath = s"$dir2/unused")
+    val c2 = d2.select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+    idx2.index(c2); idx2.buildPhraseIndex(c2)
+    assert(idx2.booleanSearch("^hash-join", 100)
+      .collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
   test("prefix expansion drops the forced broadcast hint; exact-term queries keep it") {
