@@ -219,7 +219,11 @@ object QueryLang {
         if (words.size == 1) ((if (lp) Prefix(words.head) else Term(words.head)), tail)
         else (Phrase(words, lp), tail)
       case w :: tail if w.length > 1 && w.startsWith("^") =>
-        // ^tok / ^tok* — anchored bare atom (FTS5 initial-token match)
+        // ^tok / ^tok* — anchored bare atom (FTS5 initial-token match).
+        // ^NEAR(...) would silently parse as the anchored TERM 'near'
+        // followed by a parenthesized group — reject it instead.
+        require(!(w.drop(1).equalsIgnoreCase("NEAR") && tail.headOption.contains("(")),
+          s"'^' cannot anchor NEAR(...) in: $query (anchors wrap terms, phrases, prefixes)")
         val body = w.drop(1)
         val atom: Node =
           if (body.length > 1 && body.endsWith("*") && !body.init.contains("*"))

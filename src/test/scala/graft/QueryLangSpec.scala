@@ -487,6 +487,8 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
     assert(parse("^\"hash jo\"*") === First(Phrase(Seq("hash", "jo"), lastPrefix = true)))
     assert(parse("^a AND b") === And(First(Term("a")), Term("b")))
     intercept[IllegalArgumentException](parse("NEAR(^a b, 5)")) // no anchors in NEAR
+    intercept[IllegalArgumentException](parse("^NEAR(a b, 5)")) // ^ can't anchor NEAR
+    assert(parse("^near spark") === And(First(Term("near")), Term("spark"))) // bare word ok
     val d = Seq(
       (1L, "spark shuffle hash join done"),  // starts with spark; "hash join" at 3
       (2L, "hash join spark follows"),       // starts with the phrase
