@@ -1,0 +1,166 @@
+package graft
+
+import graft.operators.QueryLang
+import graft.operators.QueryLang._
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property harness for the MATCH grammar: random ASTs render to query
+  * strings, round-trip through the parser, and evaluate over random token
+  * documents IDENTICALLY on two independent implementations — the Catalyst
+  * `matchColumn` expression tree and a plain-Scala reference evaluator
+  * written directly from the documented semantics. Curated cases pin the
+  * scan≡index equivalence (QueryLangSpec); this spec pins parser+scan
+  * against an executable spec across thousands of generated shapes.
+  */
+class QueryLangPropertySpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------- reference model
+
+  /** Occurrence START positions (1-based) of a word pattern — the documented
+    * semantics of [[QueryLang.occurrenceStarts]], re-derived independently.
+    */
+  private def startsOf(toks: Seq[String], ws: Seq[String], lp: Boolean): Seq[Int] = {
+    val l = ws.size
+    (1 to toks.size - l + 1).filter { p =>
+      val win = toks.slice(p - 1, p - 1 + l)
+      if (!lp) win == ws
+      else win.init == ws.init && win.last.startsWith(ws.last)
+    }
+  }
+
+  private def evalRef(n: Node, toks: Seq[String]): Boolean = n match {
+    case Term(w)        => toks.contains(w)
+    case Prefix(s)      => toks.exists(_.startsWith(s))
+    case Phrase(ws, lp) => startsOf(toks, ws, lp).nonEmpty
+    case First(atom)    => atom match {
+      case Term(w)        => startsOf(toks, Seq(w), lp = false).contains(1)
+      case Prefix(st)     => startsOf(toks, Seq(st), lp = true).contains(1)
+      case Phrase(ws, lp) => startsOf(toks, ws, lp).contains(1)
+      case other          => fail(s"unanchorable atom $other")
+    }
+    case Near(ops, w)   =>
+      val opsD = ops.distinct
+      val perOp = opsD.map(o => (o, startsOf(toks, o.words, o.lastPrefix)))
+      val cands = perOp.flatMap(_._2).sorted
+      cands.exists(s => perOp.forall { case (o, st) =>
+        st.exists(p => p >= s && p + o.words.size - 1 <= s + w - 1)
+      })
+    case And(l, r) => evalRef(l, toks) && evalRef(r, toks)
+    case Or(l, r)  => evalRef(l, toks) || evalRef(r, toks)
+    case Not(c)    => !evalRef(c, toks)
+  }
+
+  // ---------------------------------------------------------- AST renderer
+
+  /** Render an AST back to query syntax; parse(render(n)) must equal n for
+    * every generated shape (the generator avoids forms the parser
+    * normalizes away, e.g. 1-word phrases).
+    */
+  private def render(n: Node): String = n match {
+    case Term(w)    => w
+    case Prefix(s)  => s + "*"
+    case Phrase(ws, lp) => "\"" + ws.mkString(" ") + "\"" + (if (lp) "*" else "")
+    case First(atom) => "^" + render(atom)
+    case Near(ops, w) =>
+      val rendered = ops.map { o =>
+        if (o.words.size == 1 && !o.lastPrefix) o.words.head
+        else if (o.words.size == 1) o.words.head + "*"
+        else "\"" + o.words.mkString(" ") + "\"" + (if (o.lastPrefix) "*" else "")
+      }
+      s"NEAR(${rendered.mkString(" ")}, $w)"
+    case And(l, r) => s"(${render(l)} AND ${render(r)})"
+    case Or(l, r)  => s"(${render(l)} OR ${render(r)})"
+    case Not(c)    => s"NOT ${render(c)}"
+  }
+
+  // ------------------------------------------------------------ generators
+
+  // lowercase, keyword-free vocabulary; 'a' is a stem of several words so
+  // prefix atoms hit something, 'zq' never occurs so misses are exercised
+  private val vocab = Seq("ax", "ay", "bx", "by", "cx", "dx", "zq")
+  private val genWord = Gen.oneOf(vocab)
+  private val genStem = Gen.oneOf("a", "b", "c", "ax", "zq")
+
+  private val genTerm: Gen[Node]   = genWord.map(Term(_))
+  private val genPrefix: Gen[Node] = genStem.map(Prefix(_))
+  private val genPhrase: Gen[Node] = for {
+    n  <- Gen.choose(2, 3)
+    ws <- Gen.listOfN(n, genWord)
+    lp <- Gen.oneOf(true, false)
+  } yield Phrase(ws, lp)
+  private val genNearOp: Gen[NearOp] = Gen.frequency(
+    3 -> genWord.map(w => NearOp(Seq(w))),
+    1 -> genStem.map(s => NearOp(Seq(s), lastPrefix = true)),
+    1 -> Gen.listOfN(2, genWord).map(ws => NearOp(ws)),
+    1 -> Gen.listOfN(2, genWord).map(ws => NearOp(ws, lastPrefix = true)))
+  private val genNear: Gen[Node] = for {
+    k   <- Gen.choose(1, 3)
+    ops <- Gen.listOfN(k, genNearOp)
+    max = ops.map(_.words.size).max
+    w   <- Gen.choose(max, max + 6)
+  } yield Near(ops, w)
+  private val genFirst: Gen[Node] = Gen.frequency(
+    2 -> genTerm, 1 -> genPrefix, 1 -> genPhrase).map(a => First(a))
+
+  private val genAtom: Gen[Node] = Gen.frequency(
+    4 -> genTerm, 2 -> genPrefix, 2 -> genPhrase, 2 -> genNear, 1 -> genFirst)
+
+  private def genNode(depth: Int): Gen[Node] =
+    if (depth <= 0) genAtom
+    else Gen.frequency(
+      3 -> genAtom,
+      2 -> (for { l <- genNode(depth - 1); r <- genNode(depth - 1) } yield And(l, r)),
+      2 -> (for { l <- genNode(depth - 1); r <- genNode(depth - 1) } yield Or(l, r)),
+      1 -> genNode(depth - 1).map(Not(_)))
+
+  // ----------------------------------------------------------------- tests
+
+  test("render → parse round-trips every generated AST") {
+    val prop = Prop.forAll(genNode(3)) { node =>
+      parse(render(node)) == node
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("matchColumn agrees with the reference evaluator on random ASTs × random docs") {
+    // fixed doc corpus, many ASTs: all Column evaluations ride ONE job via
+    // a multi-column select, so the property runs in seconds not minutes
+    val rnd = new scala.util.Random(42)
+    val docs = (1 to 80).map { i =>
+      val n = rnd.nextInt(11)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .withColumn("_t", QueryLang.tokens("text"))
+    val nodes = Gen.listOfN(60, genNode(3)).pureApply(
+      org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(7L))
+    val cols = nodes.zipWithIndex.map { case (n, i) =>
+      QueryLang.matchColumn(n, col("_t")).as(s"m$i")
+    }
+    val rows = df.select(col("doc_id") +: cols: _*).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val byId = docs.toMap
+    for ((node, i) <- nodes.zipWithIndex; (id, _) <- docs) {
+      val got = rows(id).getBoolean(i + 1)
+      val want = evalRef(node, byId(id))
+      assert(got === want,
+        s"query ${render(node)} on doc ${byId(id).mkString(" ")}: spark=$got ref=$want")
+    }
+  }
+
+  test("parser fuzz: arbitrary input parses or raises IllegalArgumentException — never hangs or escapes") {
+    val chars = Gen.oneOf(('a' to 'e') ++ Seq(' ', '"', '(', ')', ',', '*', '^', '1', '5'))
+    val genRaw = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, chars).map(_.mkString))
+    val prop = Prop.forAll(genRaw) { q =>
+      try { parse(q); true } catch { case _: IllegalArgumentException => true }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
