@@ -507,9 +507,14 @@ object QueryLang {
     }
     val joined = named.map(_._1).reduceLeft(_.join(_, Seq("docId")))
     val arrs = named.map { case (_, len, j) => (s"_p$j", len) }
-    val sMax = s"least(${arrs.map { case (a, _) => s"array_max($a)" }.mkString(", ")})"
-    val endAt = (s: String) => s"greatest(${arrs.map { case (a, len) =>
-      s"array_min(filter($a, q -> q >= $s)) + ${len - 1}" }.mkString(", ")})"
+    // least()/greatest() require >1 argument — a single-operand NEAR (one
+    // term, or duplicates collapsing under distinct) uses the lone
+    // expression directly (found by the grammar property harness)
+    def fold(fn: String, exprs: Seq[String]): String =
+      if (exprs.size == 1) exprs.head else s"$fn(${exprs.mkString(", ")})"
+    val sMax = fold("least", arrs.map { case (a, _) => s"array_max($a)" })
+    val endAt = (s: String) => fold("greatest", arrs.map { case (a, len) =>
+      s"array_min(filter($a, q -> q >= $s)) + ${len - 1}" })
     joined
       .withColumn("_cand", expr(
         s"""transform(filter(array_sort(flatten(array(${arrs.map(_._1).mkString(", ")}))),

@@ -154,6 +154,42 @@ class QueryLangPropertySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("index path agrees with the reference evaluator on random ASTs over one built index") {
+    // one corpus, one index build (+ positional artifact), then a sample of
+    // generated ASTs each answered by booleanSearch's candidate algebra —
+    // the production path: normalizedAst + posting-set algebra + positional
+    // reads. Vocabulary is tokenizer-stable (pure letters), so the reference
+    // evaluator's token view IS the index's.
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 60).map { i =>
+      val n = 1 + rnd.nextInt(10)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("chunkId", "indexedData")
+    val dir = java.nio.file.Files.createTempDirectory("graft-qlprop").toString
+    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
+    idx.index(df)
+    idx.buildPhraseIndex(df)
+    val nodes = Gen.listOfN(25, genNode(2)).pureApply(
+      org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(23L))
+    val byId = docs.toMap
+    var checked = 0
+    nodes.foreach { node =>
+      val q = render(node)
+      val got =
+        try Some(idx.booleanSearch(q, 1000).collect().map(_.getLong(0)).toSet)
+        catch { case e: IllegalArgumentException
+          if e.getMessage.contains("complement") => None } // pure-NOT: rejected by design
+      got.foreach { ids =>
+        val want = docs.collect { case (id, ts) if evalRef(node, ts) => id }.toSet
+        assert(ids === want, s"query $q: index=$ids ref=$want")
+        checked += 1
+      }
+    }
+    assert(checked >= 15, s"too few non-complement samples ($checked) — regenerate")
+  }
+
   test("parser fuzz: arbitrary input parses or raises IllegalArgumentException — never hangs or escapes") {
     val chars = Gen.oneOf(('a' to 'e') ++ Seq(' ', '"', '(', ')', ',', '*', '^', '1', '5'))
     val genRaw = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, chars).map(_.mkString))
