@@ -199,4 +199,18 @@ class QueryLangPropertySpec extends AnyFunSuite with SparkSuite {
     val res = check(Parameters.default.withMinSuccessfulTests(500), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("parser fuzz at the token level: keyword/operator soup parses or raises cleanly") {
+    // character soup rarely forms keywords — this variant draws whole
+    // tokens, hammering the NEAR/NOT/paren/window/anchor code paths
+    val tok = Gen.oneOf(
+      "AND", "OR", "NOT", "NEAR", "near", "(", ")", ",", "\"", "*", "^",
+      "ax", "bx", "5", "-3", "\"ax bx\"", "\"ax bx\"*", "ax*", "^ax", "NEAR(ax bx, 4)")
+    val genQ = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tok).map(_.mkString(" ")))
+    val prop = Prop.forAll(genQ) { q =>
+      try { parse(q); true } catch { case _: IllegalArgumentException => true }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(800), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
