@@ -40,6 +40,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("LeftSemi"))
   }
 
+  test("anchored/phrase-prefix MATCH: every positional read is term-pruned (equality or range)") {
+    // ^key and ^"the fast" read positions by EqualTo(term,…); the ^ta*
+    // anchor reads by StringStartsWith — all row-group-pruning predicates
+    // on the term-sorted segments; no leaf scans the vocabulary
+    val p = plan("ql_anchor_index")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("EqualTo(term,key)"), p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(p.contains("StringStartsWith(term,ta)"))
+    val pp = plan("ql_phrase_prefix_index")
+    assert(pp.contains("StringStartsWith(term,jo)"))
+    assert(pp.contains("StringStartsWith(term,vec)"))
+    assert(pp.contains("EqualTo(term,hash)") || pp.contains("In(term, [hash"))
+  }
+
   test("vector top-k runs as TakeOrderedAndProject with pushed id filter") {
     val p = plan("t1_vector_topk")
     assert(p.contains("TakeOrderedAndProject"))
