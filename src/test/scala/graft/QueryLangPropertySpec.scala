@@ -168,7 +168,11 @@ class QueryLangPropertySpec extends AnyFunSuite with SparkSuite {
     val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
       .toDF("chunkId", "indexedData")
     val dir = java.nio.file.Files.createTempDirectory("graft-qlprop").toString
-    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
+    // chunks table with a metadata column, so the filter composition is
+    // part of the property: even ids are lang=en
+    df.withColumn("lang", when(col("chunkId") % 2 === 0, "en").otherwise("de"))
+      .write.parquet(s"$dir/chunks")
+    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/chunks")
     idx.index(df)
     idx.buildPhraseIndex(df)
     val nodes = Gen.listOfN(25, genNode(2)).pureApply(
@@ -184,6 +188,11 @@ class QueryLangPropertySpec extends AnyFunSuite with SparkSuite {
       got.foreach { ids =>
         val want = docs.collect { case (id, ts) if evalRef(node, ts) => id }.toSet
         assert(ids === want, s"query $q: index=$ids ref=$want")
+        // the metadata gate composes as want ∩ filtered — the reference's
+        // doc_id IN (...) shape, on every generated query
+        val gated = idx.booleanSearch(q, 1000, Some(col("lang") === "en"))
+          .collect().map(_.getLong(0)).toSet
+        assert(gated === want.filter(_ % 2 == 0), s"filtered query $q")
         checked += 1
       }
     }
