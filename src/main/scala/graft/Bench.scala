@@ -32,6 +32,54 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => }
     }
+    // ------------------------------------------------------- host controls
+    // Three rounds of SCALE.md addenda re-litigated the same finding: a loud
+    // host penalizes MANY-SHORT-JOB queries (scheduler/dispatch overhead)
+    // while sparing single-scan queries, so raw cross-round deltas on
+    // short-job rows masquerade as regressions. Two FROZEN control workloads
+    // run inside every bench (before, between, and after the timed passes;
+    // min kept) and their times ship in the JSON, so any BENCH_r*.json pair
+    // is self-normalizing — no more manual worktree A/B.
+    //   scan      — ONE wide CPU-bound job (range → modular sum), the
+    //               single-long-job shape the noise historically SPARES
+    //   shortjobs — 20 sequential 2-stage jobs of 32 tiny tasks each,
+    //               pricing job-scheduling overhead, the observed noise mode
+    // Both are synthetic (spark.range), so the pins are SF-INDEPENDENT —
+    // the same control means the same work at sf0.01 and sf1. The *_pin
+    // values are this host QUIET (round 15, min over interleaved runs);
+    // `normalized` = raw × (shortjobs_pin / shortjobs_measured), a
+    // first-order host correction for the short-job noise mode. Controls are
+    // deliberately NOT SparkEntry queries: they must stay frozen across
+    // rounds for the ratios to mean anything.
+    // quiet-floor pins, measured round 15 over interleaved runs on the
+    // driver host (observed quiet: scan 0.123, shortjobs 3.09; the SAME
+    // calibration session also saw 7.2s shortjobs minutes later — the noise
+    // mode these controls exist to expose)
+    val scanPin = 0.12
+    val shortjobsPin = 3.00
+    def controlScan(): Unit = {
+      import org.apache.spark.sql.functions._
+      spark.range(200000000L).select(sum(col("id") % 7)).collect()
+    }
+    def controlShortJobs(): Unit = {
+      import org.apache.spark.sql.functions._
+      (1 to 20).foreach { i =>
+        spark.range(20000).withColumn("k", col("id") % 10)
+          .groupBy("k").agg(count(lit(1))).collect()
+      }
+    }
+    def timed(body: () => Unit): Double = {
+      val t0 = System.nanoTime(); body(); (System.nanoTime() - t0) / 1e9
+    }
+    // warm the controls once with the main warmup, then interleave
+    controlScan(); controlShortJobs()
+    var ctlScan = Double.MaxValue
+    var ctlShort = Double.MaxValue
+    def sampleControls(): Unit = {
+      ctlScan = math.min(ctlScan, timed(() => controlScan()))
+      ctlShort = math.min(ctlShort, timed(() => controlShortJobs()))
+    }
+
     // Two timed passes, keep the per-query minimum: steady-state throughput is
     // the quantity of interest, and the min is robust to a transient external
     // CPU burst landing on one query in one pass.
@@ -40,11 +88,19 @@ object Bench {
       try consume(fn(spark, sfDir)) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    sampleControls()
     val p1 = timedPass()
+    sampleControls()
     val p2 = timedPass()
+    sampleControls()
     val results = queries.map { case (name, _) =>
       name -> math.min(p1(name), p2(name))
     }
+    // conservative correction: only discount noise (never inflate a
+    // quieter-than-pin run), and never discount by more than 4× — a factor
+    // outside the clamp means the pins need re-calibration, not trusting
+    val hostFactor =
+      math.max(0.25, math.min(1.0, shortjobsPin / math.max(ctlShort, 1e-9)))
     // Millisecond precision keeps the JSON line short enough to survive the
     // driver's fixed-size stdout-tail capture (BENCH_r06's full-precision
     // doubles pushed the line past the window and left `parsed` null).
@@ -52,7 +108,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val control = s"""{"scan":${fmt(ctlScan)},"shortjobs":${fmt(ctlShort)},""" +
+      s""""scan_pin":${fmt(scanPin)},"shortjobs_pin":${fmt(shortjobsPin)},""" +
+      s""""host_factor":${fmt(hostFactor)}}"""
+    val normalized = s"""{"total":${fmt(total * hostFactor)}}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"control":$control,"normalized":$normalized,"sf":"$sfDir"}"""
     println(json)
     // Also write the JSON to a file: scraping it from the sbt log tail is
     // fragile (log interleaving left BENCH_r02's parsed field null).

@@ -28,7 +28,14 @@ import org.apache.spark.sql.SparkSession
   *                               [--match "MATCH Q"]  (boolean-MATCH candidate gate
   *                                applied to every index before ranking/fusion)
   *   graft.api.Cli match         --collection c --query "MATCH Q" [--filter DSL] [--top N]
-  *                               [--docs] [--snippet]
+  *                               [--docs] [--snippet] [--include-text]
+  *                               [--format json|json_indent|toon]
+  *   graft.api.Cli near          --collection c --query "a b" [--window 10] [--filter DSL]
+  *                               [--top N] [--docs] [--snippet] [--include-text]
+  *                               [--format json|json_indent|toon]
+  *                               (--snippet at chunk level highlights the chunk's text)
+  *   graft.api.Cli phrase        --collection c --query "a b" [--filter DSL] [--top N]
+  *                               [--snippet] [--include-text] [--format json|json_indent|toon]
   *   graft.api.Cli fetch         --collection c --doc ID [--start 1] [--end 200]
   *   graft.api.Cli list
   * }}}
@@ -49,6 +56,24 @@ object Cli {
       } else i += 1
     }
     (opts.toMap, flags.toSet)
+  }
+
+  /** Uniform output for the MATCH-family commands (r14 VERDICT ask 6): the
+    * same F13 formats as `search` (`--format json|json_indent|toon`) plus
+    * the P7-style `--include-text` projection joining the hit's full text.
+    */
+  private def emitHits(cm: graft.core.CollectionManager, collection: String,
+                       hits: org.apache.spark.sql.DataFrame,
+                       format: Option[String], includeText: Boolean,
+                       docLevel: Boolean, idCol: String, label: String): Unit = {
+    val projected =
+      if (includeText) cm.attachHitText(collection, hits, idCol, docLevel)
+      else hits
+    println(format.getOrElse("json_indent") match {
+      case "json" => Formatting.json(projected)
+      case "toon" => Formatting.toon(projected, label)
+      case _      => Formatting.jsonIndent(projected)
+    })
   }
 
   def main(args: Array[String]): Unit = {
@@ -232,34 +257,49 @@ object Cli {
         // over the index; --filter composes the metadata-filter DSL (the
         // reference gates every FTS5 MATCH the same way); --docs rolls chunk
         // hits up to documents; --snippet adds the best highlight window of
-        // the hit's text for the query's positive atoms
-        println(Formatting.jsonIndent(
-          if (flags.contains("docs"))
+        // the hit's text for the query's positive atoms; --include-text
+        // joins the hit's full text; --format mirrors `search` (F13)
+        val docs = flags.contains("docs")
+        val hits =
+          if (docs)
             cm.booleanSearchDocs(req("collection"), req("query"),
               opt("top").map(_.toInt).getOrElse(5), opt("filter"),
               includeSnippet = flags.contains("snippet"))
           else cm.booleanSearch(req("collection"), req("query"),
             opt("top").map(_.toInt).getOrElse(15), opt("filter"),
-            includeSnippet = flags.contains("snippet"))))
+            includeSnippet = flags.contains("snippet"))
+        emitHits(cm, req("collection"), hits, opt("format"),
+          flags.contains("include-text"), docLevel = docs,
+          idCol = if (docs) "documentId" else "chunkId",
+          label = if (docs) "documents" else "matches")
       case "near" =>
-        println(Formatting.jsonIndent(
-          if (flags.contains("docs"))
+        val docs = flags.contains("docs")
+        val hits =
+          if (docs)
             cm.nearSearchDocs(req("collection"), req("query").split("\\s+").toSeq,
               opt("window").map(_.toInt).getOrElse(10),
               opt("top").map(_.toInt).getOrElse(5), opt("filter"),
               includeSnippet = flags.contains("snippet"))
           else cm.nearSearch(req("collection"), req("query").split("\\s+").toSeq,
             opt("window").map(_.toInt).getOrElse(10),
-            opt("top").map(_.toInt).getOrElse(15), opt("filter"))))
+            opt("top").map(_.toInt).getOrElse(15), opt("filter"),
+            includeSnippet = flags.contains("snippet"))
+        emitHits(cm, req("collection"), hits, opt("format"),
+          flags.contains("include-text"), docLevel = docs,
+          idCol = if (docs) "documentId" else "docId",
+          label = if (docs) "documents" else "matches")
       case "phrase-index" =>
         cm.buildPhraseIndex(req("collection"))
         println(s"""{"built": "positions", "collection": "${req("collection")}"}""")
       case "phrase" =>
         // exact-phrase document search from the positional artifact
-        println(Formatting.jsonIndent(cm.phraseSearch(req("collection"),
+        val hits = cm.phraseSearch(req("collection"),
           req("query").split("\\s+").toSeq,
           opt("top").map(_.toInt).getOrElse(15), opt("filter"),
-          includeSnippet = flags.contains("snippet"))))
+          includeSnippet = flags.contains("snippet"))
+        emitHits(cm, req("collection"), hits, opt("format"),
+          flags.contains("include-text"), docLevel = true,
+          idCol = "documentId", label = "documents")
       case "list" =>
         println(cm.list().mkString("[\"", "\", \"", "\"]"))
       case "profile" =>

@@ -3160,7 +3160,7 @@ object Queries {
       D.documents(s, d), "doc_id", "text",
       "(join AND vector) OR (spark NOT hash)", k = 30),
     Some("""WITH tok AS (SELECT doc_id,
-           |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
            |  FROM documents)
            |SELECT doc_id,
            |  CAST(list_contains(w, 'join')::int + list_contains(w, 'spark')::int
@@ -3181,7 +3181,7 @@ object Queries {
     (s, d) => graft.operators.QueryLang.phraseSearch(
       D.documents(s, d), "doc_id", "text", Seq("hash", "join"), k = 100),
     Some("""WITH tok AS (SELECT doc_id,
-           |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
            |  FROM documents),
            |p AS (SELECT doc_id, list_filter(generate_series(1, len(w) - 1),
            |        i -> w[i] = 'hash' AND w[i+1] = 'join') AS hits
@@ -3201,7 +3201,7 @@ object Queries {
       D.documents(s, d), "doc_id", "text",
       Seq("spark", "vector", "window"), k = 25),
     Some("""WITH tok AS (SELECT doc_id,
-           |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
            |  FROM documents),
            |f AS (SELECT doc_id, w,
            |    list_filter(generate_series(1, len(w)), i -> w[i] = 'spark') AS pa,

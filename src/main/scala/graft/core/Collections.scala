@@ -970,14 +970,22 @@ final class CollectionManager(
                                  texts: DataFrame, terms: Seq[String],
                                  stems: Seq[String],
                                  order: Seq[Column] = Nil): DataFrame = {
+    // Materialize the hit frame ONCE before deriving snippets: the frame is
+    // ≤k rows by construction (the search caps), but its LINEAGE is the full
+    // search pipeline — referencing it twice (snippet side + the join's left
+    // side) would execute that pipeline twice per query (ADVICE r14). A
+    // driver-local copy is bounded and makes both sides a LocalRelation.
+    import scala.jdk.CollectionConverters._
+    val hitsLocal = spark.createDataFrame(
+      hits.collect().toSeq.asJava, hits.schema)
     val snips = graft.operators.Suggest.highlightSnippet(
-      broadcast(hits.select(col(idCol))).join(texts, Seq(idCol)),
+      broadcast(hitsLocal.select(col(idCol))).join(texts, Seq(idCol)),
       idCol, "_snipText", terms, window = 12, stems = stems)
       .select(col(idCol), col("snippet"))
     // the join does not preserve the top-k sort — re-apply the caller's
     // ranking (default: the score-ranked surfaces' order)
     val ord = if (order.nonEmpty) order else Seq(col("score").desc, col(idCol))
-    hits.join(snips, Seq(idCol), "left").orderBy(ord: _*)
+    hitsLocal.join(snips, Seq(idCol), "left").orderBy(ord: _*)
   }
 
   /** [[booleanSearch]] rolled up to DOCUMENTS: each document ranks by its
@@ -1001,13 +1009,44 @@ final class CollectionManager(
       query)
   }
 
+  /** P7-style result projection for the MATCH-family surfaces: left-join the
+    * hit's text onto a ranked ≤k-row hit frame — chunk `indexedData` when
+    * `docLevel` is false, the document's full `text` otherwise. The hit side
+    * is materialized ONCE (bounded by the search caps, same rationale as the
+    * snippet join) with an explicit `rank` column so the caller's ordering
+    * survives the join; the tiny local side broadcasts against the big text
+    * table (J2's shape).
+    */
+  def attachHitText(name: String, hits: DataFrame, idCol: String,
+                    docLevel: Boolean): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = hits.collect().toSeq
+    val schema = hits.schema.add("rank", org.apache.spark.sql.types.LongType)
+    val local = spark.createDataFrame(
+      rows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toLong)
+      }.asJava, schema)
+    val texts =
+      if (docLevel) documents(name).select(col("id").as(idCol), col("text"))
+      else chunks(name).select(col("chunkId").as(idCol),
+        col("indexedData").as("text"))
+    broadcast(local).join(texts, Seq(idCol), "left").orderBy("rank")
+  }
+
   /** NEAR over the positional artifact (build it first): every term within
     * a ≤`window`-token span, ranked by the minimal span. CHUNK level; the
     * filter DSL composes as in [[booleanSearch]].
     */
   def nearSearch(name: String, terms: Seq[String], window: Int,
-                 k: Int = 15, metadataFilter: Option[String] = None): DataFrame =
-    bm25Indexer(name).near(terms, window, k, compiledFilter(metadataFilter))
+                 k: Int = 15, metadataFilter: Option[String] = None,
+                 includeSnippet: Boolean = false): DataFrame = {
+    val hits = bm25Indexer(name).near(terms, window, k, compiledFilter(metadataFilter))
+    if (!includeSnippet) hits
+    else attachSnippetAtoms(hits, "docId",
+      chunks(name).select(col("chunkId").as("docId"), col("indexedData").as("_snipText")),
+      terms.flatMap(graft.operators.Search.tokenize), Nil,
+      order = Seq(col("span_len"), col("docId")))
+  }
 
   /** [[nearSearch]] rolled up to DOCUMENTS: each document ranks by its
     * tightest chunk span (earliest start breaks span ties within the doc).

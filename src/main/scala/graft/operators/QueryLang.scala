@@ -112,6 +112,14 @@ object QueryLang {
               out += "\u0000" + query.substring(i + 1, end)
               i = end + 1
             }
+            // FTS5 raises on text abutting the closing quote (`"a b"x`,
+            // `"a b"*x`); lexing it as an implicit AND would give a likely
+            // typo silently different semantics — require a delimiter here
+            require(i >= query.length || {
+              val c = query.charAt(i)
+              c.isWhitespace || c == '(' || c == ')' || c == ',' || c == '"'
+            }, s"text abutting a quoted phrase at offset $i in: $query " +
+               "(whitespace or a delimiter must follow the closing quote)")
           case '(' => out += "("; i += 1
           case ')' => out += ")"; i += 1
           case ',' => out += ","; i += 1
@@ -206,11 +214,33 @@ object QueryLang {
           case ")" :: rr => (n, rr)
           case _ => throw new IllegalArgumentException(s"unclosed '(' in: $query")
         }
-      case "^" :: w :: tail if w.startsWith("\u0000") || w.startsWith("\u0001") =>
-        // ^"a b"[*] — anchored quoted phrase (the recursive pAtom call
-        // returns a Term/Phrase/Prefix, all anchorable)
-        val (atom, rest) = pAtom(w :: tail)
-        (First(atom), rest)
+      case "^" :: tail =>
+        // A standalone '^' token anchors the NEXT atom: adjacent `^"a b"[*]`
+        // lexes this way (the quote is a delimiter), and the
+        // whitespace-separated `^ term` form is accepted for the same
+        // consistency. Anything NOT anchorable — a group, NEAR(...), a
+        // boolean keyword, another '^', end of input — is a clear syntax
+        // error instead of silently parsing as the term "^".
+        tail match {
+          case w :: _ if w.startsWith("\u0000") || w.startsWith("\u0001") =>
+            // ^"a b"[*] — anchored quoted phrase (the recursive pAtom call
+            // returns a Term/Phrase/Prefix, all anchorable)
+            val (atom, rest) = pAtom(tail)
+            (First(atom), rest)
+          case w :: rest
+              if w != "(" && w != ")" && w != "," && w != "^" &&
+                !w.startsWith("^") &&
+                !isKw(w, "AND") && !isKw(w, "OR") && !isKw(w, "NOT") &&
+                !(isKw(w, "NEAR") && rest.headOption.contains("(")) =>
+            val atom: Node =
+              if (w.length > 1 && w.endsWith("*") && !w.init.contains("*"))
+                Prefix(w.init.toLowerCase)
+              else Term(w.toLowerCase)
+            (First(atom), rest)
+          case _ =>
+            throw new IllegalArgumentException(
+              s"'^' must anchor a term, prefix, or quoted phrase in: $query")
+        }
       case w :: tail if w.startsWith("\u0000") || w.startsWith("\u0001") =>
         // quoted phrase atom (lexer marks: \u0001 = trailing-star phrase-prefix)
         val lp = w.startsWith("\u0001")
@@ -242,22 +272,31 @@ object QueryLang {
     node
   }
 
-  /** Single-space tokens of `textCol`, lowercased — the SCAN path's default
-    * tokenization. NOTE: this is NOT the BM25 indexer's tokenizer — the
-    * index family (postings, positional artifact) splits on `[^a-z0-9]+`
-    * ([[Search.tokenize]]), so on punctuated text the two paths of the same
-    * grammar disagree ("hash-join" matches `hash` on the index path, stays
-    * one token here). Each path is oracle-gated against its own tokenizer;
-    * callers that need scan/index agreement pass [[Search.tokensCol]] as the
-    * scan functions' `tokenizer` parameter (QueryLangSpec pins both facts).
+  /** Tokens of `textCol` under the ENGINE tokenizer ([[Search.tokensCol]]:
+    * lowercase, split on `[^a-z0-9]+` runs) — the scan path's DEFAULT, so
+    * the same MATCH grammar returns the same matches on the scan and the
+    * index paths ("hash-join" matches `hash` on BOTH). The reference has
+    * exactly ONE tokenizer for its whole engine (FTS5 unicode61,
+    * `main/indexes/indexers/sqllite_indexer.py:106-114`); this mirrors that
+    * single-tokenizer contract. Corpora that are pre-tokenized on single
+    * spaces and want hyphenated/punctuated words kept whole opt in to
+    * [[spaceTokensOf]] via the scan functions' `tokenizer` parameter.
     */
   def tokens(textCol: String): Column =
     tokensOf(col(textCol))
 
   /** Column-typed form of [[tokens]] — the default `tokenizer` of the scan
-    * functions below.
+    * functions below; identical to the index family's tokenizer.
     */
   def tokensOf(text: Column): Column =
+    Search.tokensCol(text)
+
+  /** Single-space tokens, lowercased — the explicit-opt-in PARITY tokenizer
+    * (the pre-unification scan default). Use for corpora already joined on
+    * single spaces where punctuation is payload, not separator; everything
+    * built through an index ignores this and uses [[Search.tokensCol]].
+    */
+  def spaceTokensOf(text: Column): Column =
     filter(split(lower(text), " "), x => x =!= "")
 
   /** Occurrence START positions (1-based) of a word sequence in `toksCol`;

