@@ -1306,6 +1306,80 @@ object Queries {
            |SELECT doc_id, round(score, 5) AS score FROM topk
            |ORDER BY score DESC, doc_id""".stripMargin))
 
+  /** Double negation + De Morgan inside the boolean MATCH, served from the
+    * index ([[graft.operators.QueryLang.nnf]] +
+    * [[graft.operators.Bm25Indexer.booleanSearch]]): the query normalizes
+    * to negation normal form before atom collection AND candidate
+    * evaluation, so `NOT (NOT vector AND NOT join) NOT NOT spark`
+    * ≡ `(vector OR join) AND spark` — candidates correct and all three
+    * atoms BM25-scored. Gates the r15 NNF fix (the lifecycle property's
+    * `NOT NOT b*` counterexample class): without NNF the index path
+    * returned an EMPTY frame here while the scan path matched.
+    */
+  private val qlDoubleNegation = Q(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_nnf_idx_").toString
+      val docs = D.documents(s, d)
+        .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+      val idx = new graft.operators.Bm25Indexer(
+        s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
+      idx.index(docs)
+      idx.booleanSearch("NOT (NOT vector AND NOT join) NOT NOT spark", 20)
+        .select(col("chunkId").as("doc_id"), round(col("score"), 5).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+           |  FROM documents),
+           |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+           |corpus AS (SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |  WHERE term IN ('vector', 'join', 'spark') GROUP BY doc_id, term),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    sum( ln(1 + (corpus.n - df.df + 0.5)/(df.df + 0.5))
+           |         * (tf.tf*(1.2+1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dlen/corpus.avgdl)) ) AS score
+           |  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN corpus
+           |  GROUP BY tf.doc_id),
+           |wl AS (SELECT doc_id, list_filter(
+           |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+           |  FROM documents),
+           |cand AS (SELECT doc_id FROM wl
+           |  WHERE NOT (NOT list_contains(w, 'vector') AND NOT list_contains(w, 'join'))
+           |    AND NOT NOT list_contains(w, 'spark')),
+           |topk AS (SELECT s.doc_id, s.score FROM scored s JOIN cand USING (doc_id)
+           |  ORDER BY round(s.score, 5) DESC, s.doc_id LIMIT 20)
+           |SELECT doc_id, round(score, 5) AS score FROM topk
+           |ORDER BY score DESC, doc_id""".stripMargin))
+
+  /** The unified tokenizer on PUNCTUATED text, scan path
+    * ([[graft.operators.QueryLang.booleanSearch]] with its r15 default
+    * tokenizer = the index family's `[^a-z0-9]+` split): the same MATCH
+    * query over a hyphen-joined rendering of the corpus returns exactly the
+    * results of the space-joined original — the single-tokenizer contract
+    * the reference holds engine-wide (FTS5 unicode61). DuckDB replays the
+    * hyphenation and the regex split independently.
+    */
+  private val qlPunctuatedScan = Q(
+    (s, d) => graft.operators.QueryLang.booleanSearch(
+      D.documents(s, d)
+        .withColumn("text", regexp_replace(col("text"), " ", "-")),
+      "doc_id", "text", "(join AND vector) OR (spark NOT hash)", k = 30),
+    Some("""WITH tok AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(replace(text, ' ', '-')),
+           |      '[^a-z0-9]+'), x -> x <> '') AS w
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(list_contains(w, 'join')::int + list_contains(w, 'spark')::int
+           |       + list_contains(w, 'vector')::int AS BIGINT) AS n_matched,
+           |  CAST(len(list_filter(w, x -> x IN ('join', 'spark', 'vector'))) AS BIGINT) AS tf_total
+           |FROM tok
+           |WHERE (list_contains(w, 'join') AND list_contains(w, 'vector'))
+           |   OR (list_contains(w, 'spark') AND NOT list_contains(w, 'hash'))
+           |ORDER BY n_matched DESC, tf_total DESC, doc_id LIMIT 30""".stripMargin))
+
   /** Quoted-phrase atoms inside the boolean MATCH, served from the index
     * ([[graft.operators.Bm25Indexer.booleanSearch]] + the positional
     * artifact): `"hash join" OR (spark NOT vector)` — the phrase atom's
@@ -6304,6 +6378,8 @@ object Queries {
     "ql_phrase_prefix_index" -> qlPhrasePrefixIndex,
     "ql_match_fused" -> qlMatchFused,
     "ql_anchor_index" -> qlAnchorIndex,
+    "ql_double_negation" -> qlDoubleNegation,
+    "ql_punctuated_scan" -> qlPunctuatedScan,
     "autocomplete_prefix" -> autocompletePrefix,
     "search_highlight" -> searchHighlight,
     "facet_counts" -> facetCountsQ,

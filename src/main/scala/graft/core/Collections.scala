@@ -789,7 +789,27 @@ final class CollectionManager(
         }
       Seq(("expired_writer_lock", 0L, expired))
     }
-    (base ++ bm25 ++ positions ++ buckets ++ ivf ++ sigs ++ lock)
+    // terms outside the tokenizer alphabet ([a-z0-9]+) are UNREACHABLE: the
+    // query paths normalize every atom through the engine tokenizer, so
+    // neither an equality lookup nor a stem's StartsWith range read can ever
+    // match such a row — a segment written with un-normalized terms (case
+    // drift, whitespace residue, a compaction bug re-writing terms under a
+    // different normalization) silently splits a stem's postings between
+    // reachable and unreachable rows. One narrow count per artifact over the
+    // LOGICAL view, so the check sees base AND delta segments alike.
+    val termAlphabet = "^[a-z0-9]+$"
+    val nonnormal =
+      (if (fs.exists(new Path(s"${bm25Dir(name)}/postings")))
+        Seq(("bm25_unreachable_terms", 0L,
+          bm25Indexer(name).postingsTable()
+            .filter(!col("term").rlike(termAlphabet)).count()))
+      else Nil) ++
+      (if (fs.exists(new Path(s"${bm25Dir(name)}/positions")))
+        Seq(("positions_unreachable_terms", 0L,
+          bm25Indexer(name).positionsTable()
+            .filter(!col("term").rlike(termAlphabet)).count()))
+      else Nil)
+    (base ++ bm25 ++ positions ++ nonnormal ++ buckets ++ ivf ++ sigs ++ lock)
       .map { case (c, e, a) => (c, e, a, e == a) }
       .toDF("check", "expected", "actual", "ok")
   }

@@ -856,7 +856,12 @@ final class Bm25Indexer(
       case Or(l, r)  => Or(norm(l), norm(r))
       case Not(c)    => Not(norm(c))
     }
-    norm(QueryLang.parse(query))
+    // NNF before evaluation: double negations vanish and NOT wraps atoms
+    // only, so "positive" (scoring) atoms and the symbolic-complement
+    // algebra agree on the same normal form — without it, `NOT NOT b*`
+    // produced a non-empty candidate set but ZERO positive atoms, and
+    // booleanHits returned empty (r15 lifecycle property, seed 37)
+    QueryLang.nnf(norm(QueryLang.parse(query)))
   }
 
   /** Candidate doc ids of a boolean MATCH query — the posting-set algebra

@@ -353,7 +353,30 @@ object QueryLang {
   /** The positive atoms of the AST: (exact terms, prefix stems). Negated
     * atoms contribute nothing — they don't score.
     */
-  private[operators] def positiveAtoms(node: Node): (Seq[String], Seq[String]) = node match {
+  /** Negation normal form: double negations eliminated, NOT pushed through
+    * AND/OR by De Morgan until it wraps atoms only. Semantically the
+    * identity ([[matchColumn]] and the candidate algebra agree on it by
+    * construction), but it makes "positive" well-defined: an atom is
+    * positive iff it sits under NO Not in the NNF. Without it,
+    * `NOT NOT b*` had zero positive atoms and the index path returned an
+    * empty frame while its candidate set was non-empty (caught by the r15
+    * lifecycle property, seed 37).
+    */
+  private[operators] def nnf(n: Node, neg: Boolean = false): Node = n match {
+    case Not(c)    => nnf(c, !neg)
+    case And(l, r) =>
+      if (neg) Or(nnf(l, neg = true), nnf(r, neg = true))
+      else And(nnf(l), nnf(r))
+    case Or(l, r)  =>
+      if (neg) And(nnf(l, neg = true), nnf(r, neg = true))
+      else Or(nnf(l), nnf(r))
+    case atom      => if (neg) Not(atom) else atom
+  }
+
+  private[operators] def positiveAtoms(node: Node): (Seq[String], Seq[String]) =
+    positiveAtomsNnf(nnf(node))
+
+  private def positiveAtomsNnf(node: Node): (Seq[String], Seq[String]) = node match {
     case Term(w)    => (Seq(w), Nil)
     case Prefix(s)  => (Nil, Seq(s))
     // phrase members score as terms; a prefix-marked last word scores as a
@@ -362,12 +385,12 @@ object QueryLang {
     case Near(ops, _) => // NEAR operand words score as terms / prefix stems
       (ops.flatMap(o => if (o.lastPrefix) o.words.init else o.words),
         ops.collect { case o if o.lastPrefix => o.words.last })
-    case First(atom) => positiveAtoms(atom) // the anchor doesn't change scoring
+    case First(atom) => positiveAtomsNnf(atom) // the anchor doesn't change scoring
     case And(l, r)  =>
-      val (a, b) = positiveAtoms(l); val (c, d) = positiveAtoms(r); (a ++ c, b ++ d)
+      val (a, b) = positiveAtomsNnf(l); val (c, d) = positiveAtomsNnf(r); (a ++ c, b ++ d)
     case Or(l, r)   =>
-      val (a, b) = positiveAtoms(l); val (c, d) = positiveAtoms(r); (a ++ c, b ++ d)
-    case Not(_)     => (Nil, Nil)
+      val (a, b) = positiveAtomsNnf(l); val (c, d) = positiveAtomsNnf(r); (a ++ c, b ++ d)
+    case Not(_)     => (Nil, Nil) // NNF input: Not wraps atoms only
   }
 
   /** Public view of [[positiveAtoms]] over a raw query string:

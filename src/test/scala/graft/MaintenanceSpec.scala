@@ -119,4 +119,38 @@ class MaintenanceSpec extends AnyFunSuite with SparkSuite {
       .toDF("id", "url", "metadata", "text"))
     assert(cm.fsck("cc").collect().forall(_.getAs[Boolean]("ok")))
   }
+
+  test("fsck flags un-normalized terms a prefix range read could never see (hand-broken segment)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-fsck-terms").toString
+    val cm = new graft.core.CollectionManager(spark, tmp,
+      new graft.functions.HashingEmbedder(dim = 16),
+      new graft.functions.TextSplitter(50, 10))
+    cm.create("cc", Seq(
+      ("d1", "u1", Map("k" -> "v"), "vector search over spark"),
+      ("d2", "u2", Map("k" -> "v"), "join order planning"))
+      .toDF("id", "url", "metadata", "text"))
+    cm.buildPhraseIndex("cc")
+    assert(cm.fsck("cc").collect().forall(_.getAs[Boolean]("ok")))
+
+    // hand-break the artifacts the way a compaction/writer bug would: a
+    // delta segment whose terms are NOT tokenizer-normal ("Joi" — uppercase).
+    // Those rows are live chunk ids (not stray), yet NO query can reach
+    // them: equality atoms and StartsWith stems are lowercase by
+    // construction, so "joi*" silently loses the postings that drifted.
+    val chunkId = cm.chunks("cc").select("chunkId").head().getLong(0)
+    Seq((chunkId, "Joi", 4, 1L)).toDF("docId", "term", "docLen", "tf")
+      .write.mode("append").parquet(s"$tmp/cc/indexes/bm25/postings_delta")
+    Seq((chunkId, "Joi", Seq(2))).toDF("docId", "term", "positions")
+      .write.mode("append").parquet(s"$tmp/cc/indexes/bm25/positions_delta")
+
+    val report = cm.fsck("cc").collect()
+      .map(r => r.getAs[String]("check") ->
+        (r.getAs[Long]("actual"), r.getAs[Boolean]("ok"))).toMap
+    assert(report("bm25_unreachable_terms") === ((1L, false)), report)
+    assert(report("positions_unreachable_terms") === ((1L, false)), report)
+    // the stray checks stay green — the broken rows point at LIVE chunks,
+    // which is exactly why only the term-alphabet check can catch them
+    assert(report("bm25_stray_postings")._2 && report("positions_stray")._2)
+  }
 }

@@ -151,6 +151,17 @@ class McpServerSpec extends AnyFunSuite with SparkSuite {
     assert(!gated.contains("\"d1\"") && gated.contains("d2"), gated)
   }
 
+  test("match tool honors the server's toon format like search (uniform agent surface)") {
+    // r14 VERDICT ask 6: the MCP agent surface is format-uniform — a server
+    // configured for toon renders MATCH results as toon rows, not JSON
+    val toonServer = new McpServer(cm, format = "toon")
+    val resp = toonServer.handleLine("""{"jsonrpc":"2.0","id":40,"method":"tools/call","params":{"name":"match_in_collection","arguments":{"collection":"wiki","query":"\"vector search\""}}}""")
+    val text = mapper.readTree(resp.get)
+      .path("result").path("content").get(0).path("text").asText
+    assert(text.contains("matches[") && text.contains("{chunkId,"), text)
+    assert(!text.contains("\"chunkId\":"), text)
+  }
+
   test("protocol errors: parse error, unknown method, unknown tool") {
     val bad = mapper.readTree(server.handleLine("{not json").get)
     assert(bad.path("error").path("code").asInt === -32700)

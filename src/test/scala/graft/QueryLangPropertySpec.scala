@@ -218,6 +218,78 @@ class QueryLangPropertySpec extends AnyFunSuite with SparkSuite {
     assert(checked >= 15, s"too few non-complement samples ($checked) — regenerate")
   }
 
+  test("LSM lifecycle property: build → update → pure-delete → compact keeps index == reference on generated MATCH queries") {
+    // The static-index property above pins scan==index on a freshly built
+    // index; THIS one pins the same agreement across the artifact's whole
+    // LSM lifecycle — base build, a delete+append merge (delta segments +
+    // tombstones now serve), a pure delete of DELTA-resident docs (tombstones
+    // over deltas), and a compaction fold — for generated queries including
+    // anchors and phrase-prefix atoms, whose positional segments the
+    // lifecycle machinery manages (r14 VERDICT ask 3).
+    val rnd = new scala.util.Random(31)
+    def mkDocs(ids: Range): Seq[(Long, Seq[String])] = ids.map { i =>
+      val n = 1 + rnd.nextInt(10)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))))
+    }
+    val initial = mkDocs(1 to 50)
+    val df0 = initial.map { case (id, ts) => (id, punctJoin(rnd, ts)) }
+      .toDF("chunkId", "indexedData").persist()
+    df0.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-qlprop-lsm").toString
+    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
+    idx.index(df0)
+    idx.buildPhraseIndex(df0)
+
+    val nodes = Gen.listOfN(18, genNode(2)).pureApply(
+      org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(37L))
+    var checked = 0
+    def assertAgrees(corpus: Seq[(Long, Seq[String])], stage: String): Unit =
+      nodes.foreach { node =>
+        val q = render(node)
+        val got =
+          try Some(idx.booleanSearch(q, 1000).collect().map(_.getLong(0)).toSet)
+          catch { case e: IllegalArgumentException
+            if e.getMessage.contains("complement") => None } // pure-NOT: rejected by design
+        got.foreach { ids =>
+          val want = corpus.collect { case (id, ts) if evalRef(node, ts) => id }.toSet
+          assert(ids === want, s"[$stage] query $q: index=$ids ref=$want")
+          checked += 1
+        }
+      }
+    assertAgrees(initial, "base")
+
+    // merge 1: delete every 4th doc, append 15 fresh ones past the HWM —
+    // queries now answer from base ⊕ delta with tombstones over the base
+    val deleted = initial.map(_._1).filter(_ % 4 == 0).toSet
+    val appended = mkDocs(51 to 65)
+    val newDf = appended.map { case (id, ts) => (id, punctJoin(rnd, ts)) }
+      .toDF("chunkId", "indexedData").persist()
+    newDf.count()
+    idx.updateIncremental(
+      df0.filter(col("chunkId") % 4 === 0)
+        .select(col("chunkId").as("docId"), col("indexedData")),
+      newDf)
+    val afterUpdate = initial.filterNot(d => deleted(d._1)) ++ appended
+    assertAgrees(afterUpdate, "after-update")
+
+    // merge 2: pure delete of DELTA-resident docs — tombstones must suppress
+    // postings AND positional rows that live in delta segments, not the base
+    val deleted2 = appended.map(_._1).filter(_ % 3 == 0).toSet
+    idx.updateIncremental(
+      newDf.filter(col("chunkId") % 3 === 0)
+        .select(col("chunkId").as("docId"), col("indexedData")),
+      newDf.limit(0))
+    val afterDelete = afterUpdate.filterNot(d => deleted2(d._1))
+    assertAgrees(afterDelete, "after-delete")
+
+    // compaction folds the tail (postings, stats, positions) into a fresh
+    // base — answers must not move
+    idx.compact()
+    assertAgrees(afterDelete, "after-compact")
+    assert(idx.tailBytes === 0L)
+    assert(checked >= 40, s"too few non-complement samples ($checked) — regenerate")
+  }
+
   test("parser fuzz: arbitrary input parses or raises IllegalArgumentException — never hangs or escapes") {
     val chars = Gen.oneOf(('a' to 'e') ++ Seq(' ', '"', '(', ')', ',', '*', '^', '1', '5'))
     val genRaw = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, chars).map(_.mkString))

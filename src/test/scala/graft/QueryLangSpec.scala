@@ -424,6 +424,30 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getLong(0)).toSet === Set(2L))
   }
 
+  test("double negation / De Morgan: index path matches scan on NOT NOT and NOT(NOT..AND NOT..)") {
+    // minimized from the r15 lifecycle property counterexample (seed 37):
+    // `NOT NOT b*` had a non-empty candidate set but zero positive atoms,
+    // so booleanHits returned an EMPTY frame while the scan path matched.
+    // NNF before atom collection + candidate evaluation fixes the class.
+    val d = Seq(
+      (1L, "bx ax"), (2L, "ax only"), (3L, "by here"), (4L, "cx dx"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nnf").toString
+    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
+    idx.index(d.select(col("doc_id").as("chunkId"), col("text").as("indexedData")))
+    def scanIds2(q: String) = QueryLang.booleanSearch(d, "doc_id", "text", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    def idxIds(q: String) = idx.booleanSearch(q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(scanIds2("NOT NOT b*") === Set(1L, 3L))
+    assert(idxIds("NOT NOT b*") === Set(1L, 3L))
+    assert(scanIds2("NOT (NOT ax AND NOT by)") === Set(1L, 2L, 3L))
+    assert(idxIds("NOT (NOT ax AND NOT by)") === Set(1L, 2L, 3L))
+    // pure complements still rejected FTS5-style, even dressed in De Morgan
+    intercept[IllegalArgumentException](idx.booleanSearch("NOT bx", 10))
+    intercept[IllegalArgumentException](idx.booleanSearch("NOT (bx OR ax)", 10))
+  }
+
   test("parser: bare '^' and abutting text after a quoted phrase are clear syntax errors") {
     // ADVICE r14: a lone '^' token used to parse as Term("^") and die later
     // with a confusing index-path error; whitespace-separated '^ term' was
