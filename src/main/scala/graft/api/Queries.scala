@@ -3369,7 +3369,10 @@ object Queries {
            |sc AS (SELECT doc_id, w,
            |    list_transform(generate_series(0, greatest(len(w) - 8, 0)),
            |      i -> len(list_filter(w[i+1:i+8],
-           |             x -> list_contains(['spark','join','query'], lower(x))))) AS scores
+           |             x -> len(list_filter(
+           |                    list_filter(regexp_split_to_array(lower(x), '[^a-z0-9]+'),
+           |                                y -> y <> ''),
+           |                    t -> list_contains(['spark','join','query'], t))) > 0))) AS scores
            |  FROM ws),
            |mx AS (SELECT doc_id, w, scores, list_max(scores) AS best FROM sc)
            |SELECT doc_id,

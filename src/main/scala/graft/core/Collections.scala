@@ -976,9 +976,10 @@ final class CollectionManager(
     * prefix stems — negated atoms don't score, so they don't highlight),
     * left-joined onto a ≤k-row hit frame: the k-row side broadcasts against
     * the big text table (J2's shape), the window scan runs over k texts
-    * only. A hit whose snippet window finds no atom (tokenizer drift between
-    * the whitespace highlighter and the index tokenizer) keeps a null
-    * snippet rather than vanishing.
+    * only. The highlighter hit-tests each word through the ENGINE tokenizer
+    * (r15: same split as the index), so a doc that matched on the index
+    * always has a scoring window; the left join still keeps a null snippet
+    * rather than dropping a hit if the contract is ever violated.
     */
   private def attachSnippet(hits: DataFrame, idCol: String,
                             texts: DataFrame, query: String): DataFrame = {

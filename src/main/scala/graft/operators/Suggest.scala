@@ -123,11 +123,17 @@ object Suggest {
     // Terms enter the plan as literal Columns, never spliced into SQL text —
     // a term like "don't" (or anything adversarial from a user query) can't
     // break the expression parse or inject expressions. `stems` are prefix
-    // stems (the MATCH grammar's `tok*` / phrase-prefix atoms): a word
-    // counts as a hit when it starts with any of them.
-    val qArr = array(queryTerms.map(t => lit(t.toLowerCase)): _*)
+    // stems (the MATCH grammar's `tok*` / phrase-prefix atoms). Snippets
+    // SLICE the original whitespace words (what a UI shows), but hit-testing
+    // runs each word through the ENGINE tokenizer: "hash-join" highlights
+    // for the atom `hash` or the stem `jo*`, exactly as it matches on the
+    // index and scan paths (the r15 single-tokenizer contract).
+    // Query terms normalize through the SAME tokenizer (a raw "don't"
+    // becomes the tokens don, t — exactly what the scan and index paths
+    // would search for); a term with no indexable tokens simply never hits.
+    val qArr = array(queryTerms.flatMap(Search.tokenize).map(lit): _*)
       .cast("array<string>")
-    val pArr = array(stems.map(s => lit(s.toLowerCase)): _*)
+    val pArr = array(stems.flatMap(Search.tokenize).map(lit): _*)
       .cast("array<string>")
     val scored = docs
       .withColumn("_q", qArr)
@@ -136,8 +142,10 @@ object Suggest {
       .withColumn("_scores", expr(
         s"""transform(sequence(0, greatest(size(_ws) - $window, 0)),
            |  i -> aggregate(slice(_ws, i + 1, $window), 0,
-           |         (a, x) -> a + IF(array_contains(_q, lower(x))
-           |                          OR exists(_qp, s -> startswith(lower(x), s)),
+           |         (a, x) -> a + IF(exists(
+           |             filter(split(lower(x), '[^a-z0-9]+'), y -> y <> ''),
+           |             t -> array_contains(_q, t)
+           |                  OR exists(_qp, s -> startswith(t, s))),
            |                       1, 0)))""".stripMargin))
       .withColumn("n_hits", expr("array_max(_scores)"))
       .where(col("n_hits") > 0)

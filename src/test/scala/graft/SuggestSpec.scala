@@ -86,6 +86,23 @@ class SuggestSpec extends AnyFunSuite with SparkSuite {
     assert(out(1) === ((3L, "join end", 1L))) // clamp: whole short doc is the window
   }
 
+  test("highlightSnippet: punctuated words hit through the engine tokenizer, snippet keeps the original text") {
+    // r15 single-tokenizer contract: "hash-join" matches the atom `hash` and
+    // the stem `jo*` on the scan and index paths — the highlighter must
+    // hit-test the same way, while the SNIPPET still shows the raw word
+    val docs = Seq(
+      (1L, "x x hash-join beats y z w"),
+      (2L, "no relevant words here at all")).toDF("doc_id", "text")
+    val byTerm = Suggest.highlightSnippet(docs, "doc_id", "text",
+        Seq("hash"), window = 3).collect()
+    assert(byTerm.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(byTerm.head.getString(1).contains("hash-join"), byTerm.head.getString(1))
+    val byStem = Suggest.highlightSnippet(docs, "doc_id", "text",
+        Nil, window = 3, stems = Seq("jo")).collect()
+    assert(byStem.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(byStem.head.getString(1).contains("hash-join"), byStem.head.getString(1))
+  }
+
   test("collection-level suggestions serve from the BM25 termDf LSM view (deltas included)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-suggest").toString
     val cm = new graft.core.CollectionManager(spark, tmp,
