@@ -805,9 +805,19 @@ final class CollectionManager(
             .filter(!col("term").rlike(termAlphabet)).count()))
       else Nil) ++
       (if (fs.exists(new Path(s"${bm25Dir(name)}/positions")))
-        Seq(("positions_unreachable_terms", 0L,
-          bm25Indexer(name).positionsTable()
-            .filter(!col("term").rlike(termAlphabet)).count()))
+        Seq(
+          ("positions_unreachable_terms", 0L,
+            bm25Indexer(name).positionsTable()
+              .filter(!col("term").rlike(termAlphabet)).count()),
+          // the shift-intersect machinery (phrase, NEAR, anchors) assumes
+          // each positions array is sorted, duplicate-free, 1-based, and
+          // non-empty — a segment violating that silently mis-counts
+          // phrase_tf / spans rather than erroring
+          ("positions_malformed", 0L,
+            bm25Indexer(name).positionsTable()
+              .filter(size(col("positions")) === 0 ||
+                col("positions") =!= array_distinct(sort_array(col("positions"))) ||
+                element_at(col("positions"), 1) < 1).count()))
       else Nil)
     (base ++ bm25 ++ positions ++ nonnormal ++ buckets ++ ivf ++ sigs ++ lock)
       .map { case (c, e, a) => (c, e, a, e == a) }

@@ -91,4 +91,30 @@ class JobBudgetSpec extends AnyFunSuite with SparkSuite {
     info(s"measured jobs — steady-state tick: $tickJobs")
     assert(tickJobs <= 40, s"a streaming tick grew a new job: $tickJobs")
   }
+
+  test("includeSnippet runs the search pipeline ONCE (ADVICE r14: no double execution)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-budget-snip").toString
+    val cm = new CollectionManager(spark, tmp,
+      new HashingEmbedder(dim = 16), new TextSplitter(50, 10))
+    cm.create("s", mkDocs(
+      (1 to 20).map(i => (s"d$i", s"document $i about spark joins topic ${i % 5}")): _*))
+    // warm both paths (footer caches, codegen) so the counted runs are
+    // steady-state and comparable
+    cm.booleanSearch("s", "spark AND joins", 10).collect()
+    cm.booleanSearch("s", "spark AND joins", 10, includeSnippet = true).collect()
+    val plain = countJobs {
+      cm.booleanSearch("s", "spark AND joins", 10).collect()
+    }
+    val snip = countJobs {
+      cm.booleanSearch("s", "spark AND joins", 10, includeSnippet = true).collect()
+    }
+    info(s"measured jobs — plain: $plain, with snippet: $snip")
+    // the snippet path materializes the <=k-row hits ONCE (the same jobs as
+    // the plain path's collect) and then pays a bounded constant for the
+    // highlight join over k texts; before the r15 fix it re-executed the
+    // whole search pipeline per reference (snip ≈ 2×plain + join)
+    assert(snip <= plain + 6,
+      s"snippet path re-executes the search pipeline: plain=$plain snippet=$snip")
+  }
 }

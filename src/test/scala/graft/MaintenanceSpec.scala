@@ -144,11 +144,17 @@ class MaintenanceSpec extends AnyFunSuite with SparkSuite {
     Seq((chunkId, "Joi", Seq(2))).toDF("docId", "term", "positions")
       .write.mode("append").parquet(s"$tmp/cc/indexes/bm25/positions_delta")
 
+    // and a positional row that violates the shift-intersect contract
+    // (unsorted + duplicated positions) — phrase_tf would mis-count
+    Seq((chunkId, "order", Seq(5, 2, 2))).toDF("docId", "term", "positions")
+      .write.mode("append").parquet(s"$tmp/cc/indexes/bm25/positions_delta")
+
     val report = cm.fsck("cc").collect()
       .map(r => r.getAs[String]("check") ->
         (r.getAs[Long]("actual"), r.getAs[Boolean]("ok"))).toMap
     assert(report("bm25_unreachable_terms") === ((1L, false)), report)
     assert(report("positions_unreachable_terms") === ((1L, false)), report)
+    assert(report("positions_malformed") === ((1L, false)), report)
     // the stray checks stay green — the broken rows point at LIVE chunks,
     // which is exactly why only the term-alphabet check can catch them
     assert(report("bm25_stray_postings")._2 && report("positions_stray")._2)
