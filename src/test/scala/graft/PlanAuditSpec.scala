@@ -152,8 +152,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     //     (same one-row corpus-stats cross join as t2b, served from the LSM
     //     view), ql_boolean_index + ql_boolean_phrase_index +
     //     ql_boolean_near_index + ql_boolean_filtered + ql_phrase_prefix_index
-    //     (booleanSearch's BM25 ranking stage — the identical one-row
-    //     corpus-stats cross join), t1b_vector_batch,
+    //     + ql_double_negation (booleanSearch's BM25 ranking stage — the
+    //     identical one-row corpus-stats cross join), t1b_vector_batch,
     //     ann_recall_eval, eval_mrr, a1_rrf_fusion, a1b_weighted_rrf,
     //     a2_group_docs, text_collocations, text_keywords
     // A NEW name below means a non-equi join may be broadcasting an unbounded
@@ -163,7 +163,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       "eval_mrr", "events_funnel", "pca_top_component", "q11_important_stock",
       "q15_top_supplier", "q22_no_orders", "ql_boolean_index",
       "ql_boolean_phrase_index", "ql_boolean_near_index", "ql_boolean_filtered",
-      "ql_anchor_index", "ql_match_docs", "ql_prefix_index",
+      "ql_anchor_index", "ql_double_negation", "ql_match_docs", "ql_prefix_index",
       "ql_phrase_prefix_index", "sketch_quantile_hist",
       "t1b_vector_batch", "t2_bm25_topk", "t2b_bm25_postings",
       "t2c_bm25_lsm_search", "text_collocations", "text_js_divergence",
