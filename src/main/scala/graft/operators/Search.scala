@@ -19,9 +19,12 @@ object Search {
   /** Shared tokenizer: lowercase, split on non-alphanumeric runs, drop empties.
     * Chosen to be reproducible in ANSI SQL (oracle parity) — the reference's FTS5
     * unicode61 tokenizer is approximated, not bit-copied (SURVEY.md §7.3).
+    * Served by the codegen'd [[graft.plans.EngineTokenize]] kernel (one byte
+    * scan; bit-parity with `filter(split(lower(c), "[^a-z0-9]+"), _ != "")`
+    * including the non-ASCII fallback — TextHashSpec pins it).
     */
   def tokensCol(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+    graft.plans.TokenizeFunctions.engineTokenize(c)
 
   def tokenize(s: String): Seq[String] =
     if (s == null) Nil else s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq

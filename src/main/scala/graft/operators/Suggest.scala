@@ -131,28 +131,21 @@ object Suggest {
     // Query terms normalize through the SAME tokenizer (a raw "don't"
     // becomes the tokens don, t — exactly what the scan and index paths
     // would search for); a term with no indexable tokens simply never hits.
-    val qArr = array(queryTerms.flatMap(Search.tokenize).map(lit): _*)
-      .cast("array<string>")
-    val pArr = array(stems.flatMap(Search.tokenize).map(lit): _*)
-      .cast("array<string>")
-    val scored = docs
-      .withColumn("_q", qArr)
-      .withColumn("_qp", pArr)
-      .withColumn("_ws", expr(s"filter(split($textCol, ' '), x -> x <> '')"))
-      .withColumn("_scores", expr(
-        s"""transform(sequence(0, greatest(size(_ws) - $window, 0)),
-           |  i -> aggregate(slice(_ws, i + 1, $window), 0,
-           |         (a, x) -> a + IF(exists(
-           |             filter(split(lower(x), '[^a-z0-9]+'), y -> y <> ''),
-           |             t -> array_contains(_q, t)
-           |                  OR exists(_qp, s -> startswith(t, s))),
-           |                       1, 0)))""".stripMargin))
-      .withColumn("n_hits", expr("array_max(_scores)"))
-      .where(col("n_hits") > 0)
-    scored.select(col(idCol),
-        expr(s"array_join(slice(_ws, array_position(_scores, n_hits), $window), ' ')")
-          .as("snippet"),
-        col("n_hits").cast("long").as("n_hits"))
+    // The whole window scan is ONE codegen'd kernel call
+    // ([[graft.plans.BestHighlightWindow]]): hit-test each word once through
+    // the engine tokenizer, slide the window with a running sum, O(words)
+    // per row — the declarative higher-order form re-evaluated its lambdas
+    // interpreted and re-spliced the per-word array per window.
+    val qTokens = queryTerms.flatMap(Search.tokenize)
+    val pTokens = stems.flatMap(Search.tokenize)
+    docs
+      .withColumn("_b", graft.plans.TokenizeFunctions.bestHighlightWindow(
+        expr(s"filter(split($textCol, ' '), x -> x <> '')"),
+        window, qTokens, pTokens))
+      .where(col("_b").isNotNull)
+      .select(col(idCol),
+        col("_b.snippet").as("snippet"),
+        col("_b.n_hits").as("n_hits"))
   }
 
   /** Faceted counts over a hit frame — the per-dimension value histogram a

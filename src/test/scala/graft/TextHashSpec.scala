@@ -117,6 +117,26 @@ class TextHashSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("EngineTokenize matches the declarative lower+regex-split form bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    val alphabet = "abcXYZ019 ,.-_()/\"'\t\néÉİΣßK中文😀"
+    val gen = (1 to 400).map(i =>
+      (i.toLong, List.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString))
+    val edge = Seq(
+      (1001L, ""), (1002L, "   "), (1003L, "---"), (1004L, "Hash-JOIN beats SORT"),
+      (1005L, "İstanbul KELVINK sign"), (1006L, "a"), (1007L, "9to5"),
+      (1008L, "é mixed ascii-and-ünïcode tail"), (1009L, "İ"))
+    val df2 = (gen ++ edge).toDF("id", "text")
+      .withColumn("fast", graft.operators.Search.tokensCol(col("text")))
+      .withColumn("slow", filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
+      .collect()
+    df2.foreach { r =>
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        s"tokenize mismatch for id=${r.getLong(0)} text='${r.getString(1)}'")
+    }
+  }
+
   test("winnowing first-occurrence order matches array_distinct of window mins") {
     val got = graft.operators.TextAnalysis.fingerprintDf(df, "text")
       .withColumn("declarative", expr(declarativeFingerprints()))
