@@ -305,26 +305,13 @@ object QueryLang {
     * evaluation. Pure array expressions, codegen-friendly.
     */
   private def occurrenceStarts(toksCol: Column, words: Seq[String],
-                               lastPrefix: Boolean): Column = {
-    val l = words.size
-    val matchAt: Column => Column =
-      if (!lastPrefix) {
-        val pArr = array(words.map(lit): _*)
-        p => slice(toksCol, p, lit(l)) === pArr
-      } else {
-        val initArr = array(words.init.map(lit): _*)
-        val stem = words.last
-        p => {
-          val lastTok = element_at(toksCol, (p + lit(l - 1)).cast("int"))
-          val head: Column =
-            if (l > 1) slice(toksCol, p, lit(l - 1)) === initArr else lit(true)
-          head && lastTok.startsWith(stem)
-        }
-      }
-    when(size(toksCol) >= l,
-      filter(sequence(lit(1), size(toksCol) - lit(l - 1)), matchAt))
-      .otherwise(array().cast("array<int>"))
-  }
+                               lastPrefix: Boolean): Column =
+    // one codegen'd kernel pass ([[graft.plans.OccurrenceStarts]]) — the
+    // declarative `filter(sequence(1, n-l+1), p -> slice(toks,p,l) = arr)`
+    // form ran its lambda interpreted and allocated a slice per position
+    // (QueryLangPropertySpec pins the kernel against the independent
+    // reference evaluator over thousands of generated ASTs)
+    graft.plans.TokenizeFunctions.occurrenceStarts(toksCol, words, lastPrefix)
 
   /** The AST as ONE codegen'd predicate over a token-array column. */
   def matchColumn(node: Node, toksCol: Column): Column = node match {
@@ -456,35 +443,19 @@ object QueryLang {
                     tokenizer: Column => Column = tokensOf): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
     require(k >= 1, "k must be >= 1")
-    val qArr = array(terms.map(_.toLowerCase).distinct.sorted.map(lit): _*)
+    // ONE codegen'd two-pointer pass per row ([[graft.plans.MinCoverSpan]]):
+    // O(tokens), null when some term is absent. Replaces the declarative
+    // candidate-window aggregate, which ran interpreted and degraded to
+    // O(tokens² × terms) on long rows — the old "don't point this at
+    // unchunked book-length rows" caveat is gone; same minimum and the same
+    // earliest-start tie-break (spec-pinned against the old formulation).
+    val q = terms.map(_.toLowerCase).distinct.sorted
     docs
-      .withColumn("_q", qArr)
-      .withColumn("_t", tokenizer(col(textCol)))
-      // all terms present, or no covering window exists at all
-      .where(expr("forall(_q, t -> array_contains(_t, t))"))
-      // A minimal covering window must START at an occurrence of a query
-      // term, so only those starts pay the inner aggregate (the IF guard is
-      // lazy): per start s, the window's END is the latest
-      // first-occurrence-at-or-after-s over all terms — NULL when some term
-      // never occurs again, which prunes that start.
-      .withColumn("_cand", expr(
-        """filter(transform(sequence(1, CAST(size(_t) AS INT)), s -> named_struct(
-          |  'e', IF(array_contains(_q, element_at(_t, s)),
-          |         aggregate(_q, s, (mx, t) -> IF(mx IS NULL, mx,
-          |           IF(array_min(filter(sequence(s, CAST(size(_t) AS INT)),
-          |                               i -> element_at(_t, i) = t)) IS NULL,
-          |              CAST(NULL AS INT),
-          |              greatest(mx, array_min(filter(sequence(s, CAST(size(_t) AS INT)),
-          |                                            i -> element_at(_t, i) = t)))))),
-          |         CAST(NULL AS INT)),
-          |  'st', s)),
-          |x -> x.e IS NOT NULL)""".stripMargin))
-      .withColumn("span_len",
-        expr("array_min(transform(_cand, c -> c.e - c.st + 1))").cast("long"))
-      .withColumn("span_start",
-        expr("array_min(transform(filter(_cand, c -> c.e - c.st + 1 = span_len), c -> c.st))")
-          .cast("long"))
-      .select(col(idCol), col("span_len"), col("span_start"))
+      .withColumn("_s", graft.plans.TokenizeFunctions.minCoverSpan(
+        tokenizer(col(textCol)), q))
+      .where(col("_s").isNotNull)
+      .select(col(idCol), col("_s.span_len").as("span_len"),
+        col("_s.span_start").as("span_start"))
       .orderBy(col("span_len"), col(idCol))
       .limit(k)
   }
@@ -500,16 +471,11 @@ object QueryLang {
                    tokenizer: Column => Column = tokensOf): DataFrame = {
     require(phrase.nonEmpty, "need a non-empty phrase")
     require(k >= 1, "k must be >= 1")
-    val n = phrase.size
-    val pArr = array(phrase.map(t => lit(t.toLowerCase)): _*)
     docs
-      .withColumn("_p", pArr)
       .withColumn("_t", tokenizer(col(textCol)))
-      .withColumn("_pos", expr(
-        s"""CASE WHEN size(_t) >= $n THEN
-           |  filter(sequence(1, size(_t) - ${n - 1}),
-           |         i -> slice(_t, i, $n) = _p)
-           |ELSE array() END""".stripMargin))
+      // starts from the same kernel the whole scan MATCH family uses
+      .withColumn("_pos", graft.plans.TokenizeFunctions.occurrenceStarts(
+        col("_t"), phrase.map(_.toLowerCase), lastPrefix = false))
       .where(size(col("_pos")) > 0)
       .select(col(idCol),
         size(col("_pos")).cast("long").as("phrase_tf"),

@@ -210,10 +210,156 @@ case class BestHighlightWindow(child: Expression, window: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Kernels behind the scan-path MATCH family: occurrence starts of a word
+  * pattern and the minimum covering span. The declarative forms — a
+  * `filter(sequence(...), p -> slice(toks, p, l) = pattern)` per row, and
+  * minSpanSearch's candidate-window aggregate — run their lambdas
+  * INTERPRETED (higher-order functions never enter whole-stage codegen) and
+  * allocate a slice per position; minSpan additionally degraded to
+  * O(tokens² × terms) on long rows, a documented don't-point-this-at-books
+  * caveat. These are O(tokens × pattern) and O(tokens) single passes.
+  * Contracts are EXACTLY the declarative ones — QueryLangPropertySpec pins
+  * `matchColumn` against an independent reference evaluator over thousands
+  * of generated ASTs, and the ql_* scan oracles replay them in DuckDB.
+  */
+object MatchOps extends Serializable {
+  /** 1-based occurrence START positions of `words` in `toks`; with
+    * `lastPrefix` the last word matches by startsWith. Null tokens (possible
+    * in caller-supplied arrays, never from the tokenizer) match nothing.
+    */
+  def occurrenceStarts(toks: ArrayData, words: Array[UTF8String],
+                       lastPrefix: Boolean): ArrayData = {
+    val l = words.length
+    val n = toks.numElements()
+    if (n < l) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[AnyRef](4)
+    val exact = if (lastPrefix) l - 1 else l
+    var p = 0
+    while (p <= n - l) {
+      var ok = true
+      var j = 0
+      while (ok && j < exact) {
+        val t = if (toks.isNullAt(p + j)) null else toks.getUTF8String(p + j)
+        ok = t != null && t.equals(words(j))
+        j += 1
+      }
+      if (ok && lastPrefix) {
+        val t = if (toks.isNullAt(p + l - 1)) null else toks.getUTF8String(p + l - 1)
+        ok = t != null && t.startsWith(words(l - 1))
+      }
+      if (ok) out.add(Integer.valueOf(p + 1))
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Minimum window covering every distinct term: (span_len, span_start
+    * 1-based), or null when some term is absent. Two-pointer over one pass —
+    * the same minimum and the same EARLIEST-start tie-break as the
+    * declarative candidate-window formulation (each left edge's minimal
+    * covering window is visited in left-to-right order; only strictly
+    * smaller spans replace the best).
+    */
+  def minCoverSpan(toks: ArrayData, terms: Array[UTF8String]): Any = {
+    val k = terms.length
+    val n = toks.numElements()
+    if (n == 0 || k == 0) return null
+    val idx = new java.util.HashMap[UTF8String, Integer](k * 2)
+    var i = 0
+    while (i < k) { idx.put(terms(i), Integer.valueOf(i)); i += 1 }
+    val have = new Array[Int](k)
+    var covered = 0
+    var bestLen = Int.MaxValue
+    var bestAt = -1
+    var l = 0
+    var r = 0
+    while (r < n) {
+      val t = if (toks.isNullAt(r)) null else toks.getUTF8String(r)
+      val ti = if (t == null) null else idx.get(t)
+      if (ti != null) {
+        have(ti) += 1
+        if (have(ti) == 1) covered += 1
+        while (covered == k) {
+          if (r - l + 1 < bestLen) { bestLen = r - l + 1; bestAt = l }
+          val lt = if (toks.isNullAt(l)) null else toks.getUTF8String(l)
+          val li = if (lt == null) null else idx.get(lt)
+          if (li != null) {
+            have(li) -= 1
+            if (have(li) == 0) covered -= 1
+          }
+          l += 1
+        }
+      }
+      r += 1
+    }
+    if (bestAt < 0) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestLen.toLong, (bestAt + 1).toLong))
+  }
+}
+
+/** Occurrence starts of a word pattern (array<string> → array<int>). */
+case class OccurrenceStarts(child: Expression, words: Seq[String],
+                            lastPrefix: Boolean) extends UnaryExpression {
+  override def prettyName: String = "occurrence_starts"
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val wordArr: Array[UTF8String] =
+    words.map(UTF8String.fromString).toArray
+
+  def starts(toks: ArrayData): ArrayData =
+    MatchOps.occurrenceStarts(toks, wordArr, lastPrefix)
+
+  override def nullSafeEval(toks: Any): Any = starts(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("occurrenceStarts", this,
+      "graft.plans.OccurrenceStarts")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.starts($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Minimum covering span of a distinct-term set (array<string> →
+  * struct<span_len: bigint, span_start: bigint>, null when not all present).
+  */
+case class MinCoverSpan(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  override def prettyName: String = "min_cover_span"
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("span_len",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("span_start",
+      org.apache.spark.sql.types.LongType)))
+  override def nullable: Boolean = true
+
+  @transient private lazy val termArr: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+
+  def span(toks: ArrayData): Any = MatchOps.minCoverSpan(toks, termArr)
+
+  override def nullSafeEval(toks: Any): Any = span(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minCoverSpan", this, "graft.plans.MinCoverSpan")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.span($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TokenizeFunctions {
   def engineTokenize(text: Column): Column =
     ColumnBridge.toCol(EngineTokenize(ColumnBridge.toExpr(text)))
   def bestHighlightWindow(words: Column, window: Int,
                           terms: Seq[String], stems: Seq[String]): Column =
     ColumnBridge.toCol(BestHighlightWindow(ColumnBridge.toExpr(words), window, terms, stems))
+  def occurrenceStarts(toks: Column, words: Seq[String], lastPrefix: Boolean): Column =
+    ColumnBridge.toCol(OccurrenceStarts(ColumnBridge.toExpr(toks), words, lastPrefix))
+  def minCoverSpan(toks: Column, terms: Seq[String]): Column =
+    ColumnBridge.toCol(MinCoverSpan(ColumnBridge.toExpr(toks), terms))
 }

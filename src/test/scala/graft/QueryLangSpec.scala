@@ -448,6 +448,39 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](idx.booleanSearch("NOT (bx OR ax)", 10))
   }
 
+  test("MinCoverSpan kernel equals the quadratic reference on random docs (min + earliest tie-break)") {
+    // the r15 kernel replaced the declarative candidate-window aggregate;
+    // this pins (span_len, span_start) against a brute-force re-derivation
+    // of the documented contract: over every start s at a term occurrence,
+    // the window ends at the latest first-occurrence-≥s over all terms
+    val vocab2 = Vector("a", "b", "c", "d", "e")
+    val rnd = new scala.util.Random(17)
+    val docs2 = (1 to 120).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(14))(vocab2(rnd.nextInt(vocab2.size))))
+    }
+    def ref(toks: Seq[String], terms: Seq[String]): Option[(Long, Long)] = {
+      val cands = for {
+        s <- toks.indices if terms.contains(toks(s))
+        es = terms.map(t => toks.indexWhere(_ == t, s)) if es.forall(_ >= 0)
+      } yield (es.max - s + 1, s + 1)
+      if (cands.isEmpty) None
+      else {
+        val minLen = cands.map(_._1).min
+        Some((minLen.toLong, cands.filter(_._1 == minLen).map(_._2).min.toLong))
+      }
+    }
+    for (terms <- Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c"), Seq("d", "e"))) {
+      val got = QueryLang.minSpanSearch(
+          docs2.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text"),
+          "doc_id", "text", terms, k = 1000)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      docs2.foreach { case (id, ts) =>
+        assert(got.get(id) === ref(ts, terms),
+          s"terms=$terms doc=$id toks=${ts.mkString(" ")}")
+      }
+    }
+  }
+
   test("parser: bare '^' and abutting text after a quoted phrase are clear syntax errors") {
     // ADVICE r14: a lone '^' token used to parse as Term("^") and die later
     // with a confusing index-path error; whitespace-separated '^ term' was
