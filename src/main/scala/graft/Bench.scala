@@ -108,9 +108,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // the scan-side factor ships too: r15's three full runs exposed a SECOND
+    // noise mode (CPU-scan dilation with QUIET short-jobs — scan control
+    // 0.190/0.158/0.072 across runs) that the shortjobs factor cannot see
+    val hostFactorScan =
+      math.max(0.25, math.min(1.0, scanPin / math.max(ctlScan, 1e-9)))
     val control = s"""{"scan":${fmt(ctlScan)},"shortjobs":${fmt(ctlShort)},""" +
       s""""scan_pin":${fmt(scanPin)},"shortjobs_pin":${fmt(shortjobsPin)},""" +
-      s""""host_factor":${fmt(hostFactor)}}"""
+      s""""host_factor":${fmt(hostFactor)},"host_factor_scan":${fmt(hostFactorScan)}}"""
     val normalized = s"""{"total":${fmt(total * hostFactor)}}"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"control":$control,"normalized":$normalized,"sf":"$sfDir"}"""
     println(json)
