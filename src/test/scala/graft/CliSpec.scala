@@ -125,6 +125,12 @@ class CliSpec extends AnyFunSuite with SparkSuite {
       "--chunk-size", "60", "--chunk-overlap", "10", "--snippet")
     assert(nearedSnip.contains("snippet") && nearedSnip.contains("brand"),
       nearedSnip)
+    // chunk-level --include-text joins the chunk's indexedData by chunk id
+    val nearedText = captured("near", "--collection", "docs",
+      "--query", "brand indexing", "--window", "8", "--data-dir", dataDir,
+      "--chunk-size", "60", "--chunk-overlap", "10", "--include-text")
+    assert(nearedText.contains("a brand new document about indexing"),
+      nearedText)
   }
 
   test("profile: per-column null/distinct report over a parquet corpus") {
