@@ -82,10 +82,17 @@ object Bench {
 
     // Two timed passes, keep the per-query minimum: steady-state throughput is
     // the quantity of interest, and the min is robust to a transient external
-    // CPU burst landing on one query in one pass.
+    // CPU burst landing on one query in one pass. A query that THROWS is
+    // recorded in `errors` (and printed to stderr) instead of being silently
+    // timed as near-0 s — a broken query must never masquerade as a fast one.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => }
+      try consume(fn(spark, sfDir)) catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        errors(name) = msg
+        System.err.println(s"BENCH ERROR $name — $msg")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     sampleControls()
@@ -117,7 +124,14 @@ object Bench {
       s""""scan_pin":${fmt(scanPin)},"shortjobs_pin":${fmt(shortjobsPin)},""" +
       s""""host_factor":${fmt(hostFactor)},"host_factor_scan":${fmt(hostFactorScan)}}"""
     val normalized = s"""{"total":${fmt(total * hostFactor)}}"""
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"control":$control,"normalized":$normalized,"sf":"$sfDir"}"""
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                         case c if c < ' ' => " "; case c => c.toString } + "\""
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString(""","errors":{""", ",", "}")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"control":$control,"normalized":$normalized$errJson,"sf":"$sfDir"}"""
     println(json)
     // Also write the JSON to a file: scraping it from the sbt log tail is
     // fragile (log interleaving left BENCH_r02's parsed field null).

@@ -1044,24 +1044,27 @@ final class CollectionManager(
     * hit's text onto a ranked ≤k-row hit frame — chunk `indexedData` when
     * `docLevel` is false, the document's full `text` otherwise. The hit side
     * is materialized ONCE (bounded by the search caps, same rationale as the
-    * snippet join) with an explicit `rank` column so the caller's ordering
-    * survives the join; the tiny local side broadcasts against the big text
-    * table (J2's shape).
+    * snippet join) with an INTERNAL rank column so the caller's ordering
+    * survives the join — dropped before emit; the tiny local side broadcasts
+    * against the big text table (J2's shape). The joined column is named
+    * `textContent`, matching the P7 `search` projection, so `--include-text`
+    * output is uniform across `search` and the MATCH-family commands.
     */
   def attachHitText(name: String, hits: DataFrame, idCol: String,
                     docLevel: Boolean): DataFrame = {
     import scala.jdk.CollectionConverters._
     val rows = hits.collect().toSeq
-    val schema = hits.schema.add("rank", org.apache.spark.sql.types.LongType)
+    val schema = hits.schema.add("_rank", org.apache.spark.sql.types.LongType)
     val local = spark.createDataFrame(
       rows.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toLong)
       }.asJava, schema)
     val texts =
-      if (docLevel) documents(name).select(col("id").as(idCol), col("text"))
+      if (docLevel) documents(name).select(col("id").as(idCol),
+        col("text").as("textContent"))
       else chunks(name).select(col("chunkId").as(idCol),
-        col("indexedData").as("text"))
-    broadcast(local).join(texts, Seq(idCol), "left").orderBy("rank")
+        col("indexedData").as("textContent"))
+    broadcast(local).join(texts, Seq(idCol), "left").orderBy("_rank").drop("_rank")
   }
 
   /** NEAR over the positional artifact (build it first): every term within

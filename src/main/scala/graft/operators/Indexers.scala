@@ -796,73 +796,16 @@ final class Bm25Indexer(
     * nothing, the same empty result the scan path produces for an
     * unsatisfiable window.
     */
-  private def normalizedAst(query: String): QueryLang.Node = {
-    import QueryLang.{And, First, Near, NearOp, Node, Not, Or, Phrase, Prefix, Term}
-    def normWords(ws: Seq[String], lastPrefix: Boolean, what: String): Seq[String] = {
-      val ts =
-        if (!lastPrefix) ws.flatMap(Search.tokenize)
-        else {
-          val lastTs = Search.tokenize(ws.last)
-          require(lastTs.nonEmpty,
-            s"prefix stem '${ws.last}*' has no indexable tokens in: $query")
-          ws.init.flatMap(Search.tokenize) ++ lastTs
-        }
-      if (ts.isEmpty) throw new IllegalArgumentException(
-        s"$what '${ws.mkString(" ")}' has no indexable tokens in: $query")
-      ts
-    }
-    def norm(n: Node): Node = n match {
-      case Term(w) => Search.tokenize(w) match {
-        case Seq(t)             => Term(t)
-        case ts if ts.nonEmpty  => ts.map(Term(_): Node).reduceLeft(And(_, _))
-        case _ => throw new IllegalArgumentException(s"term '$w' has no indexable tokens")
-      }
-      case Phrase(ws, lp) => normWords(ws, lp, "phrase") match {
-        case Seq(t) => if (lp) Prefix(t) else Term(t)
-        case ts     => Phrase(ts, lp)
-      }
-      case Near(ops, w) =>
-        // each operand re-tokenizes through THIS index's tokenizer (a word
-        // that splits widens its operand); an operand left with no indexable
-        // tokens is an error (same rule as phrase atoms — silently dropping
-        // an operand would change what the proximity means)
-        Near(ops.map(o =>
-          NearOp(normWords(o.words, o.lastPrefix, "NEAR operand"), o.lastPrefix)), w)
-      case Prefix(s0) => Search.tokenize(s0) match {
-        case Seq(t) => Prefix(t)
-        case _ => throw new IllegalArgumentException(
-          s"prefix '$s0*' must be a single indexable token")
-      }
-      case First(atom) =>
-        // the anchor survives re-tokenization; a bare word that SPLITS
-        // anchors as a phrase of its tokens (FTS5 treats the consecutive
-        // tokens of one string as a phrase — an AND of two both-anchored
-        // terms could never match)
-        val inner = atom match {
-          case Term(w) => Search.tokenize(w) match {
-            case Seq(t) => Term(t)
-            case ts if ts.nonEmpty => Phrase(ts)
-            case _ => throw new IllegalArgumentException(
-              s"anchored term '$w' has no indexable tokens in: $query")
-          }
-          case other => norm(other) match {
-            case n @ (_: Term | _: Phrase | _: Prefix) => n
-            case n => throw new IllegalArgumentException(
-              s"^ anchors a term, phrase, or prefix atom — not $n")
-          }
-        }
-        First(inner)
-      case And(l, r) => And(norm(l), norm(r))
-      case Or(l, r)  => Or(norm(l), norm(r))
-      case Not(c)    => Not(norm(c))
-    }
-    // NNF before evaluation: double negations vanish and NOT wraps atoms
-    // only, so "positive" (scoring) atoms and the symbolic-complement
-    // algebra agree on the same normal form — without it, `NOT NOT b*`
-    // produced a non-empty candidate set but ZERO positive atoms, and
-    // booleanHits returned empty (r15 lifecycle property, seed 37)
-    QueryLang.nnf(norm(QueryLang.parse(query)))
-  }
+  /** Parse + atom normalization ([[QueryLang.normalize]] — each atom's words
+    * re-tokenize through THIS index's tokenizer, shared verbatim with the
+    * scan path since r16) + NNF (double negations vanish and NOT wraps atoms
+    * only, so "positive" scoring atoms and the symbolic-complement algebra
+    * agree on the same normal form — without it, `NOT NOT b*` produced a
+    * non-empty candidate set but ZERO positive atoms, and booleanHits
+    * returned empty; r15 lifecycle property, seed 37).
+    */
+  private def normalizedAst(query: String): QueryLang.Node =
+    QueryLang.nnf(QueryLang.normalize(QueryLang.parse(query), Search.tokenize, query))
 
   /** Candidate doc ids of a boolean MATCH query — the posting-set algebra
     * alone, no BM25 scoring: the candidate GATE other searches compose with

@@ -299,6 +299,13 @@ object QueryLang {
   def spaceTokensOf(text: Column): Column =
     filter(split(lower(text), " "), x => x =!= "")
 
+  /** String-level twin of [[spaceTokensOf]] — pass as `atomTokenizer` when
+    * the corpus side opts into the space tokenizer, so QUERY atoms normalize
+    * under the same rules as the text they must match.
+    */
+  def spaceTokenize(s: String): Seq[String] =
+    if (s == null) Nil else s.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+
   /** Occurrence START positions (1-based) of a word sequence in `toksCol`;
     * with `lastPrefix` the last word matches by `startsWith` (FTS5
     * phrase-prefix) — the shared core of the scan path's phrase and NEAR
@@ -360,6 +367,78 @@ object QueryLang {
     case atom      => if (neg) Not(atom) else atom
   }
 
+  /** Normalize every atom's WORDS through the string tokenizer `tok` — the
+    * single-tokenizer contract applied to the QUERY side: `parse` only
+    * lowercases, so with the engine tokenizer (`[^a-z0-9]+` split) the atom
+    * `hash-join` must become `hash AND join` before it can match the token
+    * stream at all. Rules (FTS5's, mirrored by the index path which
+    * delegates here):
+    *   - a [[Term]] whose word splits becomes an AND of its tokens; one with
+    *     NO indexable tokens raises (matching the index path's error — the
+    *     two paths must agree on errors too);
+    *   - [[Phrase]]/[[Near]] operand words flatMap (a splitting word widens
+    *     its phrase in place — FTS5 treats the consecutive tokens of one
+    *     string as a phrase); an operand left empty raises;
+    *   - a [[Prefix]] stem must survive as ONE token;
+    *   - an anchored ([[First]]) bare word that splits anchors as a PHRASE
+    *     of its tokens (an AND of two both-anchored terms could never match).
+    */
+  private[operators] def normalize(n: Node, tok: String => Seq[String],
+                                   query: String): Node = {
+    def normWords(ws: Seq[String], lastPrefix: Boolean, what: String): Seq[String] = {
+      val ts =
+        if (!lastPrefix) ws.flatMap(tok)
+        else {
+          val lastTs = tok(ws.last)
+          require(lastTs.nonEmpty,
+            s"prefix stem '${ws.last}*' has no indexable tokens in: $query")
+          ws.init.flatMap(tok) ++ lastTs
+        }
+      if (ts.isEmpty) throw new IllegalArgumentException(
+        s"$what '${ws.mkString(" ")}' has no indexable tokens in: $query")
+      ts
+    }
+    def norm(n: Node): Node = n match {
+      case Term(w) => tok(w) match {
+        case Seq(t)             => Term(t)
+        case ts if ts.nonEmpty  => ts.map(Term(_): Node).reduceLeft(And(_, _))
+        case _ => throw new IllegalArgumentException(
+          s"term '$w' has no indexable tokens in: $query")
+      }
+      case Phrase(ws, lp) => normWords(ws, lp, "phrase") match {
+        case Seq(t) => if (lp) Prefix(t) else Term(t)
+        case ts     => Phrase(ts, lp)
+      }
+      case Near(ops, w) =>
+        Near(ops.map(o =>
+          NearOp(normWords(o.words, o.lastPrefix, "NEAR operand"), o.lastPrefix)), w)
+      case Prefix(s0) => tok(s0) match {
+        case Seq(t) => Prefix(t)
+        case _ => throw new IllegalArgumentException(
+          s"prefix '$s0*' must be a single indexable token in: $query")
+      }
+      case First(atom) =>
+        val inner = atom match {
+          case Term(w) => tok(w) match {
+            case Seq(t) => Term(t)
+            case ts if ts.nonEmpty => Phrase(ts)
+            case _ => throw new IllegalArgumentException(
+              s"anchored term '$w' has no indexable tokens in: $query")
+          }
+          case other => norm(other) match {
+            case nn @ (_: Term | _: Phrase | _: Prefix) => nn
+            case nn => throw new IllegalArgumentException(
+              s"^ anchors a term, phrase, or prefix atom — not $nn")
+          }
+        }
+        First(inner)
+      case And(l, r) => And(norm(l), norm(r))
+      case Or(l, r)  => Or(norm(l), norm(r))
+      case Not(c)    => Not(norm(c))
+    }
+    norm(n)
+  }
+
   private[operators] def positiveAtoms(node: Node): (Seq[String], Seq[String]) =
     positiveAtomsNnf(nnf(node))
 
@@ -396,9 +475,15 @@ object QueryLang {
     */
   def booleanSearch(docs: DataFrame, idCol: String, textCol: String,
                     query: String, k: Int,
-                    tokenizer: Column => Column = tokensOf): DataFrame = {
+                    tokenizer: Column => Column = tokensOf,
+                    atomTokenizer: String => Seq[String] = Search.tokenize): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val node = parse(query)
+    // normalize QUERY atoms through the string twin of `tokenizer` (the
+    // scan==index contract's query side: `hash-join` must compile to
+    // `hash AND join`, not to array_contains(_t, "hash-join") which the
+    // engine tokenizer can never emit); callers overriding `tokenizer` pass
+    // its matching `atomTokenizer` (e.g. [[spaceTokensOf]]/[[spaceTokenize]])
+    val node = nnf(normalize(parse(query), atomTokenizer, query))
     val (posT, posP) = positiveAtoms(node)
     val pos = posT.distinct.sorted
     val stems = posP.distinct.sorted
@@ -428,28 +513,28 @@ object QueryLang {
 
   /** Minimum-span proximity search: among docs containing EVERY term, the
     * smallest token window covering all of them (1-based start), ranked
-    * (span asc, id asc), top `k`. A candidate minimal window must START at
-    * an occurrence of one of the terms, so the scan is O(occurrences ×
-    * |terms| × tokens) per row — cheap for real queries, embarrassingly
-    * parallel, no shuffle before the top-k. For HIGH-FREQUENCY terms the
-    * per-row cost degrades to O(tokens² × terms): fine at chunk granularity
-    * (chunks are ≤1000 chars by construction), but don't point this scan at
-    * unchunked book-length rows — [[nearSearchPostings]] over the positional
-    * artifact is the scale path (per-doc cost occurrences² × terms,
-    * independent of document length).
+    * (span asc, id asc), top `k`. One codegen'd two-pointer pass per row
+    * ([[graft.plans.MinCoverSpan]]): O(tokens) regardless of term frequency
+    * or row length — embarrassingly parallel, no shuffle before the top-k,
+    * safe on unchunked book-length rows. [[nearSearchPostings]] over the
+    * positional artifact remains the interactive-latency path (≤ |terms|
+    * term-pruned narrow reads instead of a corpus scan), not a
+    * per-row-complexity escape hatch.
     */
   def minSpanSearch(docs: DataFrame, idCol: String, textCol: String,
                     terms: Seq[String], k: Int,
-                    tokenizer: Column => Column = tokensOf): DataFrame = {
+                    tokenizer: Column => Column = tokensOf,
+                    atomTokenizer: String => Seq[String] = Search.tokenize): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
     require(k >= 1, "k must be >= 1")
     // ONE codegen'd two-pointer pass per row ([[graft.plans.MinCoverSpan]]):
-    // O(tokens), null when some term is absent. Replaces the declarative
-    // candidate-window aggregate, which ran interpreted and degraded to
-    // O(tokens² × terms) on long rows — the old "don't point this at
-    // unchunked book-length rows" caveat is gone; same minimum and the same
-    // earliest-start tie-break (spec-pinned against the old formulation).
-    val q = terms.map(_.toLowerCase).distinct.sorted
+    // O(tokens), null when some term is absent; same minimum and the same
+    // earliest-start tie-break as the retired declarative formulation
+    // (spec-pinned). Raw terms normalize through the atom tokenizer first —
+    // a punctuated term like "hash-join" contributes BOTH its tokens to the
+    // cover set (the scan==index contract's query side).
+    val q = terms.flatMap(atomTokenizer).distinct.sorted
+    require(q.nonEmpty, s"terms ${terms.mkString(", ")} have no indexable tokens")
     docs
       .withColumn("_s", graft.plans.TokenizeFunctions.minCoverSpan(
         tokenizer(col(textCol)), q))
@@ -468,14 +553,20 @@ object QueryLang {
     */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
                    phrase: Seq[String], k: Int,
-                   tokenizer: Column => Column = tokensOf): DataFrame = {
+                   tokenizer: Column => Column = tokensOf,
+                   atomTokenizer: String => Seq[String] = Search.tokenize): DataFrame = {
     require(phrase.nonEmpty, "need a non-empty phrase")
     require(k >= 1, "k must be >= 1")
+    // phrase words flatMap through the atom tokenizer (a word that splits
+    // widens the phrase in place, FTS5-style) — same rule as the postings
+    // path's phraseView, so scan == index on punctuated queries too
+    val toks = phrase.flatMap(atomTokenizer)
+    require(toks.nonEmpty, s"phrase '${phrase.mkString(" ")}' has no indexable tokens")
     docs
       .withColumn("_t", tokenizer(col(textCol)))
       // starts from the same kernel the whole scan MATCH family uses
       .withColumn("_pos", graft.plans.TokenizeFunctions.occurrenceStarts(
-        col("_t"), phrase.map(_.toLowerCase), lastPrefix = false))
+        col("_t"), toks, lastPrefix = false))
       .where(size(col("_pos")) > 0)
       .select(col(idCol),
         size(col("_pos")).cast("long").as("phrase_tf"),

@@ -424,6 +424,48 @@ class QueryLangSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getLong(0)).toSet === Set(2L))
   }
 
+  test("ONE tokenizer, query side: punctuated QUERY atoms normalize on the scan path (r16 ADVICE)") {
+    val d = Seq(
+      (1L, "hash join beats sort"),
+      (2L, "hash-join beats sort"),
+      (3L, "only join here"),
+      (4L, "only hash here")).toDF("doc_id", "text")
+    def scanIds(q: String) = QueryLang.booleanSearch(d, "doc_id", "text", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    // Term("hash-join") → hash AND join under the engine tokenizer — the
+    // same answer the index path gives (pre-r16 this compiled to
+    // array_contains(_t, "hash-join") and silently returned EMPTY)
+    assert(scanIds("hash-join") === Set(1L, 2L))
+    // quoted punctuated phrase: words flatMap — "hash-join beats" ≡ "hash join beats"
+    assert(scanIds("\"hash-join beats\"") === Set(1L, 2L))
+    // NEAR operand that splits widens the operand in place
+    assert(scanIds("NEAR(hash-join sort, 5)") === Set(1L, 2L))
+    // anchored punctuated word anchors as a PHRASE of its tokens
+    assert(scanIds("^hash-join") === Set(1L, 2L))
+    // index path agrees on the punctuated ATOM
+    val dir = java.nio.file.Files.createTempDirectory("graft-qtok").toString
+    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
+    idx.index(d.select(col("doc_id").as("chunkId"), col("text").as("indexedData")))
+    assert(idx.booleanSearch("hash-join", 10).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L))
+    // raw-term surfaces normalize too: minSpanSearch covers BOTH tokens of a
+    // punctuated term; phraseSearch widens its word list
+    assert(QueryLang.minSpanSearch(d, "doc_id", "text", Seq("hash-join"), 10)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(QueryLang.phraseSearch(d, "doc_id", "text", Seq("hash-join", "beats"), 10)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // an atom with NO indexable tokens raises (matching the index path)
+    intercept[IllegalArgumentException] {
+      QueryLang.booleanSearch(d, "doc_id", "text", "hash AND '''", 10).collect()
+    }
+    // spaceTokenize is the matching atom tokenizer for the opt-in space
+    // tokenizer: "hash-join" stays one atom and matches only literal text
+    assert(QueryLang.booleanSearch(d, "doc_id", "text", "hash-join", 10,
+        tokenizer = QueryLang.spaceTokensOf,
+        atomTokenizer = QueryLang.spaceTokenize)
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
   test("double negation / De Morgan: index path matches scan on NOT NOT and NOT(NOT..AND NOT..)") {
     // minimized from the r15 lifecycle property counterexample (seed 37):
     // `NOT NOT b*` had a non-empty candidate set but zero positive atoms,

@@ -5,8 +5,9 @@ Usage: bench_compare.py OLD.json NEW.json [threshold]
 
 Prints total and per-query ratios (new/old), raw AND host-normalized when
 both records carry the round-15 `control` block (normalized ratio =
-raw ratio x old_host_factor / new_host_factor — i.e. each side scaled to
-the pinned quiet host before comparing). Rows above `threshold`
+raw ratio x new_host_factor / old_host_factor — i.e. each side scaled to
+the pinned quiet host before comparing: a LOUD new host has factor < 1,
+which shrinks its inflated raw times). Rows above `threshold`
 (default 1.5) are listed; exit code 1 if any normalized row exceeds 2x.
 """
 import json
