@@ -1380,6 +1380,34 @@ object Queries {
            |   OR (list_contains(w, 'spark') AND NOT list_contains(w, 'hash'))
            |ORDER BY n_matched DESC, tf_total DESC, doc_id LIMIT 30""".stripMargin))
 
+  /** Punctuated QUERY atoms on the scan path (r16 ADVICE): `parse` only
+    * lowercases, so before [[graft.operators.QueryLang.normalize]] the atom
+    * `hash-join` compiled to `array_contains(_t, "hash-join")` — a token the
+    * engine tokenizer can never emit — and silently returned empty while the
+    * index path matched. Now the atom re-tokenizes to `hash AND join` and a
+    * punctuated quoted phrase widens in place (`"vector-search"` ≡
+    * `"vector search"`), the scan==index contract applied to the QUERY side.
+    */
+  private val qlPunctuatedAtom = Q(
+    (s, d) => graft.operators.QueryLang.booleanSearch(
+      D.documents(s, d), "doc_id", "text",
+      "hash-join OR \"vector-search\"", k = 30),
+    Some("""WITH tok AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           |      x -> x <> '') AS w
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(list_contains(w, 'hash')::int + list_contains(w, 'join')::int
+           |       + list_contains(w, 'vector')::int + list_contains(w, 'search')::int
+           |       AS BIGINT) AS n_matched,
+           |  CAST(len(list_filter(w, x -> x IN ('hash', 'join', 'vector', 'search')))
+           |       AS BIGINT) AS tf_total
+           |FROM tok
+           |WHERE (list_contains(w, 'hash') AND list_contains(w, 'join'))
+           |   OR (len(w) >= 2 AND len(list_filter(generate_series(1, len(w) - 1),
+           |         i -> w[i] = 'vector' AND w[i+1] = 'search')) > 0)
+           |ORDER BY n_matched DESC, tf_total DESC, doc_id LIMIT 30""".stripMargin))
+
   /** Quoted-phrase atoms inside the boolean MATCH, served from the index
     * ([[graft.operators.Bm25Indexer.booleanSearch]] + the positional
     * artifact): `"hash join" OR (spark NOT vector)` — the phrase atom's
@@ -2405,8 +2433,8 @@ object Queries {
   private val corpusHeavyHitters = Q(
     (s, d) => {
       val toks = D.documents(s, d).select(col("lang"), col("doc_id"),
-          explode(array_distinct(split(lower(col("text")), "[^a-z0-9]+"))).as("token"))
-        .filter(col("token") =!= "")
+          explode(array_distinct(
+            graft.operators.Search.tokensCol(col("text")))).as("token"))
       val counts = toks.groupBy("lang", "token")
         .agg(count(lit(1)).as("df"))
       counts.withColumn("rk", row_number().over(
@@ -3999,8 +4027,7 @@ object Queries {
   private val dedupEditJoin = Q(
     (s, d) => {
       val base = D.documents(s, d)
-        .select(explode(expr(
-          "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")).as("t"))
+        .select(explode(graft.operators.Search.tokensCol(col("text"))).as("t"))
         .filter(length(col("t")).between(4, 12)).distinct()
       val mid = "cast(floor(length(t)/2) as int)"
       val strs = base.select(col("t").as("s"))
@@ -4412,7 +4439,7 @@ object Queries {
       val enStops = Seq("the", "a", "of", "and", "is", "to", "in")
         .map(w => s"'$w'").mkString(", ")
       val feat = D.documents(s, d)
-        .withColumn("_t", expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+        .withColumn("_t", graft.operators.Search.tokensCol(col("text")))
         .select(
           when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
           (col("n_chars") / lit(300.0)).as("x_chars"),
@@ -6071,7 +6098,7 @@ object Queries {
   private val sketchCmsTopk = Q(
     (s, d) => {
       val toks = D.documents(s, d)
-        .select(explode(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")).as("tok"))
+        .select(explode(graft.operators.Search.tokensCol(col("text"))).as("tok"))
       val cms = graft.operators.Sketches.cmsBuild(toks, md5(col("tok")), cmsW)
       val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
       val cand = exact.orderBy(col("n_exact").desc, col("tok").asc).limit(25)
@@ -6383,6 +6410,7 @@ object Queries {
     "ql_anchor_index" -> qlAnchorIndex,
     "ql_double_negation" -> qlDoubleNegation,
     "ql_punctuated_scan" -> qlPunctuatedScan,
+    "ql_punctuated_atom" -> qlPunctuatedAtom,
     "autocomplete_prefix" -> autocompletePrefix,
     "search_highlight" -> searchHighlight,
     "facet_counts" -> facetCountsQ,

@@ -104,8 +104,8 @@ object Bpe {
             minFreq: Long = 1L, maxVocab: Int = 1 << 20): BpeModel = {
     require(maxVocab > 0, "maxVocab must be positive (it bounds the driver collect)")
     val wordFreq: Array[(String, Long)] = docs
-      .select(explode(expr(
-        s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != '')")).as("w"))
+      .select(explode(
+        graft.operators.Search.tokensCol(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minFreq)
       // top-V: TakeOrderedAndProject — per-partition heaps + driver merge of

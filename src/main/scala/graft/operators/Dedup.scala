@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** SQL fragment: tokens of a text column (same tokenizer as Search). */
-  private def toksExpr(textCol: String): String =
-    s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != '')"
+  /** Tokens of a text column — the codegen'd engine tokenizer kernel
+    * ([[graft.plans.EngineTokenize]] via [[Search.tokensCol]]), bit-parity
+    * with the historical `filter(split(lower(c), '[^a-z0-9]+'), …)` fragment
+    * but one byte-scan pass instead of interpreted regex + HOF lambdas. */
+  private def toksCol(textCol: String): Column =
+    Search.tokensCol(col(textCol))
 
   /** Shingles from a BOUND token-array column. Binding matters: inlining the
     * tokenizer expression into the transform lambda would re-evaluate it per
@@ -55,7 +58,7 @@ object Dedup {
                    keep: Seq[String] = Nil): DataFrame = {
     val head = col(idCol) +: keep.map(col)
     docs
-      .select(head :+ expr(toksExpr(textCol)).as("_t"): _*)
+      .select(head :+ toksCol(textCol).as("_t"): _*)
       .select(head :+ expr(shinglesFromToks("_t", n)).as("sh"): _*)
   }
 
@@ -75,7 +78,7 @@ object Dedup {
                         shingleN: Int = 3): DataFrame =
     docs
       .select(col(idCol), graft.plans.TextHashFunctions.minhashSig(
-        expr(toksExpr(textCol)), shingleN).as("_sig"))
+        toksCol(textCol), shingleN).as("_sig"))
       .select(col(idCol),
         element_at(col("_sig"), 1).as("sig0"),
         element_at(col("_sig"), 2).as("sig1"),
@@ -407,7 +410,7 @@ object Dedup {
     * it is locked by TextHashSpec and the dedup_simhash oracle).
     */
   def simhash16(textCol: String): Column =
-    graft.plans.TextHashFunctions.simhash16(expr(toksExpr(textCol)))
+    graft.plans.TextHashFunctions.simhash16(toksCol(textCol))
 
   /** Connected components over a dup-pair edge list by iterative min-label
     * propagation: every node starts as its own component; each round adopts the
@@ -524,7 +527,7 @@ object Dedup {
                     nTokens: Int = 8, minDocs: Int = 2): DataFrame = {
     require(nTokens >= 2 && minDocs >= 2, "nTokens and minDocs must be >= 2")
     val spans = docs
-      .withColumn("_ts", expr(toksExpr(textCol)))
+      .withColumn("_ts", toksCol(textCol))
       .where(size(col("_ts")) >= nTokens)
       .select(col(idCol), explode(expr(
         s"transform(sequence(1, size(_ts) - ${nTokens - 1}), " +
@@ -559,7 +562,7 @@ object Dedup {
                       nTokens: Int = 8, crossDocOnly: Boolean = true): DataFrame = {
     require(nTokens >= 2, "nTokens must be >= 2")
     val wins = docs
-      .withColumn("_ts", expr(toksExpr(textCol)))
+      .withColumn("_ts", toksCol(textCol))
       .where(size(col("_ts")) >= nTokens)
       .select(col(idCol).as("_id"), posexplode(expr(
         s"transform(sequence(1, size(_ts) - ${nTokens - 1}), " +

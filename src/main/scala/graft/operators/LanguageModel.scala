@@ -31,8 +31,8 @@ object LanguageModel {
   /** Shared tokenizer — identical to TextAnalysis/corpus oracles so all text
     * operators agree on what a token is.
     */
-  private def toksExpr(textCol: String): String =
-    s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != '')"
+  private def toksCol(textCol: String): Column =
+    Search.tokensCol(col(textCol))
 
   /** The trained model: `vocab` (top-V tokens), `bigrams` (w1, w2, c_bg),
     * `vocabSizeWithUnk` = |vocab| + 1, the smoothing denominator's V.
@@ -47,7 +47,7 @@ object LanguageModel {
   private def bigramRows(docs: DataFrame, idCol: String, textCol: String,
                          vocab: DataFrame): DataFrame = {
     val pairs = docs
-      .withColumn("_ts", expr(toksExpr(textCol)))
+      .withColumn("_ts", toksCol(textCol))
       .withColumn("_n", size(col("_ts")))
       .where(col("_n") >= 2)
       .select(col(idCol), explode(expr(
@@ -73,7 +73,7 @@ object LanguageModel {
             vocabSize: Int = 4096, alpha: Double = 0.1): BigramModel = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tokRows = docs.select(explode(expr(toksExpr(textCol))).as("tok"))
+    val tokRows = docs.select(explode(toksCol(textCol)).as("tok"))
     val vocabLocal = tokRows.groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
       .select("tok").as[String].collect()

@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private def toksExpr(textCol: String): String =
-    s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != '')"
+  /** Tokens of a text column — the codegen'd engine tokenizer kernel
+    * ([[graft.plans.EngineTokenize]] via [[Search.tokensCol]]): same
+    * semantics as the historical split/filter fragment, one byte-scan pass.
+    */
+  private def toksCol(textCol: String): Column =
+    Search.tokensCol(col(textCol))
 
   /** Marker stopwords per language for the n-gram/stopword language-ID heuristic. */
   val langMarkers: Map[String, Seq[String]] = Map(
@@ -34,7 +38,7 @@ object TextAnalysis {
     */
   def langId(docs: DataFrame, textCol: String): DataFrame = {
     val langs = langMarkers.keys.toSeq.sorted
-    val withToks = docs.withColumn("_toks", expr(toksExpr(textCol)))
+    val withToks = docs.withColumn("_toks", toksCol(textCol))
     val withScores = langs.foldLeft(withToks) { (df, l) =>
       val list = langMarkers(l).map(w => s"'$w'").mkString(", ")
       df.withColumn(s"score_$l", expr(s"size(filter(_toks, t -> t IN ($list)))"))
@@ -90,7 +94,7 @@ object TextAnalysis {
     val allStops = langMarkers.values.flatten.toSeq.distinct.sorted
     val stopList = allStops.map(w => s"'$w'").mkString(", ")
     docs
-      .withColumn("_toks", expr(toksExpr(textCol)))
+      .withColumn("_toks", toksCol(textCol))
       .withColumn("n_tokens", expr("size(_toks)").cast("long"))
       .withColumn("n_chars_t", length(col(textCol)).cast("long"))
       .withColumn("mean_word_len",
@@ -127,7 +131,7 @@ object TextAnalysis {
     * cost only, no shuffle; everything stays in whole-stage codegen.
     */
   def readability(docs: DataFrame, textCol: String): DataFrame = docs
-    .withColumn("_toks", expr(toksExpr(textCol)))
+    .withColumn("_toks", toksCol(textCol))
     .withColumn("n_words", expr("size(_toks)").cast("long"))
     .withColumn("n_syllables",
       expr("aggregate(_toks, 0L, (s, t) -> s + size(regexp_extract_all(t, '[aeiouy]+', 0)))"))
@@ -180,7 +184,7 @@ object TextAnalysis {
          |       i -> concat_ws(' ', element_at(_t, CAST(i AS INT)),
          |                           element_at(_t, CAST(i + 1 AS INT)))) END""".stripMargin
     val bigrams = docs
-      .select(col(idCol), expr(toksExpr(textCol)).as("_t"))
+      .select(col(idCol), toksCol(textCol).as("_t"))
       .select(col(idCol), expr(bigramExpr).as("_b"))
       .select(col(idCol), size(col("_b")).cast("long").as("n_bigrams"),
         explode_outer(col("_b")).as("bigram"))
@@ -246,7 +250,7 @@ object TextAnalysis {
   def collocations(docs: DataFrame, textCol: String,
                    minCount: Long, topK: Int): DataFrame = {
     val pairs = docs
-      .select(expr(toksExpr(textCol)).as("_t"))
+      .select(toksCol(textCol).as("_t"))
       .filter(size(col("_t")) >= 2) // sequence(1, 0) would run DESCENDING
       .select(explode(expr(
         """transform(sequence(1, size(_t) - 1),
@@ -255,7 +259,7 @@ object TextAnalysis {
       .select(col("p.w1"), col("p.w2"))
     val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
     val unigramCounts = docs
-      .select(explode(expr(toksExpr(textCol))).as("w"))
+      .select(explode(toksCol(textCol)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_w"))
     val total = bigramCounts.agg(sum("c_ab").as("n_total"))
     bigramCounts
@@ -285,7 +289,7 @@ object TextAnalysis {
     */
   def keywords(docs: DataFrame, idCol: String, textCol: String,
                topK: Int): DataFrame = {
-    val tf = docs.select(col(idCol), explode(expr(toksExpr(textCol))).as("term"))
+    val tf = docs.select(col(idCol), explode(toksCol(textCol)).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfv = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -324,7 +328,7 @@ object TextAnalysis {
     */
   def tokenDrift(docs: DataFrame, textCol: String, sliceA: Column): DataFrame = {
     val cnt = docs
-      .select(sliceA.as("_a"), explode(expr(toksExpr(textCol))).as("token"))
+      .select(sliceA.as("_a"), explode(toksCol(textCol)).as("token"))
       .groupBy("token")
       .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
            sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"))

@@ -113,6 +113,12 @@ class CliSpec extends AnyFunSuite with SparkSuite {
       "--chunk-size", "60", "--chunk-overlap", "10", "--include-text")
     assert(matchedText.contains("a brand new document about indexing"),
       matchedText)
+    // r16 ADVICE: --include-text is uniform with `search`'s P7 projection —
+    // the joined column is textContent, and the internal rank ordering
+    // column does not leak into the emitted frame
+    assert(matchedText.contains("\"textContent\""), matchedText)
+    assert(!matchedText.contains("\"_rank\"") && !matchedText.contains("\"rank\""),
+      matchedText)
     val phrasedText = captured("phrase", "--collection", "docs",
       "--query", "brand new", "--data-dir", dataDir,
       "--chunk-size", "60", "--chunk-overlap", "10",
