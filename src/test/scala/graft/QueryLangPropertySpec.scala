@@ -290,6 +290,92 @@ class QueryLangPropertySpec extends AnyFunSuite with SparkSuite {
     assert(checked >= 40, s"too few non-complement samples ($checked) — regenerate")
   }
 
+  test("punctuated QUERY atoms: compound atoms normalize like FTS5 on scan AND index paths") {
+    // r16 ADVICE class: `parse` only lowercases, so a punctuated atom like
+    // `ax-by` must re-tokenize (Term → AND of its tokens, phrase/NEAR words
+    // flatMap, anchored compounds anchor as phrases) before it can match the
+    // engine-tokenized text. The EXPECTED node is built INDEPENDENTLY of
+    // QueryLang.normalize — each generator emits (query node with compound
+    // words, hand-expanded expectation) in tandem — so the property checks
+    // the documented expansion, not the implementation against itself.
+    val genWordPair: Gen[(String, Seq[String])] = Gen.frequency(
+      3 -> genWord.map(w => (w, Seq(w))),
+      2 -> (for { a <- genWord; b <- genWord } yield (s"$a-$b", Seq(a, b))))
+    def flatten(ps: Seq[(String, Seq[String])]): (Seq[String], Seq[String]) =
+      (ps.map(_._1), ps.flatMap(_._2))
+    val genTermPair: Gen[(Node, Node)] = genWordPair.map { case (qw, ts) =>
+      (Term(qw), ts.map(Term(_): Node).reduceLeft(And(_, _))) }
+    val genPhrasePair: Gen[(Node, Node)] = for {
+      n  <- Gen.choose(2, 3)
+      ps <- Gen.listOfN(n, genWordPair)
+      lp <- Gen.oneOf(true, false)
+    } yield {
+      val (qws, ts) = flatten(ps)
+      (Phrase(qws, lp), Phrase(ts, lp))
+    }
+    val genFirstPair: Gen[(Node, Node)] = genWordPair.map { case (qw, ts) =>
+      (First(Term(qw)),
+        First(if (ts.size == 1) Term(ts.head) else Phrase(ts))) }
+    val genNearPair: Gen[(Node, Node)] = for {
+      k  <- Gen.choose(1, 3)
+      ops <- Gen.listOfN(k, genWordPair.map { case (qw, ts) =>
+        (NearOp(Seq(qw)), NearOp(ts)) })
+      maxLen = ops.map(_._2.words.size).max
+      w  <- Gen.choose(maxLen, maxLen + 6)
+    } yield (Near(ops.map(_._1), w), Near(ops.map(_._2), w))
+    val genAtomPair: Gen[(Node, Node)] = Gen.frequency(
+      4 -> genTermPair, 2 -> genPhrasePair, 2 -> genNearPair, 1 -> genFirstPair)
+    def genPair(depth: Int): Gen[(Node, Node)] =
+      if (depth <= 0) genAtomPair
+      else Gen.frequency(
+        3 -> genAtomPair,
+        2 -> (for { l <- genPair(depth - 1); r <- genPair(depth - 1) }
+          yield (And(l._1, r._1), And(l._2, r._2))),
+        2 -> (for { l <- genPair(depth - 1); r <- genPair(depth - 1) }
+          yield (Or(l._1, r._1), Or(l._2, r._2))),
+        1 -> genPair(depth - 1).map(p => (Not(p._1), Not(p._2))))
+
+    val rnd = new scala.util.Random(53)
+    val docs = (1 to 60).map { i =>
+      val n = rnd.nextInt(11)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = docs.map { case (id, ts) => (id, punctJoin(rnd, ts)) }
+      .toDF("doc_id", "text")
+    val idxDf = df.select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-qlprop-punct").toString
+    val idx = new graft.operators.Bm25Indexer(spark, dir, chunksPath = s"$dir/unused")
+    idx.index(idxDf)
+    idx.buildPhraseIndex(idxDf)
+    val pairs = Gen.listOfN(25, genPair(2)).pureApply(
+      org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(59L))
+    val byId = docs.toMap
+    var checked = 0
+    pairs.foreach { case (queryNode, expectedNode) =>
+      val q = render(queryNode)
+      val want = docs.collect { case (id, ts) if evalRef(expectedNode, ts) => id }.toSet
+      // scan path: booleanSearch normalizes internally (the production route)
+      val scanIds =
+        try Some(QueryLang.booleanSearch(df, "doc_id", "text", q, 1000)
+          .collect().map(_.getLong(0)).toSet)
+        catch { case e: IllegalArgumentException
+          if e.getMessage.contains("complement") => None }
+      scanIds.foreach { ids =>
+        assert(ids === want, s"scan query $q: got=$ids ref=$want")
+      }
+      // index path agrees on the same compound query
+      val idxIds =
+        try Some(idx.booleanSearch(q, 1000).collect().map(_.getLong(0)).toSet)
+        catch { case e: IllegalArgumentException
+          if e.getMessage.contains("complement") => None }
+      idxIds.foreach { ids =>
+        assert(ids === want, s"index query $q: got=$ids ref=$want")
+        checked += 1
+      }
+    }
+    assert(checked >= 15, s"too few non-complement samples ($checked) — regenerate")
+  }
+
   test("parser fuzz: arbitrary input parses or raises IllegalArgumentException — never hangs or escapes") {
     val chars = Gen.oneOf(('a' to 'e') ++ Seq(' ', '"', '(', ')', ',', '*', '^', '1', '5'))
     val genRaw = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, chars).map(_.mkString))
