@@ -1422,8 +1422,7 @@ object Queries {
         .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
       val idx = new graft.operators.Bm25Indexer(
         s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
-      idx.index(docs)
-      idx.buildPhraseIndex(docs)
+      idx.indexWithPhrase(docs) // one tokenize+explode pass builds both artifacts
       idx.booleanSearch("\"hash join\" OR (spark NOT vector)", 20)
         .select(col("chunkId").as("doc_id"), round(col("score"), 5).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
@@ -1577,8 +1576,7 @@ object Queries {
         .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
       val idx = new graft.operators.Bm25Indexer(
         s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
-      idx.index(docs)
-      idx.buildPhraseIndex(docs)
+      idx.indexWithPhrase(docs) // one tokenize+explode pass builds both artifacts
       idx.booleanSearch("\"hash jo\"* OR NEAR(spark vec*, 6)", 20)
         .select(col("chunkId").as("doc_id"), round(col("score"), 5).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
@@ -1645,8 +1643,7 @@ object Queries {
         .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
       val idx = new graft.operators.Bm25Indexer(
         s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
-      idx.index(docs)
-      idx.buildPhraseIndex(docs)
+      idx.indexWithPhrase(docs) // one tokenize+explode pass builds both artifacts
       idx.booleanSearch("(^key AND spark) OR ^ta* OR ^\"the fast\"", 20)
         .select(col("chunkId").as("doc_id"), round(col("score"), 5).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
@@ -1792,8 +1789,7 @@ object Queries {
         .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
       val idx = new graft.operators.Bm25Indexer(
         s, dir, chunksPath = s"$dir/unused", selectByRounded = Some(5))
-      idx.index(docs)
-      idx.buildPhraseIndex(docs)
+      idx.indexWithPhrase(docs) // one tokenize+explode pass builds both artifacts
       idx.booleanSearch("NEAR(spark vector, 8) OR (join NOT hash)", 20)
         .select(col("chunkId").as("doc_id"), round(col("score"), 5).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
@@ -1854,8 +1850,7 @@ object Queries {
         .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
       val idx = new graft.operators.Bm25Indexer(
         s, dir, chunksPath = s"$dir/unused")
-      idx.index(docs)
-      idx.buildPhraseIndex(docs)
+      idx.indexWithPhrase(docs) // one tokenize+explode pass builds both artifacts
       idx.near(Seq("spark", "vector", "window"), window = 12, k = 25)
         .select(col("docId").as("doc_id"), col("span_len"), col("span_start"))
         .orderBy(col("span_len"), col("doc_id"))
@@ -1904,8 +1899,7 @@ object Queries {
         .select(col("doc_id").as("chunkId"), col("text").as("indexedData"))
       val idx = new graft.operators.Bm25Indexer(
         s, dir, chunksPath = s"$dir/unused")
-      idx.index(docs)
-      idx.buildPhraseIndex(docs)
+      idx.indexWithPhrase(docs) // one tokenize+explode pass builds both artifacts
       val removed = docs.filter(col("chunkId") % 13 === 0 || col("chunkId") % 7 === 0)
         .select(col("chunkId").as("docId"), col("indexedData"))
       val replacement = docs

@@ -169,14 +169,56 @@ final class Bm25Indexer(
       .groupBy("term", "docId")
       .agg(sort_array(collect_list(col("p") + 1)).as("positions"))
 
-  /** Build (or rebuild) the positional artifact from the CURRENT chunks. */
-  def buildPhraseIndex(chunks: DataFrame): Unit = {
-    positionsOf(chunks)
+  /** BOTH artifact shapes from ONE tokenize + posexplode + aggregation:
+    * (term, docId, docLen, tf, positions). Row-identical to
+    * [[postingsOf]] ⋈ [[positionsOf]] by construction — tf is the same
+    * count over the same groups (docLen is constant per doc, so adding it
+    * to the grouping key changes nothing), positions the same sorted
+    * 1-based list. Callers building postings AND the positional artifact
+    * from the same chunks pay the exploded-token-stream shuffle once
+    * instead of twice (guide §2.3 "aggregate before you shuffle" /
+    * §1.2 step 1 — one pass where two identical-input passes ran).
+    */
+  private def postingsWithPositionsOf(chunks: DataFrame): DataFrame =
+    chunks.select(col("chunkId").as("docId"),
+        Search.tokensCol(col("indexedData")).as("tokens"))
+      .select(col("docId"), arraySize(col("tokens")).as("docLen"),
+        posexplode(col("tokens")).as(Seq("p", "term")))
+      .groupBy("term", "docId", "docLen")
+      .agg(count("*").as("tf"),
+        sort_array(collect_list(col("p") + 1)).as("positions"))
+
+  /** Range-write a fresh positional base segment and clear its delta tail. */
+  private def writePositionsBase(pos: DataFrame): Unit = {
+    pos.select("term", "docId", "positions")
       .repartitionByRange(col("term"), col("docId"))
       .sortWithinPartitions("term", "docId")
       .write.mode(SaveMode.Overwrite).parquet(p("positions") + "__staging")
     swapDir(p("positions") + "__staging", p("positions"))
     fsys.delete(new org.apache.hadoop.fs.Path(p("positions_delta")), true)
+  }
+
+  /** Build (or rebuild) the positional artifact from the CURRENT chunks. */
+  def buildPhraseIndex(chunks: DataFrame): Unit =
+    writePositionsBase(positionsOf(chunks))
+
+  /** [[index]] + [[buildPhraseIndex]] as ONE build: both artifacts derive
+    * from a single tokenize + posexplode + aggregation
+    * ([[postingsWithPositionsOf]]), halving the dominant build cost (the
+    * corpus tokenize/explode/shuffle) versus the two-call sequence.
+    * Artifacts are row-identical to `index(chunks); buildPhraseIndex(chunks)`
+    * (IndexersSpec pins it). The aggregate persists across the two range
+    * writes because each write's range sampler re-executes its child
+    * (PLANS.md r16 note) — without it the fused pass would run 4×.
+    */
+  def indexWithPhrase(chunks: DataFrame): Unit = {
+    val agg = postingsWithPositionsOf(chunks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    writeBase(agg.select("term", "docId", "docLen", "tf"))
+    writePositionsBase(agg)
+    agg.unpersist(blocking = false)
+    deriveStats()
+    readSuggestMeta().foreach { case (me, _) => buildSuggestKeys(me) }
   }
 
   /** The LOGICAL positional table: base ∪ delta ⊖ (shared) tombstones. */
@@ -360,13 +402,16 @@ final class Bm25Indexer(
   }
 
   def index(chunks: DataFrame): Unit = {
+    // a full rebuild re-keys every chunk — an existing positional artifact
+    // would be wholly stale, so it rebuilds from the same chunks in hand
+    // (through the fused single-pass build); a stamped suggest artifact
+    // rebuilds against the new vocabulary either way
+    if (fsys.exists(new org.apache.hadoop.fs.Path(p("positions")))) {
+      indexWithPhrase(chunks)
+      return
+    }
     writeBase(postingsOf(chunks))
     deriveStats()
-    // a full rebuild re-keys every chunk — an existing positional artifact
-    // would be wholly stale, so it rebuilds from the same chunks in hand;
-    // a stamped suggest artifact rebuilds against the new vocabulary too
-    if (fsys.exists(new org.apache.hadoop.fs.Path(p("positions"))))
-      buildPhraseIndex(chunks)
     readSuggestMeta().foreach { case (me, _) => buildSuggestKeys(me) }
   }
 
@@ -404,7 +449,15 @@ final class Bm25Indexer(
     * postings), healed by [[compact]]'s full re-derivation.
     */
   def updateIncremental(removedChunks: DataFrame, newChunks: DataFrame): Unit = {
-    val newPostings = postingsOf(newChunks).persist()
+    // with a positional artifact present, BOTH delta shapes derive from one
+    // fused tokenize+explode+aggregate over the new chunks (the same
+    // single-pass trade as indexWithPhrase); without one, the plain
+    // postings aggregate is the narrower plan
+    val hasPositions = fsys.exists(new org.apache.hadoop.fs.Path(p("positions")))
+    val newBatch =
+      (if (hasPositions) postingsWithPositionsOf(newChunks) else postingsOf(newChunks))
+        .persist()
+    val newPostings = newBatch.select("term", "docId", "docLen", "tf")
     newPostings
       .repartitionByRange(col("term"), col("docId"))
       .sortWithinPartitions("term", "docId")
@@ -413,8 +466,8 @@ final class Bm25Indexer(
     // postings delta — same ∝-changed contract, same shared tombstones.
     // Lands BEFORE tombstones so a crash leaves over-visibility (healable),
     // never a doc whose old postings died without its replacement arriving.
-    if (fsys.exists(new org.apache.hadoop.fs.Path(p("positions"))))
-      positionsOf(newChunks)
+    if (hasPositions)
+      newBatch.select("term", "docId", "positions")
         .repartitionByRange(col("term"), col("docId"))
         .sortWithinPartitions("term", "docId")
         .write.mode(SaveMode.Append).parquet(p("positions_delta"))
@@ -478,7 +531,7 @@ final class Bm25Indexer(
       writeSuggestMeta(me) // stamp AFTER the keys land (crash → stale, never false-fresh)
     }
     dfDelta.foreach(_.unpersist())
-    newPostings.unpersist()
+    newBatch.unpersist()
     ()
   }
 

@@ -410,4 +410,49 @@ class IndexersSpec extends AnyFunSuite with SparkSuite {
     chunksAll.unpersist()
     ()
   }
+
+  test("indexWithPhrase == index + buildPhraseIndex on every artifact") {
+    val (cm, _, dir) = setup()
+    val chunks = cm.chunks("ix").persist()
+    chunks.count()
+    // path A: the two-call build (tokenizes the corpus twice)
+    val two = new Bm25Indexer(spark, s"$dir/indexes/bm25_two", s"$dir/chunks")
+    two.index(chunks)
+    two.buildPhraseIndex(chunks)
+    // path B: the fused single-pass build
+    val one = new Bm25Indexer(spark, s"$dir/indexes/bm25_one", s"$dir/chunks")
+    one.indexWithPhrase(chunks)
+    def rows(df: org.apache.spark.sql.DataFrame, cols: String*): Seq[String] =
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    assert(rows(one.postingsTable(), "term", "docId", "docLen", "tf") ===
+      rows(two.postingsTable(), "term", "docId", "docLen", "tf"))
+    assert(rows(one.positionsTable(), "term", "docId", "positions") ===
+      rows(two.positionsTable(), "term", "docId", "positions"))
+    assert(rows(one.termDfTable(), "term", "df") ===
+      rows(two.termDfTable(), "term", "df"))
+    assert(rows(one.corpusStats(), "n", "avgdl") ===
+      rows(two.corpusStats(), "n", "avgdl"))
+    // queries agree end to end (phrase reads the positional artifact)
+    assert(one.phrase(Seq("similarity", "search"), 5).collect().map(_.toString).toSeq ===
+      two.phrase(Seq("similarity", "search"), 5).collect().map(_.toString).toSeq)
+    assert(one.search("vector search", 5, None).collect().map(_.toString).toSeq ===
+      two.search("vector search", 5, None).collect().map(_.toString).toSeq)
+    // an update on the fused-built index keeps the fused delta path equal too
+    val hwm = chunks.agg(max("chunkId")).head().getLong(0)
+    val replacement = chunks.filter(col("documentId") === "d2")
+      .withColumn("chunkId", col("chunkId") + lit(hwm + 1L))
+      .withColumn("indexedData", concat(col("indexedData"), lit(" brand new words")))
+    val removed = chunks.filter(col("documentId") === "d2")
+      .select(col("chunkId").as("docId"), col("indexedData"))
+    one.updateIncremental(removed, replacement)
+    two.updateIncremental(removed, replacement)
+    assert(rows(one.postingsTable(), "term", "docId", "docLen", "tf") ===
+      rows(two.postingsTable(), "term", "docId", "docLen", "tf"))
+    assert(rows(one.positionsTable(), "term", "docId", "positions") ===
+      rows(two.positionsTable(), "term", "docId", "positions"))
+    assert(one.phrase(Seq("brand", "new"), 5).collect().map(_.toString).toSeq ===
+      two.phrase(Seq("brand", "new"), 5).collect().map(_.toString).toSeq)
+    chunks.unpersist()
+    ()
+  }
 }
