@@ -66,41 +66,25 @@ object SuffixArray {
     // generic, and one fat rank pass replaces ceil(log2(w/9)) doubling
     // rounds — the trade that wins for finite targets (ranksToWidth gates
     // it); the multi-long PACKED seed was measured and lost (PLANS.md).
+    //
+    // Both generators are one-pass codegen kernels since r16
+    // (plans/SuffixSeedExpression.scala) — the declarative forms ran a
+    // per-character interpreted fold (pack) / per-window interpreted
+    // substring lambda (literal), the dominant seed-round CPU at every
+    // scale; parity with the retired expressions is spec-pinned
+    // (SuffixSeedSpec) and the packed kernel's width-1 form also retires
+    // the non-ASCII fallback's documented O(len²) ascii(substring(i))
+    // re-scan (it walks codepoints once).
     if (seedWidth > 9)
-      return docs.select(col(idCol).as("id"),
-          posexplode(expr(
-            s"""CASE WHEN length($textCol) >= 1
-               |  THEN transform(sequence(1, length($textCol)),
-               |                 i -> substring($textCol, i, $seedWidth))
-               |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+      docs.select(col(idCol).as("id"),
+          posexplode(graft.plans.SuffixSeedFunctions.charWindows(
+            col(textCol), seedWidth, fullOnly = false)))
         .select(col("id"), col("pos").as("off"), col("col").as("r"))
-    // The code array is built ONCE per document; the pack reads it with O(1)
-    // try_element_at — NULL past the end under BOTH ANSI modes (plain
-    // element_at throws under ANSI), coalesced to the 0 pad.
-    //   - packed path (ASCII-guarded): split(text, '') chars in ONE pass.
-    //     Java-regex empty-split appends one trailing '' element whose
-    //     ascii() is 0 — harmless, it equals the past-the-end pad exactly,
-    //     and the sequence(1, _len) pack never emits a row for it.
-    //   - width-1 path (any text): ascii(substring(i)) per position — each is
-    //     an O(i) UTF-8 scan (O(len²) total) but exact for non-ASCII, where
-    //     empty-split semantics are not guaranteed per codepoint.
-    val codesExpr =
-      if (seedWidth == 1)
-        s"transform(sequence(1, length($textCol)), i -> ascii(substring($textCol, i, 1)))"
-      else s"transform(split($textCol, ''), c -> ascii(c))"
-    val withCodes = docs.select(
-      col(idCol).as("id"),
-      expr(codesExpr).as("_codes"),
-      coalesce(length(col(textCol)), lit(0)).as("_len"))
-    val packed =
-      if (seedWidth == 1) "transform(_codes, c -> CAST(c AS BIGINT))"
-      else s"""transform(sequence(1, _len),
-              |  i -> aggregate(sequence(0, ${seedWidth - 1}), CAST(0 AS BIGINT),
-              |    (acc, j) -> acc * 128L + coalesce(try_element_at(_codes, i + j), 0)))""".stripMargin
-    withCodes.select(col("id"),
-        posexplode(expr(
-          s"CASE WHEN _len >= 1 THEN $packed ELSE CAST(array() AS ARRAY<BIGINT>) END")))
-      .select(col("id"), col("pos").as("off"), col("col").as("r"))
+    else
+      docs.select(col(idCol).as("id"),
+          posexplode(graft.plans.SuffixSeedFunctions.packedCharWindows(
+            col(textCol), seedWidth)))
+        .select(col("id"), col("pos").as("off"), col("col").as("r"))
   }
 
   /** True iff every character of every text has code in [1, 127] — the
@@ -394,11 +378,8 @@ object SuffixArray {
   private def windowsOf(docs: DataFrame, idCol: String, textCol: String,
                         len: Int): DataFrame =
     docs.select(col(idCol).as("id"),
-        posexplode(expr(
-          s"""CASE WHEN length($textCol) >= $len
-             |  THEN transform(sequence(1, length($textCol) - ${len - 1}),
-             |                 i -> substring($textCol, i, $len))
-             |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+        posexplode(graft.plans.SuffixSeedFunctions.charWindows(
+          col(textCol), len, fullOnly = true)))
       .select(col("id"), col("pos").as("off"), col("col").as("_g"))
 
   /** ExactSubstr duplicate spans: every maximal union of length-`minLen`
@@ -615,11 +596,9 @@ object SuffixArray {
   private def hashedWindows(docs: DataFrame, idCol: String, textCol: String,
                             len: Int): DataFrame =
     docs.select(col(idCol).as("id"),
-      explode(expr(
-        s"""CASE WHEN length($textCol) >= $len
-           |  THEN transform(sequence(1, length($textCol) - ${len - 1}),
-           |                 i -> xxhash64(substring($textCol, i, $len)))
-           |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)).as("_g"))
+        explode(graft.plans.SuffixSeedFunctions.charWindows(
+          col(textCol), len, fullOnly = true)).as("_w"))
+      .select(col("id"), expr("xxhash64(_w)").as("_g"))
 
   /** Run independent sub-run constructions on up to `parallelism` threads.
     * Each sub-run materializes eagerly (prefixRanks localCheckpoints), so a

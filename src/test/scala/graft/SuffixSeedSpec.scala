@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit-parity gates for the r16 suffix-seed kernels
+  * (plans/SuffixSeedExpression.scala) against the declarative forms they
+  * replaced in SuffixArray.charPositions / windowsOf / hashedWindows.
+  */
+class SuffixSeedSpec extends AnyFunSuite with SparkSuite {
+  import graft.plans.SuffixSeedFunctions._
+
+  private val rnd = new scala.util.Random(20260818)
+  private def randomText(): String = {
+    val alphabets = Seq(
+      "abcdefghij XYZ0123",          // ASCII incl. upper/digits/space
+      "abc déjà vu ümlaut",          // latin-1 two-byte codepoints
+      "日本語テキスト abc",            // three-byte codepoints
+      "emoji 😀🎉 mix abc",           // four-byte (surrogate) codepoints
+      "aaaaaaaaaaaaaaaaaaaa")        // degenerate repeats
+    val a = alphabets(rnd.nextInt(alphabets.size))
+    val len = rnd.nextInt(30)
+    (0 until len).map(_ => a(rnd.nextInt(a.length))).mkString
+  }
+
+  private def docs() = {
+    import spark.implicits._
+    val rows = (0 until 120).map(i => (i.toLong, randomText())) ++
+      Seq((1000L, ""), (1001L, null.asInstanceOf[String]))
+    rows.toDF("id", "text")
+  }
+
+  /** ASCII-only corpus — the packed seed path is ASCII-guarded in
+    * SuffixArray (asciiSeedSafe), because codes > 127 overflow the 128-base
+    * pack; widths ≥ 2 are only ever evaluated on inputs passing that guard.
+    */
+  private def asciiDocs() = {
+    import spark.implicits._
+    val a = "abcdefghij XYZ0123!-"
+    val rows = (0 until 120).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => a(rnd.nextInt(a.length))).mkString)
+    } ++ Seq((1000L, ""), (1001L, null.asInstanceOf[String]))
+    rows.toDF("id", "text")
+  }
+
+  test("PackedCharWindows == declarative ascii pack for widths 1..9") {
+    for (w <- Seq(1, 2, 5, 9)) {
+      // width 1 never multiplies, so it is exact (and used) on ANY text —
+      // the non-ASCII fallback path; wider packs only see ASCII-safe input
+      val d = if (w == 1) docs() else asciiDocs()
+      val codes =
+        if (w == 1) "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"
+        else "transform(split(text, ''), c -> ascii(c))"
+      val packed =
+        if (w == 1) "transform(_codes, c -> CAST(c AS BIGINT))"
+        else s"""transform(sequence(1, _len),
+                |  i -> aggregate(sequence(0, ${w - 1}), CAST(0 AS BIGINT),
+                |    (acc, j) -> acc * 128L + coalesce(try_element_at(_codes, i + j), 0)))""".stripMargin
+      val legacy = d.select(col("id"), expr(codes).as("_codes"),
+          coalesce(length(col("text")), lit(0)).as("_len"))
+        .select(col("id"), expr(
+          s"CASE WHEN _len >= 1 THEN $packed ELSE CAST(array() AS ARRAY<BIGINT>) END").as("a"))
+      val kernel = d.select(col("id"),
+        coalesce(packedCharWindows(col("text"), w), expr("CAST(array() AS ARRAY<BIGINT>)")).as("a"))
+      val l = legacy.orderBy("id").collect().map(_.toString)
+      val k = kernel.orderBy("id").collect().map(_.toString)
+      assert(l.toSeq === k.toSeq, s"width $w")
+    }
+  }
+
+  test("CharWindows(fullOnly=false) == declarative suffix-prefix transform") {
+    val d = docs()
+    for (w <- Seq(2, 10, 24, 128)) {
+      val legacy = d.select(col("id"), expr(
+        s"""CASE WHEN length(text) >= 1
+           |  THEN transform(sequence(1, length(text)), i -> substring(text, i, $w))
+           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("a"))
+      val kernel = d.select(col("id"),
+        coalesce(charWindows(col("text"), w, fullOnly = false),
+          expr("CAST(array() AS ARRAY<STRING>)")).as("a"))
+      assert(legacy.orderBy("id").collect().map(_.toString).toSeq ===
+        kernel.orderBy("id").collect().map(_.toString).toSeq, s"width $w")
+    }
+  }
+
+  test("CharWindows(fullOnly=true) == declarative full-window transform") {
+    val d = docs()
+    for (w <- Seq(2, 5, 16, 24)) {
+      val legacy = d.select(col("id"), expr(
+        s"""CASE WHEN length(text) >= $w
+           |  THEN transform(sequence(1, length(text) - ${w - 1}),
+           |                 i -> substring(text, i, $w))
+           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("a"))
+      val kernel = d.select(col("id"),
+        coalesce(charWindows(col("text"), w, fullOnly = true),
+          expr("CAST(array() AS ARRAY<STRING>)")).as("a"))
+      assert(legacy.orderBy("id").collect().map(_.toString).toSeq ===
+        kernel.orderBy("id").collect().map(_.toString).toSeq, s"width $w")
+    }
+  }
+
+  test("hashed windows through the kernel equal xxhash64 over the lambda form") {
+    val d = docs()
+    val w = 8
+    val legacy = d.select(col("id"), explode(expr(
+      s"""CASE WHEN length(text) >= $w
+         |  THEN transform(sequence(1, length(text) - ${w - 1}),
+         |                 i -> xxhash64(substring(text, i, $w)))
+         |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)).as("g"))
+    val kernel = d.select(col("id"),
+        explode(charWindows(col("text"), w, fullOnly = true)).as("_w"))
+      .select(col("id"), expr("xxhash64(_w)").as("g"))
+    assert(legacy.orderBy("id", "g").collect().map(_.toString).toSeq ===
+      kernel.orderBy("id", "g").collect().map(_.toString).toSeq)
+  }
+}
