@@ -37,17 +37,10 @@ object Dedup {
   private def toksCol(textCol: String): Column =
     Search.tokensCol(col(textCol))
 
-  /** Shingles from a BOUND token-array column. Binding matters: inlining the
-    * tokenizer expression into the transform lambda would re-evaluate it per
-    * element (O(tokens²) per doc); against a materialized column the lambda's
-    * element_at lookups are O(1).
-    */
-  private def shinglesFromToks(tCol: String, n: Int): String = {
-    val parts = (0 until n).map(j => s"element_at($tCol, CAST(i + $j AS INT))").mkString(", ")
-    s"""CASE WHEN size($tCol) < $n THEN array(array_join($tCol, ' '))
-       |ELSE transform(sequence(1, size($tCol) - ${n - 1}),
-       |       i -> concat_ws(' ', $parts)) END""".stripMargin
-  }
+  // Shingle generation is the codegen'd JoinedTokenWindows kernel since r16
+  // (plans/SuffixSeedExpression.scala) — the declarative form ran an
+  // interpreted concat_ws lambda per window; parity (incl. the whole-doc
+  // fallback for docs shorter than n tokens) is pinned in SuffixSeedSpec.
 
   /** (id, keep…, sh: array<string>) — word n-gram shingles; docs shorter than
     * n tokens fall back to one whole-text shingle so every doc gets a
@@ -59,7 +52,8 @@ object Dedup {
     val head = col(idCol) +: keep.map(col)
     docs
       .select(head :+ toksCol(textCol).as("_t"): _*)
-      .select(head :+ expr(shinglesFromToks("_t", n)).as("sh"): _*)
+      .select(head :+ graft.plans.SuffixSeedFunctions
+        .joinedTokenWindows(col("_t"), n, shortFallback = true).as("sh"): _*)
   }
 
   /** Per-document minhash signatures. Signature h = lexicographic MIN over
@@ -529,9 +523,9 @@ object Dedup {
     val spans = docs
       .withColumn("_ts", toksCol(textCol))
       .where(size(col("_ts")) >= nTokens)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, size(_ts) - ${nTokens - 1}), " +
-          s"i -> md5(array_join(slice(_ts, i, $nTokens), ' ')))")).as("span_hash"))
+      .select(col(idCol), explode(graft.plans.SuffixSeedFunctions
+        .joinedTokenWindows(col("_ts"), nTokens, shortFallback = false)).as("_w"))
+      .select(col(idCol), md5(col("_w").cast("binary")).as("span_hash"))
     // One pass over the corpus: (hash, doc) position counts first, then the
     // ≥minDocs sharing test as a window over that (much smaller) table —
     // no second tokenize+hash of the corpus, no semi-join back.
@@ -564,9 +558,8 @@ object Dedup {
     val wins = docs
       .withColumn("_ts", toksCol(textCol))
       .where(size(col("_ts")) >= nTokens)
-      .select(col(idCol).as("_id"), posexplode(expr(
-        s"transform(sequence(1, size(_ts) - ${nTokens - 1}), " +
-          s"i -> array_join(slice(_ts, i, $nTokens), ' '))")))
+      .select(col(idCol).as("_id"), posexplode(graft.plans.SuffixSeedFunctions
+        .joinedTokenWindows(col("_ts"), nTokens, shortFallback = false)))
       .select(col("_id"), col("pos").as("_off"), col("col").as("_g"))
     // "distinct docs >= 2" as min != max: one-pass partial agg, no expand.
     val classes = (if (crossDocOnly)
@@ -674,9 +667,8 @@ object Dedup {
       .select(col(idCol).as("id"),
         expr(s"filter(split($textCol, ' '), x -> x <> '')").as("_w"))
       .where(size(col("_w")) >= n)
-      .select(col("id"), expr(
-        s"transform(sequence(1, size(_w) - ${n - 1}), i -> array_join(slice(_w, i, $n), ' '))")
-        .as("_gs"))
+      .select(col("id"), graft.plans.SuffixSeedFunctions
+        .joinedTokenWindows(col("_w"), n, shortFallback = false).as("_gs"))
     val benchGrams = broadcast(
       grams(bench).select(explode(col("_gs")).as("_g")).distinct())
     grams(train)

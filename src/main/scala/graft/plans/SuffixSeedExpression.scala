@@ -180,9 +180,65 @@ case class CharWindows(child: Expression, width: Int, fullOnly: Boolean)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Space-joined token n-gram windows (array<string> → array<string>) — the
+  * shingle generator behind Dedup.withShingles / repeatedSpans /
+  * exactTokenSpans / ngramOverlap. Replaces the interpreted
+  * `transform(sequence(1, size-n+1), i -> array_join(slice(toks, i, n)))`
+  * lambda (plus its per-window slice allocation) with one pass that reuses
+  * a rolling byte length. `shortFallback` reproduces withShingles' whole-doc
+  * shingle for docs shorter than n tokens; without it, short docs yield an
+  * empty array (callers filter size ≥ n first). Null elements are skipped
+  * exactly like array_join/concat_ws.
+  */
+case class JoinedTokenWindows(child: Expression, n: Int, shortFallback: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def prettyName: String = "joined_token_windows"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  def windows(toksAny: Any): ArrayData = {
+    val toks = toksAny.asInstanceOf[ArrayData]
+    val sz = toks.numElements()
+    val sep = UTF8String.fromString(" ")
+    def at(i: Int): UTF8String =
+      if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+    if (sz < n) {
+      if (!shortFallback) return new GenericArrayData(Array.empty[Any])
+      val all = new Array[UTF8String](sz)
+      var i = 0
+      while (i < sz) { all(i) = at(i); i += 1 }
+      return new GenericArrayData(Array[AnyRef](UTF8String.concatWs(sep, all: _*)))
+    }
+    val count = sz - n + 1
+    val out = new Array[AnyRef](count)
+    val win = new Array[UTF8String](n)
+    var i = 0
+    while (i < count) {
+      var j = 0
+      while (j < n) { win(j) = at(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(sep, win: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(toks: Any): Any = windows(toks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("joinedTokenWindows", this,
+      "graft.plans.JoinedTokenWindows")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.windows($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SuffixSeedFunctions {
   def packedCharWindows(text: Column, width: Int): Column =
     ColumnBridge.toCol(PackedCharWindows(ColumnBridge.toExpr(text), width))
   def charWindows(text: Column, width: Int, fullOnly: Boolean): Column =
     ColumnBridge.toCol(CharWindows(ColumnBridge.toExpr(text), width, fullOnly))
+  def joinedTokenWindows(toks: Column, n: Int, shortFallback: Boolean): Column =
+    ColumnBridge.toCol(JoinedTokenWindows(ColumnBridge.toExpr(toks), n, shortFallback))
 }

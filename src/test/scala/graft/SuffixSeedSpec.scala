@@ -99,6 +99,35 @@ class SuffixSeedSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("JoinedTokenWindows == declarative shingle/window transforms") {
+    val d = docs().select(col("id"),
+      graft.plans.TokenizeFunctions.engineTokenize(
+        coalesce(col("text"), lit(""))).as("_t"))
+    for (n <- Seq(1, 3, 8)) {
+      // withShingles' shape: whole-doc fallback for docs shorter than n
+      val parts = (0 until n).map(j => s"element_at(_t, CAST(i + $j AS INT))").mkString(", ")
+      val legacyShingles = d.select(col("id"), expr(
+        s"""CASE WHEN size(_t) < $n THEN array(array_join(_t, ' '))
+           |ELSE transform(sequence(1, size(_t) - ${n - 1}),
+           |       i -> concat_ws(' ', $parts)) END""".stripMargin).as("sh"))
+      val kernelShingles = d.select(col("id"),
+        graft.plans.SuffixSeedFunctions.joinedTokenWindows(
+          col("_t"), n, shortFallback = true).as("sh"))
+      assert(legacyShingles.orderBy("id").collect().map(_.toString).toSeq ===
+        kernelShingles.orderBy("id").collect().map(_.toString).toSeq, s"shingles n=$n")
+      // repeatedSpans/exactTokenSpans' shape: size >= n filtered, no fallback
+      val fd = d.where(size(col("_t")) >= n)
+      val legacyWins = fd.select(col("id"), expr(
+        s"transform(sequence(1, size(_t) - ${n - 1}), " +
+          s"i -> array_join(slice(_t, i, $n), ' '))").as("w"))
+      val kernelWins = fd.select(col("id"),
+        graft.plans.SuffixSeedFunctions.joinedTokenWindows(
+          col("_t"), n, shortFallback = false).as("w"))
+      assert(legacyWins.orderBy("id").collect().map(_.toString).toSeq ===
+        kernelWins.orderBy("id").collect().map(_.toString).toSeq, s"windows n=$n")
+    }
+  }
+
   test("hashed windows through the kernel equal xxhash64 over the lambda form") {
     val d = docs()
     val w = 8
