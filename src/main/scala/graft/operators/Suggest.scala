@@ -13,29 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Suggest {
 
-  /** All strings reachable from `e` by AT MOST `maxEdits` character
-    * DELETIONS (including `e` itself) — the SymSpell neighborhood
-    * (github.com/wolfgarbe/SymSpell's delete-only candidate model). Pure
-    * SQL-expression arrays: per term of length L this is O(L^maxEdits)
-    * variants, generated inside codegen with no UDF.
-    */
-  private def deletionVariants(e: String, maxEdits: Int): String = {
-    require(maxEdits >= 1 && maxEdits <= 2, "maxEdits must be 1 or 2")
-    // one deletion, lambda var named so nesting can't capture the wrong i
-    def del1(s: String, v: String): String =
-      s"transform(sequence(1, length($s)), $v -> " +
-        s"concat(substring($s, 1, $v - 1), substring($s, $v + 1)))"
-    val d1 = del1(e, "i")
-    if (maxEdits == 1) s"array_distinct(concat(array($e), $d1))"
-    else {
-      // second round applies del1 to every first-round variant; a variant
-      // can reach "" (length-1 input) — sequence(1, 0) would DESCEND in
-      // Spark, so empty strings short-circuit to no further variants
-      val d2 = s"flatten(transform($d1, w0 -> CASE WHEN length(w0) = 0 " +
-        s"THEN CAST(array() AS ARRAY<STRING>) ELSE ${del1("w0", "j")} END))"
-      s"array_distinct(concat(array($e), $d1, $d2))"
-    }
-  }
+  // The SymSpell deletion neighborhood (github.com/wolfgarbe/SymSpell's
+  // delete-only candidate model) is the codegen'd DeletionVariants kernel
+  // since r16 (plans/SuffixSeedExpression.scala) — the declarative
+  // nested-transform form ran interpreted with a substring concat per
+  // variant, paid over the WHOLE vocabulary at every key build and over the
+  // batch vocabulary at every incremental update. Parity (contents and
+  // first-occurrence order) is pinned in SuffixSeedSpec.
 
   /** Spelling suggestions for each query term against a (term, df)
     * vocabulary, exact under Levenshtein distance ≤ `maxEdits`, ranked by
@@ -68,7 +52,8 @@ object Suggest {
   def deletionKeys(vocab: DataFrame, termCol: String, maxEdits: Int): DataFrame =
     vocab.where(length(col(termCol)) > 0)
       .select(col(termCol).as("term")).distinct()
-      .withColumn("delkey", explode(expr(deletionVariants("term", maxEdits))))
+      .withColumn("delkey", explode(
+        graft.plans.SuffixSeedFunctions.deletionVariants(col("term"), maxEdits)))
 
   /** [[spellSuggest]] against a prebuilt (term, delkey) frame. `termDf`
     * supplies df ranking AT QUERY TIME (inner join), so a stale key artifact
@@ -81,7 +66,8 @@ object Suggest {
     val vv = vocabKeys.select(col("term").as("_term"), col("delkey").as("_delkey"))
     val qv = queries.where(length(col(qCol)) > 0)
       .select(col(qCol).as("_q"))
-      .withColumn("_delkey", explode(expr(deletionVariants("_q", maxEdits))))
+      .withColumn("_delkey", explode(
+        graft.plans.SuffixSeedFunctions.deletionVariants(col("_q"), maxEdits)))
     val candidates = qv.join(vv, Seq("_delkey"))
       .select(col("_q"), col("_term")).distinct()
       .where(levenshtein(col("_q"), col("_term")) <= maxEdits)

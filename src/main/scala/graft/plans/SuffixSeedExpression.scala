@@ -234,6 +234,65 @@ case class JoinedTokenWindows(child: Expression, n: Int, shortFallback: Boolean)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** SymSpell deletion neighborhood (string → array<string>): the input plus
+  * every string reachable by at most `maxEdits` single-character deletions,
+  * first-occurrence order (self, 1-deletions left to right, then their
+  * 1-deletions) — exactly the retired declarative
+  * `array_distinct(concat(array(e), d1, d2))` nested-transform form, which
+  * ran interpreted with a substring concat per variant. Codepoint-based so
+  * non-ASCII query terms delete whole characters (substring semantics).
+  */
+case class DeletionVariants(child: Expression, maxEdits: Int)
+    extends UnaryExpression {
+  require(maxEdits >= 1 && maxEdits <= 2, s"maxEdits must be 1 or 2, got $maxEdits")
+  override def prettyName: String = "deletion_variants"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  def variants(sAny: Any): ArrayData = {
+    val s = sAny.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val seen = new java.util.LinkedHashSet[String]()
+    seen.add(s)
+    def del1(cp: Array[Int]): Array[String] = {
+      val out = new Array[String](cp.length)
+      var i = 0
+      while (i < cp.length) {
+        val sb = new java.lang.StringBuilder(cp.length)
+        var j = 0
+        while (j < cp.length) { if (j != i) sb.appendCodePoint(cp(j)); j += 1 }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+    val d1 = del1(cps)
+    d1.foreach(seen.add)
+    if (maxEdits == 2) {
+      var i = 0
+      while (i < d1.length) {
+        if (d1(i).nonEmpty) del1(d1(i).codePoints().toArray).foreach(seen.add)
+        i += 1
+      }
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(s: Any): Any = variants(s)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("deletionVariants", this,
+      "graft.plans.DeletionVariants")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.variants($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SuffixSeedFunctions {
   def packedCharWindows(text: Column, width: Int): Column =
     ColumnBridge.toCol(PackedCharWindows(ColumnBridge.toExpr(text), width))
@@ -241,4 +300,6 @@ object SuffixSeedFunctions {
     ColumnBridge.toCol(CharWindows(ColumnBridge.toExpr(text), width, fullOnly))
   def joinedTokenWindows(toks: Column, n: Int, shortFallback: Boolean): Column =
     ColumnBridge.toCol(JoinedTokenWindows(ColumnBridge.toExpr(toks), n, shortFallback))
+  def deletionVariants(term: Column, maxEdits: Int): Column =
+    ColumnBridge.toCol(DeletionVariants(ColumnBridge.toExpr(term), maxEdits))
 }

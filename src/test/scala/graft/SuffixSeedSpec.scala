@@ -128,6 +128,34 @@ class SuffixSeedSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("DeletionVariants == declarative SymSpell neighborhood (contents and order)") {
+    // the retired Suggest.deletionVariants SQL builder, verbatim
+    def legacyExpr(e: String, maxEdits: Int): String = {
+      def del1(s: String, v: String): String =
+        s"transform(sequence(1, length($s)), $v -> " +
+          s"concat(substring($s, 1, $v - 1), substring($s, $v + 1)))"
+      val d1 = del1(e, "i")
+      if (maxEdits == 1) s"array_distinct(concat(array($e), $d1))"
+      else {
+        val d2 = s"flatten(transform($d1, w0 -> CASE WHEN length(w0) = 0 " +
+          s"THEN CAST(array() AS ARRAY<STRING>) ELSE ${del1("w0", "j")} END))"
+        s"array_distinct(concat(array($e), $d1, $d2))"
+      }
+    }
+    import spark.implicits._
+    val terms = (Seq("a", "ab", "query", "tabel", "déjà", "日本語", "xx😀y", "aaaa") ++
+      (0 until 60).map(_ => randomText().replace(" ", "").take(10)))
+      .filter(_.nonEmpty).map(Tuple1(_))
+    val d = terms.toDF("t")
+    for (me <- Seq(1, 2)) {
+      val legacy = d.select(col("t"), expr(legacyExpr("t", me)).as("v"))
+      val kernel = d.select(col("t"),
+        graft.plans.SuffixSeedFunctions.deletionVariants(col("t"), me).as("v"))
+      assert(legacy.orderBy("t").collect().map(_.toString).toSeq ===
+        kernel.orderBy("t").collect().map(_.toString).toSeq, s"maxEdits=$me")
+    }
+  }
+
   test("hashed windows through the kernel equal xxhash64 over the lambda form") {
     val d = docs()
     val w = 8
