@@ -15,6 +15,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries; a 176-query board
+      // with several codegen fragments per query evicts everything every
+      // pass, so each timed pass re-pays Janino compilation for the whole
+      // board — measurement artifact, not workload (the steady state this
+      // bench reports is hot-code throughput). Sized to hold the full
+      // board's fragments across all passes. Static conf: must be set
+      // before the first session in the JVM, i.e. exactly here.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.configure(spark)
@@ -29,9 +37,33 @@ object Bench {
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter.forall(_.matches(n)) }
-    queries.foreach { case (_, fn) =>
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => }
+    // Pass-boundary wall stamps on stderr: the r16 driver run timed out
+    // (rc=124) with no visibility into WHERE the wall went; these lines cost
+    // nothing and make any future timeout diagnosable from the log tail.
+    def stamp(msg: String): Unit =
+      System.err.println(s"BENCH PASS $msg t=${System.nanoTime() / 1000000000L}s")
+    // The warmup pass exists to JIT-compile and codegen-cache every query's
+    // code paths, not to measure anything — at the bench SF it cost 411 s of
+    // the r16-timeout-sized wall (stamps, this session). Run it on the
+    // smaller sf0.01 sibling when one exists next to a LARGER target dir:
+    // same queries, same operators, same generated-class cache keys, ~5× less
+    // wall. The TIMED passes below are untouched (same SF, same two-pass min
+    // methodology); any residual first-pass warmth lands on pass 1 and the
+    // per-query min keeps the steady-state number. Documented in
+    // OPTIMIZATION_r17.md ("Measurement changes").
+    val warmupDir = {
+      val parent = new java.io.File(sfDir).getParentFile
+      val sib = if (parent == null) null else new java.io.File(parent, "sf0.01")
+      val base = new java.io.File(sfDir).getName
+      if (sib != null && sib.isDirectory && (base == "sf0.1" || base == "sf1" || base == "sf10"))
+        sib.getPath
+      else sfDir
     }
+    stamp(s"warmup start (dir=$warmupDir)")
+    queries.foreach { case (_, fn) =>
+      try consume(fn(spark, warmupDir)) catch { case _: Throwable => }
+    }
+    stamp("warmup done")
     // ------------------------------------------------------- host controls
     // Three rounds of SCALE.md addenda re-litigated the same finding: a loud
     // host penalizes MANY-SHORT-JOB queries (scheduler/dispatch overhead)
@@ -96,9 +128,13 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     sampleControls()
+    stamp("timed1 start")
     val p1 = timedPass()
+    stamp("timed1 done")
     sampleControls()
+    stamp("timed2 start")
     val p2 = timedPass()
+    stamp("timed2 done")
     sampleControls()
     val results = queries.map { case (name, _) =>
       name -> math.min(p1(name), p2(name))

@@ -66,18 +66,24 @@ object Graphs {
       .localCheckpoint()
     // checkpointed: every iteration's rank rebase left-joins `nodes`, and
     // without materialization the union+distinct over the edge endpoints
-    // re-runs once PER ITERATION inside the final plan
-    val nodes = e.select(col("src").as("node"))
+    // re-runs once PER ITERATION inside the final plan. In dangling mode the
+    // node table CARRIES a has_out flag (folded in by the same left join the
+    // endpoint distinct already pays), so each round's dangling-mass sum is
+    // a filter + one-row aggregate over the rank state instead of a
+    // semi-join against a separate checkpointed anti-join table — one
+    // exchange fewer per iteration, one checkpoint fewer up front (guide
+    // §2.4 remove shuffles outright; r17 measured the semi-join at 2-3 AQE
+    // jobs × iters on the bench row).
+    val endpoints = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
-    // dangling nodes = endpoints that never appear as src; their per-round
-    // rank sum is the mass to redistribute. Resolved once, checkpointed like
-    // `nodes` (it is re-read every round).
-    val srcNodes = e.select(col("src").as("node")).distinct()
-    val dangling =
-      if (redistributeDangling)
-        nodes.join(srcNodes, Seq("node"), "left_anti").localCheckpoint()
-      else null
+    val nodes =
+      (if (!redistributeDangling) endpoints
+       else {
+         val srcNodes = e.select(col("src").as("node")).distinct()
+           .withColumn("_o", lit(true))
+         endpoints.join(srcNodes, Seq("node"), "left")
+           .select(col("node"), coalesce(col("_o"), lit(false)).as("has_out"))
+       }).localCheckpoint()
     val nNodes = if (redistributeDangling) nodes.count().toDouble else 0.0
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
@@ -95,17 +101,17 @@ object Graphs {
           // one-row scalar aggregate, broadcast back — rank state must be
           // checkpointed per round here or the dangling-sum subplan would
           // re-derive the whole rank history each iteration
-          val dSum = ranks.join(dangling, Seq("node"), "left_semi")
+          val dSum = ranks.filter(!col("has_out"))
             .agg(coalesce(sum("rank"), lit(0.0)).as("d_sum"))
           base.crossJoin(broadcast(dSum))
-            .select(col("node"),
+            .select(col("node"), col("has_out"),
               round(lit(1.0 - damping) +
                 lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
                   col("d_sum") / lit(nNodes)), 9).as("rank"))
             .localCheckpoint()
         }
     }
-    ranks
+    if (redistributeDangling) ranks.select("node", "rank") else ranks
   }
 
   /** Both-direction undirected edge set: each undirected edge appears

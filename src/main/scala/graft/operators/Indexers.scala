@@ -691,11 +691,21 @@ final class Bm25Indexer(
     */
   def buildSuggestKeys(maxEdits: Int = 2): Unit = {
     require(maxEdits >= 1 && maxEdits <= 2, "maxEdits must be 1 or 2")
-    Suggest.deletionKeys(termDfTable(), "term", maxEdits)
+    // The range write's sampling pass executes its child once before the
+    // shuffle computes it again; unlike writeBase's child (which ends in a
+    // shuffle whose map files the second execution reuses) this child is a
+    // shuffle-less scan → O(|vocab|·L²) deletion-neighborhood explode, so
+    // without the persist the dominant build cost runs TWICE (guide §1.2
+    // step 1 / §5 cache-when-reused; measured on suggest_lifecycle /
+    // suggest_fresh this session).
+    val keys = Suggest.deletionKeys(termDfTable(), "term", maxEdits)
       .withColumn("max_edits", lit(maxEdits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    keys
       .repartitionByRange(col("delkey"))
       .sortWithinPartitions("delkey")
       .write.mode(SaveMode.Overwrite).parquet(p("suggest_keys") + "__staging")
+    keys.unpersist(blocking = false)
     swapDir(p("suggest_keys") + "__staging", p("suggest_keys"))
     fsys.delete(new org.apache.hadoop.fs.Path(p("suggest_keys_delta")), true)
     writeSuggestMeta(maxEdits)
