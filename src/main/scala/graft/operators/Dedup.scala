@@ -165,8 +165,11 @@ object Dedup {
       maxFingerprintDfFraction: Double = 0.01,
       logDropStats: Boolean = true): DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    // winnowing is compute-dense map work: spread a small-split input across
+    // the session's cores first (identity at real scale — Spread scaladoc)
     val ex = TextAnalysis.fingerprintDf(
-        docs.select(col(idCol), col(textCol)), textCol, k, w)
+        graft.core.Spread.forCompute(docs.select(col(idCol), col(textCol))),
+        textCol, k, w)
       .select(col(idCol), explode(col("fingerprints")).as("fp"))
     val cap: Long =
       if (maxFingerprintDf > 0) maxFingerprintDf.toLong
@@ -297,7 +300,12 @@ object Dedup {
   def jaccardJoinPrefix(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleN: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val shArr = withShingles(docs, idCol, textCol, shingleN)
+    // shingle + sort + distinct per doc is compute-dense map work; spread a
+    // small-split input first (identity at real scale — Spread scaladoc).
+    // The checkpoint then also holds ≥ cores partitions, so the df/prefix
+    // explode and both verify joins downstream inherit the parallelism.
+    val shArr = withShingles(graft.core.Spread.forCompute(docs), idCol,
+        textCol, shingleN)
       .select(col(idCol).as("did"),
         array_sort(array_distinct(col("sh"))).as("sha"))
       .withColumn("n", size(col("sha")))

@@ -122,7 +122,7 @@ final class Bm25Indexer(
     * and the incremental merge (which runs it over NEW chunks only).
     */
   private def postingsOf(chunks: DataFrame): DataFrame =
-    chunks.select(col("chunkId").as("docId"),
+    graft.core.Spread.forCompute(chunks).select(col("chunkId").as("docId"),
         Search.tokensCol(col("indexedData")).as("tokens"))
       .select(col("docId"), arraySize(col("tokens")).as("docLen"),
         explode(col("tokens")).as("term"))
@@ -164,7 +164,7 @@ final class Bm25Indexer(
 
   /** (term, docId, positions[1-based]) of a chunk set. */
   private def positionsOf(chunks: DataFrame): DataFrame =
-    chunks.select(col("chunkId").as("docId"),
+    graft.core.Spread.forCompute(chunks).select(col("chunkId").as("docId"),
         posexplode(Search.tokensCol(col("indexedData"))).as(Seq("p", "term")))
       .groupBy("term", "docId")
       .agg(sort_array(collect_list(col("p") + 1)).as("positions"))
@@ -180,7 +180,7 @@ final class Bm25Indexer(
     * §1.2 step 1 — one pass where two identical-input passes ran).
     */
   private def postingsWithPositionsOf(chunks: DataFrame): DataFrame =
-    chunks.select(col("chunkId").as("docId"),
+    graft.core.Spread.forCompute(chunks).select(col("chunkId").as("docId"),
         Search.tokensCol(col("indexedData")).as("tokens"))
       .select(col("docId"), arraySize(col("tokens")).as("docLen"),
         posexplode(col("tokens")).as(Seq("p", "term")))
@@ -698,7 +698,11 @@ final class Bm25Indexer(
     // without the persist the dominant build cost runs TWICE (guide §1.2
     // step 1 / §5 cache-when-reused; measured on suggest_lifecycle /
     // suggest_fresh this session).
-    val keys = Suggest.deletionKeys(termDfTable(), "term", maxEdits)
+    // spread the vocab read before the neighborhood explode: termDf is a few
+    // small files → a 1-2-task scan would run the whole O(|vocab|·L²)
+    // generation on one core (identity at real scale — Spread scaladoc)
+    val keys = Suggest.deletionKeys(
+        graft.core.Spread.forCompute(termDfTable()), "term", maxEdits)
       .withColumn("max_edits", lit(maxEdits))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     keys

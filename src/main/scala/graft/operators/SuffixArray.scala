@@ -57,9 +57,13 @@ object SuffixArray {
     * Empty/null texts contribute no rows (the explicit CASE dodges
     * `sequence(1, 0)`, which Spark reads as DESCENDING).
     */
-  private def charPositions(docs: DataFrame, idCol: String, textCol: String,
+  private def charPositions(docs0: DataFrame, idCol: String, textCol: String,
                             seedWidth: Int): DataFrame = {
     require(seedWidth >= 1, s"seedWidth must be >= 1, got $seedWidth")
+    // seed generation is compute-dense map work over every character; a
+    // small-split scan would run it on one core (identity at real scale —
+    // graft.core.Spread scaladoc)
+    val docs = graft.core.Spread.forCompute(docs0)
     // Widths past the 9-char long pack seed with the LITERAL substring as a
     // STRING key: UTF-8 binary order = the packed order (truncation sorts
     // shorter-first exactly like the 0 pad), globalDenseRank is key-type
@@ -88,12 +92,18 @@ object SuffixArray {
   }
 
   /** True iff every character of every text has code in [1, 127] — the
-    * precondition for the packed multi-char doubling seed. One regex scan
-    * over the corpus; cheap next to the doubling rounds it saves.
+    * precondition for the packed multi-char doubling seed. One corpus pass;
+    * cheap next to the doubling rounds it saves. Checked as byte-vs-char
+    * length equality (UTF-8 is 1 byte per char exactly on ≤ U+007F) plus a
+    * NUL-free test — same predicate as the retired `rlike "[^\x01-\x7F]"`
+    * scan but whole-stage-codegen arithmetic instead of a java.util.regex
+    * walk over every character (guide §1.2 per-task work; the sharded rows
+    * pay this gate once per sub-run).
     */
   private def asciiSeedSafe(docs: DataFrame, textCol: String): Boolean =
     docs.where(col(textCol).isNotNull &&
-      col(textCol).rlike("[^\\x01-\\x7F]")).isEmpty
+      (octet_length(col(textCol)) =!= length(col(textCol)) ||
+        col(textCol).contains("\u0000"))).isEmpty
 
   /** Result of one global dense-rank pass: the (id, off, rankCol) frame, the
     * persisted sorted RDD backing it (the CALLER unpersists once the next
@@ -377,7 +387,7 @@ object SuffixArray {
     */
   private def windowsOf(docs: DataFrame, idCol: String, textCol: String,
                         len: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
+    graft.core.Spread.forCompute(docs).select(col(idCol).as("id"),
         posexplode(graft.plans.SuffixSeedFunctions.charWindows(
           col(textCol), len, fullOnly = true)))
       .select(col("id"), col("pos").as("off"), col("col").as("_g"))
@@ -595,7 +605,7 @@ object SuffixArray {
     */
   private def hashedWindows(docs: DataFrame, idCol: String, textCol: String,
                             len: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
+    graft.core.Spread.forCompute(docs).select(col(idCol).as("id"),
         explode(graft.plans.SuffixSeedFunctions.charWindows(
           col(textCol), len, fullOnly = true)).as("_w"))
       .select(col("id"), expr("xxhash64(_w)").as("_g"))
