@@ -59,10 +59,19 @@ object Graphs {
     // side's layout through the alias-aware projection), so the aggregate
     // reuses this one layout every round — the per-iteration wide exchange of
     // the edge table disappears from the plan.
-    val dedup = edges.select(col("src"), col("dst")).distinct()
+    // Partition by dst FIRST: hash(dst) satisfies the (src, dst) clustering
+    // the distinct needs (dst ⊆ {src, dst}), so the dedup aggregate runs
+    // exchange-free on the already-partitioned rows — one full edge-table
+    // exchange instead of the former distinct-then-repartition two (guide
+    // §2.4 "two operations keyed the same way can share one exchange").
+    // The node-sized outdeg side broadcasts (the same AQE-broadcast
+    // assumption every ITERATION below already leans on), so the dst layout
+    // survives through the join into the checkpoint.
+    val dedup = edges.select(col("src"), col("dst"))
+      .repartition(col("dst"))
+      .distinct()
     val e = dedup
       .join(dedup.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .repartition(col("dst"))
       .localCheckpoint()
     // checkpointed: every iteration's rank rebase left-joins `nodes`, and
     // without materialization the union+distinct over the edge endpoints
@@ -126,6 +135,11 @@ object Graphs {
       .select(col("src"), col("dst"))
       .union(edges.filter(col("src") =!= col("dst"))
         .select(col("dst").as("src"), col("src").as("dst")))
+      // dst-first partitioning: the distinct's (src, dst) clustering is
+      // satisfied by hash(dst) (no second exchange — see pageRank), and the
+      // checkpointed layout is the one labelPropagation's per-round
+      // (dst, label) aggregate needs, so those rounds skip their exchange too
+      .repartition(col("dst"))
       .distinct()
       .localCheckpoint()
 
