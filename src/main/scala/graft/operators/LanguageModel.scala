@@ -46,13 +46,17 @@ object LanguageModel {
     */
   private def bigramRows(docs: DataFrame, idCol: String, textCol: String,
                          vocab: DataFrame): DataFrame = {
-    val pairs = docs
+    // one-pass r16 window kernel + codegen'd substring_index split replaces
+    // the per-pair INTERPRETED transform lambda (tokens are [a-z0-9]+, so
+    // the space split is unambiguous); spread first — the pair explode is
+    // compute-dense map work on a small-split scan (Spread scaladoc)
+    val pairs = graft.core.Spread.forCompute(docs)
       .withColumn("_ts", toksCol(textCol))
-      .withColumn("_n", size(col("_ts")))
-      .where(col("_n") >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, _n - 1), i -> struct(_ts[i-1] AS w1, _ts[i] AS w2))")).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1r"), col("bg.w2").as("w2r"))
+      .select(col(idCol), explode(graft.plans.SuffixSeedFunctions
+        .joinedTokenWindows(col("_ts"), 2, shortFallback = false)).as("bg"))
+      .select(col(idCol),
+        substring_index(col("bg"), " ", 1).as("w1r"),
+        substring_index(col("bg"), " ", -1).as("w2r"))
     val v1 = broadcast(vocab.select(col("tok").as("w1r"), lit(true).as("_in1")))
     val v2 = broadcast(vocab.select(col("tok").as("w2r"), lit(true).as("_in2")))
     pairs
@@ -73,7 +77,8 @@ object LanguageModel {
             vocabSize: Int = 4096, alpha: Double = 0.1): BigramModel = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tokRows = docs.select(explode(toksCol(textCol)).as("tok"))
+    val tokRows = graft.core.Spread.forCompute(docs)
+      .select(explode(toksCol(textCol)).as("tok"))
     val vocabLocal = tokRows.groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
       .select("tok").as[String].collect()

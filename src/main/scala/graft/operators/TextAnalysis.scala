@@ -93,12 +93,18 @@ object TextAnalysis {
   def qualitySignals(docs: DataFrame, textCol: String): DataFrame = {
     val allStops = langMarkers.values.flatten.toSeq.distinct.sorted
     val stopList = allStops.map(w => s"'$w'").mkString(", ")
+    // token-length sum = length of the separator-less concat — one codegen'd
+    // concat + length instead of the retired `aggregate(...)` fold, which ran
+    // the lambda INTERPRETED per token (guide §1.2 per-task work; same value
+    // by construction, so every downstream 4dp round is unchanged).
+    // NOT spread: consumers aggregate right after (corpus_stats et al) and
+    // the measured exchange cost exceeded the map win (r17 A/B).
     docs
       .withColumn("_toks", toksCol(textCol))
       .withColumn("n_tokens", expr("size(_toks)").cast("long"))
       .withColumn("n_chars_t", length(col(textCol)).cast("long"))
       .withColumn("mean_word_len",
-        round(expr("aggregate(_toks, 0L, (s, t) -> s + length(t))") /
+        round(length(concat_ws("", col("_toks"))).cast("long") /
           greatest(col("n_tokens"), lit(1L)), 4))
       .withColumn("alnum_ratio",
         round(length(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")) /
@@ -130,11 +136,17 @@ object TextAnalysis {
     * ~0–100 on prose), fk_grade (US grade level). Pure per-row map — scan
     * cost only, no shuffle; everything stays in whole-stage codegen.
     */
-  def readability(docs: DataFrame, textCol: String): DataFrame = docs
+  def readability(docs: DataFrame, textCol: String): DataFrame =
+    graft.core.Spread.forCompute(docs)
     .withColumn("_toks", toksCol(textCol))
     .withColumn("n_words", expr("size(_toks)").cast("long"))
+    // one regex pass over the space-joined tokens replaces the per-token
+    // INTERPRETED aggregate lambda: a `[aeiouy]+` run can never cross the
+    // space separator (tokens are [a-z0-9]+), so the group count is
+    // identical by construction
     .withColumn("n_syllables",
-      expr("aggregate(_toks, 0L, (s, t) -> s + size(regexp_extract_all(t, '[aeiouy]+', 0)))"))
+      size(regexp_extract_all(concat_ws(" ", col("_toks")),
+        lit("[aeiouy]+"), lit(0))).cast("long"))
     .withColumn("n_sentences_r",
       greatest(size(filter(split(col(textCol), "[.!?]+\\s+"), x => x =!= "")), lit(1))
         .cast("long"))
@@ -169,7 +181,8 @@ object TextAnalysis {
     * explode → per-(doc, bigram) count → per-doc max (two hash aggs keyed by
     * doc — no per-row O(n²) interpreted fold).
     */
-  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionSignals(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = graft.core.Spread.forCompute(docs0)
     val lineSignals = docs.select(
       col(idCol),
       size(split(col(textCol), "\n")).cast("long").as("n_lines"),
@@ -178,14 +191,14 @@ object TextAnalysis {
         round((col("n_lines") - col("n_distinct_lines")) /
           greatest(col("n_lines"), lit(1L)).cast("double"), 4))
 
-    val bigramExpr =
-      s"""CASE WHEN size(_t) < 2 THEN array()
-         |ELSE transform(sequence(1, size(_t) - 1),
-         |       i -> concat_ws(' ', element_at(_t, CAST(i AS INT)),
-         |                           element_at(_t, CAST(i + 1 AS INT)))) END""".stripMargin
+    // the r16 one-pass window kernel replaces the interpreted
+    // transform/concat_ws lambda: same "w1 w2" strings, same empty-array
+    // short-doc semantics (shortFallback = false)
     val bigrams = docs
       .select(col(idCol), toksCol(textCol).as("_t"))
-      .select(col(idCol), expr(bigramExpr).as("_b"))
+      .select(col(idCol),
+        graft.plans.SuffixSeedFunctions.joinedTokenWindows(
+          col("_t"), 2, shortFallback = false).as("_b"))
       .select(col(idCol), size(col("_b")).cast("long").as("n_bigrams"),
         explode_outer(col("_b")).as("bigram"))
     val topBigram = bigrams
@@ -249,16 +262,19 @@ object TextAnalysis {
     */
   def collocations(docs: DataFrame, textCol: String,
                    minCount: Long, topK: Int): DataFrame = {
-    val pairs = docs
+    // r16 window kernel + substring_index split instead of the per-pair
+    // interpreted transform lambda (same pairs — tokens carry no spaces).
+    // NOT spread: both consumers aggregate immediately, and the measured
+    // exchange cost exceeded the map win (r17 A/B: 0.81 → 1.20 s spread)
+    val spreadDocs = docs
+    val pairs = spreadDocs
       .select(toksCol(textCol).as("_t"))
-      .filter(size(col("_t")) >= 2) // sequence(1, 0) would run DESCENDING
-      .select(explode(expr(
-        """transform(sequence(1, size(_t) - 1),
-          |  i -> struct(element_at(_t, CAST(i AS INT)) AS w1,
-          |              element_at(_t, CAST(i + 1 AS INT)) AS w2))""".stripMargin)).as("p"))
-      .select(col("p.w1"), col("p.w2"))
+      .select(explode(graft.plans.SuffixSeedFunctions
+        .joinedTokenWindows(col("_t"), 2, shortFallback = false)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
     val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-    val unigramCounts = docs
+    val unigramCounts = spreadDocs
       .select(explode(toksCol(textCol)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_w"))
     val total = bigramCounts.agg(sum("c_ab").as("n_total"))
